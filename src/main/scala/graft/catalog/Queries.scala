@@ -1,0 +1,507 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One catalog entry: a Spark query over the harness tables plus (usually)
+  * an equivalent DuckDB SQL oracle. Names and output column names MUST match
+  * between the two — the driver sorts columns by name before hashing.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The operator catalog. Each query exercises one operator family from
+  * SURVEY.md §2, re-expressed over the TPC-H-ish harness tables
+  * (TESTDATA.md). Reference sites are cited per query.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *   - every query ends in a total-order `orderBy`;
+  *   - every derived double is `round(_, 2)` (or 3/4 where noted) on BOTH
+  *     sides — sum-of-double is order-dependent across engines;
+  *   - collected arrays are sorted and joined to strings (array hashing
+  *     across engines is fragile, string hashing is not).
+  */
+object Queries {
+  import Tables._
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** All registered queries, in catalog order. */
+  def all: Seq[Q] = relational ++ text ++ similarity
+
+  def byName: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  // ==========================================================================
+  // Relational core — scans, filters, projections, joins, aggregations,
+  // sorts, set ops, window functions (SURVEY.md §2.1-§2.8).
+  // ==========================================================================
+
+  private[graft] def relational: Seq[Q] = Seq(
+    // ----- A1/A7-style grouped aggregation (umls2rdf.py:600-605 analog):
+    // the classic pricing-summary shape; map-side partial agg, one shuffle.
+    Q("q01_agg_pricing",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            r2(sum("l_quantity")).as("sum_qty"),
+            r2(sum("l_extendedprice")).as("sum_base_price"),
+            r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("sum_disc_price"),
+            r2(avg("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----- F1-F6 pushed-down conjunctive filter + projection
+    // (umls2rdf.py:598-600). `.explain` must show PushedFilters on parquet.
+    Q("q02_filter_pushdown",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 30
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- P1 DISTINCT projection (umls2rdf.py:157-158).
+    Q("q03_distinct_proj",
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus
+        FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----- O5/O7 top-k: global sort + limit (umls2rdf.py:118-122 analog).
+    // Spark plans this as TakeOrderedAndProject — no full sort at scale.
+    Q("q04_topk",
+      (s, d) =>
+        orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10""")),
+
+    // ----- J1-style equi-join + aggregation (umls2rdf.py:663-666).
+    // customer (small) is broadcast; no shuffle of orders.
+    Q("q05_join_agg",
+      (s, d) =>
+        orders(s, d)
+          .join(broadcast(customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            r2(sum("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment"),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ----- J2 3-way join (umls2rdf.py:201-213 analog): revenue per nation.
+    // nation+customer broadcast; lineitem⋈orders is the only big shuffle.
+    Q("q06_join_3way",
+      (s, d) =>
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"))
+          .orderBy("n_name"),
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ----- J9 semi-join (cui_roots membership, umls2rdf.py:695-697):
+    // customers that placed at least one high-value order.
+    Q("q07_semi_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_totalprice") > 100000)
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        ORDER BY c_custkey""")),
+
+    // ----- anti-join (the dual of J9; J3's "unresolved rels dropped",
+    // umls2rdf.py:717): customers with no open order.
+    Q("q08_anti_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey""")),
+
+    // ----- A7 rank-argmax (umls2rdf.py:320-326): highest-priced order per
+    // customer, deterministic tie-break — exactly the MRRANK prefLabel pick.
+    Q("q09_argmax_window",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("best_order"),
+            col("o_totalprice").as("max_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS max_price
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey""")),
+
+    // ----- A1 group-and-collect (the core "one class per code" groupBy,
+    // umls2rdf.py:545,600-605): line numbers per order as a sorted list.
+    Q("q10_group_collect",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(
+            array_join(
+              array_sort(collect_list(col("l_linenumber").cast("string"))),
+              ",").as("lines"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("l_orderkey"),
+      Some("""
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(l_linenumber::VARCHAR)), ',') AS lines,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey""")),
+
+    // ----- A14 pivot (MRDOC property_docs pivot, umls2rdf.py:854-864):
+    // order value by priority × status.
+    Q("q11_pivot",
+      (s, d) =>
+        orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(r2(sum("o_totalprice")))
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----- O2-style window: running revenue per customer over order dates
+    // (deterministic window order incl. key tie-break).
+    Q("q12_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            r2(sum("o_totalprice").over(w)).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ----- §2.7 set ops: UNION DISTINCT of two key sets.
+    Q("q13_union",
+      (s, d) =>
+        customer(s, d).select(col("c_nationkey").as("nationkey"))
+          .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // ----- §2.7 set ops: EXCEPT (nations with customers but no suppliers).
+    Q("q14_except",
+      (s, d) =>
+        customer(s, d).select(col("c_nationkey").as("nationkey"))
+          .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // ----- C9-style CASE WHEN classification + F12-style blacklist
+    // (umls2rdf.py:438-445,514-520).
+    Q("q15_case_blacklist",
+      (s, d) =>
+        orders(s, d)
+          .filter(!col("o_orderpriority").isin("5-LOW"))
+          .withColumn("bucket",
+            when(col("o_totalprice") > 200000, "high")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("low"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""
+        SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               count(*) AS n
+        FROM orders
+        WHERE o_orderpriority NOT IN ('5-LOW')
+        GROUP BY 1
+        ORDER BY bucket""")),
+
+    // ----- C1/C8 string transforms (escape chain umls2rdf.py:103-104;
+    // label prettify :522-527).
+    Q("q16_string_funcs",
+      (s, d) =>
+        part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            regexp_replace(col("p_name"), " ", "_").as("slug"),
+            length(col("p_name")).as("name_len"),
+            concat(lit("part/"), col("p_partkey").cast("string"), lit("/"),
+              regexp_replace(col("p_name"), " ", "%20")).as("uri"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, upper(p_name) AS uname,
+               regexp_replace(p_name, ' ', '_', 'g') AS slug,
+               length(p_name) AS name_len,
+               'part/' || p_partkey || '/' || regexp_replace(p_name, ' ', '%20', 'g') AS uri
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ----- C4 empty-string falsiness (get_rel_fragment umls2rdf.py:131-132):
+    // length()>0 test, NOT isNotNull — MySQL '' vs NULL distinction.
+    Q("q17_coalesce_falsy",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            when(length(trim(col("lang"))) > 0, col("lang"))
+              .otherwise("und").as("lang_norm"),
+            when(length(col("source")) > 0, col("source"))
+              .otherwise(lit("unknown")).as("source_norm"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN length(trim(lang)) > 0 THEN lang ELSE 'und' END AS lang_norm,
+               CASE WHEN length(source) > 0 THEN source ELSE 'unknown' END AS source_norm
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- time-window batch aggregation (§2.10 / events table):
+    // tumbling 1-hour windows via date_trunc.
+    Q("q18_time_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), r2(sum("value")).as("total"))
+          .orderBy("hour", "event_type"),
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type""")),
+
+    // ----- sessionization in batch (lag + cumulative flag): 30-min gap
+    // starts a new session. The streaming path (graft.streaming) reuses
+    // this gap semantics with flatMapGroupsWithState.
+    Q("q19_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts").cast("long"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ts").isNotNull &&
+              col("ts").cast("long") - col("prev_ts") > 1800, 1)
+              .otherwise(0))
+          .groupBy("user_id")
+          .agg((sum("new_s") + 1).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT, 1) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events)
+        SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events
+        FROM g
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ----- count + count-distinct (S3 scan counts, umls2rdf.py:219-226).
+    Q("q20_count_distinct",
+      (s, d) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ----- A3-A6 sorted-distinct collected arrays (altLabels/defs/cuis/tuis,
+    // umls2rdf.py:291-293,412-479): distinct parts per order, sorted.
+    Q("q21_array_distinct_sorted",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(
+            array_join(
+              array_sort(array_distinct(
+                collect_list(col("l_partkey").cast("string")))), ",")
+              .as("parts"),
+            countDistinct("l_partkey").as("n_parts"))
+          .orderBy("l_orderkey"),
+      Some("""
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(DISTINCT l_partkey::VARCHAR)), ',') AS parts,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey""")),
+
+    // ----- O2 custom comparator sort inside a group (CHD-first rel sort,
+    // umls2rdf.py:365-374): 'R'-flag lines first, then by status/partkey.
+    // Spark: sort-key struct + array_sort; DuckDB: string_agg ORDER BY.
+    Q("q22_sortkey_struct",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(
+                  (col("l_returnflag") =!= "R").cast("int").as("k1"),
+                  col("l_linestatus").as("k2"),
+                  col("l_partkey").as("k3"),
+                  col("l_linenumber").as("display")))),
+                x => x.getField("display").cast("string")),
+              ";").as("ordered_lines"))
+          .orderBy("l_orderkey"),
+      Some("""
+        SELECT l_orderkey,
+               string_agg(l_linenumber::VARCHAR, ';'
+                 ORDER BY (l_returnflag != 'R')::INT, l_linestatus,
+                          l_partkey, l_linenumber) AS ordered_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey""")),
+
+    // ----- J13-style self-join (STY parent derivation, umls2rdf.py:170-182):
+    // pair each nation with sibling nations in the same region.
+    Q("q23_self_join",
+      (s, d) => {
+        val n1 = nation(s, d).select(col("n_nationkey").as("a_key"),
+          col("n_name").as("a_name"), col("n_regionkey").as("a_region"))
+        val n2 = nation(s, d).select(col("n_nationkey").as("b_key"),
+          col("n_name").as("b_name"), col("n_regionkey").as("b_region"))
+        n1.join(n2, col("a_region") === col("b_region") &&
+            col("a_key") < col("b_key"))
+          .select("a_name", "b_name")
+          .orderBy("a_name", "b_name")
+      },
+      Some("""
+        SELECT a.n_name AS a_name, b.n_name AS b_name
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        ORDER BY a_name, b_name""")),
+
+    // ----- left outer join + null handling (tree parents J12 may be absent).
+    Q("q24_left_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).groupBy("o_custkey")
+            .agg(count(lit(1)).as("cnt")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+        FROM customer LEFT JOIN
+          (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+          ON c_custkey = o_custkey
+        ORDER BY c_custkey"""))
+  )
+
+  // ==========================================================================
+  // Text-analysis / dedup operators over `documents` (north-star §7.1.8).
+  // Implementations live in graft.operators.*; these entries wire them to
+  // the oracle. Filled in by the TextAnalysis/Dedup milestone.
+  // ==========================================================================
+  private[graft] def text: Seq[Q] = TextQueries.all
+
+  // Similarity / embeddings queries (filled by Similarity milestone).
+  private[graft] def similarity: Seq[Q] = SimilarityQueries.all
+}

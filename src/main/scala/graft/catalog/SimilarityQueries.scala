@@ -1,0 +1,76 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Oracle-checked catalog entries for embedding similarity search
+  * (graft.operators.Similarity) over `embeddings` (64-dim float vectors).
+  *
+  * Both engines compute cosine in double precision over identical float
+  * inputs with sequential summation, so scores agree bit-for-bit well past
+  * the round(…, 4) used for comparison.
+  */
+object SimilarityQueries {
+  import Tables._
+
+  private val DIM = 64
+
+  def all: Seq[Q] = Seq(
+
+    // ----- brute-force exact cosine top-k vs vec_id=0 — the correctness
+    // baseline for ANN.
+    Q("q40_cosine_topk",
+      (s, d) =>
+        Similarity.bruteForceTopK(embeddings(s, d), queryId = 0L, k = 20),
+      Some("""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY score DESC, vec_id
+        LIMIT 20""")),
+
+    // ----- per-label embedding stats (norms) — exercises the double-
+    // precision dot/norm algebra under aggregation.
+    Q("q41_embed_stats",
+      (s, d) =>
+        embeddings(s, d)
+          .select(col("label"), Similarity.norm(col("embedding")).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("nrm"), 4).as("avg_norm"),
+            round(min("nrm"), 4).as("min_norm"),
+            round(max("nrm"), 4).as("max_norm"))
+          .orderBy("label"),
+      Some("""
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings)
+        SELECT label, count(*) AS n,
+               round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm
+        FROM n
+        GROUP BY label
+        ORDER BY label""")),
+
+    // ----- LSH-bucketed ANN (single-probe) — the 100 TB scale path.
+    // Hyperplanes are engine-internal; driver records a rows-only check.
+    Q("q42_ann_lsh",
+      (s, d) =>
+        Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10,
+          nBits = 8, dim = DIM),
+      None),
+
+    // ----- embedding-cosine near-duplicate pairs via LSH blocking —
+    // rows-only (bucket assignment is engine-internal).
+    Q("q43_cosine_neardup",
+      (s, d) =>
+        Similarity.cosineNearDupPairs(embeddings(s, d), threshold = 0.2,
+          nBits = 8, dim = DIM)
+          .orderBy("id_a", "id_b"),
+      None)
+  )
+}

@@ -1,0 +1,173 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Oracle-checked catalog entries for the text-analysis / dedup operators
+  * (graft.operators.TextAnalysis, graft.operators.Dedup) over `documents`.
+  *
+  * md5-based variants are used wherever the oracle must reproduce hashes;
+  * the xxhash64 fast path (simhash, non-portable minhash) is rows-only.
+  */
+object TextQueries {
+  import Tables._
+
+  def all: Seq[Q] = Seq(
+
+    // ----- token counting + doc stats (one codegen'd projection pass).
+    Q("q30_token_stats",
+      (s, d) =>
+        TextAnalysis.docStats(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               length(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+               length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+               length(text) AS len,
+               round(length(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ''))
+                 / greatest(length(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 3) AS avg_tok_len,
+               round(length(regexp_extract_all(lower(text), '[a-z]'))
+                 / greatest(length(text), 1), 3) AS alpha_ratio
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- language ID by stopword-hit argmax (deterministic tie-break to
+    // the lexicographically first language).
+    Q("q31_lang_id",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).getField("lang").as("pred"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH scores AS (
+          SELECT doc_id, lang,
+            length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|nicht)\b')) AS s_de,
+            length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS s_en,
+            length(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en)\b')) AS s_es,
+            length(regexp_extract_all(lower(text), '\b(le|la|les|et|des|un|est)\b')) AS s_fr,
+            length(regexp_extract_all(lower(text), '\b(de5|shi4|le5|zai4|wo3|you3|he2)\b')) AS s_zh
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS pred
+        FROM scores
+        ORDER BY doc_id""")),
+
+    // ----- quality scoring.
+    Q("q32_quality_score",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            round(TextAnalysis.qualityScore(col("text")), 3).as("quality"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               round(
+                 (length(regexp_extract_all(lower(text), '[a-z]'))
+                    / greatest(length(text), 1))
+                 * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                           BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                 - (length(regexp_extract_all(text, '[0-9]'))
+                    / greatest(length(text), 1)), 3) AS quality
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- exact dedup groups via portable md5 fingerprint
+    // (Dedup.exactGroups): fp → keeper, group size.
+    Q("q33_dedup_exact",
+      (s, d) =>
+        Dedup.exactGroups(documents(s, d)).orderBy("fp"),
+      Some("""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keeper, count(*) AS group_size
+        FROM documents
+        GROUP BY 1
+        ORDER BY fp""")),
+
+    // ----- exact token-set Jaccard of the corpus against doc 0 — the
+    // linear-cost "near-dups of this doc" query (Dedup.jaccardToQuery).
+    Q("q34_jaccard_query",
+      (s, d) =>
+        Dedup.jaccardToQuery(documents(s, d), queryId = 0L)
+          .select(col("doc_id"), round(col("jaccard"), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        toks2 AS (SELECT * FROM toks WHERE length(token) > 0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+        q AS (SELECT token FROM toks2 WHERE doc_id = 0),
+        qsz AS (SELECT count(*) AS q_sz FROM q),
+        inter AS (
+          SELECT t.doc_id, count(*) AS inter
+          FROM toks2 t JOIN q USING (token)
+          GROUP BY 1)
+        SELECT i.doc_id, round(i.inter / (s.sz + qsz.q_sz - i.inter), 4) AS jaccard
+        FROM inter i JOIN sizes s USING (doc_id), qsz
+        WHERE i.doc_id != 0
+          AND round(i.inter / (s.sz + qsz.q_sz - i.inter), 4) >= 0.2
+        ORDER BY doc_id""")),
+
+    // ----- MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, portable
+    // md5 hashing so DuckDB reproduces the exact signatures
+    // (Dedup.lshCandidatePairs).
+    Q("q35_minhash_lsh",
+      (s, d) =>
+        Dedup.lshCandidatePairs(documents(s, d), numHashes = 16, bands = 4,
+          portable = true)
+          .orderBy("id_a", "id_b"),
+      Some(minhashOracle)),
+
+    // ----- SimHash near-dup pairs (xxhash64 fast path) — no portable
+    // oracle; driver records a rows-only check. Emits per-doc simhash so
+    // the result is deterministic even when no near-dup pairs exist.
+    Q("q36_simhash",
+      (s, d) =>
+        Dedup.simhash64(documents(s, d)).orderBy("doc_id"),
+      None)
+  )
+
+  /** DuckDB equivalent of the md5 MinHash+LSH pipeline over word-3-gram
+    * shingles. Signature hash i of a doc = min(md5(i || '|' || shingle));
+    * band key = md5(h0|h1|h2|h3). */
+  private val minhashOracle: String = {
+    val hashAggs = (0 until 16)
+      .map(i => s"min(md5('$i' || '|' || token)) AS h$i").mkString(",\n        ")
+    val bandKeys = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(a) < 3 THEN [array_to_string(a, ' ')]
+                    ELSE list_transform(generate_series(1, len(a)-2),
+                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+               END AS shingles
+        FROM arr),
+      toks AS (
+        SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
+      toks2 AS (SELECT * FROM toks WHERE length(token) > 0),
+      sig AS (
+        SELECT doc_id,
+        $hashAggs
+        FROM toks2 GROUP BY doc_id),
+      bands AS (
+        $bandKeys)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""
+  }
+}

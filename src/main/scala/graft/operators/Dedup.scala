@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB corpus):
+  *   - exact: one groupBy on a 128-bit digest — a single hash shuffle whose
+  *     key is tiny regardless of document size.
+  *   - MinHash/LSH: explode-to-tokens is a narrow map; the per-doc signature
+  *     is `numHashes` partial-min aggregates (map-side combine shrinks the
+  *     shuffle to one row per doc); band buckets then pair only within
+  *     buckets, never all-pairs.
+  *   - SimHash: same shape — one groupBy(doc) with 64 bit-vote sums folded
+  *     into a single long.
+  * No UDFs: everything is codegen'd Column algebra.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: fingerprint → (keeper = min id, group size).
+    * Portable md5 digest so external oracles can reproduce it. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** Rows to drop under exact dedup (non-keepers). */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val groups = exactGroups(docs, textCol, idCol)
+    docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(groups, "fp")
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col(idCol), col("keeper"))
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** Distinct (id, token) pairs — the shingle relation. */
+  def docTokens(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+
+  /** Distinct (id, word-3-gram shingle) pairs — MinHash's input relation.
+    * Shingling (not raw tokens) keeps signatures discriminative: over a
+    * small vocabulary every document shares most *tokens*, but almost no
+    * *shingles*, so LSH bucket sizes stay bounded as the corpus grows. */
+  def docShingles(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+
+  /** MinHash signature per doc: h_i = min over shingles of H(i || shingle).
+    *
+    * `portable = true` uses md5 (hex-string min — reproducible in any engine
+    * with md5, e.g. the DuckDB oracle); `false` uses xxhash64 (faster, the
+    * scale path). Both are deterministic. One shuffle: groupBy(id) with
+    * map-side partial mins.
+    */
+  def minhashSignature(docs: DataFrame, numHashes: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    val toks = docShingles(docs, textCol, idCol)
+    val aggs = (0 until numHashes).map { i =>
+      val h =
+        if (portable) md5(concat(lit(i.toString), lit("|"), col("token")))
+        else xxhash64(lit(i), col("token")).cast("string")
+      min(h).as(s"h$i")
+    }
+    toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
+    * hashes; docs sharing any band key are candidate near-duplicates. */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", parts: _*)).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets (id_a < id_b).
+    * The pair join runs per-bucket, so cost is sum of bucket² — bounded by
+    * band collision rate, not corpus². */
+  def lshCandidatePairs(docs: DataFrame, numHashes: Int, bands: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sig = minhashSignature(docs, numHashes, textCol, idCol, portable)
+    val bk = lshBands(sig, bands, numHashes / bands, idCol)
+    val a = bk.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = bk.select(col("band"), col("key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per-bit majority vote over shingle xxhash64
+    * values, folded into one long. Single groupBy(doc) shuffle; the 64
+    * votes are partial-aggregated map-side. Shingle features (not raw
+    * tokens) keep hashes discriminative over small vocabularies. */
+  def simhash64(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docShingles(docs, textCol, idCol)
+      .withColumn("h", xxhash64(col("token")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val voted = toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within Hamming distance `maxDist`, blocked on
+    * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
+    * one of 4 chunks) — avoids the all-pairs join at scale. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash64(docs, textCol, idCol)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("key"))
+    }
+    val blocked = sh.select(col(idCol), col("simhash"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    val a = blocked.select(col("chunk"), col("key"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = blocked.select(col("chunk"), col("key"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b") &&
+        hammingDist(col("sim_a"), col("sim_b")) <= maxDist)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  // --- n-gram Jaccard -----------------------------------------------------
+
+  /** Exact token-set Jaccard similarity of every document against one query
+    * document — linear in corpus size (semi-join on the query's tokens),
+    * the scalable form of "find near-duplicates of this document". */
+  def jaccardToQuery(docs: DataFrame, queryId: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docTokens(docs, textCol, idCol)
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val qToks = toks.filter(col(idCol) === queryId).select("token")
+    val qSize = qToks.agg(count(lit(1)).as("q_sz")) // 1-row, stays lazy
+    val inter = toks.join(broadcast(qToks), "token")
+      .groupBy(idCol).agg(count(lit(1)).as("inter"))
+    inter.join(sizes, idCol)
+      .crossJoin(broadcast(qSize))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        (col("inter") /
+          (col("sz") + col("q_sz") - col("inter"))).as("jaccard"))
+  }
+}

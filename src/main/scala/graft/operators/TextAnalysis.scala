@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is pure `Column` algebra over `functions._` — no UDFs —
+  * so the whole pipeline stays inside whole-stage codegen and scales
+  * linearly with one narrow map stage (no shuffles until an explicit
+  * aggregation). At 100 TB these run as a single pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of normalized text → array<string>. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish token stream: runs of letters, runs of digits, single
+    * punctuation — the standard pre-tokenizer shape. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles ("a b c" for n=3) — the unit for MinHash: the
+    * shingle space is |vocab|^n, so shingle sets discriminate documents
+    * even over a tiny vocabulary where raw token sets collide. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(array_join(t, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(t, i + k)): _*)))
+  }
+
+  /** Normalize for fingerprinting: lowercase, strip non [a-z0-9 ],
+    * collapse runs of whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Content-defined document fingerprint (md5 of normalized text).
+    * md5 is used (not xxhash64) so the fingerprint is portable across
+    * engines — the DuckDB oracle computes the identical value. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  // --- language identification -------------------------------------------
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deliberately small and deterministic; real pipelines would broadcast a
+    * larger model, but the *shape* (per-language score → argmax) is the same.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3", "you3", "he2"))
+
+  /** Number of occurrences of any of `words` as whole tokens. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val pat = words.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  }
+
+  /** Argmax-of-scores language ID. Ties resolve to the lexicographically
+    * first language code (deterministic). Returns (lang, score) struct. */
+  def langId(text: Column): Column = {
+    // greatest over score structs; struct comparison = (score, -lang) — we
+    // want max score then min lang, so order langs descending and rely on
+    // greatest picking the later (larger) struct only on strictly greater
+    // score. Simpler: fold with explicit when().
+    val scored = stopwords.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    // pick max score; on equal score keep the earlier (lexicographically
+    // smaller) language — fold keeps `acc` unless strictly greater.
+    scored.reduceLeft { (acc, next) =>
+      when(next.getField("score") > acc.getField("score"), next).otherwise(acc)
+    }
+  }
+
+  // --- quality scoring ----------------------------------------------------
+
+  def alphaRatio(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]"), lit(0))) /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0))) /
+      greatest(length(text), lit(1))
+
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    length(array_join(t, "")).cast("double") / greatest(size(t), lit(1))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards alphabetic text with
+    * mid-length tokens, penalizes digits. Deterministic formula shared with
+    * the oracle. */
+  def qualityScore(text: Column): Column = {
+    val alpha = alphaRatio(text)
+    val digit = digitRatio(text)
+    val ntok = tokenCount(text).cast("double")
+    val lenOk = when(ntok >= 5 && ntok <= 5000, lit(1.0)).otherwise(lit(0.5))
+    alpha * lenOk - digit
+  }
+
+  // --- DataFrame-level operators -----------------------------------------
+
+  /** Per-document stats table: one narrow projection pass. */
+  def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      size(bpeishTokens(t)).as("n_bpeish"),
+      length(t).as("len"),
+      round(avgTokenLen(t), 3).as("avg_tok_len"),
+      round(alphaRatio(t), 3).as("alpha_ratio"))
+  }
+}
