@@ -1,0 +1,312 @@
+package graft.assemble
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.sources.UmlsSource
+
+/** Intermediate grouped shape before prefLabel selection. */
+final case class AssembledRaw(
+    code: String,
+    atoms: Seq[AtomRow],
+    rels: Seq[RelOut],
+    defs: Seq[String],
+    atts: Seq[AttOut],
+    tuis: Seq[String],
+    isRoot: Boolean,
+    treeParents: Seq[String])
+
+/** Assembles per-code concept rows from the UMLS tables for one SAB —
+  * the Spark-first re-expression of `UmlsOntology.load_tables` + `terms()`
+  * (`umls2rdf.py:586-743`).
+  *
+  * Where the reference builds in-RAM hash indexes (`*_by_*` defaultdicts,
+  * `umls2rdf.py:545-557`) and loops row-at-a-time, this declares the same
+  * dataflow as joins + groupBys and lets Catalyst plan it:
+  *   - every child table is filtered by SAB first (parquet/JDBC pushdown —
+  *     the reference's F1-F6 WHERE clauses);
+  *   - AUI→code resolution (J3) is a join against the atom (AUI, code)
+  *     projection;
+  *   - per-class grouping (A1) is `groupBy(code)` with `collect_list` —
+  *     one shuffle keyed by code; per-code fan-in is bounded (a code has
+  *     bounded atoms/rels), so collected arrays are safe at full-UMLS
+  *     scale and AQE handles the SNOMEDCT/LNC skew;
+  *   - tiny tables (MRRANK per SAB ≈ hundreds of rows; cui_roots ≈ 1) are
+  *     broadcast.
+  *
+  * Determinism (SURVEY.md §7.1.6): the reference's "first atom" /
+  * stable-sort tie-breaks follow MySQL scan order, which no distributed
+  * engine can reproduce; we canonicalize by sorting each class's atoms by
+  * AUI (codes mode) / (CUI, AUI) and breaking rank ties on that order.
+  * Intra-class output bytes are otherwise reference-equal.
+  */
+class ConceptAssembler(
+    spark: SparkSession,
+    source: UmlsSource,
+    sab: String,
+    loadOnCuis: Boolean = false,
+    lang: String = "ENG") {
+
+  import spark.implicits._
+
+  private val langUpper = lang.toUpperCase
+
+  /** F1: SAB + LAT + SUPPRESS='N' filter, pushed to the scan. MySQL's ci
+    * collation made `lat = 'eng'` match 'ENG' (`umls2rdf.py:598-600`);
+    * we compare case-insensitively to preserve that. */
+  def atoms: DataFrame =
+    source.table("MRCONSO")
+      .filter(col("SAB") === sab && upper(col("LAT")) === langUpper &&
+        col("SUPPRESS") === "N")
+      .withColumn("code", codeExpr)
+
+  /** `get_code` (`umls2rdf.py:142-147`): CUI in cuis mode; else CODE,
+    * which must be non-empty (Python falsiness — '' raises too). Violations
+    * are dropped here and countable via [[invalidCodeAtoms]]. */
+  private def codeExpr =
+    if (loadOnCuis) col("CUI")
+    else when(length(col("CODE")) > 0, col("CODE"))
+
+  def invalidCodeAtoms: DataFrame =
+    source.table("MRCONSO")
+      .filter(col("SAB") === sab && upper(col("LAT")) === langUpper &&
+        col("SUPPRESS") === "N")
+      .filter(col("CODE").isNull || length(col("CODE")) === 0)
+
+  /** F2 root CUIs: the SRC `V-<sab>` atoms (`umls2rdf.py:612-614`);
+    * tiny — broadcast as a literal set via collect. */
+  def cuiRoots: Set[String] =
+    source.table("MRCONSO")
+      .filter(col("SAB") === "SRC" && col("CODE") === s"V-$sab")
+      .select("CUI").distinct().as[String].collect().toSet
+
+  /** F3-filtered relations (`umls2rdf.py:621-623`). */
+  def rels: DataFrame =
+    source.table("MRREL")
+      .filter(col("SAB") === sab && col("SUPPRESS") === "N")
+
+  /** MeSH `D*` CHD tree: child code → parent codes (J2,
+    * `umls2rdf.py:201-217`). Only consulted when `sab == "MSH"`. */
+  def meshTree: DataFrame = {
+    val conso = source.table("MRCONSO")
+    val msh = conso.filter(col("SAB") === "MSH" &&
+        col("CODE").startsWith("D"))
+      .select(col("CUI").as("m_cui"), col("CODE").as("m_code"))
+      .distinct()
+    val chd = rels.filter(col("REL") === "CHD")
+      .select(col("CUI1"), col("CUI2"))
+    chd.join(msh.as("c1"), col("CUI1") === col("c1.m_cui"))
+      .join(msh.as("c2"), col("CUI2") === col("c2.m_cui"))
+      .select(col("c1.m_code").as("parent"), col("c2.m_code").as("child"))
+      .distinct()
+      .groupBy("child")
+      .agg(collect_set("parent").as("parents"))
+  }
+
+  private def atomIdCode: DataFrame =
+    if (loadOnCuis)
+      atoms.select(col("CUI").as("atom_id"), col("code").as("atom_code"))
+        .distinct()
+    else
+      atoms.select(col("AUI").as("atom_id"), col("code").as("atom_code"))
+        .distinct()
+
+  /** J3+J4: relations attached to their source class, with AUI→code
+    * endpoint resolution in codes mode (`umls2rdf.py:685-727`).
+    *
+    * Codes mode: attach by AUI2 (inner — a rel not anchored at a class
+    * atom is invisible, as in the reference), resolve target by AUI1
+    * (unresolved targets dropped, `:717`), drop self-maps (`:715-718`).
+    * Cuis mode: attach by CUI2; endpoints are the CUIs, no filtering.
+    * `is_root` (F17) is computed over ALL attached rels — before the
+    * target-resolution filters — exactly like the reference.
+    */
+  def relsResolved: (DataFrame, DataFrame) = {
+    val roots = cuiRoots
+    val rootsCol = if (roots.isEmpty) lit(false)
+      else col("CUI1").isin(roots.toSeq: _*)
+    if (loadOnCuis) {
+      val attached = rels
+        .join(atomIdCode, col("CUI2") === col("atom_id"), "left_semi")
+      val rootFlags = attached
+        .groupBy(col("CUI2").as("rcode"))
+        .agg(max(rootsCol).as("is_root"))
+      val out = attached.select(
+        col("CUI2").as("rcode"),
+        col("REL").as("rel"), col("RELA").as("rela"),
+        col("CUI1").as("cui1"),
+        col("CUI1").as("codeTarget"), col("CUI2").as("codeSource"))
+      (out, rootFlags)
+    } else {
+      val attached = rels.join(
+        atomIdCode.select(col("atom_id").as("src_aui"),
+          col("atom_code").as("codeSource")),
+        col("AUI2") === col("src_aui"))
+      val icdPatch =
+        if (sab == "ICD10CM")
+          col("CUI1") === "C3264380" && col("REL") === "CHD"
+        else lit(false)
+      val rootFlags = attached
+        .groupBy(col("codeSource").as("rcode"))
+        .agg(max((rootsCol && col("REL") === "CHD") || icdPatch)
+          .as("is_root"))
+      val resolved = attached.join(
+        atomIdCode.select(col("atom_id").as("tgt_aui"),
+          col("atom_code").as("codeTarget")),
+        col("AUI1") === col("tgt_aui"))
+        .filter(col("codeTarget") =!= col("codeSource"))
+        .select(col("codeSource").as("rcode"),
+          col("REL").as("rel"), col("RELA").as("rela"),
+          col("CUI1").as("cui1"),
+          col("codeTarget"), col("codeSource"))
+      (resolved, rootFlags)
+    }
+  }
+
+  /** J5: definitions keyed by AUI (codes) / CUI (cuis)
+    * (`umls2rdf.py:632-637,728-730`). */
+  def defsByCode: DataFrame = {
+    val d = source.table("MRDEF").filter(col("SAB") === sab)
+    if (loadOnCuis)
+      d.select(col("CUI").as("dcode"), col("DEF"))
+        .groupBy("dcode").agg(collect_list("DEF").as("defs"))
+    else
+      d.join(atomIdCode, col("AUI") === col("atom_id"))
+        .groupBy(col("atom_code").as("dcode"))
+        .agg(collect_list("DEF").as("defs"))
+  }
+
+  /** J6/F5: attributes keyed by CODE (codes) / CUI (cuis)
+    * (`umls2rdf.py:643-648,731`). */
+  def attsByCode: DataFrame = {
+    val a = source.table("MRSAT")
+      .filter(col("SAB") === sab && col("CODE").isNotNull)
+    val key = if (loadOnCuis) col("CUI") else col("CODE")
+    a.groupBy(key.as("acode"))
+      .agg(collect_list(struct(col("ATN").as("atn"), col("ATV").as("atv")))
+        .as("atts"))
+  }
+
+  /** J1+J7: semantic-type TUIs per class, via the class's CUIs
+    * (`umls2rdf.py:663-670,477-479`). */
+  def tuisByCode: DataFrame =
+    atoms.select(col("code").as("tcode"), col("CUI")).distinct()
+      .join(source.table("MRSTY").select(col("CUI"), col("TUI")), "CUI")
+      .groupBy("tcode")
+      .agg(collect_set("TUI").as("tuis"))
+
+  /** MRRANK rank-by-TTY for this SAB (tiny; collected + broadcast into the
+    * prefLabel map). Reference: `umls2rdf.py:654-658,320-326`. */
+  def rankByTty: Map[String, Int] =
+    source.table("MRRANK").filter(col("SAB") === sab)
+      .select(col("TTY"), col("RANK").cast("int").as("rank"))
+      .as[(String, Int)].collect().toMap
+
+  /** The assembled concepts: one row per code (A1), all child collections
+    * joined in. */
+  def concepts(): Dataset[UmlsConceptRow] = {
+    val (relsDf, rootFlags) = relsResolved
+    val relsGrouped = relsDf.groupBy(col("rcode"))
+      .agg(collect_list(struct(col("rel"), col("rela"), col("cui1"),
+        col("codeTarget"), col("codeSource"))).as("rels"))
+    val atomsGrouped = atoms.groupBy(col("code"))
+      .agg(collect_list(struct(
+        col("CUI").as("cui"), col("TS").as("ts"), col("STT").as("stt"),
+        col("ISPREF").as("ispref"), col("AUI").as("aui"),
+        col("SCUI").as("scui"), col("TTY").as("tty"),
+        col("CODE").as("code"), col("STR").as("str"))).as("atoms"))
+    val tree =
+      if (sab == "MSH") meshTree
+      else spark.emptyDataFrame
+        .withColumn("child", lit(null).cast("string"))
+        .withColumn("parents", lit(null).cast("array<string>"))
+        .select("child", "parents")
+
+    val joined = atomsGrouped
+      .join(relsGrouped, col("code") === col("rcode"), "left")
+      .join(rootFlags, col("code") === col("rcode"), "left")
+      .join(defsByCode, col("code") === col("dcode"), "left")
+      .join(attsByCode, col("code") === col("acode"), "left")
+      .join(tuisByCode, col("code") === col("tcode"), "left")
+      .join(tree, col("code") === col("child"), "left")
+
+    val rankMap = rankByTty
+    val onCuis = loadOnCuis
+    joined.select(
+      col("code"),
+      col("atoms"),
+      coalesce(col("rels"), typedLit(Seq.empty[Row])).as("rels"),
+      coalesce(col("defs"), typedLit(Seq.empty[String])).as("defs"),
+      coalesce(col("atts"), typedLit(Seq.empty[Row])).as("atts"),
+      coalesce(col("tuis"), typedLit(Seq.empty[String])).as("tuis"),
+      coalesce(col("is_root"), lit(false)).as("isRoot"),
+      coalesce(col("parents"), typedLit(Seq.empty[String])).as("treeParents"))
+      .as[AssembledRaw]
+      .map { raw =>
+        // Canonical intra-class order (determinism note in class doc).
+        val atomsSorted = raw.atoms.sortBy(a => (a.aui, a.cui))
+        val pref = PrefLabel.select(atomsSorted, rankMap, onCuis)
+        val alt = atomsSorted.map(_.str).distinct.filter(_ != pref).sorted
+        val cuis = atomsSorted.map(_.cui).distinct.sorted
+        UmlsConceptRow(
+          code = raw.code,
+          prefLabel = pref,
+          altLabels = alt,
+          defs = raw.defs,
+          cuis = cuis,
+          tuis = raw.tuis.sorted,
+          atts = raw.atts,
+          rels = raw.rels,
+          isRoot = raw.isRoot,
+          treeParents = raw.treeParents.sorted)
+      }
+  }
+}
+
+/** `UmlsClass.getPrefLabel` (`umls2rdf.py:295-332`), ported branch-for-
+  * branch. "First atom" means first in the canonical (AUI-sorted) order.
+  */
+object PrefLabel {
+
+  def select(atoms: Seq[AtomRow], rankByTty: Map[String, Int],
+      loadOnCuis: Boolean): String =
+    if (loadOnCuis) cuisCascade(atoms) else codesRank(atoms, rankByTty)
+
+  /** Codes mode: MRRANK argmax (A7); stable on canonical order for rank
+    * ties. Empty MRRANK → require exactly one atom with 'P' in TTY (A9);
+    * otherwise fail like the reference ("Unable to select pref label"). */
+  private def codesRank(atoms: Seq[AtomRow],
+      rankByTty: Map[String, Int]): String = {
+    if (rankByTty.nonEmpty) {
+      // Missing TTY in MRRANK raised KeyError in the reference; surface
+      // the same condition as an explicit error.
+      val ranked = atoms.map { a =>
+        val r = rankByTty.getOrElse(a.tty,
+          throw new IllegalStateException(s"TTY ${a.tty} not in MRRANK"))
+        (r, a)
+      }
+      ranked.maxBy(_._1)(Ordering.Int)._2.str match { case s => s }
+    } else {
+      val prefAtoms = atoms.filter(_.tty.contains("P"))
+      if (prefAtoms.size == 1) prefAtoms.head.str
+      else throw new IllegalStateException("Unable to select pref label")
+    }
+  }
+
+  /** Cuis mode cascade (A8, `umls2rdf.py:296-319`). */
+  private def cuisCascade(atoms: Seq[AtomRow]): String = {
+    if (atoms.size == 1) return atoms.head.str
+    val labels = atoms.map(_.str).distinct
+    if (labels.size == 1) return labels.head
+    val isPref = atoms.filter(_.ispref == "Y")
+    if (isPref.isEmpty) return atoms.head.str
+    if (isPref.size == 1) return isPref.head.str
+    val prefPf = isPref.filter(_.stt == "PF")
+    if (prefPf.isEmpty) return atoms.head.str
+    if (prefPf.size == 1) return prefPf.head.str
+    val ttyP = atoms.filter(a => a.tty.nonEmpty && a.tty.head == 'P')
+    if (ttyP.size == 1) ttyP.head.str
+    else atoms.head.str
+  }
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{OntologyJob, UmlsSchemas}
+
+/** Pluggable readers for the UMLS Metathesaurus tables.
+  *
+  * The reference stages RRF files into MySQL and paginates with
+  * LIMIT/OFFSET (`umls2rdf.py:228-259` — O(n²) server-side); Spark needs no
+  * staging DB: it reads RRF pipe-delimited files (or parquet mirrors of
+  * them) directly with partitioned, filter-pushdown scans, or JDBC with
+  * `partitionColumn` parallel reads where a DB already exists.
+  */
+trait UmlsSource {
+  /** Load one RRF table ("MRCONSO", …) with its canonical named schema. */
+  def table(name: String): DataFrame
+}
+
+object UmlsSource {
+
+  /** RRF pipe-delimited files (`<dir>/<NAME>.RRF`). Lines are `|`-separated
+    * with a trailing `|`; values are never quoted and never contain `|`,
+    * so a plain split is exact (and stays a narrow codegen'd projection).
+    * Empty fields become empty strings — preserving the reference's
+    * MySQL-VARCHAR semantics where '' (not NULL) is the absent value
+    * (SURVEY.md §7.3 "hard parts" #2). */
+  def rrf(spark: SparkSession, dir: String): UmlsSource = new UmlsSource {
+    def table(name: String): DataFrame = {
+      val schema = schemaOf(name)
+      val raw = spark.read.text(s"$dir/$name.RRF")
+      val parts = split(col("value"), "\\|", -1)
+      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+        parts.getItem(i).as(f.name)
+      }
+      raw.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Parquet mirrors (`<dir>/<NAME>.parquet`) — the test/bench path, and
+    * the recommended lake format at scale (column pruning + predicate
+    * pushdown + partition pruning on SAB). */
+  def parquet(spark: SparkSession, dir: String): UmlsSource = new UmlsSource {
+    def table(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** JDBC source (replaces S1/S2 pagination with partitioned reads).
+    * `partitionColumn` should be a numeric-ish indexed column; for UMLS
+    * tables a practical choice is a computed `crc32(CUI)` view, or plain
+    * single-partition reads for the small tables. */
+  def jdbc(spark: SparkSession, url: String, props: java.util.Properties,
+      numPartitions: Int = 8): UmlsSource = new UmlsSource {
+    def table(name: String): DataFrame =
+      spark.read.jdbc(url, name, props)
+  }
+
+  /** In-memory fixture source for tests: supply DataFrames per table. */
+  def fixed(tables: Map[String, DataFrame]): UmlsSource = new UmlsSource {
+    def table(name: String): DataFrame = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"no fixture for $name"))
+  }
+
+  def schemaOf(name: String): StructType =
+    UmlsSchemas.all.getOrElse(name.toUpperCase,
+      throw new IllegalArgumentException(s"unknown UMLS table $name"))
+
+  /** Build an empty DataFrame with a table's canonical schema. */
+  def empty(spark: SparkSession, name: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(name))
+}
+
+/** `umls.conf` manifest parser (S4, `umls2rdf.py:832-838,866-872`):
+  * `SAB[;altUri],outFile,loadMode` per line, `#`-prefixed and empty lines
+  * skipped. A driver-side job manifest, not data. */
+object ConfManifest {
+  def parse(lines: Iterator[String]): Seq[OntologyJob] =
+    lines.filter(_.nonEmpty)
+      .map(_.split(",").toSeq)
+      .filter(parts => parts.nonEmpty && !parts.head.startsWith("#"))
+      .map { parts =>
+        val (sab, altUri) = parts.head.split(";", 2) match {
+          case Array(s, a) => (s, Some(a))
+          case Array(s) => (s, None)
+        }
+        OntologyJob(sab, altUri, parts(1).trim,
+          loadOnCuis = parts(2).trim == "load_on_cuis")
+      }.toSeq
+
+  def parseFile(path: String): Seq[OntologyJob] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+}
