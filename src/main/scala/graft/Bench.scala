@@ -24,12 +24,14 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    // Queries in name order for stable output; each is timed end-to-end
-    // (plan + execute + drain results via noop-count).
+    // Queries in name order for stable output; each is timed end-to-end.
+    // Drain via queryExecution.toRdd.count() — a plain df.count() lets
+    // Catalyst prune unreferenced columns, so projection-only queries would
+    // be timed without executing their expressions.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n =
-        try fn(spark, sfDir).count()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }

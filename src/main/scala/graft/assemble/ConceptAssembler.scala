@@ -60,10 +60,13 @@ class ConceptAssembler(
       .filter(col("SAB") === sab && upper(col("LAT")) === langUpper &&
         col("SUPPRESS") === "N")
       .withColumn("code", codeExpr)
+      .filter(col("code").isNotNull)
 
   /** `get_code` (`umls2rdf.py:142-147`): CUI in cuis mode; else CODE,
-    * which must be non-empty (Python falsiness — '' raises too). Violations
-    * are dropped here and countable via [[invalidCodeAtoms]]. */
+    * which must be non-empty (Python falsiness — '' raises too; the
+    * reference raises AttributeError). Such atoms become NULL here and are
+    * dropped by the filter in [[atoms]]; strict mode surfaces them via
+    * [[invalidCodeAtoms]] (see [[concepts]]). */
   private def codeExpr =
     if (loadOnCuis) col("CUI")
     else when(length(col("CODE")) > 0, col("CODE"))
@@ -87,14 +90,18 @@ class ConceptAssembler(
       .filter(col("SAB") === sab && col("SUPPRESS") === "N")
 
   /** MeSH `D*` CHD tree: child code → parent codes (J2,
-    * `umls2rdf.py:201-217`). Only consulted when `sab == "MSH"`. */
+    * `umls2rdf.py:201-217`). Only consulted when `sab == "MSH"`. The
+    * reference's tree SQL has NO SUPPRESS predicate (unlike F3), so the
+    * edges are read from MRREL filtered on SAB/REL only — not from
+    * [[rels]]. */
   def meshTree: DataFrame = {
     val conso = source.table("MRCONSO")
     val msh = conso.filter(col("SAB") === "MSH" &&
         col("CODE").startsWith("D"))
       .select(col("CUI").as("m_cui"), col("CODE").as("m_code"))
       .distinct()
-    val chd = rels.filter(col("REL") === "CHD")
+    val chd = source.table("MRREL")
+      .filter(col("SAB") === "MSH" && col("REL") === "CHD")
       .select(col("CUI1"), col("CUI2"))
     chd.join(msh.as("c1"), col("CUI1") === col("c1.m_cui"))
       .join(msh.as("c2"), col("CUI2") === col("c2.m_cui"))
@@ -130,7 +137,7 @@ class ConceptAssembler(
       val attached = rels
         .join(atomIdCode, col("CUI2") === col("atom_id"), "left_semi")
       val rootFlags = attached
-        .groupBy(col("CUI2").as("rcode"))
+        .groupBy(col("CUI2").as("root_code"))
         .agg(max(rootsCol).as("is_root"))
       val out = attached.select(
         col("CUI2").as("rcode"),
@@ -148,7 +155,7 @@ class ConceptAssembler(
           col("CUI1") === "C3264380" && col("REL") === "CHD"
         else lit(false)
       val rootFlags = attached
-        .groupBy(col("codeSource").as("rcode"))
+        .groupBy(col("codeSource").as("root_code"))
         .agg(max((rootsCol && col("REL") === "CHD") || icdPatch)
           .as("is_root"))
       val resolved = attached.join(
@@ -165,16 +172,17 @@ class ConceptAssembler(
   }
 
   /** J5: definitions keyed by AUI (codes) / CUI (cuis)
-    * (`umls2rdf.py:632-637,728-730`). */
+    * (`umls2rdf.py:632-637,728-730`). Sorted distinct at assembly — the
+    * reference renders `sorted(set(defs))` (`umls2rdf.py:417-419`). */
   def defsByCode: DataFrame = {
     val d = source.table("MRDEF").filter(col("SAB") === sab)
     if (loadOnCuis)
       d.select(col("CUI").as("dcode"), col("DEF"))
-        .groupBy("dcode").agg(collect_list("DEF").as("defs"))
+        .groupBy("dcode").agg(array_sort(collect_set("DEF")).as("defs"))
     else
       d.join(atomIdCode, col("AUI") === col("atom_id"))
         .groupBy(col("atom_code").as("dcode"))
-        .agg(collect_list("DEF").as("defs"))
+        .agg(array_sort(collect_set("DEF")).as("defs"))
   }
 
   /** J6/F5: attributes keyed by CODE (codes) / CUI (cuis)
@@ -203,9 +211,32 @@ class ConceptAssembler(
       .select(col("TTY"), col("RANK").cast("int").as("rank"))
       .as[(String, Int)].collect().toMap
 
+  /** J3 cardinality violations: atom ids (AUIs in codes mode) that resolve
+    * to more than one distinct code. The reference raises
+    * "more than one or none codes" (`umls2rdf.py:715-716`) when a rel
+    * endpoint resolves ambiguously; here the same condition is a queryable
+    * validation relation, enforced by `concepts(strict = true)`. */
+  def auiCardinalityViolations: DataFrame =
+    atomIdCode.groupBy("atom_id")
+      .agg(countDistinct("atom_code").as("n_codes"))
+      .filter(col("n_codes") > 1)
+
   /** The assembled concepts: one row per code (A1), all child collections
-    * joined in. */
-  def concepts(): Dataset[UmlsConceptRow] = {
+    * joined in.
+    *
+    * @param strict reproduce the reference's hard asserts: fail if any atom
+    *   has an empty CODE (`umls2rdf.py:142-147`) or any AUI resolves to >1
+    *   code (`umls2rdf.py:715-716`) instead of silently dropping.
+    */
+  def concepts(strict: Boolean = false): Dataset[UmlsConceptRow] = {
+    if (strict && !loadOnCuis) {
+      val badCodes = invalidCodeAtoms.count()
+      if (badCodes > 0) throw new IllegalStateException(
+        s"$badCodes atoms with empty CODE in SAB $sab (reference raises)")
+      val badAuis = auiCardinalityViolations.count()
+      if (badAuis > 0) throw new IllegalStateException(
+        s"$badAuis atom ids resolve to more than one code in SAB $sab")
+    }
     val (relsDf, rootFlags) = relsResolved
     val relsGrouped = relsDf.groupBy(col("rcode"))
       .agg(collect_list(struct(col("rel"), col("rela"), col("cui1"),
@@ -225,7 +256,7 @@ class ConceptAssembler(
 
     val joined = atomsGrouped
       .join(relsGrouped, col("code") === col("rcode"), "left")
-      .join(rootFlags, col("code") === col("rcode"), "left")
+      .join(rootFlags, col("code") === col("root_code"), "left")
       .join(defsByCode, col("code") === col("dcode"), "left")
       .join(attsByCode, col("code") === col("acode"), "left")
       .join(tuisByCode, col("code") === col("tcode"), "left")

@@ -367,17 +367,19 @@ object Queries {
         ORDER BY hour, event_type""")),
 
     // ----- sessionization in batch (lag + cumulative flag): 30-min gap
-    // starts a new session. The streaming path (graft.streaming) reuses
-    // this gap semantics with flatMapGroupsWithState.
+    // starts a new session. Gap test in exact integer MICROseconds on both
+    // sides — a seconds cast floors in Spark but rounds in DuckDB's
+    // epoch()::BIGINT, so sub-second boundaries would disagree.
     Q("q19_sessionize",
       (s, d) => {
         val byUser = Window.partitionBy("user_id")
           .orderBy(col("ts"), col("event_id"))
         events(s, d)
-          .withColumn("prev_ts", lag(col("ts").cast("long"), 1).over(byUser))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
           .withColumn("new_s",
             when(col("prev_ts").isNotNull &&
-              col("ts").cast("long") - col("prev_ts") > 1800, 1)
+              col("ts_us") - col("prev_ts") > 1800000000L, 1)
               .otherwise(0))
           .groupBy("user_id")
           .agg((sum("new_s") + 1).as("n_sessions"),
@@ -387,8 +389,8 @@ object Queries {
       Some("""
         WITH g AS (
           SELECT user_id,
-                 CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT, 1) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events)
         SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events
