@@ -264,34 +264,48 @@ class ConceptAssembler(
 
     val rankMap = rankByTty
     val onCuis = loadOnCuis
+    // Left joins leave absent child collections NULL; finish() treats NULL
+    // arrays as empty (cheaper than type-spelled coalesce literals).
     joined.select(
       col("code"),
       col("atoms"),
-      coalesce(col("rels"), typedLit(Seq.empty[Row])).as("rels"),
-      coalesce(col("defs"), typedLit(Seq.empty[String])).as("defs"),
-      coalesce(col("atts"), typedLit(Seq.empty[Row])).as("atts"),
-      coalesce(col("tuis"), typedLit(Seq.empty[String])).as("tuis"),
+      col("rels"),
+      col("defs"),
+      col("atts"),
+      col("tuis"),
       coalesce(col("is_root"), lit(false)).as("isRoot"),
-      coalesce(col("parents"), typedLit(Seq.empty[String])).as("treeParents"))
+      col("parents").as("treeParents"))
       .as[AssembledRaw]
-      .map { raw =>
-        // Canonical intra-class order (determinism note in class doc).
-        val atomsSorted = raw.atoms.sortBy(a => (a.aui, a.cui))
-        val pref = PrefLabel.select(atomsSorted, rankMap, onCuis)
-        val alt = atomsSorted.map(_.str).distinct.filter(_ != pref).sorted
-        val cuis = atomsSorted.map(_.cui).distinct.sorted
-        UmlsConceptRow(
-          code = raw.code,
-          prefLabel = pref,
-          altLabels = alt,
-          defs = raw.defs,
-          cuis = cuis,
-          tuis = raw.tuis.sorted,
-          atts = raw.atts,
-          rels = raw.rels,
-          isRoot = raw.isRoot,
-          treeParents = raw.treeParents.sorted)
-      }
+      .map(raw => ConceptAssembler.finish(raw, rankMap, onCuis))
+  }
+}
+
+object ConceptAssembler {
+
+  /** Per-class finishing step: canonical atom order, prefLabel selection
+    * (A7/A8), distinct sorted altLabels (A3/F16), sorted distinct CUIs/TUIs
+    * (A5/A6). Pure function so the reference's class-level behavior tests
+    * can exercise it without a cluster.
+    */
+  def finish(raw: AssembledRaw, rankByTty: Map[String, Int],
+      loadOnCuis: Boolean): UmlsConceptRow = {
+    def orEmpty[T](xs: Seq[T]): Seq[T] = if (xs == null) Nil else xs
+    // Canonical intra-class order (determinism note in class doc).
+    val atomsSorted = raw.atoms.sortBy(a => (a.aui, a.cui))
+    val pref = PrefLabel.select(atomsSorted, rankByTty, loadOnCuis)
+    val alt = atomsSorted.map(_.str).distinct.filter(_ != pref).sorted
+    val cuis = atomsSorted.map(_.cui).distinct.sorted
+    UmlsConceptRow(
+      code = raw.code,
+      prefLabel = pref,
+      altLabels = alt,
+      defs = orEmpty(raw.defs),
+      cuis = cuis,
+      tuis = orEmpty(raw.tuis).sorted,
+      atts = orEmpty(raw.atts),
+      rels = orEmpty(raw.rels),
+      isRoot = raw.isRoot,
+      treeParents = orEmpty(raw.treeParents).sorted)
   }
 }
 

@@ -41,9 +41,21 @@ final case class UmlsConceptRow(
     isRoot: Boolean,
     treeParents: Seq[String])
 
-/** A rendered predicate accumulated for the ontology property block
-  * (`umls2rdf.py:492-532`): the first-seen attribute/relation per URI. */
-final case class PropertyRow(uri: String, dockey: String, value: String)
+/** A predicate accumulated for the ontology property block (A15,
+  * `umls2rdf.py:453-474,772-775`): the first-seen attribute/relation
+  * fragment per predicate URI. The MRDOC dockey/description join happens at
+  * write time (J10, `umls2rdf.py:812-820`). */
+final case class TermProperty(uri: String, att: String)
+
+/** One rendered concept: the Turtle text plus the per-kind duplicate-triple
+  * counters (A10, `umls2rdf.py:394-398`) and the accumulated properties. */
+final case class RenderedTerm(
+    code: String,
+    text: String,
+    dupLiteral: Long,
+    dupObject: Long,
+    dupSubclass: Long,
+    properties: Seq[TermProperty])
 
 /** One parsed `umls.conf` manifest line (S4, `umls2rdf.py:832-838`):
   * `SAB[;altUri],outFile,loadMode` with `#` comments skipped. */
