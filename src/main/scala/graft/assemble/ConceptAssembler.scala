@@ -229,6 +229,17 @@ class ConceptAssembler(
     *   code (`umls2rdf.py:715-716`) instead of silently dropping.
     */
   def concepts(strict: Boolean = false): Dataset[UmlsConceptRow] = {
+    val rankMap = rankByTty
+    val onCuis = loadOnCuis
+    import org.apache.spark.sql.Encoders
+    assembled(strict).map(raw => ConceptAssembler.finish(raw, rankMap, onCuis))(
+      Encoders.product[UmlsConceptRow])
+  }
+
+  /** The grouped-and-joined shape BEFORE per-class finishing — exposed so
+    * the sink can wrap finish+render in a per-term Try (S6 error
+    * tolerance, `umls2rdf.py:764-771`). */
+  def assembled(strict: Boolean = false): Dataset[AssembledRaw] = {
     if (strict && !loadOnCuis) {
       val badCodes = invalidCodeAtoms.count()
       if (badCodes > 0) throw new IllegalStateException(
@@ -262,8 +273,6 @@ class ConceptAssembler(
       .join(tuisByCode, col("code") === col("tcode"), "left")
       .join(tree, col("code") === col("child"), "left")
 
-    val rankMap = rankByTty
-    val onCuis = loadOnCuis
     // Left joins leave absent child collections NULL; finish() treats NULL
     // arrays as empty (cheaper than type-spelled coalesce literals).
     joined.select(
@@ -276,7 +285,6 @@ class ConceptAssembler(
       coalesce(col("is_root"), lit(false)).as("isRoot"),
       col("parents").as("treeParents"))
       .as[AssembledRaw]
-      .map(raw => ConceptAssembler.finish(raw, rankMap, onCuis))
   }
 }
 

@@ -65,15 +65,18 @@ object TurtleFunctions {
     if (obj.contains("://")) s"<$obj>" else obj
 
   /** Property label prettify (C8, `umls2rdf.py:522-527`): short
-    * descriptions become the label; '_'-joined labels become spaced words
-    * with ONLY the first character uppercased (not initcap). */
-  def prettyLabel(label: String, description: String): String = {
-    val base = if (description != null && description.length < 20)
-      description else label
-    if (base.contains("_")) {
-      val spaced = base.split("_", -1).mkString(" ")
-      if (spaced.nonEmpty) spaced.substring(0, 1).toUpperCase + spaced.substring(1)
-      else spaced
-    } else base
+    * descriptions become the label; if the RESULT contains '_', the label
+    * is rebuilt from the attribute fragment (`self.att`, not the
+    * description) as space-joined words with ONLY the first character
+    * uppercased (not initcap). */
+  def prettyLabel(att: String, description: String): String = {
+    var label = att
+    if (description != null && description.length < 20) label = description
+    if (label.contains("_")) {
+      label = att.split("_", -1).mkString(" ")
+      if (label.nonEmpty)
+        label = label.substring(0, 1).toUpperCase + label.substring(1)
+    }
+    label
   }
 }

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.OntologyJob
+import graft.sink.UmlsExportConfig
+import graft.sources.ConfManifest
+
+/** Resumable-pipeline behavior (R1/R2/R4): state survives across runs,
+  * completed steps are skipped, probes fail on bad input.
+  */
+class UmlsPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def conso(cui: String, aui: String, code: String, str: String,
+      tty: String, sab: String): Map[String, String] =
+    Map("CUI" -> cui, "LAT" -> "ENG", "AUI" -> aui, "SAB" -> sab,
+      "TTY" -> tty, "CODE" -> code, "STR" -> str, "SUPPRESS" -> "N")
+
+  private val fixture = Map(
+    "MRCONSO" -> TestSpark.mkTable("MRCONSO", Seq(
+      conso("C1", "A1", "X1", "Alpha", "PT", "SABA"),
+      conso("C2", "A2", "Y1", "Beta", "PT", "SABB"))),
+    "MRSTY" -> TestSpark.mkTable("MRSTY", Seq(
+      Map("CUI" -> "C1", "TUI" -> "T001", "STN" -> "A1", "STY" -> "Entity"))),
+    "MRSAB" -> TestSpark.mkTable("MRSAB", Seq(
+      Map("RSAB" -> "SABA", "VSAB" -> "SABA1", "CURVER" -> "Y", "LAT" -> "ENG"),
+      Map("RSAB" -> "SABB", "VSAB" -> "SABB1", "CURVER" -> "Y", "LAT" -> "ENG"))),
+    "MRDOC" -> TestSpark.mkTable("MRDOC", Nil))
+
+  private val jobs = Seq(
+    OntologyJob("SABA", None, "SABA.ttl", loadOnCuis = false),
+    OntologyJob("SABB", None, "SABB.ttl", loadOnCuis = false))
+
+  private def mkPipeline(outDir: String, workDir: String): UmlsPipeline =
+    new UmlsPipeline(spark, TestSpark.fixedSource(fixture), jobs,
+      PipelineConfig(outDir, workDir, UmlsExportConfig(umlsVersion = "2025AB")))
+
+  test("full run executes every step and produces all outputs") {
+    val out = Files.createTempDirectory("pipe-out").toString
+    val work = Files.createTempDirectory("pipe-work").toString
+    val p = mkPipeline(out, work)
+    val reports = p.run()
+    assert(p.executed == Seq("validate_source", "semantic_types",
+      "ontology:SABA", "ontology:SABB", "validate_output"))
+    assert(reports.map(_.terms) == Seq(1, 1))
+    assert(Files.exists(Paths.get(s"$out/umls_semantictypes.ttl")))
+    assert(Files.exists(Paths.get(s"$out/SABA.ttl")))
+    assert(Files.exists(Paths.get(s"$out/SABB.ttl")))
+  }
+
+  test("a completed run resumes as a no-op") {
+    val out = Files.createTempDirectory("pipe-out").toString
+    val work = Files.createTempDirectory("pipe-work").toString
+    mkPipeline(out, work).run()
+    val second = mkPipeline(out, work)
+    second.run()
+    assert(second.executed.isEmpty)
+  }
+
+  test("a killed run resumes from the first incomplete step") {
+    val out = Files.createTempDirectory("pipe-out").toString
+    val work = Files.createTempDirectory("pipe-work").toString
+    // Simulate a run that died after SABA: pre-seed the state file.
+    val st = new PipelineState(s"$work/pipeline_state.json")
+    st.markDone("validate_source")
+    st.markDone("semantic_types")
+    st.markDone("ontology:SABA")
+    val p = mkPipeline(out, work)
+    p.run()
+    assert(p.executed == Seq("ontology:SABB", "validate_output"))
+    assert(Files.exists(Paths.get(s"$out/SABB.ttl")))
+    assert(!Files.exists(Paths.get(s"$out/SABA.ttl"))) // step was skipped
+  }
+
+  test("state file round-trips through markDone/load") {
+    val work = Files.createTempDirectory("pipe-state").toString
+    val path = s"$work/pipeline_state.json"
+    val st = new PipelineState(path)
+    st.markDone("a")
+    st.markDone("ontology:X\"quoted\"")
+    val reloaded = new PipelineState(path)
+    assert(reloaded.isDone("a"))
+    assert(reloaded.isDone("ontology:X\"quoted\""))
+    assert(!reloaded.isDone("b"))
+  }
+
+  test("source probe fails on an empty MRCONSO (R2)") {
+    val out = Files.createTempDirectory("pipe-out").toString
+    val work = Files.createTempDirectory("pipe-work").toString
+    val empty = fixture + ("MRCONSO" -> TestSpark.mkTable("MRCONSO", Nil))
+    val p = new UmlsPipeline(spark, TestSpark.fixedSource(empty), jobs,
+      PipelineConfig(out, work, UmlsExportConfig(umlsVersion = "2025AB")))
+    val ex = intercept[IllegalArgumentException](p.run())
+    assert(ex.getMessage.contains("MRCONSO is empty"))
+  }
+
+  test("config validation rejects a blank version (R4)") {
+    val out = Files.createTempDirectory("pipe-out").toString
+    val work = Files.createTempDirectory("pipe-work").toString
+    intercept[IllegalArgumentException] {
+      new UmlsPipeline(spark, TestSpark.fixedSource(fixture), jobs,
+        PipelineConfig(out, work, UmlsExportConfig(umlsVersion = "")))
+    }
+  }
+
+  test("manifest parser skips comments and parses alt URIs (S4/F19)") {
+    val lines = Seq(
+      "# comment line",
+      "MSH,MESH.ttl,load_on_codes",
+      "HL7V3.0;HL7,HL7.ttl,load_on_cuis",
+      "").iterator
+    val jobs = ConfManifest.parse(lines)
+    assert(jobs == Seq(
+      OntologyJob("MSH", None, "MESH.ttl", loadOnCuis = false),
+      OntologyJob("HL7V3.0", Some("HL7"), "HL7.ttl", loadOnCuis = true)))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.OntologyJob
+import graft.render.SemanticTypes
+
+/** End-to-end file export over an in-memory fixture: header metadata (port
+  * of `tests/test_umls2rdf.py:352-376`), term rendering, property block
+  * (J10/C8-C10), semantic-types append, per-term error tolerance (S6).
+  */
+class OntologyWriterSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def conso(cui: String, aui: String, code: String, str: String,
+      tty: String, sab: String = "TEST"): Map[String, String] =
+    Map("CUI" -> cui, "LAT" -> "ENG", "AUI" -> aui, "SAB" -> sab,
+      "TTY" -> tty, "CODE" -> code, "STR" -> str, "SUPPRESS" -> "N")
+
+  private val fixture = Map(
+    "MRCONSO" -> TestSpark.mkTable("MRCONSO", Seq(
+      conso("CUI_SOURCE", "AUI_SOURCE", "CODE1", "Source preferred", "PT"),
+      conso("CUI_TARGET", "AUI_TARGET", "CODE2", "Target preferred", "PT"),
+      conso("CUI_SELF", "AUI_SELF", "CODE1", "Source synonym", "SY"),
+      // Single atom with no 'P' TTY and empty MRRANK -> prefLabel raises;
+      // exercises the S6 per-term catch-and-continue path.
+      conso("CUI_BAD", "AUI_BAD", "CODE3", "Unlabelable", "SY"))),
+    "MRREL" -> TestSpark.mkTable("MRREL", Seq(
+      Map("CUI1" -> "CUI_TARGET", "AUI1" -> "AUI_TARGET",
+        "CUI2" -> "CUI_SOURCE", "AUI2" -> "AUI_SOURCE",
+        "REL" -> "RO", "RELA" -> "mappedTo", "SAB" -> "TEST",
+        "SUPPRESS" -> "N"))),
+    "MRDEF" -> TestSpark.mkTable("MRDEF", Seq(
+      Map("CUI" -> "CUI_SOURCE", "AUI" -> "AUI_SOURCE", "SAB" -> "TEST",
+        "DEF" -> "A definition"))),
+    "MRSAT" -> TestSpark.mkTable("MRSAT", Seq(
+      Map("CUI" -> "CUI_SOURCE", "CODE" -> "CODE1", "ATN" -> "TH",
+        "ATV" -> "NLM (1994)", "SAB" -> "TEST"),
+      Map("CUI" -> "CUI_SOURCE", "CODE" -> "CODE1", "ATN" -> "AQ",
+        "ATV" -> "skipme", "SAB" -> "TEST"))),
+    "MRSTY" -> TestSpark.mkTable("MRSTY", Seq(
+      Map("CUI" -> "CUI_SOURCE", "TUI" -> "T001", "STN" -> "A1",
+        "STY" -> "Entity"),
+      Map("CUI" -> "CUI_TARGET", "TUI" -> "T002", "STN" -> "A1.1",
+        "STY" -> "Physical Object"))),
+    "MRSAB" -> TestSpark.mkTable("MRSAB", Seq(
+      Map("RSAB" -> "TEST", "VSAB" -> "TEST2025", "CURVER" -> "Y",
+        "SVER" -> "2025-test-version", "IMETA" -> "2025AB",
+        "SSN" -> "Test Ontology Title", "LAT" -> "ENG"),
+      // Non-current older row: F9 must prefer CURVER='Y'.
+      Map("RSAB" -> "TEST", "VSAB" -> "TEST2024", "CURVER" -> "N",
+        "SVER" -> "2024-old", "IMETA" -> "2024AB",
+        "SSN" -> "Old Title", "LAT" -> "ENG"))),
+    "MRDOC" -> TestSpark.mkTable("MRDOC", Seq(
+      Map("DOCKEY" -> "RELA", "VALUE" -> "mappedTo",
+        "TYPE" -> "expanded_form", "EXPL" -> "Mapped to"),
+      Map("DOCKEY" -> "RELA", "VALUE" -> "mappedTo",
+        "TYPE" -> "rela_inverse", "EXPL" -> "mapped_from"),
+      Map("DOCKEY" -> "ATN", "VALUE" -> "TH",
+        "TYPE" -> "expanded_form", "EXPL" -> "Thesaurus ID"))))
+
+  private def export(dir: String): (WriteReport, String) = {
+    val source = TestSpark.fixedSource(fixture)
+    val docs = graft.assemble.PropertyDocs.collectMap(fixture("MRDOC"))
+    val semTypes = SemanticTypes.generate(fixture("MRSTY"),
+      "http://purl.bioontology.org/ontology/STY/", withRoots = false)
+    val report = OntologyWriter.write(spark, source,
+      OntologyJob("TEST", None, "TEST.ttl", loadOnCuis = false),
+      UmlsExportConfig(umlsVersion = "2025AB"),
+      s"$dir/TEST.ttl", docs, semTypes)
+    val text = new String(
+      Files.readAllBytes(Paths.get(s"$dir/TEST.ttl")), StandardCharsets.UTF_8)
+    (report, text)
+  }
+
+  private lazy val (report, ttl) = {
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    export(dir)
+  }
+
+  test("writes ontology header metadata from the preferred MRSAB record") {
+    assert(ttl.contains("<http://purl.bioontology.org/ontology/TEST/>"))
+    assert(ttl.contains("rdfs:label \"Test Ontology Title\" ;"))
+    assert(ttl.contains("owl:versionInfo \"2025-test-version\" ;"))
+    assert(ttl.contains("dcterms:source \"UMLS 2025AB\""))
+    assert(ttl.contains("skos:altLabel \"TEST\" ."))
+    assert(ttl.startsWith("\n@prefix skos:"))
+    assert(!ttl.contains("2024-old")) // F9: CURVER='Y' row wins
+  }
+
+  test("renders terms with labels, definitions, rels, atts, cui/tui lines") {
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/TEST/CODE1> a owl:Class ;"))
+    assert(ttl.contains("skos:prefLabel \"\"\"Source preferred\"\"\"@en ;"))
+    assert(ttl.contains("skos:altLabel \"\"\"Source synonym\"\"\"@en ;"))
+    assert(ttl.contains("skos:definition \"\"\"A definition\"\"\"@en ;"))
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/TEST/mappedTo> " +
+        "<http://purl.bioontology.org/ontology/TEST/CODE2> ;"))
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/TEST/TH> " +
+        "\"\"\"NLM (1994)\"\"\"^^xsd:string ;"))
+    assert(!ttl.contains("skipme")) // F13: AQ attribute skipped
+    assert(ttl.contains("umls:cui \"\"\"CUI_SOURCE\"\"\"^^xsd:string ;"))
+    assert(ttl.contains("umls:tui \"\"\"T001\"\"\"^^xsd:string ;"))
+    // Terms come out in code order.
+    assert(ttl.indexOf("/TEST/CODE1> a owl:Class") <
+      ttl.indexOf("/TEST/CODE2> a owl:Class"))
+  }
+
+  test("one unrenderable term is counted, not fatal (S6)") {
+    assert(report.terms == 2)
+    assert(report.errors == 1)
+    assert(!ttl.contains("CODE3"))
+  }
+
+  test("property block renders accumulated predicates with MRDOC docs") {
+    assert(ttl.contains("umls:hasSTY a owl:ObjectProperty ;"))
+    // C10: inverse type overrides the description.
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/TEST/mappedTo> a owl:ObjectProperty ;"))
+    assert(ttl.contains("rdfs:comment \"\"\"Inverse of mapped_from\"\"\""))
+    // C8: short description becomes the label.
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/TEST/TH> a owl:DatatypeProperty ;"))
+    assert(ttl.contains("rdfs:label \"\"\"Thesaurus ID\"\"\";"))
+  }
+
+  test("appends the rootless semantic-types block") {
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/STY/T001> a owl:Class ;"))
+    assert(ttl.contains(
+      "<http://purl.bioontology.org/ontology/STY/T002> rdfs:subClassOf " +
+        "<http://purl.bioontology.org/ontology/STY/T001> ."))
+    // withRoots=false: no owl:Thing root for T001 in the appended block.
+    assert(!ttl.contains(
+      "<http://purl.bioontology.org/ontology/STY/T001> rdfs:subClassOf owl:Thing ."))
+  }
+
+  test("version gate skips a non-current ontology (F18)") {
+    val dir = Files.createTempDirectory("graft-ttl2").toString
+    val source = TestSpark.fixedSource(fixture)
+    val r = OntologyWriter.write(spark, source,
+      OntologyJob("TEST", None, "TEST.ttl", loadOnCuis = false),
+      UmlsExportConfig(umlsVersion = "2026AA",
+        processOnlyCurrentVersion = true),
+      s"$dir/TEST.ttl", Map.empty, "")
+    assert(r.skipped)
+    assert(!Files.exists(Paths.get(s"$dir/TEST.ttl")))
+  }
+
+  test("balanced turtle blocks: terms and STY classes are all present") {
+    def countOf(needle: String): Int =
+      ttl.sliding(needle.length).count(_ == needle)
+    // CODE1 + CODE2 terms plus the two appended STY classes.
+    assert(countOf("a owl:Class ;") == 4)
+    assert(countOf(" .\n\n") >= 2) // each concept term closes the block
+  }
+}
