@@ -1,0 +1,246 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.assemble.{ConceptAssembler, PropertyDocs}
+import graft.render.SemanticTypes
+import graft.sources.UmlsSource
+
+/** Fixture-backed oracle coverage for the UMLS-specific operators.
+  *
+  * The harness's TPC-H-ish tables can only exercise these ops by analogy;
+  * these entries run the REAL engine paths (`ConceptAssembler`,
+  * `SemanticTypes`, `PropertyDocs`, MRSAB pick) over committed UMLS-shaped
+  * parquet (`fixtures/umls/`, written by [[graft.tools.UmlsFixtureGen]])
+  * and hand DuckDB an equivalent SQL over the same files — so
+  * CORRECTNESS_r{N} verifies the UMLS semantics themselves, not analogs.
+  *
+  * The oracle SQL reads the fixture parquet by absolute path (DuckDB reads
+  * parquet from path literals; the driver's harness views are unaffected).
+  */
+object UmlsQueries {
+
+  /** Absolute so both Spark and the driver's DuckDB resolve identically. */
+  val FixtureDir = "/root/repo/fixtures/umls"
+
+  private def fx(table: String) =
+    s"'$FixtureDir/$table.parquet/*.parquet'"
+
+  private[graft] def umls: Seq[Q] = Seq(
+
+    // ----- q25: the full codes-mode concept assembly (F1/F2/F15/F16/F17,
+    // J3-J9, A1/A3/A5-A7, C5) flattened to hash-comparable strings.
+    // Reference dataflow: umls2rdf.py:586-743.
+    Q("q25_concept_assemble",
+      (s, _) => {
+        val asm = new ConceptAssembler(s, UmlsSource.parquet(s, FixtureDir), "FIX")
+        asm.concepts().toDF()
+          .select(
+            col("code"),
+            col("prefLabel").as("pref_label"),
+            array_join(col("altLabels"), "|").as("alt_labels"),
+            array_join(col("defs"), "|").as("defs"),
+            array_join(col("cuis"), "|").as("cuis"),
+            array_join(col("tuis"), "|").as("tuis"),
+            array_join(array_sort(transform(col("rels"), r =>
+              concat_ws(":", r("rel"), r("rela"), r("codeSource"),
+                r("codeTarget")))), "|").as("rels"),
+            array_join(array_sort(transform(col("atts"), a =>
+              concat_ws("=", a("atn"), a("atv")))), "|").as("atts"),
+            col("isRoot").as("is_root"))
+          .orderBy("code")
+      },
+      Some(s"""
+        WITH atoms AS (
+          SELECT CUI, AUI, TTY, CODE, STR
+          FROM ${fx("MRCONSO")}
+          WHERE SAB = 'FIX' AND upper(LAT) = 'ENG' AND SUPPRESS = 'N'
+            AND CODE IS NOT NULL AND length(CODE) > 0
+        ),
+        atom_ids AS (SELECT DISTINCT AUI, CODE FROM atoms),
+        rk AS (
+          SELECT TTY, CAST(RANK AS INT) AS r
+          FROM ${fx("MRRANK")} WHERE SAB = 'FIX'
+        ),
+        pref AS (
+          SELECT CODE AS code, STR AS pref_label FROM (
+            SELECT a.CODE, a.STR,
+                   row_number() OVER (PARTITION BY a.CODE
+                     ORDER BY rk.r DESC, a.AUI, a.CUI) AS rn
+            FROM atoms a JOIN rk ON a.TTY = rk.TTY)
+          WHERE rn = 1
+        ),
+        alt AS (
+          SELECT d.CODE AS code,
+                 string_agg(d.STR, '|' ORDER BY d.STR) AS alt_labels
+          FROM (SELECT DISTINCT a.CODE, a.STR FROM atoms a) d
+          JOIN pref p ON d.CODE = p.code AND d.STR <> p.pref_label
+          GROUP BY d.CODE
+        ),
+        defs AS (
+          SELECT a.CODE AS code,
+                 string_agg(DISTINCT df.DEF, '|' ORDER BY df.DEF) AS defs
+          FROM ${fx("MRDEF")} df
+          JOIN atom_ids a ON df.AUI = a.AUI
+          WHERE df.SAB = 'FIX'
+          GROUP BY a.CODE
+        ),
+        cuis AS (
+          SELECT CODE AS code,
+                 string_agg(DISTINCT CUI, '|' ORDER BY CUI) AS cuis
+          FROM atoms GROUP BY CODE
+        ),
+        tuis AS (
+          SELECT ac.CODE AS code,
+                 string_agg(DISTINCT st.TUI, '|' ORDER BY st.TUI) AS tuis
+          FROM (SELECT DISTINCT CODE, CUI FROM atoms) ac
+          JOIN ${fx("MRSTY")} st ON ac.CUI = st.CUI
+          GROUP BY ac.CODE
+        ),
+        roots AS (
+          SELECT DISTINCT CUI FROM ${fx("MRCONSO")}
+          WHERE SAB = 'SRC' AND CODE = 'V-FIX'
+        ),
+        rels_att AS (
+          SELECT r.CUI1, r.AUI1, r.REL, r.RELA, s.CODE AS code_source
+          FROM ${fx("MRREL")} r
+          JOIN atom_ids s ON r.AUI2 = s.AUI
+          WHERE r.SAB = 'FIX' AND r.SUPPRESS = 'N'
+        ),
+        root_flag AS (
+          SELECT code_source AS code,
+                 max(CASE WHEN REL = 'CHD'
+                       AND CUI1 IN (SELECT CUI FROM roots)
+                     THEN 1 ELSE 0 END) = 1 AS is_root
+          FROM rels_att GROUP BY code_source
+        ),
+        resolved AS (
+          SELECT ra.code_source, ra.REL, ra.RELA, t.CODE AS code_target
+          FROM rels_att ra
+          JOIN atom_ids t ON ra.AUI1 = t.AUI
+          WHERE t.CODE <> ra.code_source
+        ),
+        rels_s AS (
+          SELECT code_source AS code,
+                 string_agg(concat_ws(':', REL, RELA, code_source, code_target),
+                   '|' ORDER BY concat_ws(':', REL, RELA, code_source, code_target))
+                 AS rels
+          FROM resolved GROUP BY code_source
+        ),
+        atts AS (
+          SELECT sa.CODE AS code,
+                 string_agg(concat_ws('=', sa.ATN, sa.ATV),
+                   '|' ORDER BY concat_ws('=', sa.ATN, sa.ATV)) AS atts
+          FROM ${fx("MRSAT")} sa
+          WHERE sa.SAB = 'FIX' AND sa.CODE IS NOT NULL
+            AND sa.CODE IN (SELECT CODE FROM atoms)
+          GROUP BY sa.CODE
+        )
+        SELECT c.code,
+               p.pref_label,
+               coalesce(a.alt_labels, '') AS alt_labels,
+               coalesce(d.defs, '') AS defs,
+               c.cuis,
+               coalesce(t.tuis, '') AS tuis,
+               coalesce(rs.rels, '') AS rels,
+               coalesce(at.atts, '') AS atts,
+               coalesce(rf.is_root, false) AS is_root
+        FROM cuis c
+        JOIN pref p ON c.code = p.code
+        LEFT JOIN alt a ON c.code = a.code
+        LEFT JOIN defs d ON c.code = d.code
+        LEFT JOIN tuis t ON c.code = t.code
+        LEFT JOIN rels_s rs ON c.code = rs.code
+        LEFT JOIN atts at ON c.code = at.code
+        LEFT JOIN root_flag rf ON c.code = rf.code
+        ORDER BY c.code""")),
+
+    // ----- q26: semantic-type hierarchy — P1 distinct scan, C11 STN parent
+    // derivation, J13 self-join on parent tree-number
+    // (umls2rdf.py:153-189).
+    Q("q26_sty_hierarchy",
+      (s, _) => {
+        val mrsty = UmlsSource.parquet(s, FixtureDir).table("MRSTY")
+        SemanticTypes.edges(mrsty)
+          .orderBy("tui", "parent_tui")
+      },
+      Some(s"""
+        WITH nodes AS (SELECT DISTINCT TUI, STN, STY FROM ${fx("MRSTY")}),
+        child AS (
+          SELECT TUI AS tui,
+                 CASE WHEN STN LIKE '%.%'
+                      THEN regexp_replace(STN, '\\.[^.]*$$', '')
+                      ELSE substr(STN, 1, length(STN) - 1) END AS parent_stn
+          FROM nodes),
+        parent AS (SELECT DISTINCT TUI AS parent_tui, STN AS p_stn FROM nodes)
+        SELECT DISTINCT tui, parent_tui
+        FROM child JOIN parent ON parent_stn = p_stn
+        WHERE tui <> parent_tui
+        ORDER BY tui, parent_tui""")),
+
+    // ----- q27: MRSAB record pick — F7 RSAB filter, F9/O7 CURVER='Y'
+    // preference with deterministic VSAB tie-break (umls2rdf.py:115-122).
+    Q("q27_mrsab_pick",
+      (s, _) =>
+        UmlsSource.parquet(s, FixtureDir).table("MRSAB")
+          .filter(col("RSAB") === "FIX")
+          .orderBy((col("CURVER") =!= "Y").asc, col("VSAB").asc)
+          .limit(1)
+          .select(col("RSAB").as("rsab"), col("VSAB").as("vsab"),
+            col("SVER").as("sver"), col("IMETA").as("imeta"),
+            col("LAT").as("lat"), col("SSN").as("ssn")),
+      Some(s"""
+        SELECT RSAB AS rsab, VSAB AS vsab, SVER AS sver, IMETA AS imeta,
+               LAT AS lat, SSN AS ssn
+        FROM ${fx("MRSAB")}
+        WHERE RSAB = 'FIX'
+        ORDER BY (CURVER <> 'Y'), VSAB
+        LIMIT 1""")),
+
+    // ----- q28: MRDOC pivot — A14 VALUE -> (dockey, expanded_form,
+    // inverse) with 'inverse'-in-TYPE normalization (umls2rdf.py:854-864).
+    Q("q28_mrdoc_pivot",
+      (s, _) =>
+        PropertyDocs.pivot(
+          UmlsSource.parquet(s, FixtureDir).table("MRDOC"))
+          .orderBy("value"),
+      Some(s"""
+        SELECT VALUE AS value,
+               min(DOCKEY) AS dockey,
+               min(CASE WHEN TYPE = 'expanded_form' THEN EXPL END)
+                 AS expanded_form,
+               min(CASE WHEN TYPE LIKE '%inverse%' THEN EXPL END) AS inverse
+        FROM ${fx("MRDOC")}
+        GROUP BY VALUE
+        ORDER BY VALUE""")),
+
+    // ----- q29: MeSH D-tree — J2 3-way join with the D% predicates and NO
+    // SUPPRESS filter, A13 child -> sorted parent set
+    // (umls2rdf.py:201-217).
+    Q("q29_mesh_tree",
+      (s, _) => {
+        val asm = new ConceptAssembler(s, UmlsSource.parquet(s, FixtureDir), "MSH")
+        asm.meshTree
+          .select(col("child"),
+            array_join(array_sort(col("parents")), "|").as("parents"))
+          .orderBy("child")
+      },
+      Some(s"""
+        WITH msh AS (
+          SELECT DISTINCT CUI, CODE FROM ${fx("MRCONSO")}
+          WHERE SAB = 'MSH' AND CODE LIKE 'D%'
+        ),
+        chd AS (
+          SELECT CUI1, CUI2 FROM ${fx("MRREL")}
+          WHERE SAB = 'MSH' AND REL = 'CHD'
+        ),
+        edges AS (
+          SELECT DISTINCT c1.CODE AS parent, c2.CODE AS child
+          FROM chd
+          JOIN msh c1 ON chd.CUI1 = c1.CUI
+          JOIN msh c2 ON chd.CUI2 = c2.CUI
+        )
+        SELECT child, string_agg(parent, '|' ORDER BY parent) AS parents
+        FROM edges GROUP BY child
+        ORDER BY child""")))
+}
