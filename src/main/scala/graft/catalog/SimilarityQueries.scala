@@ -56,21 +56,43 @@ object SimilarityQueries {
         GROUP BY label
         ORDER BY label""")),
 
-    // ----- LSH-bucketed ANN (single-probe) — the 100 TB scale path.
-    // Hyperplanes are engine-internal; driver records a rows-only check.
+    // ----- LSH-bucketed ANN (multi-probe) — the 100 TB scale path. nBits
+    // is sized from the corpus so expected bucket population stays bounded
+    // (Similarity.nBitsFor); hyperplanes are engine-internal, so the
+    // driver records a rows-only check — q44 carries the recall metric.
     Q("q42_ann_lsh",
-      (s, d) =>
-        Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10,
-          nBits = 8, dim = DIM),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.lshTopK(emb, queryId = 0L, k = 10,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128), dim = DIM)
+      },
       None),
 
     // ----- embedding-cosine near-duplicate pairs via LSH blocking —
-    // rows-only (bucket assignment is engine-internal).
+    // rows-only (bucket assignment is engine-internal). Auto-sized nBits
+    // keeps the per-bucket self-join sum-of-bucket², not corpus².
     Q("q43_cosine_neardup",
-      (s, d) =>
-        Similarity.cosineNearDupPairs(embeddings(s, d), threshold = 0.2,
-          nBits = 8, dim = DIM)
-          .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128), dim = DIM)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ----- measured ANN recall vs brute force over 20 sample queries —
+    // the in-engine check that keeps q42's approximation honest, with the
+    // probed bucket fraction alongside (recall without cost is
+    // meaningless). On the harness's RANDOM embeddings top-k neighbors are
+    // near-orthogonal (cosine ~0.3), the hard case for sign-LSH; the
+    // >= 0.9 recall target is asserted on clustered vectors — where ANN is
+    // actually used — in SimilaritySpec.
+    Q("q44_ann_recall",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.annRecall(emb, queryIds = 0L until 20L, k = 10,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128), dim = DIM)
+      },
       None)
   )
 }

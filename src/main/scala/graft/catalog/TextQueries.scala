@@ -126,6 +126,17 @@ object TextQueries {
           .orderBy("id_a", "id_b"),
       Some(minhashOracle)),
 
+    // ----- the SAME MinHash+LSH pipeline on the scale path: 8-byte hashed
+    // shingle features and xxhash64 signatures (Dedup.docShingleFeatures) —
+    // no cross-engine oracle for xxhash64 seeds, so rows-only; benched so
+    // the path the 100 TB design actually uses gets a number.
+    Q("q35b_minhash_fast",
+      (s, d) =>
+        Dedup.lshCandidatePairs(documents(s, d), numHashes = 16, bands = 4,
+          portable = false)
+          .orderBy("id_a", "id_b"),
+      None),
+
     // ----- SimHash near-dup pairs (xxhash64 fast path) — no portable
     // oracle; driver records a rows-only check. Emits per-doc simhash so
     // the result is deterministic even when no near-dup pairs exist.
@@ -136,11 +147,12 @@ object TextQueries {
   )
 
   /** DuckDB equivalent of the md5 MinHash+LSH pipeline over word-3-gram
-    * shingles. Signature hash i of a doc = min(md5(i || '|' || shingle));
-    * band key = md5(h0|h1|h2|h3). */
+    * shingles. Signature hash i of a doc = min(md5(i || '|' ||
+    * md5(shingle))) — the per-index rehash runs over the fixed 32-char
+    * digest, exactly as the Spark portable path; band key = md5(h0|h1|h2|h3). */
   private val minhashOracle: String = {
     val hashAggs = (0 until 16)
-      .map(i => s"min(md5('$i' || '|' || token)) AS h$i").mkString(",\n        ")
+      .map(i => s"min(md5('$i' || '|' || th)) AS h$i").mkString(",\n        ")
     val bandKeys = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
@@ -158,7 +170,9 @@ object TextQueries {
         FROM arr),
       toks AS (
         SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
-      toks2 AS (SELECT * FROM toks WHERE length(token) > 0),
+      toks2 AS (
+        SELECT DISTINCT doc_id, md5(token) AS th
+        FROM toks WHERE length(token) > 0),
       sig AS (
         SELECT doc_id,
         $hashAggs

@@ -46,10 +46,10 @@ object Dedup {
       .filter(length(col("token")) > 0)
       .distinct()
 
-  /** Distinct (id, word-3-gram shingle) pairs — MinHash's input relation.
-    * Shingling (not raw tokens) keeps signatures discriminative: over a
-    * small vocabulary every document shares most *tokens*, but almost no
-    * *shingles*, so LSH bucket sizes stay bounded as the corpus grows. */
+  /** Distinct (id, word-n-gram shingle) pairs. Shingling (not raw tokens)
+    * keeps signatures discriminative: over a small vocabulary every
+    * document shares most *tokens*, but almost no *shingles*, so LSH
+    * bucket sizes stay bounded as the corpus grows. */
   def docShingles(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
     docs.select(col(idCol),
@@ -57,24 +57,48 @@ object Dedup {
       .filter(length(col("token")) > 0)
       .distinct()
 
-  /** MinHash signature per doc: h_i = min over shingles of H(i || shingle).
+  /** Distinct (id, 64-bit shingle feature): shingles are hashed to longs
+    * BEFORE the distinct/groupBy shuffle, so the exchange carries 8-byte
+    * keys instead of full n-gram strings — the string form re-shuffles
+    * ~3× the corpus bytes at 100 TB. Hash collisions merely merge two
+    * shingles (harmless for MinHash/SimHash quality). */
+  def docShingleFeatures(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col(idCol), xxhash64(col("token")).as("feature"))
+      .distinct()
+
+  /** MinHash signature per doc: h_i = min over shingles of H(i, shingle).
     *
-    * `portable = true` uses md5 (hex-string min — reproducible in any engine
-    * with md5, e.g. the DuckDB oracle); `false` uses xxhash64 (faster, the
-    * scale path). Both are deterministic. One shuffle: groupBy(id) with
-    * map-side partial mins.
+    * `portable = true` uses md5 over an md5 token digest (hex-string min —
+    * reproducible in any engine with md5, e.g. the DuckDB oracle; the
+    * per-hash rehash runs over the fixed 32-char digest, not the raw
+    * shingle). `false` is the scale path: 8-byte [[docShingleFeatures]]
+    * keys, xxhash64 per hash index. Both are deterministic. One shuffle:
+    * groupBy(id) with map-side partial mins.
     */
   def minhashSignature(docs: DataFrame, numHashes: Int,
       textCol: String = "text", idCol: String = "doc_id",
       portable: Boolean = false): DataFrame = {
-    val toks = docShingles(docs, textCol, idCol)
-    val aggs = (0 until numHashes).map { i =>
-      val h =
-        if (portable) md5(concat(lit(i.toString), lit("|"), col("token")))
-        else xxhash64(lit(i), col("token")).cast("string")
-      min(h).as(s"h$i")
+    if (portable) {
+      val toks = docs.select(col(idCol),
+          explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col(idCol), md5(col("token")).as("th"))
+        .distinct()
+      val aggs = (0 until numHashes).map { i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("th")))).as(s"h$i")
+      }
+      toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val toks = docShingleFeatures(docs, textCol, idCol)
+      val aggs = (0 until numHashes).map { i =>
+        min(xxhash64(lit(i), col("feature"))).cast("string").as(s"h$i")
+      }
+      toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     }
-    toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
@@ -116,8 +140,10 @@ object Dedup {
     * tokens) keep hashes discriminative over small vocabularies. */
   def simhash64(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docShingles(docs, textCol, idCol)
-      .withColumn("h", xxhash64(col("token")))
+    // The 64-column aggregation buffer is 64 longs = 512 B/doc, map-side
+    // combined — plan width, not a scale hazard.
+    val toks = docShingleFeatures(docs, textCol, idCol)
+      .withColumn("h", col("feature"))
     val votes = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$j")

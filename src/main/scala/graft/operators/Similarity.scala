@@ -44,6 +44,16 @@ object Similarity {
 
   // --- LSH (random hyperplane) -------------------------------------------
 
+  /** Bucket-count sizing: nBits so the EXPECTED bucket population stays
+    * near `targetBucketSize` as the corpus grows — nBits ≈ log₂(n/target).
+    * A fixed nBits is a scale bug: with 2^8 buckets, per-bucket work is
+    * O(n/256) and the bucketed pair join O((n/256)²) — quadratic death at
+    * 10⁹ vectors. Clamped to [4, 24] (16 buckets … 16M buckets). */
+  def nBitsFor(n: Long, targetBucketSize: Int = 64): Int = {
+    val ratio = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `nBits` planes × `dim`,
     * values from a fixed-seed generator. Returned as a literal column so
     * the signature computation is pure expression algebra. */
@@ -92,6 +102,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Measured ANN recall vs the exact answer, computed in-engine: for each
+    * query id, |LSH top-k ∩ brute-force top-k| / k, averaged. One output
+    * row (n_queries, k, hits, recall). This is the check that keeps the
+    * approximate path honest without a cross-engine oracle (the
+    * hyperplanes are engine-internal). Cost is bounded by the sample:
+    * |queries| × n cosines on the exact side. */
+  def annRecall(emb: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int,
+      dim: Int, probeRadius: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = queryIds.map(java.lang.Long.valueOf)
+    val queries = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col(idCol))
+
+    val bfTop = emb.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", idCol)
+
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+    val masks = probeMasks(nBits, probeRadius)
+    val qProbes = bucketed.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    val lshTop = bucketed.join(broadcast(qProbes), "bucket")
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("score"))
+      .distinct() // multi-probe can reach a candidate through several masks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", idCol)
+
+    val denom = bfTop.count()
+    // Cost transparency: recall means nothing without the probed fraction
+    // (probing every bucket is brute force with extra steps).
+    val probedFrac = masks.size.toDouble / (1L << nBits)
+    bfTop.join(lshTop, Seq("qid", idCol))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(queryIds.size).as("n_queries"), lit(k).as("k"),
+        col("hits"),
+        round(col("hits") / lit(math.max(denom, 1L).toDouble), 4).as("recall"),
+        round(lit(probedFrac), 4).as("probed_frac"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
     * LSH so the pair join is per-bucket (not all-pairs). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int,
@@ -109,5 +170,39 @@ object Similarity {
         round(cosine(col("vec_a"), col("vec_b")), 4).as("score"))
       .filter(col("score") >= threshold)
       .distinct()
+  }
+
+  // --- Physical bucketing (the at-rest layout for the 100 TB path) --------
+
+  /** Materialize the corpus partitioned BY LSH bucket. A probe then reads
+    * only the probed buckets' directories (partition pruning — the scan's
+    * PartitionFilters, not a full pass). This is the layout `lshTopK`'s
+    * doc promises: at rest, a query touches Σ C(nBits,i) partitions out of
+    * 2^nBits. */
+  def writeBucketed(emb: DataFrame, path: String, nBits: Int, dim: Int,
+      vecCol: String = "embedding"): Unit =
+    emb.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Multi-probe top-k over a [[writeBucketed]] layout. `queryVec` comes
+    * from the app (or a 1-row lookup); the probe bucket list is a literal
+    * IN filter, so Catalyst prunes to those partitions before any I/O. */
+  def bucketedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Seq[Double], k: Int, nBits: Int, dim: Int,
+      probeRadius: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val qBucket = (0 until nBits).map { i =>
+      val d = planes(i).iterator.zip(queryVec.iterator).map { case (p, x) => p * x }.sum
+      if (d >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes = probeMasks(nBits, probeRadius).map(m => qBucket ^ m)
+    val qvec = typedLit(queryVec)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol), qvec), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 }

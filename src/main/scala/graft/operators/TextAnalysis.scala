@@ -25,15 +25,23 @@ object TextAnalysis {
 
   /** Word n-gram shingles ("a b c" for n=3) — the unit for MinHash: the
     * shingle space is |vocab|^n, so shingle sets discriminate documents
-    * even over a tiny vocabulary where raw token sets collide. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array(array_join(t, " ")))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(t, i + k)): _*)))
-  }
+    * even over a tiny vocabulary where raw token sets collide.
+    *
+    * The token array is bound ONCE as a lambda variable (the outer
+    * single-element `transform`): higher-order-function lambdas get no
+    * common-subexpression elimination, so referencing `tokens(text)`
+    * directly inside the per-shingle lambda would re-run the split regex
+    * for every `element_at` — O(tokens²) per document (measured 45× slower
+    * at sf0.1). With the binding, each shingle is n O(1) array reads. */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(tokens(text)), t =>
+        when(size(t) < n, array(array_join(t, " ")))
+          .otherwise(transform(
+            sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(k => element_at(t, i + k)): _*)))),
+      1)
 
   /** Normalize for fingerprinting: lowercase, strip non [a-z0-9 ],
     * collapse runs of whitespace. */

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Scale-path checks for the similarity operators: bucket sizing math,
+  * measured ANN recall (the approximation's honesty check), and partition
+  * pruning over the physically-bucketed layout.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val Dim = 16
+
+  /** Deterministic clustered vectors: `nClusters` gaussian centers, `per`
+    * members each with small jitter — a corpus where near neighbors are
+    * real, so recall is a meaningful number. */
+  private def clustered(nClusters: Int, per: Int, seed: Long = 7L) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, Dim)(rnd.nextGaussian())
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until per
+    } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      Row((c * per + i).toLong, v.toSeq, c)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("nBitsFor keeps expected bucket population bounded") {
+    assert(Similarity.nBitsFor(1000, 64) === 4)
+    assert(Similarity.nBitsFor(100000, 64) === 11)
+    assert(Similarity.nBitsFor(1000000000L, 64) === 24) // clamp high
+    assert(Similarity.nBitsFor(10, 64) === 4) // clamp low
+    // doubling the corpus adds ~1 bit: buckets stay ~constant size
+    val a = Similarity.nBitsFor(1L << 20, 64)
+    val b = Similarity.nBitsFor(1L << 21, 64)
+    assert(b === a + 1)
+  }
+
+  test("annRecall >= 0.9 on clustered corpus with multi-probe") {
+    val emb = clustered(nClusters = 8, per = 40) // n = 320
+    val nBits = Similarity.nBitsFor(320, 64) // = 4 -> 16 buckets
+    val recall = Similarity.annRecall(emb, queryIds = 0L until 10L,
+      k = 5, nBits = nBits, dim = Dim, probeRadius = 2)
+      .collect()(0)
+    assert(recall.getAs[Long]("hits") >= 45,
+      s"recall row: $recall") // 10 queries x 5 -> >= 0.9
+    assert(recall.getAs[Double]("recall") >= 0.9)
+  }
+
+  test("lshTopK agrees with brute force on an easy clustered corpus") {
+    val emb = clustered(nClusters = 4, per = 30)
+    val exact = Similarity.bruteForceTopK(emb, queryId = 3L, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, queryId = 3L, k = 5,
+      nBits = 4, dim = Dim, probeRadius = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect approx).size >= 4)
+  }
+
+  test("bucketedTopK prunes partitions and matches the in-memory probe") {
+    val emb = clustered(nClusters = 4, per = 25)
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    Similarity.writeBucketed(emb, dir, nBits = 4, dim = Dim)
+
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+
+    val df = Similarity.bucketedTopK(spark, dir, qvec, k = 5,
+      nBits = 4, dim = Dim, probeRadius = 1)
+    // Partition pruning: the bucket filter must reach the scan as a
+    // partition filter, not a post-scan predicate.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), plan.take(2000))
+
+    val got = df.collect().map(_.getLong(0))
+    assert(got.contains(0L)) // the query vector itself is its own best match
+    assert(got.length === 5)
+  }
+}
