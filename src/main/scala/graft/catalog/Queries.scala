@@ -30,7 +30,9 @@ object Queries {
   private def r2(c: Column): Column = round(c, 2)
 
   /** All registered queries, in catalog order. */
-  def all: Seq[Q] = relational ++ UmlsQueries.umls ++ text ++ similarity
+  def all: Seq[Q] =
+    relational ++ UmlsQueries.umls ++ text ++ similarity ++
+      MultimodalQueries.multimodal
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support for training-data
+  * pipelines: media travel as opaque `binary` columns with typed metadata
+  * beside them, exactly like a lakehouse media table at 100 TB.
+  *
+  * Design split:
+  *   - everything METADATA-shaped (byte fingerprints, dedup, caption +
+  *     embedding joint filtering) is pure Column algebra — codegen'd,
+  *     pushdown-friendly, no byte decoding on the hot path;
+  *   - the DECODE boundary (pixels/frames) runs per-partition over the
+  *     typed Dataset — the Scala analog of an Arrow-batched decode UDF:
+  *     one iterator pass per partition, bounded memory, schema fixed by
+  *     case classes. The pixel math itself is a clearly-marked
+  *     deterministic STUB (this container has no imaging libraries); the
+  *     Spark plumbing — schema, batch iteration, partitioning — is real
+  *     and tested, and a real decoder drops in by replacing the stub body.
+  */
+object Multimodal {
+
+  // --- decode boundary (typed, per-partition) ------------------------------
+
+  /** Input row shape for the decode stage. */
+  final case class MediaRow(
+      media_id: Long, kind: String, width: Int, height: Int,
+      bytes: Array[Byte])
+
+  /** Decoded feature row: what a real image decode would emit. */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, width: Int, height: Int,
+      n_bytes: Long, mean_luma: Double, phash: Long)
+
+  /** STUB pixel decode: mean byte value stands in for mean luma. A real
+    * decoder (JPEG/PNG → pixels) replaces exactly this function. */
+  private[operators] def decodeStub(bytes: Array[Byte]): Double =
+    if (bytes.isEmpty) 0.0
+    else {
+      var s = 0L; var i = 0
+      while (i < bytes.length) { s += (bytes(i) & 0xFF); i += 1 }
+      s.toDouble / bytes.length
+    }
+
+  /** STUB perceptual hash: 64 block means thresholded on the global mean —
+    * the standard aHash shape, computed over raw bytes instead of decoded
+    * grayscale pixels. Deterministic; equal payloads hash equal. */
+  private[operators] def phashStub(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 0L
+    val block = math.max(1, bytes.length / 64)
+    val means = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val from = i * block
+      val to = math.min(bytes.length, from + block)
+      if (from < bytes.length) {
+        var s = 0L; var j = from
+        while (j < to) { s += (bytes(j) & 0xFF); j += 1 }
+        means(i) = s.toDouble / (to - from)
+      }
+      i += 1
+    }
+    val avg = means.sum / 64
+    var acc = 0L
+    i = 0
+    while (i < 64) { if (means(i) > avg) acc |= (1L << i); i += 1 }
+    acc
+  }
+
+  /** STUB resize: stride-subsample the payload to the byte budget of the
+    * target dimensions (a real implementation decodes, resamples pixels,
+    * re-encodes — same binary → binary signature and batch shape). */
+  private[operators] def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val target = math.max(1, dstW * dstH * 3)
+    if (bytes.length <= target) bytes
+    else {
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) {
+        out(i) = bytes((i.toLong * bytes.length / target).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode + feature-extract, one iterator pass per partition (the
+    * Arrow-batch shape). Feature columns come out typed and columnar for
+    * everything downstream — decode runs once, at the boundary. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "width", "height", "bytes")
+      .as[MediaRow]
+      .mapPartitions(_.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.width, m.height,
+          m.bytes.length.toLong, decodeStub(m.bytes), phashStub(m.bytes))
+      })
+  }
+
+  /** Resize pass: binary in, binary out, per-partition. */
+  def resized(media: DataFrame, dstW: Int, dstH: Int)
+      : Dataset[(Long, Array[Byte])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "width", "height", "bytes")
+      .as[MediaRow]
+      .mapPartitions(_.map(m =>
+        (m.media_id, resizeStub(m.bytes, m.width, m.height, dstW, dstH))))
+  }
+
+  // --- metadata-plane operators (pure Column algebra) ----------------------
+
+  /** Portable byte fingerprint: md5 over the hex expansion (DuckDB's md5
+    * takes VARCHAR only; Spark and DuckDB `hex` agree byte-for-byte). */
+  def byteFingerprint(bytes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = md5(hex(bytes))
+
+  /** Exact byte-level duplicate groups: fingerprint → keeper (min id),
+    * group size. One groupBy on a 128-bit digest — same 100 TB shape as
+    * [[Dedup.exactGroups]]; the payload never shuffles, only its hash. */
+  def byteDedupGroups(media: DataFrame, bytesCol: String = "bytes",
+      idCol: String = "media_id"): DataFrame =
+    media.select(byteFingerprint(col(bytesCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** Joint text + embedding corpus filter: keep media whose caption passes
+    * the token-count gate AND whose embedding is not a near-duplicate
+    * (cosine ≥ `dupThreshold`) of a lower-id survivor. The pair join here
+    * is all-pairs over the caption-passing set — correct for fixtures and
+    * small candidate sets; at corpus scale swap the pair source for
+    * [[Similarity.cosineNearDupPairs]] (LSH-blocked, same output shape). */
+  def jointFilter(media: DataFrame, minCaptionTokens: Int,
+      dupThreshold: Double, idCol: String = "media_id"): DataFrame = {
+    val nTokens = size(TextAnalysis.tokens(col("caption")))
+    val pass = media.filter(nTokens >= minCaptionTokens)
+    val a = pass.select(col(idCol).as("id_a"), col("embedding").as("vec_a"))
+    val b = pass.select(col(idCol).as("id_b"), col("embedding").as("vec_b"))
+    val dupOfEarlier = a.join(b, col("id_a") > col("id_b"))
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= dupThreshold)
+      .select(col("id_a").as(idCol)).distinct()
+    pass.join(dupOfEarlier, Seq(idCol), "left_anti")
+  }
+}

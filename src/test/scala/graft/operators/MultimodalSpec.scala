@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tools.MediaFixtureGen
+
+/** The multimodal plumbing over the in-memory fixture rows: byte-exact
+  * dedup, decode-boundary determinism, resize contract, joint filtering.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val media = spark.createDataFrame(
+    spark.sparkContext.parallelize(MediaFixtureGen.rows, 3),
+    MediaFixtureGen.schema)
+
+  test("byteDedupGroups finds the duplicate payload pairs (0,1) and (2,3)") {
+    val groups = Multimodal.byteDedupGroups(media).collect()
+    assert(groups.length === 10) // 12 media, two dup pairs
+    val dups = groups.filter(_.getAs[Long]("group_size") == 2L)
+      .map(_.getAs[Long]("keeper")).sorted
+    assert(dups.toSeq === Seq(0L, 2L))
+  }
+
+  test("decodeFeatures is deterministic and partition-invariant") {
+    val one = Multimodal.decodeFeatures(media.repartition(1))
+      .collect().sortBy(_.media_id)
+    val many = Multimodal.decodeFeatures(media.repartition(5))
+      .collect().sortBy(_.media_id)
+    assert(one.toSeq === many.toSeq)
+    assert(one.forall(_.n_bytes === 16L * 16 * 3))
+    // equal payloads -> equal features
+    val byId = one.map(f => f.media_id -> f).toMap
+    assert(byId(0L).phash === byId(1L).phash)
+    assert(byId(0L).mean_luma === byId(1L).mean_luma)
+    assert(byId(2L).phash === byId(3L).phash)
+    // distinct payloads -> distinct phash (on this fixture)
+    assert(byId(4L).phash !== byId(6L).phash)
+  }
+
+  test("resized meets the target byte budget and keeps ids") {
+    val out = Multimodal.resized(media, dstW = 4, dstH = 4).collect()
+    assert(out.length === 12)
+    assert(out.forall(_._2.length === 4 * 4 * 3))
+    // determinism
+    val again = Multimodal.resized(media, dstW = 4, dstH = 4).collect()
+    assert(out.sortBy(_._1).map(_._2.toSeq).toSeq ===
+      again.sortBy(_._1).map(_._2.toSeq).toSeq)
+  }
+
+  test("jointFilter drops short captions and near-dup embeddings") {
+    val kept = Multimodal.jointFilter(media, minCaptionTokens = 3,
+      dupThreshold = 0.98)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(8L) && !kept.contains(9L)) // short captions
+    assert(kept.contains(0L) && !kept.contains(5L)) // 5 near-dups 0's embedding
+    assert(kept.contains(2L) && kept.contains(3L)) // byte dups, distinct embeddings
+  }
+}
