@@ -143,22 +143,49 @@ object TextQueries {
     Q("q36_simhash",
       (s, d) =>
         Dedup.simhash64(documents(s, d)).orderBy("doc_id"),
-      None)
+      None),
+
+    // ----- the dedup DECISION: connected components over the q35
+    // candidate pairs (min-label propagation; keeper = component min id).
+    // Oracle: DuckDB recursive-CTE reachability over the same pairs.
+    Q("q37_neardup_components",
+      (s, d) =>
+        Dedup.nearDupComponents(
+          Dedup.lshCandidatePairs(documents(s, d), numHashes = 16,
+            bands = 4, portable = true))
+          .orderBy("id"),
+      Some(s"""
+        WITH RECURSIVE $minhashCtes,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
+        SELECT id, min(root) AS component
+        FROM r GROUP BY id
+        ORDER BY id"""))
   )
 
-  /** DuckDB equivalent of the md5 MinHash+LSH pipeline over word-3-gram
-    * shingles. Signature hash i of a doc = min(md5(i || '|' ||
-    * md5(shingle))) — the per-index rehash runs over the fixed 32-char
-    * digest, exactly as the Spark portable path; band key = md5(h0|h1|h2|h3). */
-  private val minhashOracle: String = {
+  /** Shared CTE chain reproducing the md5 MinHash+LSH pipeline over
+    * word-3-gram shingles, ending at the `bands` relation. Signature hash
+    * i of a doc = min(md5(i || '|' || md5(shingle))) — the per-index
+    * rehash runs over the fixed 32-char digest, exactly as the Spark
+    * portable path; band key = md5(h0|h1|h2|h3). */
+  private val minhashCtes: String = {
     val hashAggs = (0 until 16)
       .map(i => s"min(md5('$i' || '|' || th)) AS h$i").mkString(",\n        ")
     val bandKeys = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
     }.mkString("\n        UNION ALL\n        ")
-    s"""
-      WITH arr AS (
+    s"""arr AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
         FROM documents),
       sh AS (
@@ -178,10 +205,13 @@ object TextQueries {
         $hashAggs
         FROM toks2 GROUP BY doc_id),
       bands AS (
-        $bandKeys)
+        $bandKeys)"""
+  }
+
+  private val minhashOracle: String = s"""
+      WITH $minhashCtes
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
       WHERE a.doc_id < b.doc_id
       ORDER BY id_a, id_b"""
-  }
 }

@@ -183,6 +183,65 @@ object Dedup {
       .distinct()
   }
 
+  // --- dedup decision: connected components over candidate pairs ----------
+
+  /** Turn candidate near-duplicate PAIRS into a dedup DECISION: connected
+    * components by iterative min-label propagation, then keeper = the
+    * component id (min doc id in the component).
+    *
+    * Each round joins every node's label to its neighbors and takes the
+    * min — the classic Spark CC shape (what GraphFrames' algorithm reduces
+    * to on undirected graphs). Rounds needed = graph diameter ≤ `maxIter`;
+    * near-dup clusters are shallow (dup groups, not long chains), so the
+    * loop converges in a few rounds; convergence is checked with a count
+    * of changed labels per round (one action per round, no collect of
+    * data). Input pair lists at 100 TB are LSH-bounded (sum of bucket²),
+    * and each round is one shuffle keyed by id.
+    *
+    * @return (id, component) — component = min id reachable; rows only for
+    *   ids that appear in `pairs`; singletons are their own keeper by
+    *   definition and need no row.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Undirected edge list, both directions.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Rows to DROP under near-dup dedup: every id whose component keeper
+    * (min id) is not itself. */
+  def nearDupDuplicates(pairs: DataFrame): DataFrame =
+    nearDupComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"), col("component").as("keeper"))
+
   // --- n-gram Jaccard -----------------------------------------------------
 
   /** Exact token-set Jaccard similarity of every document against one query
