@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10 — greenfield: the
+  * reference is a run-once batch exporter, so nothing constrains these
+  * semantics; they mirror the harness `events` schema and the batch
+  * q18/q19 catalog entries so batch and streaming answers are comparable).
+  *
+  * Design: all transforms are `DataFrame → DataFrame` / typed `Dataset`
+  * functions with no source/sink baked in — the caller attaches
+  * `readStream` (Kafka, files, rate) and `writeStream`; specs drive them
+  * with MemoryStream. State is bounded: watermarks bound the window state,
+  * and sessions time out via `EventTimeTimeout`, so state size tracks the
+  * live-key working set, not the stream history — the property that keeps
+  * this runnable forever on a real cluster.
+  */
+object EventStreams {
+
+  /** The harness `events` row (TESTDATA.md). */
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+
+  /** One closed user session (epoch-second bounds, matching batch q19). */
+  final case class SessionOut(
+      user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
+
+  private[streaming] final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of the
+    * batch q18 time-window query. Late events beyond `watermarkDelay` are
+    * dropped and their window state reclaimed. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization with explicit keyed state — the streaming
+    * twin of batch q19 (same 1800 s default gap, same epoch-second session
+    * bounds). A session closes when a same-user event arrives more than
+    * `gapSeconds` later (emitted immediately) or when event time passes
+    * `last + gap` (timeout emission). Append-mode safe: only CLOSED
+    * sessions are emitted. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateSessions(gapSeconds))
+  }
+
+  /** Per-key state transition: fold this batch's events (event-time order)
+    * into the open session; emit sessions closed by a gap; park the open
+    * session in state with a timeout at `last + gap`. */
+  private[streaming] def updateSessions(gapSeconds: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val out = scala.collection.mutable.Buffer.empty[SessionOut]
+    def close(s: SessionState): Unit =
+      out += SessionOut(userId, s.start, s.last, s.n, s.total)
+
+    if (state.hasTimedOut) {
+      state.getOption.foreach(close)
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime / 1000 // floor to seconds, like batch q19
+        cur match {
+          case Some(s) if t - s.last <= gapSeconds =>
+            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+              s.total + e.value))
+          case Some(s) =>
+            close(s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+      }
+    }
+    out.iterator
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.EventStreams.Event
+
+/** Drives the streaming transforms with MemoryStream — micro-batches with
+  * controlled event time, so watermark and timeout behavior is
+  * deterministic.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, sec: Long, user: Long, kind: String,
+      value: Double): Event =
+    Event(id, new Timestamp(sec * 1000), user, kind, value)
+
+  test("windowedCounts aggregates tumbling windows under a watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        ev(1, 10, 1, "click", 1.0), ev(2, 200, 2, "click", 2.0),
+        ev(3, 400, 1, "buy", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "n", "total_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("buy", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits a session closed by a gap and one by timeout") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 -> two events 100 s apart (one open session)
+      input.addData(ev(1, 1000, 1, "click", 1.0), ev(2, 1100, 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: a same-user event past the gap closes session 1 directly
+      input.addData(ev(3, 10000, 1, "buy", 5.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(afterGap === Set((1L, 1000L, 1100L, 2L, 3.0)))
+
+      // batch 3: another user far in the future advances the watermark past
+      // 10000 + 1800 -> user 1's open session times out and is emitted
+      input.addData(ev(4, 50000, 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 90000, 2, "click", 1.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterTimeout.contains((1L, 10000L)),
+        s"expected user 1's second session to time out; got $afterTimeout")
+    } finally q.stop()
+  }
+
+  test("sessionize state transition folds batches in event-time order") {
+    // Direct unit test of the state function (no streaming query needed).
+    val out = scala.collection.mutable.Buffer.empty[EventStreams.SessionOut]
+    // simulate: unordered events, one gap inside the batch
+    val events = Iterator(
+      ev(2, 5000, 7, "b", 2.0), ev(1, 1000, 7, "a", 1.0), ev(3, 1100, 7, "c", 3.0))
+    val state = new TestGroupState
+    out ++= EventStreams.updateSessions(1800)(7L, events, state)
+    assert(out.map(s => (s.session_start, s.session_end, s.n_events)).toList ===
+      List((1000L, 1100L, 2L))) // first session closed by the 5000s event
+    assert(state.updated.map(_.toString).nonEmpty) // 5000s session parked
+  }
+}
+
+/** Minimal GroupState stub for direct state-function tests. */
+private class TestGroupState
+    extends org.apache.spark.sql.streaming.GroupState[EventStreams.SessionState] {
+  var updated: Option[EventStreams.SessionState] = None
+  private var timeout: Long = -1
+  def exists: Boolean = updated.isDefined
+  def get: EventStreams.SessionState = updated.get
+  def getOption: Option[EventStreams.SessionState] = updated
+  def update(s: EventStreams.SessionState): Unit = updated = Some(s)
+  def remove(): Unit = updated = None
+  def hasTimedOut: Boolean = false
+  def setTimeoutDuration(d: Long): Unit = timeout = d
+  def setTimeoutDuration(d: String): Unit = ()
+  def setTimeoutTimestamp(t: Long): Unit = timeout = t
+  def setTimeoutTimestamp(t: Long, add: String): Unit = timeout = t
+  def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+  def getCurrentWatermarkMs(): Long = 0L
+  def getCurrentProcessingTimeMs(): Long = 0L
+}
