@@ -46,19 +46,25 @@ class ConceptAssembler(
     source: UmlsSource,
     sab: String,
     loadOnCuis: Boolean = false,
-    lang: String = "ENG") {
+    lang: String = "ENG",
+    limit: Option[Int] = None) {
 
   import spark.implicits._
 
   private val langUpper = lang.toUpperCase
 
+  /** O5 row limit: the reference wires an optional LIMIT into the MRCONSO
+    * and MRREL scans (`umls2rdf.py:586,600,613,623`) for sampled runs. */
+  private def limited(df: DataFrame): DataFrame =
+    limit.fold(df)(df.limit)
+
   /** F1: SAB + LAT + SUPPRESS='N' filter, pushed to the scan. MySQL's ci
     * collation made `lat = 'eng'` match 'ENG' (`umls2rdf.py:598-600`);
     * we compare case-insensitively to preserve that. */
   def atoms: DataFrame =
-    source.table("MRCONSO")
+    limited(source.table("MRCONSO")
       .filter(col("SAB") === sab && upper(col("LAT")) === langUpper &&
-        col("SUPPRESS") === "N")
+        col("SUPPRESS") === "N"))
       .withColumn("code", codeExpr)
       .filter(col("code").isNotNull)
 
@@ -86,8 +92,8 @@ class ConceptAssembler(
 
   /** F3-filtered relations (`umls2rdf.py:621-623`). */
   def rels: DataFrame =
-    source.table("MRREL")
-      .filter(col("SAB") === sab && col("SUPPRESS") === "N")
+    limited(source.table("MRREL")
+      .filter(col("SAB") === sab && col("SUPPRESS") === "N"))
 
   /** MeSH `D*` CHD tree: child code → parent codes (J2,
     * `umls2rdf.py:201-217`). Only consulted when `sab == "MSH"`. The

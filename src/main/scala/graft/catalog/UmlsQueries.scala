@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.assemble.{ConceptAssembler, PropertyDocs}
@@ -242,5 +243,87 @@ object UmlsQueries {
         )
         SELECT child, string_agg(parent, '|' ORDER BY parent) AS parents
         FROM edges GROUP BY child
-        ORDER BY child""")))
+        ORDER BY child""")),
+
+    // ----- q25s: the SAME assembly dataflow at bench scale — UMLS-shaped
+    // tables derived by pure projection from the harness lineitem/orders
+    // parquet (sf0.1: ~600k atoms, ~450k rels, ~20k codes), so the bench
+    // times the engine's core groupBy/join spine on real volume, not the
+    // 16-row fixture. Values are engine-derived (no oracle); the per-code
+    // aggregate keeps output small.
+    Q("q25s_assembly_scale",
+      (s, d) => {
+        val asm = new ConceptAssembler(s, scaleSource(s, d), "BIG")
+        asm.concepts().toDF()
+          .select(col("code"), col("prefLabel"),
+            size(col("altLabels")).as("n_alt"), size(col("rels")).as("n_rels"),
+            size(col("atts")).as("n_atts"), size(col("cuis")).as("n_cuis"),
+            size(col("tuis")).as("n_tuis"))
+          .orderBy("code")
+      },
+      None))
+
+  /** UMLS-shaped tables projected from the harness lake (TESTDATA.md):
+    * lineitem lines become atoms (one per (order, line); code = part),
+    * consecutive lines become rels, orders become defs, parts become
+    * atts, customers-of-orders become STY rows. Everything is a narrow
+    * projection — the scan cost stays parquet-side. */
+  private def scaleSource(s: SparkSession, dir: String): UmlsSource = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+    val part = s.read.parquet(s"$dir/part.parquet")
+    val e = lit("")
+    val atoms = li.select(
+      concat(lit("C"), col("l_orderkey")).as("CUI"), lit("ENG").as("LAT"),
+      lit("P").as("TS"), e.as("LUI"), lit("PF").as("STT"), e.as("SUI"),
+      when(col("l_linenumber") === 1, "Y").otherwise("N").as("ISPREF"),
+      concat(lit("A"), col("l_orderkey") * 100 + col("l_linenumber"))
+        .as("AUI"),
+      e.as("SAUI"), e.as("SCUI"), e.as("SDUI"), lit("BIG").as("SAB"),
+      when(col("l_linenumber") === 1, "PT").otherwise("SY").as("TTY"),
+      concat(lit("X"), col("l_partkey")).as("CODE"),
+      concat(lit("part "), col("l_partkey"), lit(" order "),
+        col("l_orderkey"), lit(" line "), col("l_linenumber")).as("STR"),
+      lit("0").as("SRL"), lit("N").as("SUPPRESS"), e.as("CVF"))
+    val rels = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") === col("b.l_linenumber") + 1)
+      .select(
+        concat(lit("C"), col("a.l_orderkey")).as("CUI1"),
+        concat(lit("A"), col("a.l_orderkey") * 100 + col("a.l_linenumber"))
+          .as("AUI1"),
+        lit("AUI").as("STYPE1"),
+        when(col("b.l_linenumber") % 5 === 0, "CHD").otherwise("RO").as("REL"),
+        concat(lit("C"), col("b.l_orderkey")).as("CUI2"),
+        concat(lit("A"), col("b.l_orderkey") * 100 + col("b.l_linenumber"))
+          .as("AUI2"),
+        lit("AUI").as("STYPE2"),
+        when(col("b.l_linenumber") % 2 === 0, "part_of").otherwise(e)
+          .as("RELA"),
+        e.as("RUI"), e.as("SRUI"), lit("BIG").as("SAB"), lit("BIG").as("SL"),
+        e.as("RG"), e.as("DIR"), lit("N").as("SUPPRESS"), e.as("CVF"))
+    val defs = ord.select(
+      concat(lit("C"), col("o_orderkey")).as("CUI"),
+      concat(lit("A"), col("o_orderkey") * 100 + 1).as("AUI"),
+      e.as("ATUI"), e.as("SATUI"), lit("BIG").as("SAB"),
+      col("o_orderpriority").as("DEF"), lit("N").as("SUPPRESS"), e.as("CVF"))
+    val atts = part.select(
+      concat(lit("C"), col("p_partkey")).as("CUI"), e.as("LUI"), e.as("SUI"),
+      e.as("METAUI"), lit("AUI").as("STYPE"),
+      concat(lit("X"), col("p_partkey")).as("CODE"), e.as("ATUI"),
+      e.as("SATUI"), lit("SIZE").as("ATN"), lit("BIG").as("SAB"),
+      col("p_size").cast("string").as("ATV"), lit("N").as("SUPPRESS"),
+      e.as("CVF"))
+    val sty = ord.select(
+      concat(lit("C"), col("o_orderkey")).as("CUI"),
+      concat(lit("T"), col("o_custkey") % 50).as("TUI"),
+      e.as("STN"), e.as("STY"), e.as("ATUI"), e.as("CVF"))
+    val rank = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("0400", "BIG", "PT", "N"),
+        org.apache.spark.sql.Row("0300", "BIG", "SY", "N")),
+      UmlsSource.schemaOf("MRRANK"))
+    UmlsSource.fixed(Map(
+      "MRCONSO" -> atoms, "MRREL" -> rels, "MRDEF" -> defs,
+      "MRSAT" -> atts, "MRSTY" -> sty, "MRRANK" -> rank))
+  }
 }
