@@ -156,6 +156,65 @@ object UmlsQueries {
         LEFT JOIN root_flag rf ON c.code = rf.code
         ORDER BY c.code""")),
 
+    // ----- q25b: cuis-mode assembly — the A8 prefLabel cascade
+    // (`umls2rdf.py:295-319`), one fixture CUI per branch; the DuckDB
+    // oracle re-implements the cascade as branch-count CASE logic.
+    Q("q25b_concept_cuis",
+      (s, _) => {
+        val asm = new ConceptAssembler(s, UmlsSource.parquet(s, FixtureDir),
+          "CFX", loadOnCuis = true)
+        asm.concepts().toDF()
+          .select(col("code"),
+            col("prefLabel").as("pref_label"),
+            array_join(col("altLabels"), "|").as("alt_labels"))
+          .orderBy("code")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT CUI, AUI, STT, ISPREF, TTY, STR,
+                 row_number() OVER (PARTITION BY CUI ORDER BY AUI, CUI) AS rn
+          FROM ${fx("MRCONSO")}
+          WHERE SAB = 'CFX' AND upper(LAT) = 'ENG' AND SUPPRESS = 'N'
+        ),
+        st AS (
+          SELECT CUI,
+                 count(*) AS n_atoms,
+                 count(DISTINCT STR) AS n_str,
+                 count(*) FILTER (WHERE ISPREF = 'Y') AS n_pref,
+                 count(*) FILTER (WHERE ISPREF = 'Y' AND STT = 'PF')
+                   AS n_prefpf,
+                 count(*) FILTER (WHERE TTY LIKE 'P%') AS n_ttyp,
+                 min(CASE WHEN rn = 1 THEN STR END) AS first_str,
+                 min(CASE WHEN ISPREF = 'Y' THEN STR END) AS pref_str,
+                 min(CASE WHEN ISPREF = 'Y' AND STT = 'PF' THEN STR END)
+                   AS prefpf_str,
+                 min(CASE WHEN TTY LIKE 'P%' THEN STR END) AS ttyp_str,
+                 min(STR) AS any_str
+          FROM a GROUP BY CUI
+        ),
+        sel AS (
+          SELECT CUI AS code,
+                 CASE WHEN n_atoms = 1 THEN first_str
+                      WHEN n_str = 1 THEN any_str
+                      WHEN n_pref = 0 THEN first_str
+                      WHEN n_pref = 1 THEN pref_str
+                      WHEN n_prefpf = 0 THEN first_str
+                      WHEN n_prefpf = 1 THEN prefpf_str
+                      WHEN n_ttyp = 1 THEN ttyp_str
+                      ELSE first_str END AS pref_label
+          FROM st
+        ),
+        alt AS (
+          SELECT d.CUI AS code,
+                 string_agg(d.STR, '|' ORDER BY d.STR) AS alt_labels
+          FROM (SELECT DISTINCT CUI, STR FROM a) d
+          JOIN sel s ON d.CUI = s.code AND d.STR <> s.pref_label
+          GROUP BY d.CUI
+        )
+        SELECT s.code, s.pref_label, coalesce(al.alt_labels, '') AS alt_labels
+        FROM sel s LEFT JOIN alt al ON s.code = al.code
+        ORDER BY s.code""")),
+
     // ----- q26: semantic-type hierarchy — P1 distinct scan, C11 STN parent
     // derivation, J13 self-join on parent tree-number
     // (umls2rdf.py:153-189).

@@ -40,6 +40,25 @@ object UmlsFixtureGen {
     Row("C0008", "ENG", "P", "L0011", "PF", "S0011", "Y", "A0011", "", "", "", "OTH", "PT", "Y1", "OtherSab", "0", "N", ""),
     // SRC root atom (F2): cui_roots = {C0100}
     Row("C0100", "ENG", "P", "L0100", "PF", "S0100", "Y", "A0100", "", "", "", "SRC", "RPT", "V-FIX", "Fixture Root", "0", "N", ""),
+    // CFX atoms (cuis mode, q25b): one CUI per prefLabel-cascade branch of
+    // A8 (`umls2rdf.py:295-319`) — single atom; unique STR; no ISPREF=Y
+    // (first atom); single ISPREF=Y; single (ISPREF=Y, STT=PF); TTY-P
+    // disambiguation; TTY-P tie -> first atom; ISPREF=Y ties w/o PF.
+    Row("CU01", "ENG", "S", "L1", "VO", "S1", "N", "B0011", "", "", "", "CFX", "SY", "K1", "Solo", "0", "N", ""),
+    Row("CU02", "ENG", "S", "L2", "VO", "S2", "N", "B0021", "", "", "", "CFX", "SY", "K2", "Same", "0", "N", ""),
+    Row("CU02", "ENG", "S", "L2", "VO", "S3", "N", "B0022", "", "", "", "CFX", "AB", "K2", "Same", "0", "N", ""),
+    Row("CU03", "ENG", "S", "L3", "VO", "S4", "N", "B0031", "", "", "", "CFX", "SY", "K3", "First3", "0", "N", ""),
+    Row("CU03", "ENG", "S", "L3", "VO", "S5", "N", "B0032", "", "", "", "CFX", "AB", "K3", "Zed3", "0", "N", ""),
+    Row("CU04", "ENG", "S", "L4", "VO", "S6", "N", "B0041", "", "", "", "CFX", "SY", "K4", "NotPref4", "0", "N", ""),
+    Row("CU04", "ENG", "P", "L4", "VO", "S7", "Y", "B0042", "", "", "", "CFX", "SY", "K4", "Pref4", "0", "N", ""),
+    Row("CU05", "ENG", "P", "L5", "PF", "S8", "Y", "B0051", "", "", "", "CFX", "SY", "K5", "PF5", "0", "N", ""),
+    Row("CU05", "ENG", "P", "L5", "VO", "S9", "Y", "B0052", "", "", "", "CFX", "SY", "K5", "VO5", "0", "N", ""),
+    Row("CU06", "ENG", "P", "L6", "PF", "S10", "Y", "B0061", "", "", "", "CFX", "PT", "K6", "TtyP6", "0", "N", ""),
+    Row("CU06", "ENG", "P", "L6", "PF", "S11", "Y", "B0062", "", "", "", "CFX", "SY", "K6", "Other6", "0", "N", ""),
+    Row("CU07", "ENG", "P", "L7", "PF", "S12", "Y", "B0071", "", "", "", "CFX", "PT", "K7", "A7", "0", "N", ""),
+    Row("CU07", "ENG", "P", "L7", "PF", "S13", "Y", "B0072", "", "", "", "CFX", "PN", "K7", "B7", "0", "N", ""),
+    Row("CU08", "ENG", "P", "L8", "VO", "S14", "Y", "B0081", "", "", "", "CFX", "SY", "K8", "A8", "0", "N", ""),
+    Row("CU08", "ENG", "P", "L8", "VO", "S15", "Y", "B0082", "", "", "", "CFX", "AB", "K8", "B8", "0", "N", ""),
     // MSH atoms for the tree fixture (J2); Q-code excluded by the D% filter
     Row("C0301", "ENG", "P", "L0301", "PF", "S0301", "Y", "A0301", "", "", "", "MSH", "MH", "D000001", "MeSH One", "0", "N", ""),
     Row("C0302", "ENG", "P", "L0302", "PF", "S0302", "Y", "A0302", "", "", "", "MSH", "MH", "D000002", "MeSH Two", "0", "N", ""),
