@@ -145,6 +145,14 @@ object TextQueries {
         Dedup.simhash64(documents(s, d)).orderBy("doc_id"),
       None),
 
+    // ----- the portable 16-bit simhash — bit votes from md5 nibbles, so
+    // DuckDB verifies the simhash algorithm value-for-value (q36's 64-bit
+    // xxhash64 form is the scale path of the same algorithm).
+    Q("q36b_simhash_portable",
+      (s, d) =>
+        Dedup.simhashPortable16(documents(s, d)).orderBy("doc_id"),
+      Some(simhash16Oracle)),
+
     // ----- the dedup DECISION: connected components over the q35
     // candidate pairs (min-label propagation; keeper = component min id).
     // Oracle: DuckDB recursive-CTE reachability over the same pairs.
@@ -178,13 +186,9 @@ object TextQueries {
     * i of a doc = min(md5(i || '|' || md5(shingle))) — the per-index
     * rehash runs over the fixed 32-char digest, exactly as the Spark
     * portable path; band key = md5(h0|h1|h2|h3). */
-  private val minhashCtes: String = {
-    val hashAggs = (0 until 16)
-      .map(i => s"min(md5('$i' || '|' || th)) AS h$i").mkString(",\n        ")
-    val bandKeys = (0 until 4).map { b =>
-      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
-    }.mkString("\n        UNION ALL\n        ")
+  /** The (doc_id, md5(shingle)) relation as DuckDB CTEs — shared by the
+    * minhash and portable-simhash oracles. */
+  private val shingleCtes: String =
     s"""arr AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
         FROM documents),
@@ -199,13 +203,43 @@ object TextQueries {
         SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
       toks2 AS (
         SELECT DISTINCT doc_id, md5(token) AS th
-        FROM toks WHERE length(token) > 0),
+        FROM toks WHERE length(token) > 0)"""
+
+  private val minhashCtes: String = {
+    val hashAggs = (0 until 16)
+      .map(i => s"min(md5('$i' || '|' || th)) AS h$i").mkString(",\n        ")
+    val bandKeys = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""$shingleCtes,
       sig AS (
         SELECT doc_id,
         $hashAggs
         FROM toks2 GROUP BY doc_id),
       bands AS (
         $bandKeys)"""
+  }
+
+  /** DuckDB re-implementation of the 16-bit portable simhash: nibble k of
+    * md5(shingle) supplies bits 4k..4k+3 (hex digit -> int via strpos). */
+  private val simhash16Oracle: String = {
+    val voteAggs = (0 until 16).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(th, ${j / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN ($nib >> ${3 - (j % 4)}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n        ")
+    val fold = (0 until 16)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH $shingleCtes,
+      votes AS (
+        SELECT doc_id,
+        $voteAggs
+        FROM toks2 GROUP BY doc_id)
+      SELECT doc_id, CAST($fold AS INT) AS simhash16
+      FROM votes
+      ORDER BY doc_id"""
   }
 
   private val minhashOracle: String = s"""

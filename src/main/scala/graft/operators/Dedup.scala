@@ -155,6 +155,30 @@ object Dedup {
     voted.select(col(idCol), sim.as("simhash"))
   }
 
+  /** Portable 16-bit SimHash: bit votes come from the first 4 hex nibbles
+    * of md5(shingle), so any engine with md5 reproduces the exact values —
+    * the cross-engine correctness anchor for the simhash family (the
+    * 64-bit xxhash64 form is the scale path; same algorithm, wider hash).
+    */
+  def simhashPortable16(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col(idCol), md5(col("token")).as("th"))
+      .distinct()
+    val votes = (0 until 16).map { j =>
+      val nib = conv(substring(col("th"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, 3 - (j % 4)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val voted = toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 16).map { j =>
+      when(col(s"v$j") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    voted.select(col(idCol), sim.cast("int").as("simhash16"))
+  }
+
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
