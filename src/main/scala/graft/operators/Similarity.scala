@@ -29,15 +29,19 @@ object Similarity {
 
   /** Exact cosine top-k against the embedding of `queryId`.
     * The 1-row query side is broadcast; ordering is (rounded score desc, id)
-    * so results are stable across partitionings. */
+    * so results are stable across partitionings. Norms are computed once
+    * per side, not per pair — cosine(a,b) inline would redo both norms for
+    * every candidate. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qvec"))
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"))
     emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("n"))
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("qvec")), 4).as("score"))
+        round(dot(col(vecCol), col("qvec")) / (col("n") * col("qn")), 4)
+          .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -91,13 +95,14 @@ object Similarity {
       lshBucket(col(vecCol), nBits, dim))
     val masks = probeMasks(nBits, probeRadius)
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qvec"),
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket"))
     bucketed.join(broadcast(q), "bucket")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosine(col(vecCol), col("qvec")), 4).as("score"))
+        round(dot(col(vecCol), col("qvec")) /
+          (norm(col(vecCol)) * col("qn")), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -114,28 +119,34 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val ids = queryIds.map(java.lang.Long.valueOf)
     val queries = emb.filter(col(idCol).isin(ids: _*))
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qn"))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col(idCol))
 
-    val bfTop = emb.crossJoin(broadcast(queries))
+    val bfTop = emb
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("n"))
+      .crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        cosine(col(vecCol), col("qvec")).as("score"))
+        (dot(col(vecCol), col("qvec")) / (col("n") * col("qn"))).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", idCol)
 
-    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+    val bucketed = emb
+      .withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+      .withColumn("nrm", norm(col(vecCol)))
     val masks = probeMasks(nBits, probeRadius)
     val qProbes = bucketed.filter(col(idCol).isin(ids: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col("nrm").as("qn"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket"))
     val lshTop = bucketed.join(broadcast(qProbes), "bucket")
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        cosine(col(vecCol), col("qvec")).as("score"))
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qn"))).as("score"))
       .distinct() // multi-probe can reach a candidate through several masks
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -158,16 +169,20 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int,
       dim: Int, vecCol: String = "embedding", idCol: String = "vec_id")
       : DataFrame = {
-    val bucketed = emb.withColumn("bucket",
-      lshBucket(col(vecCol), nBits, dim))
+    // Norms once per ROW before the pair join — cosine() inline would
+    // recompute both norms for every candidate pair (≈3× the flops).
+    val bucketed = emb
+      .withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+      .withColumn("nrm", norm(col(vecCol)))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
+      col(vecCol).as("vec_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
+      col(vecCol).as("vec_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 4).as("score"))
+        round(dot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 4)
+          .as("score"))
       .filter(col("score") >= threshold)
       .distinct()
   }
