@@ -227,9 +227,12 @@ object Dedup {
     *   definition and need no row.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Undirected edge list, both directions.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Persist the input FIRST: the both-directions union references
+    // `pairs` twice, and without this the (possibly expensive) candidate
+    // generation upstream would run twice.
+    val p = pairs.persist()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -256,6 +259,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.OntologyJob
+import graft.pipeline.{PipelineConfig, UmlsPipeline}
+import graft.sink.UmlsExportConfig
+import graft.tools.UmlsFixtureGen
+
+/** The RRF pipe-delimited reader (S1) and source-equivalence: the same
+  * fixture exported through the RRF path and the parquet path must produce
+  * byte-identical Turtle.
+  */
+class RrfSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Write the in-memory fixture rows as `<dir>/<NAME>.RRF` — fields
+    * joined with '|' plus the trailing '|', nulls as empty fields (the RRF
+    * on-disk convention). */
+  private def writeRrf(dir: String): Unit = {
+    UmlsFixtureGen.tables.foreach { case (name, rows) =>
+      val text = rows.map { r =>
+        (0 until r.length).map { i =>
+          val v = r.get(i)
+          if (v == null) "" else v.toString
+        }.mkString("", "|", "|")
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(s"$dir/$name.RRF"),
+        text.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  private def runPipeline(source: UmlsSource, outDir: String): Unit = {
+    val jobs = Seq(OntologyJob("FIX", None, "fix.ttl", loadOnCuis = false))
+    val config = PipelineConfig(outDir, s"$outDir/.state",
+      UmlsExportConfig(umlsVersion = "2025AA"))
+    new UmlsPipeline(spark, source, jobs, config).run()
+  }
+
+  test("rrf reader parses columns with empty-string absent values") {
+    val dir = Files.createTempDirectory("graft-rrf").toString
+    writeRrf(dir)
+    val conso = UmlsSource.rrf(spark, dir).table("MRCONSO")
+    assert(conso.schema.fieldNames.toSeq ===
+      UmlsSource.schemaOf("MRCONSO").fieldNames.toSeq)
+    val noCode = conso.filter(conso("AUI") === "A0008").collect()(0)
+    assert(noCode.getAs[String]("CODE") === "") // empty field, NOT null
+    assert(noCode.getAs[String]("STR") === "NoCode")
+    assert(conso.count() === UmlsFixtureGen.mrconso.size)
+  }
+
+  test("RRF and parquet sources export byte-identical Turtle") {
+    val rrfDir = Files.createTempDirectory("graft-rrf-src").toString
+    writeRrf(rrfDir)
+    val outRrf = Files.createTempDirectory("graft-out-rrf").toString
+    val outPq = Files.createTempDirectory("graft-out-pq").toString
+
+    runPipeline(UmlsSource.rrf(spark, rrfDir), outRrf)
+    runPipeline(UmlsSource.parquet(spark, "fixtures/umls"), outPq)
+
+    def read(p: String) = new String(
+      Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+    assert(read(s"$outRrf/fix.ttl") === read(s"$outPq/fix.ttl"))
+    assert(read(s"$outRrf/umls_semantictypes.ttl") ===
+      read(s"$outPq/umls_semantictypes.ttl"))
+  }
+
+  test("parquet export matches the committed golden files") {
+    val out = Files.createTempDirectory("graft-out-golden").toString
+    runPipeline(UmlsSource.parquet(spark, "fixtures/umls"), out)
+    def read(p: String) = new String(
+      Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+    def golden(name: String) = {
+      val in = getClass.getResourceAsStream(s"/golden/$name")
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(read(s"$out/fix.ttl") === golden("fix.ttl"))
+    assert(read(s"$out/umls_semantictypes.ttl") ===
+      golden("umls_semantictypes.ttl"))
+  }
+}
