@@ -21,7 +21,10 @@ final case class UmlsExportConfig(
     dedupeTriples: Boolean = true,
     includeSemanticTypes: Boolean = true,
     processOnlyCurrentVersion: Boolean = false,
-    strict: Boolean = false)
+    strict: Boolean = false,
+    /** Executors write sorted text parts, the driver concatenates bytes —
+      * the multi-GB-per-file scale path (vs row-streaming the driver). */
+    distributedWrite: Boolean = false)
 
 /** Per-ontology write outcome: term/error counts (S6) and the duplicate-
   * triple counters (A11, `umls2rdf.py:763-787`). */
@@ -97,6 +100,23 @@ object OntologyWriter {
 
     val parent = new File(outFile).getParentFile
     if (parent != null) parent.mkdirs()
+    if (conf.distributedWrite)
+      writeDistributed(spark, rendered, job, rec, ns, conf, outFile,
+        propertyDocs, semanticTypes)
+    else
+      writeStreamed(rendered, job, rec, ns, conf, outFile, propertyDocs,
+        semanticTypes)
+  }
+
+  /** Driver-streamed write: `toLocalIterator` over the ordered terms.
+    * Simple, but the driver touches every ROW — fine up to millions of
+    * terms, a bottleneck for a multi-GB single-SAB file. */
+  private def writeStreamed(
+      rendered: org.apache.spark.sql.Dataset[RenderResult],
+      job: OntologyJob, rec: graft.assemble.MrsabRecord, ns: String,
+      conf: UmlsExportConfig, outFile: String,
+      propertyDocs: Map[String, PropertyDoc],
+      semanticTypes: String): WriteReport = {
     val out = new BufferedWriter(new OutputStreamWriter(
       new FileOutputStream(outFile), StandardCharsets.UTF_8), 1 << 20)
     var terms = 0L; var errors = 0L
@@ -128,5 +148,74 @@ object OntologyWriter {
       }
     } finally out.close()
     WriteReport(job.sab, outFile, terms, errors, dupL, dupO, dupS)
+  }
+
+  /** Distributed write — the 100 TB shape: executors write the globally
+    * `orderBy(code)`-sorted term text as parts (a global sort yields
+    * range-partitioned parts whose name order IS the code order); the
+    * driver never iterates rows — it aggregates the counters/properties
+    * with one Spark agg pass and then CONCATENATES part bytes into the
+    * single-file contract. Byte-identical to [[writeStreamed]]
+    * (RrfSourceSpec/OntologyWriterSpec pin this). */
+  private def writeDistributed(
+      spark: SparkSession,
+      rendered: org.apache.spark.sql.Dataset[RenderResult],
+      job: OntologyJob, rec: graft.assemble.MrsabRecord, ns: String,
+      conf: UmlsExportConfig, outFile: String,
+      propertyDocs: Map[String, PropertyDoc],
+      semanticTypes: String): WriteReport = {
+    import org.apache.spark.sql.functions._
+    val cached = rendered.persist()
+    try {
+      val stats = cached.agg(
+        sum(when(col("error").isNull, 1L).otherwise(0L)).as("terms"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"),
+        sum("dupLiteral").as("dl"), sum("dupObject").as("do"),
+        sum("dupSubclass").as("ds")).collect()(0)
+      def n(i: Int) = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      cached.filter(col("error").isNotNull)
+        .select("code", "error").collect()
+        .foreach(r => System.err.println(
+          s"ERROR dumping term ${r.getString(0)}: ${r.getString(1)}"))
+      // The property block sorts by URI, so first-seen order is
+      // irrelevant; min(att) makes the pick deterministic (att and uri are
+      // 1:1 — the uri is built FROM the fragment).
+      val props = cached.filter(col("error").isNull)
+        .select(explode(col("properties")).as("p"))
+        .groupBy(col("p.uri").as("uri")).agg(min("p.att").as("att"))
+        .collect()
+        .map(r => TermProperty(r.getString(0), r.getString(1))).toSeq
+
+      // The text sink appends one '\n' per row; term text already ends
+      // with '\n', so strip one to keep bytes identical to the streamed
+      // writer.
+      val partsDir = outFile + ".parts"
+      cached.filter(col("error").isNull)
+        .orderBy("code")
+        .select(expr("substring(text, 1, length(text) - 1)").as("value"))
+        .write.mode("overwrite").text(partsDir)
+
+      val out = new java.io.FileOutputStream(outFile)
+      try {
+        def w(s: String): Unit =
+          out.write(s.getBytes(StandardCharsets.UTF_8))
+        w(OntologyRender.Prefixes)
+        w(OntologyRender.header(ns, job.sab, rec, conf.umlsVersion))
+        val parts = new File(partsDir).listFiles()
+          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+        parts.foreach { f =>
+          java.nio.file.Files.copy(f.toPath, out)
+        }
+        w(OntologyRender.propertyBlock(props, propertyDocs))
+        if (conf.includeSemanticTypes) { w(semanticTypes); w("\n") }
+      } finally out.close()
+      // Clean the intermediate parts (best-effort).
+      def rm(f: File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new File(partsDir))
+      WriteReport(job.sab, outFile, n(0), n(1), n(2), n(3), n(4))
+    } finally { cached.unpersist(); () }
   }
 }

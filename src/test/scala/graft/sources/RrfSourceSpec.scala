@@ -34,10 +34,12 @@ class RrfSourceSpec extends AnyFunSuite {
     }
   }
 
-  private def runPipeline(source: UmlsSource, outDir: String): Unit = {
+  private def runPipeline(source: UmlsSource, outDir: String,
+      distributed: Boolean = false): Unit = {
     val jobs = Seq(OntologyJob("FIX", None, "fix.ttl", loadOnCuis = false))
     val config = PipelineConfig(outDir, s"$outDir/.state",
-      UmlsExportConfig(umlsVersion = "2025AA"))
+      UmlsExportConfig(umlsVersion = "2025AA",
+        distributedWrite = distributed))
     new UmlsPipeline(spark, source, jobs, config).run()
   }
 
@@ -67,6 +69,18 @@ class RrfSourceSpec extends AnyFunSuite {
     assert(read(s"$outRrf/fix.ttl") === read(s"$outPq/fix.ttl"))
     assert(read(s"$outRrf/umls_semantictypes.ttl") ===
       read(s"$outPq/umls_semantictypes.ttl"))
+  }
+
+  test("distributed (part-concat) write is byte-identical to the streamed write") {
+    val outStream = Files.createTempDirectory("graft-out-stream").toString
+    val outDist = Files.createTempDirectory("graft-out-dist").toString
+    runPipeline(UmlsSource.parquet(spark, "fixtures/umls"), outStream)
+    runPipeline(UmlsSource.parquet(spark, "fixtures/umls"), outDist,
+      distributed = true)
+    def read(p: String) = new String(
+      Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+    assert(read(s"$outDist/fix.ttl") === read(s"$outStream/fix.ttl"))
+    assert(!Files.exists(Paths.get(s"$outDist/fix.ttl.parts")))
   }
 
   test("parquet export matches the committed golden files") {
