@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShims
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two array<float|double> columns.
+  *
+  * The `zip_with` + `aggregate` Column form is a higher-order function —
+  * interpreted (no whole-stage codegen) and allocating an intermediate
+  * array per row. In the similarity pair joins that expression runs once
+  * per CANDIDATE PAIR, so the interpreter overhead dominates the actual
+  * flops. This expression generates a tight primitive loop instead —
+  * the "custom Catalyst Expression beats UDF beats interpreted HOF"
+  * preference applied where it actually pays.
+  *
+  * Semantics: sequential left-to-right double accumulation over
+  * min(len(a), len(b)) elements (identical order to the HOF form, so
+  * scores are bit-equal); NULL array → NULL; NULL elements read as 0.0
+  * (embedding vectors do not contain null elements).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got $other")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double> arguments, " +
+        s"got ${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left); val rt = elemType(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0
+        else if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0
+        else if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    def get(v: String, t: DataType, i: String): String = t match {
+      case FloatType => s"(double) $v.getFloat($i)"
+      case DoubleType => s"$v.getDouble($i)"
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val lt = elemType(left); val rt = elemType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double lv = $a.isNullAt($i) ? 0.0 : ${get(a, lt, i)};
+          double rv = $b.isNullAt($i) ? 0.0 : ${get(b, rt, i)};
+          $acc += lv * rv;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column form of [[DotProduct]]. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftSqlShims.columnOf(DotProduct(
+      GraftSqlShims.expressionOf(a), GraftSqlShims.expressionOf(b)))
+}

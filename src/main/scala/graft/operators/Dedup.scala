@@ -227,12 +227,12 @@ object Dedup {
     *   definition and need no row.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Persist the input FIRST: the both-directions union references
-    // `pairs` twice, and without this the (possibly expensive) candidate
-    // generation upstream would run twice.
-    val p = pairs.persist()
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The both-directions union references `pairs` twice, but the two
+    // branches are identical subplans — Spark's ReusedExchange computes
+    // the candidate generation once (persisting `pairs` here measured
+    // SLOWER: it trades the free exchange reuse for a cache-write pass).
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -259,7 +259,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    p.unpersist()
     labels
   }
 

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns, computed in double. */
+  /** Dot product of two array<float|double> columns in double precision —
+    * a native codegen'd expression ([[graft.functions.DotProduct]]); the
+    * `zip_with`+`aggregate` HOF form is interpreted and allocates an
+    * intermediate array per row, which dominates in per-pair loops. Same
+    * sequential accumulation order, so scores are bit-equal. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
