@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{IvfIndex, Similarity}
 
 /** Oracle-checked catalog entries for embedding similarity search
   * (graft.operators.Similarity) over `embeddings` (64-dim float vectors).
@@ -92,6 +92,18 @@ object SimilarityQueries {
         val emb = embeddings(s, d)
         Similarity.annRecall(emb, queryIds = 0L until 20L, k = 10,
           nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128), dim = DIM)
+      },
+      None),
+
+    // ----- IVF ANN — the second scale path (k-means coarse quantizer +
+    // nProbe inverted-list probe; ~nProbe/k of the corpus scanned).
+    // Centroids/assignments are engine-internal → rows-only; recall vs
+    // brute force is asserted in IvfIndexSpec.
+    Q("q45_ann_ivf",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val centroids = IvfIndex.train(emb, k = 16, iters = 3)
+        IvfIndex.topK(emb, centroids, queryId = 0L, k = 10, nProbe = 4)
       },
       None)
   )

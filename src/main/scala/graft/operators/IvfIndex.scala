@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path beside hyperplane LSH: a k-means coarse quantizer assigns every
+  * vector to its nearest centroid; a query probes only the `nProbe`
+  * nearest inverted lists and re-ranks those candidates exactly.
+  *
+  * Everything distributed is Column algebra over the native
+  * [[graft.functions.DotProduct]]:
+  *   - assignment folds an array of (distance, cluster) structs with a
+  *     lambda-bound `aggregate` (each centroid distance computed once);
+  *   - Lloyd recentering is posexplode → mean per (cluster, dimension) →
+  *     re-collect — one shuffle per iteration, keyed by (cluster, dim);
+  *   - centroids themselves live on the driver (k × dim doubles — tiny)
+  *     and enter the plan as literals, like the reference's broadcast
+  *     side tables.
+  * Initialization is the first k vectors in id order — deterministic, no
+  * RNG in the engine. At rest, `assignments` is the partition/bucket key
+  * the corpus is laid out by (same story as `Similarity.writeBucketed`).
+  */
+object IvfIndex {
+
+  /** Argmin-centroid assignment column: (cluster, distSq) struct.
+    * dist² = |v|² - 2 v·c + |c|²; |v|² is constant per row so the fold
+    * compares (-2 v·c + |c|²). */
+  private def assignCol(vec: Column, centroids: Array[Array[Double]])
+      : Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = typedLit(c.toSeq)
+      val negTwoDot = Similarity.dot(vec, cLit) * lit(-2.0)
+      val cNorm = lit(c.map(x => x * x).sum)
+      struct((negTwoDot + cNorm).as("d"), lit(i).as("cluster"))
+    }
+    aggregate(
+      array(scored.toIndexedSeq: _*),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cluster")),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
+  }
+
+  /** Lloyd's algorithm; returns k × dim centroids (driver-side).
+    * Deterministic init: k vectors STRIDE-spaced across the id order —
+    * the first-k-ids choice degenerates when ids correlate with cluster
+    * structure (all seeds land in one region). At corpus scale replace
+    * the exact stride (a global window) with `df.sample(k/n, seed)`;
+    * training is a one-off. */
+  def train(emb: DataFrame, k: Int, iters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : Array[Array[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val n = emb.count()
+    val stride = math.max(1L, n / k)
+    var centroids: Array[Array[Double]] = emb
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col(idCol))).cast("long"))
+      .filter((col("rn") - 1) % stride === 0)
+      .orderBy("rn").limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.select(
+        col(vecCol),
+        assignCol(col(vecCol), centroids).getField("cluster").as("cluster"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("dims"))
+        .select(col("cluster"),
+          expr("transform(dims, d -> d.m)").as("centroid"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** The inverted file: (id, cluster) assignments under `centroids`. */
+  def assignments(emb: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    emb.select(col(idCol),
+      assignCol(col(vecCol), centroids).getField("cluster").as("cluster"))
+
+  /** nProbe nearest centroid ids to a query vector (driver-side; k is
+    * small by construction). */
+  def probeClusters(queryVec: Array[Double],
+      centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.iterator.zip(queryVec.iterator)
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+
+  /** IVF top-k: probe the query's `nProbe` inverted lists, exact-cosine
+    * re-rank inside them. Scan cost ≈ nProbe/k of the corpus. */
+  def topK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,
+      k: Int, nProbe: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).collect()(0)
+    val qVec = qRow.getSeq[Double](0).toArray
+    val probes = probeClusters(qVec, centroids, nProbe)
+    val assigned = assignments(emb, centroids, vecCol, idCol)
+    val qLit = typedLit(qVec.toSeq)
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    emb.join(assigned.filter(col("cluster")
+        .isin(probes.map(Integer.valueOf): _*)), idCol)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(Similarity.dot(col(vecCol), qLit) /
+          (Similarity.norm(col(vecCol)) * lit(qNorm)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -47,14 +47,28 @@ object UmlsSource {
       spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** JDBC source (replaces S1/S2 pagination with partitioned reads).
-    * `partitionColumn` should be a numeric-ish indexed column; for UMLS
-    * tables a practical choice is a computed `crc32(CUI)` view, or plain
-    * single-partition reads for the small tables. */
+  /** JDBC source (replaces S1/S2 pagination with genuinely partitioned
+    * reads — the reference's LIMIT/OFFSET loop re-scans the table per
+    * page, O(n²) server-side).
+    *
+    * UMLS keys are strings, so numeric partitionColumn bounds don't
+    * apply; instead the fat tables split into `numPartitions` disjoint
+    * server-side predicates on `crc32(<key>) % n` (each partition is one
+    * indexed-scan-friendly slice, executed concurrently). Small metadata
+    * tables (MRRANK/MRSAB/MRDOC/MRSTY) read in one partition. */
   def jdbc(spark: SparkSession, url: String, props: java.util.Properties,
       numPartitions: Int = 8): UmlsSource = new UmlsSource {
+    private val splitKey = Map(
+      "MRCONSO" -> "CUI", "MRREL" -> "CUI2", "MRDEF" -> "CUI",
+      "MRSAT" -> "CUI")
     def table(name: String): DataFrame =
-      spark.read.jdbc(url, name, props)
+      splitKey.get(name.toUpperCase) match {
+        case Some(key) if numPartitions > 1 =>
+          val predicates = (0 until numPartitions)
+            .map(i => s"crc32($key) % $numPartitions = $i").toArray
+          spark.read.jdbc(url, name, predicates, props)
+        case _ => spark.read.jdbc(url, name, props)
+      }
   }
 
   /** In-memory fixture source for tests: supply DataFrames per table. */

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** IVF quantizer + probe: training converges on clustered data, the
+  * inverted lists respect the cluster structure, and probed top-k recalls
+  * the brute-force answer.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val Dim = 12
+
+  private def clustered(nClusters: Int, per: Int, seed: Long = 11L) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, Dim)(rnd.nextGaussian() * 3)
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until per
+    } yield Row((c * per + i).toLong,
+      centers(c).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq, c)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("train + assignments put same-label vectors in the same list") {
+    val emb = clustered(4, 25)
+    val centroids = IvfIndex.train(emb, k = 4, iters = 5)
+    assert(centroids.length === 4)
+    assert(centroids.forall(_.length === Dim))
+    val a = IvfIndex.assignments(emb, centroids).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every true cluster maps to exactly one inverted list
+    (0 until 4).foreach { label =>
+      val lists = (0 until 25).map(i => a((label * 25 + i).toLong)).distinct
+      assert(lists.size === 1, s"label $label split across lists $lists")
+    }
+  }
+
+  test("topK with nProbe=1 recalls brute force on well-separated clusters") {
+    val emb = clustered(4, 25)
+    val centroids = IvfIndex.train(emb, k = 4, iters = 5)
+    val exact = Similarity.bruteForceTopK(emb, queryId = 7L, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = IvfIndex.topK(emb, centroids, queryId = 7L, k = 5, nProbe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect ivf).size >= 4)
+  }
+
+  test("training is deterministic") {
+    val emb = clustered(3, 20)
+    val a = IvfIndex.train(emb, k = 3, iters = 3).map(_.toSeq).toSeq
+    val b = IvfIndex.train(emb.repartition(7), k = 3, iters = 3)
+      .map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}
