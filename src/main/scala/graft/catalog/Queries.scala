@@ -496,7 +496,30 @@ object Queries {
         FROM customer LEFT JOIN
           (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
           ON c_custkey = o_custkey
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ----- skew-mitigated join by key salting (SkewJoin.saltedInnerJoin):
+    // lineitem concentrates on a handful of suppliers — the salted join
+    // spreads each hot supplier key over `salts` reducers. The oracle is
+    // the PLAIN join: salting must not change results.
+    Q("q23b_salted_join",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .withColumnRenamed("l_suppkey", "s_suppkey")
+        graft.operators.SkewJoin.saltedInnerJoin(
+          li, supplier(s, d), key = "s_suppkey", salts = 8,
+          saltSource = col("l_orderkey") * lit(16) + col("l_linenumber"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n_lines"),
+            r2(sum("l_extendedprice")).as("revenue"))
+          .orderBy("s_name")
+      },
+      Some("""
+        SELECT s_name, count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY s_name"""))
   )
 
   // ==========================================================================
