@@ -11,11 +11,12 @@ import graft.catalog.Queries
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Revenue-per-nation 4-way join — exercises scan, broadcast join,
-    * shuffle join, aggregation, sort in one plan. */
+  /** Flagship query; driver smoke-checks rows>0. The full codes-mode
+    * concept assembly over the committed UMLS fixture — filter pushdown,
+    * AUI→code resolution joins, groupBy(code) collect, broadcast rank
+    * argmax, root detection: the engine's core spine end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.byName("q06_join_3way")(spark, "/root/testdata/sf0.001")
+    Queries.byName("q25_concept_assemble")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

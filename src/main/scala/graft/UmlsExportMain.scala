@@ -55,7 +55,7 @@ object UmlsExportMain {
       val config = PipelineConfig(
         outputDir = outDir,
         workDir = s"$outDir/.state",
-        export = UmlsExportConfig(
+        exportConf = UmlsExportConfig(
           umlsVersion = version,
           dedupeTriples = !flags.contains("--no-dedupe"),
           processOnlyCurrentVersion = flags.contains("--only-current"),

@@ -51,7 +51,7 @@ final class PipelineState(path: String) {
 final case class PipelineConfig(
     outputDir: String,
     workDir: String,
-    export: UmlsExportConfig)
+    exportConf: UmlsExportConfig)
 
 /** The run-once export pipeline (`umls2rdf.py:828-896` +
   * `run_umls_pipeline.py`): validate source → semantic types → one
@@ -76,8 +76,8 @@ final class UmlsPipeline(
 
   /** R4: fail fast on an unusable configuration. */
   private def validateConfig(): Unit = {
-    require(config.export.umlsVersion.nonEmpty, "umlsVersion must be set")
-    require(config.export.baseUri.nonEmpty, "baseUri must be set")
+    require(config.exportConf.umlsVersion.nonEmpty, "umlsVersion must be set")
+    require(config.exportConf.baseUri.nonEmpty, "baseUri must be set")
     require(jobs.nonEmpty, "manifest has no enabled ontologies")
     new File(config.outputDir).mkdirs()
     new File(config.workDir).mkdirs()
@@ -116,7 +116,7 @@ final class UmlsPipeline(
     // Semantic-types prelude (`umls2rdf.py:844-852`): standalone file with
     // roots; rootless variant appended to each ontology file.
     val mrsty = source.table("MRSTY")
-    val styUrl = config.export.baseUri + "STY/"
+    val styUrl = config.exportConf.baseUri + "STY/"
     val styFile = s"${config.outputDir}/umls_semantictypes.ttl"
     step("semantic_types") {
       val withRoots = SemanticTypes.generate(mrsty, styUrl, withRoots = true)
@@ -124,7 +124,7 @@ final class UmlsPipeline(
         (OntologyRender.Prefixes + withRoots).getBytes(StandardCharsets.UTF_8))
     }
     val semTypes =
-      if (config.export.includeSemanticTypes)
+      if (config.exportConf.includeSemanticTypes)
         SemanticTypes.generate(mrsty, styUrl, withRoots = false)
       else ""
 
@@ -134,7 +134,7 @@ final class UmlsPipeline(
     val reports = jobs.map { job =>
       val outFile = s"${config.outputDir}/${job.outFile}"
       step(s"ontology:${job.sab}") {
-        OntologyWriter.write(spark, source, job, config.export, outFile,
+        OntologyWriter.write(spark, source, job, config.exportConf, outFile,
           docs, semTypes)
       }.getOrElse(WriteReport(job.sab, outFile, 0, 0, 0, 0, 0,
         skipped = true)) // already produced in a previous run
