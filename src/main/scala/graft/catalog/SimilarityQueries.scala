@@ -70,7 +70,12 @@ object SimilarityQueries {
 
     // ----- embedding-cosine near-duplicate pairs via LSH blocking —
     // rows-only (bucket assignment is engine-internal). Auto-sized nBits
-    // keeps the per-bucket self-join sum-of-bucket², not corpus².
+    // keeps the per-bucket self-join sum-of-bucket², not corpus². NOTE:
+    // vs the exact q43b at this deliberately LOW threshold (0.2) on
+    // random vectors, blocking recalls only same-bucket pairs — sign-LSH
+    // collision probability targets near-DUPLICATES (cosine ≳ 0.9), where
+    // blocking recall is high (asserted on clustered data in
+    // SimilaritySpec).
     Q("q43_cosine_neardup",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -79,6 +84,20 @@ object SimilarityQueries {
           .orderBy("id_a", "id_b")
       },
       None),
+
+    // ----- exact all-pairs near-dup baseline — the oracle anchor for the
+    // LSH-blocked q43 (whose bucket assignment is engine-internal).
+    Q("q43b_neardup_exact",
+      (s, d) =>
+        Similarity.cosineNearDupPairsExact(embeddings(s, d), threshold = 0.2)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS score
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2
+        ORDER BY id_a, id_b""")),
 
     // ----- measured ANN recall vs brute force over 20 sample queries —
     // the in-engine check that keeps q42's approximation honest, with the

@@ -70,9 +70,10 @@ object Similarity {
   }
 
   /** Sign-bit signature of a vector under the fixed hyperplanes → int
-    * bucket id in [0, 2^nBits). */
-  def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
+    * bucket id in [0, 2^nBits). Distinct `seed`s give independent LSH
+    * functions (bands). */
+  def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
     (0 until nBits).map { i =>
       val plane = typedLit(planes(i).toSeq)
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -167,26 +168,58 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
-    * LSH so the pair join is per-bucket (not all-pairs). */
+    * LSH so the pair join is per-bucket (not all-pairs).
+    *
+    * `bands` independent hyperplane sets fix single-block recall: a
+    * 0.9-cosine pair collides in ONE nBits-bit block with probability
+    * p = (1-θ/π)^nBits, but in at least one of b bands with 1-(1-p)^b —
+    * the same band construction MinHash-LSH uses. Candidates are unioned
+    * and deduped BEFORE scoring, so each surviving pair pays one dot
+    * product regardless of how many bands found it. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int,
-      dim: Int, vecCol: String = "embedding", idCol: String = "vec_id")
-      : DataFrame = {
-    // Norms once per ROW before the pair join — cosine() inline would
-    // recompute both norms for every candidate pair (≈3× the flops).
-    val bucketed = emb
-      .withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
-      .withColumn("nrm", norm(col(vecCol)))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("nrm").as("n_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("bucket"))
+      dim: Int, bands: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val candidates = (0 until bands).map { band =>
+      val bucketed = emb.select(col(idCol),
+        lshBucket(col(vecCol), nBits, dim, seed = 42L + band).as("bucket"))
+      val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
+      val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ union _).distinct()
+    // Norms once per ROW; each candidate pair pays exactly one dot.
+    val withNorm = emb.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    candidates
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 4)
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** EXACT near-duplicate pairs — the all-pairs baseline the LSH-blocked
+    * [[cosineNearDupPairs]] approximates. O(n²) pairs: correct tool for
+    * small candidate sets (a bucket, a cluster, a sample), the oracle
+    * anchor for the blocked form, and never the corpus-scale path. */
+  def cosineNearDupPairsExact(emb: DataFrame, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val withNorm = emb.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("nrm").as("n_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("nrm").as("n_b"))
+    a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 4)
           .as("score"))
       .filter(col("score") >= threshold)
-      .distinct()
   }
 
   // --- Physical bucketing (the at-rest layout for the 100 TB path) --------

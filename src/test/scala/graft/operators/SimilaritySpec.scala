@@ -71,6 +71,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact intersect approx).size >= 4)
   }
 
+  test("LSH blocking recalls >= 90% of exact near-dup pairs on clustered data") {
+    val emb = clustered(nClusters = 6, per = 30, seed = 21L)
+    val exact = Similarity.cosineNearDupPairsExact(emb, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosineNearDupPairs(emb, threshold = 0.9,
+      nBits = Similarity.nBitsFor(180, 64), dim = Dim)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain true near-dups")
+    assert(blocked.subsetOf(exact))
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"blocking recall $recall (${blocked.size}/${exact.size})")
+  }
+
   test("bucketedTopK prunes partitions and matches the in-memory probe") {
     val emb = clustered(nClusters = 4, per = 25)
     val dir = Files.createTempDirectory("graft-bucketed").toString
