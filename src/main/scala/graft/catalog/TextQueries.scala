@@ -178,7 +178,56 @@ object TextQueries {
           SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
         SELECT id, min(root) AS component
         FROM r GROUP BY id
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ----- the END-TO-END corpus cleaning pipeline (Dedup.dedupCorpus):
+    // quality gate → exact-fingerprint dedup → MinHash-LSH pairs →
+    // component keepers. Every stage is portable, so DuckDB verifies the
+    // whole composition value-for-value.
+    Q("q38_corpus_dedup",
+      (s, d) =>
+        Dedup.dedupCorpus(documents(s, d), minQuality = 0.3,
+          numHashes = 16, bands = 4, portable = true)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE qgate AS (
+          SELECT doc_id, text FROM documents
+          WHERE round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) >= 0.3
+        ),
+        fpk AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+                FROM qgate)
+          GROUP BY fp
+        ),
+        s1 AS (SELECT q.* FROM qgate q JOIN fpk USING (doc_id)),
+        ${minhashCtesFrom("s1")},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS comp FROM r GROUP BY id)
+          WHERE id <> comp)
+        SELECT doc_id FROM s1
+        WHERE doc_id NOT IN (SELECT id FROM drops)
+        ORDER BY doc_id"""))
   )
 
   /** Shared CTE chain reproducing the md5 MinHash+LSH pipeline over
@@ -187,11 +236,12 @@ object TextQueries {
     * rehash runs over the fixed 32-char digest, exactly as the Spark
     * portable path; band key = md5(h0|h1|h2|h3). */
   /** The (doc_id, md5(shingle)) relation as DuckDB CTEs — shared by the
-    * minhash and portable-simhash oracles. */
-  private val shingleCtes: String =
+    * minhash, portable-simhash, and corpus-pipeline oracles. `src` is the
+    * relation the shingles come from (documents, or a filtered CTE). */
+  private def shingleCtesFrom(src: String): String =
     s"""arr AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
-        FROM documents),
+        FROM $src),
       sh AS (
         SELECT doc_id,
                CASE WHEN len(a) < 3 THEN [array_to_string(a, ' ')]
@@ -205,14 +255,14 @@ object TextQueries {
         SELECT DISTINCT doc_id, md5(token) AS th
         FROM toks WHERE length(token) > 0)"""
 
-  private val minhashCtes: String = {
+  private def minhashCtesFrom(src: String): String = {
     val hashAggs = (0 until 16)
       .map(i => s"min(md5('$i' || '|' || th)) AS h$i").mkString(",\n        ")
     val bandKeys = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
     }.mkString("\n        UNION ALL\n        ")
-    s"""$shingleCtes,
+    s"""${shingleCtesFrom(src)},
       sig AS (
         SELECT doc_id,
         $hashAggs
@@ -220,6 +270,8 @@ object TextQueries {
       bands AS (
         $bandKeys)"""
   }
+
+  private val minhashCtes: String = minhashCtesFrom("documents")
 
   /** DuckDB re-implementation of the 16-bit portable simhash: nibble k of
     * md5(shingle) supplies bits 4k..4k+3 (hex digit -> int via strpos). */
@@ -232,7 +284,7 @@ object TextQueries {
       .map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
     s"""
-      WITH $shingleCtes,
+      WITH ${shingleCtesFrom("documents")},
       votes AS (
         SELECT doc_id,
         $voteAggs

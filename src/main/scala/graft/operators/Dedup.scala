@@ -269,6 +269,40 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id"), col("component").as("keeper"))
 
+  // --- end-to-end corpus dedup ---------------------------------------------
+
+  /** The full training-corpus cleaning pipeline in one dataflow — the use
+    * case the individual operators exist for: quality gate → exact dedup
+    * (keep min id per fingerprint) → MinHash-LSH candidate pairs →
+    * connected-components keeper selection → surviving doc ids.
+    *
+    * Every stage is one of the oracle-checked operators above, so the
+    * composed pipeline is itself DuckDB-verifiable end-to-end (q38).
+    * Shape at 100 TB: two fingerprint-keyed shuffles, one LSH candidate
+    * generation (bounded by bucket sizes), one component propagation over
+    * the (small) near-dup pair graph — never an all-pairs step.
+    */
+  def dedupCorpus(docs: DataFrame, minQuality: Double = 0.3,
+      numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Quality gate; round(3) so the boundary compare is stable across
+    // engines (the raw doubles are equal, but belt and suspenders).
+    val pass = docs.filter(
+      round(TextAnalysis.qualityScore(col(textCol)), 3) >= minQuality)
+    // Exact dedup: keep the min id of each fingerprint group.
+    val exactKeepers = pass
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(idCol).as(idCol))
+      .select(idCol)
+    val survivors = pass.join(exactKeepers, Seq(idCol))
+    // Near-dup decision over the exact-dedup survivors.
+    val pairs = lshCandidatePairs(survivors, numHashes, bands,
+      textCol, idCol, portable)
+    val drops = nearDupDuplicates(pairs)
+      .select(col("id").as(idCol))
+    survivors.join(drops, Seq(idCol), "left_anti").select(idCol)
+  }
+
   // --- n-gram Jaccard -----------------------------------------------------
 
   /** Exact token-set Jaccard similarity of every document against one query
