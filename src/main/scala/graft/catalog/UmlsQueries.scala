@@ -344,20 +344,24 @@ object UmlsQueries {
       concat(lit("part "), col("l_partkey"), lit(" order "),
         col("l_orderkey"), lit(" line "), col("l_linenumber")).as("STR"),
       lit("0").as("SRL"), lit("N").as("SUPPRESS"), e.as("CVF"))
-    val rels = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_linenumber") === col("b.l_linenumber") + 1)
+    // Consecutive-line rels via window lag — one shuffle keyed by order,
+    // not a self-join (same rows: source = line n, target = line n+1).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber")
+    val rels = li
+      .withColumn("next_line", lead(col("l_linenumber"), 1).over(w))
+      .filter(col("next_line").isNotNull)
       .select(
-        concat(lit("C"), col("a.l_orderkey")).as("CUI1"),
-        concat(lit("A"), col("a.l_orderkey") * 100 + col("a.l_linenumber"))
+        concat(lit("C"), col("l_orderkey")).as("CUI1"),
+        concat(lit("A"), col("l_orderkey") * 100 + col("next_line"))
           .as("AUI1"),
         lit("AUI").as("STYPE1"),
-        when(col("b.l_linenumber") % 5 === 0, "CHD").otherwise("RO").as("REL"),
-        concat(lit("C"), col("b.l_orderkey")).as("CUI2"),
-        concat(lit("A"), col("b.l_orderkey") * 100 + col("b.l_linenumber"))
+        when(col("l_linenumber") % 5 === 0, "CHD").otherwise("RO").as("REL"),
+        concat(lit("C"), col("l_orderkey")).as("CUI2"),
+        concat(lit("A"), col("l_orderkey") * 100 + col("l_linenumber"))
           .as("AUI2"),
         lit("AUI").as("STYPE2"),
-        when(col("b.l_linenumber") % 2 === 0, "part_of").otherwise(e)
+        when(col("l_linenumber") % 2 === 0, "part_of").otherwise(e)
           .as("RELA"),
         e.as("RUI"), e.as("SRUI"), lit("BIG").as("SAB"), lit("BIG").as("SL"),
         e.as("RG"), e.as("DIR"), lit("N").as("SUPPRESS"), e.as("CVF"))
