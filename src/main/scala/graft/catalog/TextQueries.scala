@@ -227,6 +227,23 @@ object TextQueries {
           WHERE id <> comp)
         SELECT doc_id FROM s1
         WHERE doc_id NOT IN (SELECT id FROM drops)
+        ORDER BY doc_id""")),
+
+    // ----- deterministic hash-based train/valid split — reshuffle-proof
+    // (assignment is a pure function of the id, never rand()); md5 buckets
+    // make it portable, so DuckDB verifies the exact assignment.
+    Q("q39_hash_split",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.hashSplit(col("doc_id"), 0.9).as("split"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))
+                        AS INT) < ${(0.9 * 65536).toInt}
+                    THEN 'train' ELSE 'valid' END AS split
+        FROM documents
         ORDER BY doc_id"""))
   )
 

@@ -122,6 +122,19 @@ object TextAnalysis {
     alpha * lenOk - digit
   }
 
+  /** Deterministic train/validation split by id hash — the standard
+    * reshuffle-proof way to split a training corpus: the assignment is a
+    * pure function of the id (never `rand()`, which changes across
+    * retries/replays and leaks validation docs into training). The first
+    * 4 md5 hex digits give 65536 buckets; `trainFrac` of them are
+    * "train". md5 keeps it portable (oracle-checkable) and stable across
+    * engines and runs. */
+  def hashSplit(id: Column, trainFrac: Double): Column = {
+    val cut = (trainFrac * 65536).toInt
+    when(conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") < cut, "train").otherwise("valid")
+  }
+
   // --- DataFrame-level operators -----------------------------------------
 
   /** Per-document stats table: one narrow projection pass. */
