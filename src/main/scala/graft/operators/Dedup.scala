@@ -259,6 +259,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // A silent non-converged result would mislabel components; near-dup
+    // graphs are shallow (dup clusters, not chains), so hitting the bound
+    // means the input isn't the expected shape — fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"nearDupComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise maxIter for chain-shaped inputs")
     labels
   }
 
