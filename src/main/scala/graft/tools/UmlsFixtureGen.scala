@@ -130,6 +130,7 @@ object UmlsFixtureGen {
     Seq(
       row("FIX2024", "2024AA", "2024AB", "N", "Fixture Source (old)"),
       row("FIX2025", "2025AA", "2025AA", "Y", "Fixture Source"),
+      row("CFX2025", "5.1", "2025AA", "Y", "Cuis Fixture Source", rsab = "CFX"),
       row("OTH2025", "1.0", "2025AA", "Y", "Other Source", rsab = "OTH"))
   }
 

@@ -36,11 +36,28 @@ class RrfSourceSpec extends AnyFunSuite {
 
   private def runPipeline(source: UmlsSource, outDir: String,
       distributed: Boolean = false): Unit = {
-    val jobs = Seq(OntologyJob("FIX", None, "fix.ttl", loadOnCuis = false))
+    val jobs = Seq(
+      OntologyJob("FIX", None, "fix.ttl", loadOnCuis = false),
+      OntologyJob("CFX", None, "cfx.ttl", loadOnCuis = true))
     val config = PipelineConfig(outDir, s"$outDir/.state",
       UmlsExportConfig(umlsVersion = "2025AA",
         distributedWrite = distributed))
     new UmlsPipeline(spark, source, jobs, config).run()
+  }
+
+  /** Light Turtle well-formedness (the S8 `rapper -c` analog without an
+    * RDF lib): balanced triple-quotes, statements end with '.', prefix
+    * lines well-formed. */
+  private def assertWellFormedTtl(text: String): Unit = {
+    assert(text.split("\"\"\"", -1).length % 2 == 1,
+      "unbalanced triple-quoted literals")
+    val body = text.linesIterator.filterNot(_.startsWith("@prefix"))
+      .mkString("\n")
+    val stmts = body.split("\\.\\s*\n").filter(_.trim.nonEmpty)
+    assert(stmts.nonEmpty)
+    text.linesIterator.filter(_.startsWith("@prefix")).foreach { l =>
+      assert(l.matches("@prefix\\s+[a-z]+:\\s+<[^>]+> \\."), l)
+    }
   }
 
   test("rrf reader parses columns with empty-string absent values") {
@@ -67,6 +84,7 @@ class RrfSourceSpec extends AnyFunSuite {
     def read(p: String) = new String(
       Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
     assert(read(s"$outRrf/fix.ttl") === read(s"$outPq/fix.ttl"))
+    assert(read(s"$outRrf/cfx.ttl") === read(s"$outPq/cfx.ttl"))
     assert(read(s"$outRrf/umls_semantictypes.ttl") ===
       read(s"$outPq/umls_semantictypes.ttl"))
   }
@@ -94,7 +112,10 @@ class RrfSourceSpec extends AnyFunSuite {
       finally in.close()
     }
     assert(read(s"$out/fix.ttl") === golden("fix.ttl"))
+    assert(read(s"$out/cfx.ttl") === golden("cfx.ttl")) // cuis mode
     assert(read(s"$out/umls_semantictypes.ttl") ===
       golden("umls_semantictypes.ttl"))
+    Seq("fix.ttl", "cfx.ttl", "umls_semantictypes.ttl")
+      .foreach(f => assertWellFormedTtl(read(s"$out/$f")))
   }
 }
