@@ -86,6 +86,32 @@ object Multimodal {
     }
   }
 
+  /** STUB frame sampling: treat the payload as fixed-size frames and keep
+    * every `stride`-th one (a real implementation demuxes the container
+    * and decodes keyframes — same binary → array<binary> signature). */
+  private[operators] def frameSampleStub(bytes: Array[Byte], frameSize: Int,
+      stride: Int): Seq[Array[Byte]] = {
+    require(frameSize > 0 && stride > 0)
+    val nFrames = bytes.length / frameSize
+    (0 until nFrames by stride).map { f =>
+      java.util.Arrays.copyOfRange(bytes, f * frameSize, (f + 1) * frameSize)
+    }
+  }
+
+  /** Frame-sample pass: one row per KEPT frame — media_id, frame index,
+    * frame bytes. Per-partition iterator, memory bounded by one payload. */
+  def sampledFrames(media: DataFrame, frameSize: Int, stride: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "width", "height", "bytes")
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { m =>
+        frameSampleStub(m.bytes, frameSize, stride).iterator.zipWithIndex
+          .map { case (frame, i) => (m.media_id, i * stride, frame) }
+      })
+  }
+
   /** Decode + feature-extract, one iterator pass per partition (the
     * Arrow-batch shape). Feature columns come out typed and columnar for
     * everything downstream — decode runs once, at the boundary. */

@@ -50,6 +50,21 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(_._1).map(_._2.toSeq).toSeq)
   }
 
+  test("sampledFrames keeps every stride-th fixed-size frame") {
+    // 768-byte payloads, 64-byte frames -> 12 frames, stride 3 -> 4 kept
+    val frames = Multimodal.sampledFrames(media, frameSize = 64, stride = 3)
+      .collect()
+    assert(frames.length === 12 * 4)
+    assert(frames.forall(_._3.length === 64))
+    val forOne = frames.filter(_._1 == 0L).map(_._2).sorted
+    assert(forOne.toSeq === Seq(0, 3, 6, 9))
+    // determinism: frame 0 of media 0 == first 64 payload bytes of media 1
+    // (ids 0 and 1 share bytes)
+    val f0 = frames.find(f => f._1 == 0L && f._2 == 0).get._3.toSeq
+    val f1 = frames.find(f => f._1 == 1L && f._2 == 0).get._3.toSeq
+    assert(f0 === f1)
+  }
+
   test("jointFilter drops short captions and near-dup embeddings") {
     val kept = Multimodal.jointFilter(media, minCaptionTokens = 3,
       dupThreshold = 0.98)
