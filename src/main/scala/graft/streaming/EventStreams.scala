@@ -63,6 +63,20 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(updateSessions(gapSeconds))
   }
 
+  /** Streaming exact dedup — the training-data dedup operator's streaming
+    * twin: the first document with a given content fingerprint passes;
+    * later duplicates inside the watermark horizon are dropped, and the
+    * fingerprint state is reclaimed once the watermark passes (bounded
+    * state — the property that lets this run on an unbounded feed). */
+  def streamingExactDedup(docs: DataFrame, watermarkDelay: String,
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Per-key state transition: fold this batch's events (event-time order)
     * into the open session; emit sessions closed by a gap; park the open
     * session in state with a timeout at `last + gap`. */

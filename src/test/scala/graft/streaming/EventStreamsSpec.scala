@@ -69,6 +69,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops in-horizon duplicate content") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = EventStreams.streamingExactDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, new Timestamp(1000 * 1000), "alpha beta"),
+        (2L, new Timestamp(1010 * 1000), "gamma delta"))
+      q.processAllAvailable()
+      // batch 2: same content as doc 1 (different id) inside the horizon
+      input.addData((3L, new Timestamp(1020 * 1000), "alpha beta"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize state transition folds batches in event-time order") {
     // Direct unit test of the state function (no streaming query needed).
     val out = scala.collection.mutable.Buffer.empty[EventStreams.SessionOut]
