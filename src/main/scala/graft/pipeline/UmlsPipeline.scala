@@ -51,7 +51,12 @@ final class PipelineState(path: String) {
 final case class PipelineConfig(
     outputDir: String,
     workDir: String,
-    exportConf: UmlsExportConfig)
+    exportConf: UmlsExportConfig,
+    /** Concurrent per-ontology export jobs. The 35-SAB export is
+      * embarrassingly parallel per ontology (independent inputs, one file
+      * each); >1 lets Spark schedule the per-SAB jobs concurrently and
+      * keep a cluster saturated while small SABs finish. */
+    parallelism: Int = 1)
 
 /** The run-once export pipeline (`umls2rdf.py:828-896` +
   * `run_umls_pipeline.py`): validate source → semantic types → one
@@ -86,9 +91,9 @@ final class UmlsPipeline(
   private def step[T](name: String)(body: => T): Option[T] =
     if (state.isDone(name)) None
     else {
-      executed += name
+      synchronized { executed += name; () }
       val r = body
-      state.markDone(name)
+      synchronized(state.markDone(name))
       Some(r)
     }
 
@@ -131,7 +136,7 @@ final class UmlsPipeline(
     // MRDOC pivot, shared across ontologies (`umls2rdf.py:853-864`).
     val docs = PropertyDocs.collectMap(source.table("MRDOC"))
 
-    val reports = jobs.map { job =>
+    def exportOne(job: OntologyJob): WriteReport = {
       val outFile = s"${config.outputDir}/${job.outFile}"
       step(s"ontology:${job.sab}") {
         OntologyWriter.write(spark, source, job, config.exportConf, outFile,
@@ -139,6 +144,21 @@ final class UmlsPipeline(
       }.getOrElse(WriteReport(job.sab, outFile, 0, 0, 0, 0, 0,
         skipped = true)) // already produced in a previous run
     }
+    val reports =
+      if (config.parallelism <= 1) jobs.map(exportOne)
+      else {
+        // Per-SAB jobs are independent; a bounded pool submits them so
+        // Spark's scheduler interleaves their stages.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(config.parallelism)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(jobs.map(j => Future(exportOne(j)))), Duration.Inf)
+        finally pool.shutdown()
+      }
 
     step("validate_output")(validateOutput(
       reports.filter(r => !r.skipped || new File(r.path).exists())))

@@ -101,6 +101,22 @@ class RrfSourceSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$outDist/fix.ttl.parts")))
   }
 
+  test("parallel per-SAB export is byte-identical to sequential") {
+    val outSeq = Files.createTempDirectory("graft-out-seq").toString
+    val outPar = Files.createTempDirectory("graft-out-par").toString
+    runPipeline(UmlsSource.parquet(spark, "fixtures/umls"), outSeq)
+    val jobs = Seq(
+      OntologyJob("FIX", None, "fix.ttl", loadOnCuis = false),
+      OntologyJob("CFX", None, "cfx.ttl", loadOnCuis = true))
+    new UmlsPipeline(spark, UmlsSource.parquet(spark, "fixtures/umls"),
+      jobs, PipelineConfig(outPar, s"$outPar/.state",
+        UmlsExportConfig(umlsVersion = "2025AA"), parallelism = 2)).run()
+    def read(p: String) = new String(
+      Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+    assert(read(s"$outPar/fix.ttl") === read(s"$outSeq/fix.ttl"))
+    assert(read(s"$outPar/cfx.ttl") === read(s"$outSeq/cfx.ttl"))
+  }
+
   test("parquet export matches the committed golden files") {
     val out = Files.createTempDirectory("graft-out-golden").toString
     runPipeline(UmlsSource.parquet(spark, "fixtures/umls"), out)
