@@ -14,7 +14,8 @@ import graft.sources.{ConfManifest, UmlsSource}
   *
   * Usage:
   *   runMain graft.UmlsExportMain <sourceDir> <umls.conf> <outDir> <umlsVersion>
-  *       [--strict] [--only-current] [--no-dedupe] [--master local[*]]
+  *       [--strict] [--only-current] [--no-dedupe] [--parallel N]
+  *       [--master local[*]]
   *
   * `sourceDir` may hold RRF pipe-delimited files (`MRCONSO.RRF`, …) or
   * parquet mirrors (`MRCONSO.parquet`, …) — detected by extension. The
@@ -35,6 +36,9 @@ object UmlsExportMain {
     val master = flags.sliding(2).collectFirst {
       case Seq("--master", m) => m
     }.getOrElse("local[*]")
+    val parallel = flags.sliding(2).collectFirst {
+      case Seq("--parallel", n) => n.toInt
+    }.getOrElse(1)
 
     val spark = SparkSession.builder()
       .appName(s"umls-export-$version")
@@ -59,7 +63,8 @@ object UmlsExportMain {
           umlsVersion = version,
           dedupeTriples = !flags.contains("--no-dedupe"),
           processOnlyCurrentVersion = flags.contains("--only-current"),
-          strict = flags.contains("--strict")))
+          strict = flags.contains("--strict")),
+        parallelism = parallel)
       val reports = new UmlsPipeline(spark, source, jobs, config).run()
       reports.foreach { r =>
         val status = if (r.skipped) "skipped (done in a previous run)"
