@@ -89,7 +89,10 @@ final class UmlsPipeline(
   }
 
   private def step[T](name: String)(body: => T): Option[T] =
-    if (state.isDone(name)) None
+    // All state access under the pipeline lock: parallel export threads
+    // write disjoint step names, but LinkedHashSet reads racing writes are
+    // still undefined.
+    if (synchronized(state.isDone(name))) None
     else {
       synchronized { executed += name; () }
       val r = body
