@@ -15,7 +15,7 @@ import graft.sources.{ConfManifest, UmlsSource}
   * Usage:
   *   runMain graft.UmlsExportMain <sourceDir> <umls.conf> <outDir> <umlsVersion>
   *       [--strict] [--only-current] [--no-dedupe] [--parallel N]
-  *       [--master local[*]]
+  *       [--distributed-write] [--master local[*]]
   *
   * `sourceDir` may hold RRF pipe-delimited files (`MRCONSO.RRF`, …) or
   * parquet mirrors (`MRCONSO.parquet`, …) — detected by extension. The
@@ -63,7 +63,8 @@ object UmlsExportMain {
           umlsVersion = version,
           dedupeTriples = !flags.contains("--no-dedupe"),
           processOnlyCurrentVersion = flags.contains("--only-current"),
-          strict = flags.contains("--strict")),
+          strict = flags.contains("--strict"),
+          distributedWrite = flags.contains("--distributed-write")),
         parallelism = parallel)
       val reports = new UmlsPipeline(spark, source, jobs, config).run()
       reports.foreach { r =>

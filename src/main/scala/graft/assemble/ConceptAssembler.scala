@@ -35,6 +35,14 @@ final case class AssembledRaw(
   *   - tiny tables (MRRANK per SAB ≈ hundreds of rows; cui_roots ≈ 1) are
   *     broadcast.
   *
+  * Whole-export shape: one assembler instance per SAB, mirroring the
+  * reference's per-ontology loop. At lake scale the tables are stored
+  * `partitionBy("SAB")`, so each instance's scans are partition-pruned
+  * reads, and [[graft.pipeline.PipelineConfig.parallelism]] runs the
+  * per-SAB jobs concurrently — a cluster stays saturated without a
+  * multi-SAB composite-key dataflow (which would complicate every join
+  * key for a re-scan cost pruning already removes).
+  *
   * Determinism (SURVEY.md §7.1.6): the reference's "first atom" /
   * stable-sort tie-breaks follow MySQL scan order, which no distributed
   * engine can reproduce; we canonicalize by sorting each class's atoms by

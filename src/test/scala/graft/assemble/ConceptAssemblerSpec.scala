@@ -115,4 +115,30 @@ class ConceptAssemblerSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
     assert(tree == Map("D002" -> Set("D001")))
   }
+
+  test("ICD10CM root patch: CHD rel from C3264380 marks the root (F17)") {
+    val icdAtoms = Seq(
+      conso("CUI_A", "AUI_A", "A00", "Cholera", "PT", sab = "ICD10CM"),
+      conso("CUI_ROOT", "AUI_R", "ICD", "Root chapter", "PT", sab = "ICD10CM"))
+    // No SRC V-ICD10CM atom exists — the hardcoded patch
+    // (umls2rdf.py:710-713) is the only thing that can flag the root.
+    val rel = mrrel("C3264380", "AUI_NOWHERE", "CUI_A", "AUI_A", "CHD",
+      sab = "ICD10CM")
+    val src = TestSpark.fixedSource(Map(
+      "MRCONSO" -> TestSpark.mkTable("MRCONSO", icdAtoms),
+      "MRREL" -> TestSpark.mkTable("MRREL", Seq(rel))))
+    val terms = new ConceptAssembler(spark, src, "ICD10CM").concepts()
+      .collect().map(t => t.code -> t.isRoot).toMap
+    assert(terms("A00") === true) // patched root
+    assert(terms("ICD") === false)
+  }
+
+  test("O5 row limit bounds the MRCONSO scan") {
+    val limited = new ConceptAssembler(spark, TestSpark.fixedSource(Map(
+      "MRCONSO" -> TestSpark.mkTable("MRCONSO", atoms),
+      "MRREL" -> TestSpark.mkTable("MRREL", Nil),
+      "MRSTY" -> TestSpark.mkTable("MRSTY", Nil))), "TEST",
+      limit = Some(1))
+    assert(limited.atoms.count() === 1L)
+  }
 }
