@@ -81,9 +81,18 @@ object Similarity {
   }
 
   /** All XOR masks over `nBits` bits with at most `r` bits set — the
-    * multi-probe neighborhood of a bucket. */
-  private[operators] def probeMasks(nBits: Int, r: Int): Seq[Long] =
-    (0L until (1L << nBits)).filter(java.lang.Long.bitCount(_) <= r)
+    * multi-probe neighborhood of a bucket. Generated combinatorially
+    * (Σ C(nBits,i), i ≤ r masks): enumerating-and-filtering all 2^nBits
+    * values would spin the driver through 16.7M candidates at the
+    * nBits=24 clamp to find ~300 masks. */
+  private[operators] def probeMasks(nBits: Int, r: Int): Seq[Long] = {
+    def combos(from: Int, k: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else (from until nBits).flatMap { b =>
+        combos(b + 1, k - 1).map(_ | (1L << b))
+      }
+    (0 to math.min(r, nBits)).flatMap(k => combos(0, k))
+  }
 
   /** Approximate top-k with multi-probe LSH: hash all vectors to hyperplane
     * buckets, probe every bucket within Hamming distance `probeRadius` of
