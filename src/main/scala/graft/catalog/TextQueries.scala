@@ -30,6 +30,23 @@ object TextQueries {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ----- PII scrubbing (TextAnalysis.scrubPii): ordered redaction of
+    // emails -> phones -> long digit runs, one regexp_replace chain.
+    Q("q30b_pii_scrub",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\d{9,}', '<ID>', 'g'),
+                 '(\+?\d{1,3}[-. ()]{0,2})?\d{3}[-. ()]{0,2}\d{3}[-. ]?\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ----- language ID by stopword-hit argmax (deterministic tie-break to
     // the lexicographically first language).
     Q("q31_lang_id",

@@ -122,6 +122,22 @@ object TextAnalysis {
     alpha * lenOk - digit
   }
 
+  /** PII scrubbing — the redaction stage every training-text pipeline
+    * runs before anything else sees the bytes: emails, then bare long
+    * digit runs (SSN/account-shaped), then separator-formatted phone
+    * numbers, each to a typed placeholder. Order matters twice: emails
+    * contain digits, and an unbroken 9+-digit run is an <ID> — the
+    * <PHONE> pattern only claims separator-formatted numbers. One
+    * codegen'd regexp_replace chain, single pass over the corpus. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ids = regexp_replace(email, "\\d{9,}", "<ID>")
+    regexp_replace(ids,
+      "(\\+?\\d{1,3}[-. ()]{0,2})?\\d{3}[-. ()]{0,2}\\d{3}[-. ]?\\d{4}",
+      "<PHONE>")
+  }
+
   /** Deterministic train/validation split by id hash — the standard
     * reshuffle-proof way to split a training corpus: the assignment is a
     * pure function of the id (never `rand()`, which changes across

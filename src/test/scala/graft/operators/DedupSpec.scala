@@ -27,6 +27,22 @@ class DedupSpec extends AnyFunSuite {
     assert(drops === Set(11L -> 10L, 12L -> 10L, 21L -> 20L))
   }
 
+  test("scrubPii redacts emails, phones, and long digit runs in order") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "contact bob.smith+x@example.co.uk today"),
+      (2L, "call +1 (555) 123-4567 or 555.123.4567"),
+      (3L, "acct 123456789012 is overdue"),
+      (4L, "no pii here")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "contact <EMAIL> today")
+    assert(got(2L) === "call <PHONE> or <PHONE>")
+    assert(got(3L) === "acct <ID> is overdue")
+    assert(got(4L) === "no pii here")
+  }
+
   test("components are partition-invariant") {
     val pairs = Seq((1L, 5L), (5L, 3L), (3L, 8L), (2L, 9L), (9L, 4L))
       .toDF("id_a", "id_b")
