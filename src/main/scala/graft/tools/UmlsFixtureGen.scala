@@ -116,6 +116,7 @@ object UmlsFixtureGen {
     // RANK, SAB, TTY, SUPPRESS
     Row("0400", "FIX", "PT", "N"),
     Row("0300", "FIX", "SY", "N"),
+    Row("0500", "MSH", "MH", "N"),
     Row("0200", "OTH", "PT", "N"))
 
   val mrsab: Seq[Row] = {
@@ -131,6 +132,7 @@ object UmlsFixtureGen {
       row("FIX2024", "2024AA", "2024AB", "N", "Fixture Source (old)"),
       row("FIX2025", "2025AA", "2025AA", "Y", "Fixture Source"),
       row("CFX2025", "5.1", "2025AA", "Y", "Cuis Fixture Source", rsab = "CFX"),
+      row("MSH2025", "2025", "2025AA", "Y", "Medical Subject Headings (fixture)", rsab = "MSH"),
       row("OTH2025", "1.0", "2025AA", "Y", "Other Source", rsab = "OTH"))
   }
 

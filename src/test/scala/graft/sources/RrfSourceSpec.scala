@@ -38,7 +38,8 @@ class RrfSourceSpec extends AnyFunSuite {
       distributed: Boolean = false): Unit = {
     val jobs = Seq(
       OntologyJob("FIX", None, "fix.ttl", loadOnCuis = false),
-      OntologyJob("CFX", None, "cfx.ttl", loadOnCuis = true))
+      OntologyJob("CFX", None, "cfx.ttl", loadOnCuis = true),
+      OntologyJob("MSH", None, "msh.ttl", loadOnCuis = false))
     val config = PipelineConfig(outDir, s"$outDir/.state",
       UmlsExportConfig(umlsVersion = "2025AA",
         distributedWrite = distributed))
@@ -129,9 +130,16 @@ class RrfSourceSpec extends AnyFunSuite {
     }
     assert(read(s"$out/fix.ttl") === golden("fix.ttl"))
     assert(read(s"$out/cfx.ttl") === golden("cfx.ttl")) // cuis mode
+    assert(read(s"$out/msh.ttl") === golden("msh.ttl")) // tree mode
+    // MeSH semantics at file level: tree-driven subclass (incl. the
+    // SUPPRESSED tree edge), CHD as object property under hierarchy=false
+    val msh = read(s"$out/msh.ttl")
+    assert(msh.contains("D000002> a owl:Class"))
+    assert(msh.contains("rdfs:subClassOf <http://purl.bioontology.org/ontology/MSH/D000002>"))
+    assert(msh.contains("/MSH/CHD> <http://purl.bioontology.org/ontology/MSH/D000001>"))
     assert(read(s"$out/umls_semantictypes.ttl") ===
       golden("umls_semantictypes.ttl"))
-    Seq("fix.ttl", "cfx.ttl", "umls_semantictypes.ttl")
+    Seq("fix.ttl", "cfx.ttl", "msh.ttl", "umls_semantictypes.ttl")
       .foreach(f => assertWellFormedTtl(read(s"$out/$f")))
   }
 }
