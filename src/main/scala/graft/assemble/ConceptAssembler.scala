@@ -2,6 +2,7 @@ package graft.assemble
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.model._
 import graft.sources.UmlsSource
@@ -76,6 +77,25 @@ class ConceptAssembler(
       .withColumn("code", codeExpr)
       .filter(col("code").isNotNull)
 
+  /** The F1-filtered atoms, persisted once per assembler. Assembly derives
+    * the per-code grouping, the AUI→code map (joined 2-3× in
+    * [[relsResolved]]/[[defsByCode]]) and the TUI attachment all from this
+    * one projection, so MRCONSO is scanned ONCE per SAB instead of 4-5×
+    * (the round-2 q25s hotspot: the plan re-derived `atoms` in four
+    * subplans whose shuffle keys differ, so ReusedExchange never fired).
+    * MEMORY_AND_DISK: a SAB-pruned narrow projection is a few M rows for
+    * the largest SAB at full-UMLS scale; disk spill keeps it safe
+    * regardless. Call [[unpersistShared]] when the export is done. */
+  private var sharedInitialized = false
+  private lazy val atomsShared: DataFrame = {
+    sharedInitialized = true
+    atoms.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release the shared atom cache (no-op if assembly never ran). */
+  def unpersistShared(): Unit =
+    if (sharedInitialized) { atomsShared.unpersist(); () }
+
   /** `get_code` (`umls2rdf.py:142-147`): CUI in cuis mode; else CODE,
     * which must be non-empty (Python falsiness — '' raises too; the
     * reference raises AttributeError). Such atoms become NULL here and are
@@ -127,10 +147,10 @@ class ConceptAssembler(
 
   private def atomIdCode: DataFrame =
     if (loadOnCuis)
-      atoms.select(col("CUI").as("atom_id"), col("code").as("atom_code"))
+      atomsShared.select(col("CUI").as("atom_id"), col("code").as("atom_code"))
         .distinct()
     else
-      atoms.select(col("AUI").as("atom_id"), col("code").as("atom_code"))
+      atomsShared.select(col("AUI").as("atom_id"), col("code").as("atom_code"))
         .distinct()
 
   /** J3+J4: relations attached to their source class, with AUI→code
@@ -213,7 +233,7 @@ class ConceptAssembler(
   /** J1+J7: semantic-type TUIs per class, via the class's CUIs
     * (`umls2rdf.py:663-670,477-479`). */
   def tuisByCode: DataFrame =
-    atoms.select(col("code").as("tcode"), col("CUI")).distinct()
+    atomsShared.select(col("code").as("tcode"), col("CUI")).distinct()
       .join(source.table("MRSTY").select(col("CUI"), col("TUI")), "CUI")
       .groupBy("tcode")
       .agg(collect_set("TUI").as("tuis"))
@@ -266,7 +286,7 @@ class ConceptAssembler(
     val relsGrouped = relsDf.groupBy(col("rcode"))
       .agg(collect_list(struct(col("rel"), col("rela"), col("cui1"),
         col("codeTarget"), col("codeSource"))).as("rels"))
-    val atomsGrouped = atoms.groupBy(col("code"))
+    val atomsGrouped = atomsShared.groupBy(col("code"))
       .agg(collect_list(struct(
         col("CUI").as("cui"), col("TS").as("ts"), col("STT").as("stt"),
         col("ISPREF").as("ispref"), col("AUI").as("aui"),

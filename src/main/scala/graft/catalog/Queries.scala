@@ -395,7 +395,7 @@ object Queries {
                         (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM events)
-        SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events
+        SELECT user_id, (sum(new_s) + 1)::BIGINT AS n_sessions, count(*) AS n_events
         FROM g
         GROUP BY user_id
         ORDER BY user_id""")),

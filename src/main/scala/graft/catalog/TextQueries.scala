@@ -31,7 +31,9 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     // ----- PII scrubbing (TextAnalysis.scrubPii): ordered redaction of
-    // emails -> phones -> long digit runs, one regexp_replace chain.
+    // emails -> long digit runs -> phones, one regexp_replace chain. The
+    // order is load-bearing: 9+ unbroken digits must become <ID> before
+    // the phone pattern can misread them as a phone number.
     Q("q30b_pii_scrub",
       (s, d) =>
         documents(s, d)

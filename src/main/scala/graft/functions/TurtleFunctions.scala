@@ -40,11 +40,18 @@ object TurtleFunctions {
     "baq" -> "eu")
 
   /** Map a MRSAB.LAT value to an output language tag; unmapped → as-is
-    * lowercased (the reference indexes the dict directly and would KeyError;
-    * we default leniently and let strict mode flag it). */
-  def mapLang(lat: String): String = {
+    * lowercased (the reference indexes the dict directly and KeyErrors,
+    * `umls2rdf.py:92,766`). `strict = true` reproduces the reference's
+    * hard failure; the lenient default keeps a mistyped LAT from sinking
+    * a whole export. */
+  def mapLang(lat: String, strict: Boolean = false): String = {
     val l = Option(lat).getOrElse("").toLowerCase
-    langMap.getOrElse(l, l)
+    langMap.get(l) match {
+      case Some(tag) => tag
+      case None if strict => throw new IllegalStateException(
+        s"Language '$l' not in the UMLS language map (reference KeyErrors)")
+      case None => l
+    }
   }
 
   /** `get_rel_fragment` (`umls2rdf.py:131-132`): RELA if non-empty

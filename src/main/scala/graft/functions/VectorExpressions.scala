@@ -17,15 +17,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the "custom Catalyst Expression beats UDF beats interpreted HOF"
   * preference applied where it actually pays.
   *
-  * Semantics: sequential left-to-right double accumulation over
-  * min(len(a), len(b)) elements (identical order to the HOF form, so
-  * scores are bit-equal); NULL array → NULL; NULL elements read as 0.0
-  * (embedding vectors do not contain null elements).
+  * Semantics: sequential left-to-right double accumulation (identical
+  * order to the HOF form, so scores are bit-equal); NULL array → NULL;
+  * mismatched lengths → NULL, matching the `zip_with` form (which pads
+  * the shorter side with nulls and so nulls the whole sum) — a
+  * malformed embedding column fails loudly instead of yielding a
+  * plausible partial dot product. NULL elements read as 0.0 (embedding
+  * vectors do not contain null elements).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private def elemType(e: Expression): DataType = e.dataType match {
@@ -49,8 +53,9 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lt = elemType(left); val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -77,14 +82,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double lv = $a.isNullAt($i) ? 0.0 : ${get(a, lt, i)};
-          double rv = $b.isNullAt($i) ? 0.0 : ${get(b, rt, i)};
-          $acc += lv * rv;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double lv = $a.isNullAt($i) ? 0.0 : ${get(a, lt, i)};
+            double rv = $b.isNullAt($i) ? 0.0 : ${get(b, rt, i)};
+            $acc += lv * rv;
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
   }

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *   - centroids themselves live on the driver (k × dim doubles — tiny)
   *     and enter the plan as literals, like the reference's broadcast
   *     side tables.
-  * Initialization is the first k vectors in id order — deterministic, no
-  * RNG in the engine. At rest, `assignments` is the partition/bucket key
+  * Initialization is a deterministic hash-ordered sample (no RNG in the
+  * engine, no global window). At rest, `assignments` is the partition/bucket key
   * the corpus is laid out by (same story as `Similarity.writeBucketed`).
   */
 object IvfIndex {
@@ -40,25 +40,55 @@ object IvfIndex {
       (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
   }
 
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val d = a(i) - b(i); s += d * d; i += 1
+    }
+    s
+  }
+
   /** Lloyd's algorithm; returns k × dim centroids (driver-side).
-    * Deterministic init: k vectors STRIDE-spaced across the id order —
-    * the first-k-ids choice degenerates when ids correlate with cluster
-    * structure (all seeds land in one region). At corpus scale replace
-    * the exact stride (a global window) with `df.sample(k/n, seed)`;
-    * training is a one-off. */
+    *
+    * Deterministic, scale-safe init (replaces round-2's `row_number()`
+    * over an unpartitioned Window, which collapsed the corpus into one
+    * task): take the 8k vectors with the SMALLEST `xxhash64(id)` — a
+    * seedless pseudo-random sample, reshuffle-proof because it is a pure
+    * function of the id (same trick as `TextAnalysis.hashSplit`), planned
+    * as TakeOrdered (per-partition top-N, driver merges 8k rows — no
+    * global window, no extra count pass) — then farthest-point (k-center)
+    * seeding over that sample on the driver, so seeds cannot collapse
+    * into one dense region the way a plain k-sample can. Driver cost is
+    * O(k · 8k · dim) flops on a bounded sample; training is a one-off. */
   def train(emb: DataFrame, k: Int, iters: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : Array[Array[Double]] = {
-    import org.apache.spark.sql.expressions.Window
-    val n = emb.count()
-    val stride = math.max(1L, n / k)
-    var centroids: Array[Array[Double]] = emb
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col(idCol))).cast("long"))
-      .filter((col("rn") - 1) % stride === 0)
-      .orderBy("rn").limit(k)
+    val sample: Array[Array[Double]] = emb
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h"), col(idCol))
+      .limit(math.max(k * 8, k))
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD = sample.map(v => sqDist(v, sample.head))
+    while (seeds.size < k && seeds.size < sample.length) {
+      // Farthest point from the chosen seeds; ties break on sample
+      // (hash, id) order via the strict `>`, keeping init deterministic.
+      var best = 0; var i = 1
+      while (i < sample.length) {
+        if (minD(i) > minD(best)) best = i
+        i += 1
+      }
+      seeds += sample(best)
+      i = 0
+      while (i < sample.length) {
+        val d = sqDist(sample(i), sample(best))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    var centroids: Array[Array[Double]] = seeds.toArray
     var it = 0
     while (it < iters) {
       val assigned = emb.select(

@@ -111,9 +111,12 @@ final class UmlsPipeline(
   }
 
   /** R2 probe: every expected output file exists and is non-empty
-    * (`run_umls_pipeline.py:286-290`). */
+    * (`run_umls_pipeline.py:286-290`). Resume-skipped ontologies (produced
+    * by an EARLIER run) are still expected on disk — a deleted/truncated
+    * output fails here instead of passing silently; only the F18
+    * version-gate skip (file deliberately not produced) is exempt. */
   def validateOutput(reports: Seq[WriteReport]): Unit =
-    reports.filterNot(_.skipped).foreach { r =>
+    reports.filter(r => !r.skipped || r.resumed).foreach { r =>
       val f = new File(r.path)
       require(f.exists() && f.length() > 0, s"missing/empty output ${r.path}")
     }
@@ -145,7 +148,7 @@ final class UmlsPipeline(
         OntologyWriter.write(spark, source, job, config.exportConf, outFile,
           docs, semTypes)
       }.getOrElse(WriteReport(job.sab, outFile, 0, 0, 0, 0, 0,
-        skipped = true)) // already produced in a previous run
+        skipped = true, resumed = true)) // already produced in a previous run
     }
     val reports =
       if (config.parallelism <= 1) jobs.map(exportOne)
@@ -163,8 +166,7 @@ final class UmlsPipeline(
         finally pool.shutdown()
       }
 
-    step("validate_output")(validateOutput(
-      reports.filter(r => !r.skipped || new File(r.path).exists())))
+    step("validate_output")(validateOutput(reports))
     reports
   }
 }

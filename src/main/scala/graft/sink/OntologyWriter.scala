@@ -27,11 +27,15 @@ final case class UmlsExportConfig(
     distributedWrite: Boolean = false)
 
 /** Per-ontology write outcome: term/error counts (S6) and the duplicate-
-  * triple counters (A11, `umls2rdf.py:763-787`). */
+  * triple counters (A11, `umls2rdf.py:763-787`). `skipped` alone means the
+  * F18 version gate declined to produce the file (nothing to validate);
+  * `skipped && resumed` means a previous run produced it — the output
+  * check must still verify the file survives on disk. */
 final case class WriteReport(
     sab: String, path: String, terms: Long, errors: Long,
     dupLiteral: Long, dupObject: Long, dupSubclass: Long,
-    skipped: Boolean = false)
+    skipped: Boolean = false,
+    resumed: Boolean = false)
 
 /** One rendered-or-failed term (S6, `umls2rdf.py:764-771`): exactly one of
   * `text`/`error` is set. */
@@ -74,11 +78,16 @@ object OntologyWriter {
 
     val assembler = new ConceptAssembler(spark, source, job.sab,
       loadOnCuis = job.loadOnCuis, lang = lat)
+    // The reference's tree checks are TRUTHINESS tests (`if tree:`,
+    // `umls2rdf.py:411,422,437`) — an MSH export whose D-tree query
+    // returns zero edges renders tree-less (no MN-root rule). One
+    // limit(1) probe per MSH export reproduces that.
+    val hasTree = job.sab == "MSH" && !assembler.meshTree.isEmpty
     val cfg = RenderConfig(
       ns = ns,
-      lang = mapLang(lat),
+      lang = mapLang(lat, conf.strict),
       hierarchy = job.sab != "MSH", // `umls2rdf.py:889`
-      hasTree = job.sab == "MSH",
+      hasTree = hasTree,
       dedupe = conf.dedupeTriples,
       styUrl = conf.baseUri + "STY/")
 
@@ -100,12 +109,14 @@ object OntologyWriter {
 
     val parent = new File(outFile).getParentFile
     if (parent != null) parent.mkdirs()
-    if (conf.distributedWrite)
-      writeDistributed(spark, rendered, job, rec, ns, conf, outFile,
-        propertyDocs, semanticTypes)
-    else
-      writeStreamed(rendered, job, rec, ns, conf, outFile, propertyDocs,
-        semanticTypes)
+    try {
+      if (conf.distributedWrite)
+        writeDistributed(spark, rendered, job, rec, ns, conf, outFile,
+          propertyDocs, semanticTypes)
+      else
+        writeStreamed(rendered, job, rec, ns, conf, outFile, propertyDocs,
+          semanticTypes)
+    } finally assembler.unpersistShared()
   }
 
   /** Driver-streamed write: `toLocalIterator` over the ordered terms.

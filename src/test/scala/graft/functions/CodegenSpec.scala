@@ -40,6 +40,31 @@ class CodegenSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).sorted.toSeq === Seq(0.0, 5.0, 10.0))
   }
 
+  test("DotProduct returns NULL on length mismatch (codegen and interpreted)") {
+    // Matches the zip_with+aggregate form it replaced: padding the
+    // shorter array with nulls nulls the whole sum, so a malformed
+    // embedding fails loudly rather than yielding a partial product.
+    val df = spark.range(2)
+      .select(
+        array(col("id").cast("double"), lit(2.0)).as("a"),
+        when(col("id") === 0, array(lit(3.0), lit(4.0)))
+          .otherwise(array(lit(3.0))).as("b"))
+      .select(VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+    val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.toSet === Set(Some(8.0), None))
+    // interpreted path (eval) agrees — built from resolved Literals,
+    // since Column-derived trees are unresolved until analysis.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType)
+    val expr = DotProduct(
+      Literal.create(Seq(1.0, 2.0), at), Literal.create(Seq(5.0), at))
+    assert(expr.eval(null) === null)
+    val ok = DotProduct(
+      Literal.create(Seq(1.0, 2.0), at), Literal.create(Seq(5.0, 6.0), at))
+    assert(ok.eval(null) === 17.0)
+  }
+
   test("TurtleEscape and StnParent run under whole-stage codegen") {
     import org.apache.spark.sql.GraftSqlShims.{columnOf, expressionOf}
     val df = spark.range(1)

@@ -65,16 +65,33 @@ class UmlsPipelineSpec extends AnyFunSuite {
   test("a killed run resumes from the first incomplete step") {
     val out = Files.createTempDirectory("pipe-out").toString
     val work = Files.createTempDirectory("pipe-work").toString
-    // Simulate a run that died after SABA: pre-seed the state file.
+    // Simulate a run that died after SABA: pre-seed the state file and
+    // the output the earlier run produced.
     val st = new PipelineState(s"$work/pipeline_state.json")
     st.markDone("validate_source")
     st.markDone("semantic_types")
     st.markDone("ontology:SABA")
+    Files.write(Paths.get(s"$out/SABA.ttl"), "# from run 1\n".getBytes)
     val p = mkPipeline(out, work)
     p.run()
     assert(p.executed == Seq("ontology:SABB", "validate_output"))
     assert(Files.exists(Paths.get(s"$out/SABB.ttl")))
-    assert(!Files.exists(Paths.get(s"$out/SABA.ttl"))) // step was skipped
+    // The resume-skipped step did not re-render SABA (content untouched).
+    assert(Files.readAllBytes(Paths.get(s"$out/SABA.ttl")).length == 13L)
+  }
+
+  test("a resumed run fails validate_output when an earlier output vanished") {
+    // The reference re-checks ALL expected outputs on every run
+    // (`run_umls_pipeline.py:286-290`); resume-skip must not exempt a
+    // deleted/truncated file.
+    val out = Files.createTempDirectory("pipe-out").toString
+    val work = Files.createTempDirectory("pipe-work").toString
+    val st = new PipelineState(s"$work/pipeline_state.json")
+    st.markDone("validate_source")
+    st.markDone("semantic_types")
+    st.markDone("ontology:SABA") // ...but SABA.ttl was deleted since
+    val ex = intercept[IllegalArgumentException](mkPipeline(out, work).run())
+    assert(ex.getMessage.contains("SABA.ttl"))
   }
 
   test("state file round-trips through markDone/load") {
