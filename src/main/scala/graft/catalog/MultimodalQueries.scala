@@ -32,29 +32,103 @@ object MultimodalQueries {
         GROUP BY 1
         ORDER BY fp""")),
 
-    // ----- q51: joint text+embedding filter — caption token gate AND
-    // embedding-cosine near-dup exclusion vs lower-id survivors.
+    // ----- q51: joint text+embedding filter — caption token gate, then
+    // near-dup CLUSTERS (connected components over cosine ≥ 0.98 pairs)
+    // collapse to their min-id keeper. Exact pair source here so the
+    // whole decision is DuckDB-reproducible (recursive CTE, the q37
+    // technique); the LSH-blocked scale composition is q51s.
     Q("q51_media_joint_filter",
       (s, _) =>
         Multimodal.jointFilter(
           s.read.parquet(s"$FixtureDir/media.parquet"),
-          minCaptionTokens = 3, dupThreshold = 0.98)
+          minCaptionTokens = 3, dupThreshold = 0.98,
+          pairSource = Multimodal.exactPairs)
           .select(col("media_id"), col("caption"))
           .orderBy("media_id"),
       Some(s"""
-        WITH pass AS (
-          SELECT media_id, caption, embedding
+        WITH RECURSIVE pass AS (
+          SELECT media_id, caption, embedding::DOUBLE[] AS v
           FROM $media
           WHERE len(regexp_split_to_array(trim(lower(caption)), '\\s+')) >= 3
         ),
-        dup AS (
-          SELECT DISTINCT a.media_id
-          FROM pass a JOIN pass b ON a.media_id > b.media_id
-          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]) >= 0.98
-        )
+        pairs AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b
+          FROM pass a JOIN pass b ON a.media_id < b.media_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.98),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS component FROM r GROUP BY id)
+          WHERE id <> component)
         SELECT media_id, caption FROM pass
-        WHERE media_id NOT IN (SELECT media_id FROM dup)
+        WHERE media_id NOT IN (SELECT id FROM drops)
+        ORDER BY media_id""")),
+
+    // ----- q51s: the SAME jointFilter composition on its default
+    // LSH-blocked pair source at harness-SF volume (documents as captions,
+    // embeddings joined on id) — the 100 TB wiring. The harness embeddings
+    // are random (max pairwise cosine ≈ 0.51 at sf0.01), so near-dups are
+    // PLANTED: every 7th row re-enters with a shifted id and a scaled
+    // embedding. cosine(v, 1.5v) = 1 exactly and sign-LSH is
+    // scale-invariant (identical sign pattern → same bucket in every
+    // band), so blocking recall on the planted pairs is provably 1.0 —
+    // which is what makes this LSH-blocked composition value-checkable in
+    // DuckDB (exact pairs + the q37 recursive-CTE component collapse)
+    // rather than rows-only.
+    Q("q51s_joint_filter_scale",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"), col("text").as("caption"))
+          .join(Tables.embeddings(s, d)
+            .select(col("vec_id").as("media_id"),
+              col("embedding").cast("array<double>").as("embedding")),
+            Seq("media_id"))
+        val planted = base.filter(col("media_id") % 7 === 0)
+          .select((col("media_id") + lit(1000000)).as("media_id"),
+            col("caption"),
+            transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
+        Multimodal.jointFilter(base.unionByName(planted),
+          minCaptionTokens = 3, dupThreshold = 0.9)
+          .select(col("media_id"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH RECURSIVE base AS (
+          SELECT d.doc_id AS media_id, d.text AS caption,
+                 e.embedding::DOUBLE[] AS v
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        all_media AS (
+          SELECT media_id, caption, v FROM base
+          UNION ALL
+          SELECT media_id + 1000000, caption,
+                 list_transform(v, x -> x * 1.5)
+          FROM base WHERE media_id % 7 = 0),
+        pass AS (
+          SELECT media_id, caption, v FROM all_media
+          WHERE len(regexp_split_to_array(trim(lower(caption)), '\\s+')) >= 3),
+        pairs AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b
+          FROM pass a JOIN pass b ON a.media_id < b.media_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS component FROM r GROUP BY id)
+          WHERE id <> component)
+        SELECT media_id FROM pass
+        WHERE media_id NOT IN (SELECT id FROM drops)
         ORDER BY media_id""")),
 
     // ----- q52: the decode boundary — per-partition feature extraction

@@ -153,21 +153,52 @@ object Multimodal {
       .groupBy("fp")
       .agg(min(idCol).as("keeper"), count(lit(1)).as("group_size"))
 
+  /** A pair source for [[jointFilter]]: given the caption-passing set, a
+    * cosine threshold and the id column, produce candidate near-duplicate
+    * pairs `(id_a, id_b)` with `id_a < id_b`. */
+  type PairSource = (DataFrame, Double, String) => DataFrame
+
+  /** The 100 TB pair source: LSH-blocked cosine pairs
+    * ([[Similarity.cosineNearDupPairs]] — per-bucket joins, never
+    * all-pairs). Bucket count is sized to the candidate set and the
+    * embedding dim is read from one row — two tiny planning actions. */
+  def lshPairs(bands: Int = 4): PairSource = (pass, threshold, idCol) => {
+    val emb = pass.select(col(idCol), col("embedding"))
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    Similarity.cosineNearDupPairs(emb, threshold,
+      Similarity.nBitsFor(n), dim, bands, "embedding", idCol)
+  }
+
+  /** Exact all-pairs source ([[Similarity.cosineNearDupPairsExact]]) —
+    * O(n²), the fixture/oracle anchor, never the corpus-scale path. */
+  val exactPairs: PairSource = (pass, threshold, idCol) =>
+    Similarity.cosineNearDupPairsExact(
+      pass.select(col(idCol), col("embedding")), threshold, "embedding", idCol)
+
   /** Joint text + embedding corpus filter: keep media whose caption passes
-    * the token-count gate AND whose embedding is not a near-duplicate
-    * (cosine ≥ `dupThreshold`) of a lower-id survivor. The pair join here
-    * is all-pairs over the caption-passing set — correct for fixtures and
-    * small candidate sets; at corpus scale swap the pair source for
-    * [[Similarity.cosineNearDupPairs]] (LSH-blocked, same output shape). */
+    * the token-count gate, then collapse each embedding-cosine
+    * near-duplicate CLUSTER (connected component over pairs with cosine ≥
+    * `dupThreshold`) to its min-id representative — the same keeper
+    * decision as [[Dedup.dedupCorpus]], and a well-defined one (the
+    * round-2 form dropped any row similar to ANY lower-id caption-passing
+    * row, which is neither cluster-collapse nor the greedy-survivor scan
+    * its doc promised). Cluster-collapse keeps exactly ONE row per
+    * component: in a star a≈c, b≈c with a<b<c and a̸≈b, only `a` survives
+    * — a sequential greedy scan would keep `b` too, but greedy is
+    * order-dependent and inherently serial, the wrong contract for a
+    * distributed corpus filter.
+    *
+    * `pairSource` defaults to the LSH-blocked [[lshPairs]] (the scale
+    * path); pass [[exactPairs]] when an exact small-set answer is wanted
+    * (it is what the q51 fixture oracle anchors). */
   def jointFilter(media: DataFrame, minCaptionTokens: Int,
-      dupThreshold: Double, idCol: String = "media_id"): DataFrame = {
+      dupThreshold: Double, idCol: String = "media_id",
+      pairSource: PairSource = lshPairs()): DataFrame = {
     val nTokens = size(TextAnalysis.tokens(col("caption")))
     val pass = media.filter(nTokens >= minCaptionTokens)
-    val a = pass.select(col(idCol).as("id_a"), col("embedding").as("vec_a"))
-    val b = pass.select(col(idCol).as("id_b"), col("embedding").as("vec_b"))
-    val dupOfEarlier = a.join(b, col("id_a") > col("id_b"))
-      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= dupThreshold)
-      .select(col("id_a").as(idCol)).distinct()
-    pass.join(dupOfEarlier, Seq(idCol), "left_anti")
+    val pairs = pairSource(pass, dupThreshold, idCol)
+    val drops = Dedup.nearDupDuplicates(pairs).select(col("id").as(idCol))
+    pass.join(drops, Seq(idCol), "left_anti")
   }
 }

@@ -65,6 +65,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0 === f1)
   }
 
+  test("jointFilter collapses a near-dup CLUSTER to its min-id keeper " +
+    "(star through the max id: a~c, b~c, a!~c's partner b)") {
+    import spark.implicits._
+    // 2-D star: a at 0°, c at 20°, b at 40° -> cos(a,c)=cos(b,c)≈0.94 ≥ 0.9
+    // but cos(a,b)≈0.77 < 0.9. Component {a,b,c} connected through c;
+    // cluster-collapse keeps only a. (The round-2 "similar to any lower id"
+    // form would have kept b — its only neighbor c has a HIGHER id.)
+    def vec(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val media = Seq(
+      (1L, "alpha beta gamma", vec(0)),
+      (2L, "alpha beta gamma", vec(40)),
+      (3L, "alpha beta gamma", vec(20)))
+      .toDF("media_id", "caption", "embedding")
+    val kept = Multimodal.jointFilter(media, minCaptionTokens = 3,
+      dupThreshold = 0.9, pairSource = Multimodal.exactPairs)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("jointFilter drops short captions and near-dup embeddings") {
     val kept = Multimodal.jointFilter(media, minCaptionTokens = 3,
       dupThreshold = 0.98)
