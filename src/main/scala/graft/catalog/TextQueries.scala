@@ -172,6 +172,16 @@ object TextQueries {
         Dedup.simhashPortable16(documents(s, d)).orderBy("doc_id"),
       Some(simhash16Oracle)),
 
+    // ----- the portable simhash at FULL 64-bit production width (md5
+    // nibbles 0-15 supply all 64 bit votes; hex-string output sidesteps
+    // bit-63 signedness) — value-verifies the 64-wide vote-and-fold, so
+    // the only thing q36 leaves uncrosschecked is the xxhash64 hash
+    // choice itself.
+    Q("q36c_simhash64_portable",
+      (s, d) =>
+        Dedup.simhashPortable64(documents(s, d)).orderBy("doc_id"),
+      Some(simhash64Oracle)),
+
     // ----- the dedup DECISION: connected components over the q35
     // candidate pairs (min-label propagation; keeper = component min id).
     // Oracle: DuckDB recursive-CTE reachability over the same pairs.
@@ -198,6 +208,19 @@ object TextQueries {
         SELECT id, min(root) AS component
         FROM r GROUP BY id
         ORDER BY id""")),
+
+    // ----- the SAME component decision over the xxhash64 q35b pairs — the
+    // configuration the 100 TB design runs (portable md5 exists only so
+    // DuckDB can verify; this twin carries the bench number). Rows-only:
+    // the decision algorithm is value-verified by q37, the pair source by
+    // q35/q35b row agreement.
+    Q("q37b_components_fast",
+      (s, d) =>
+        Dedup.nearDupComponents(
+          Dedup.lshCandidatePairs(documents(s, d), numHashes = 16,
+            bands = 4, portable = false))
+          .orderBy("id"),
+      None),
 
     // ----- the END-TO-END corpus cleaning pipeline (Dedup.dedupCorpus):
     // quality gate → exact-fingerprint dedup → MinHash-LSH pairs →
@@ -247,6 +270,18 @@ object TextQueries {
         SELECT doc_id FROM s1
         WHERE doc_id NOT IN (SELECT id FROM drops)
         ORDER BY doc_id""")),
+
+    // ----- the production corpus-cleaning configuration: same composition
+    // as q38 with xxhash64 minhash (Dedup.docShingleFeatures) instead of
+    // the md5 portable path — the numbers that represent the 100 TB
+    // design. Rows-only (no DuckDB xxhash64); the composition is
+    // value-verified by q38.
+    Q("q38b_corpus_dedup_fast",
+      (s, d) =>
+        Dedup.dedupCorpus(documents(s, d), minQuality = 0.3,
+          numHashes = 16, bands = 4, portable = false)
+          .orderBy("doc_id"),
+      None),
 
     // ----- deterministic hash-based train/valid split — reshuffle-proof
     // (assignment is a pure function of the id, never rand()); md5 buckets
@@ -326,6 +361,31 @@ object TextQueries {
         $voteAggs
         FROM toks2 GROUP BY doc_id)
       SELECT doc_id, CAST($fold AS INT) AS simhash16
+      FROM votes
+      ORDER BY doc_id"""
+  }
+
+  /** DuckDB re-implementation of the 64-bit portable simhash: same vote
+    * technique as [[simhash16Oracle]] over md5 nibbles 0-15, rebuilt as a
+    * 16-char hex string (char p = votes 4p..4p+3, vote 4p as MSB). */
+  private val simhash64Oracle: String = {
+    val voteAggs = (0 until 64).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(th, ${j / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN ($nib >> ${3 - (j % 4)}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n        ")
+    val hexChars = (0 until 16).map { p =>
+      val nibVal = (0 until 4)
+        .map(k => s"CASE WHEN v${4 * p + k} > 0 THEN ${1 << (3 - k)} ELSE 0 END")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($nibVal), 1)"
+    }.mkString(" || ")
+    s"""
+      WITH ${shingleCtesFrom("documents")},
+      votes AS (
+        SELECT doc_id,
+        $voteAggs
+        FROM toks2 GROUP BY doc_id)
+      SELECT doc_id, $hexChars AS simhash_hex
       FROM votes
       ORDER BY doc_id"""
   }

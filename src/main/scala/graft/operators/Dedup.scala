@@ -179,6 +179,37 @@ object Dedup {
     voted.select(col(idCol), sim.cast("int").as("simhash16"))
   }
 
+  /** Portable SimHash at the FULL 64-bit production width: identical
+    * algorithm to [[simhash64]], but bit votes come from md5 nibbles 0-15
+    * (64 of md5's 128 bits) so DuckDB reproduces exact values — this
+    * verifies the 64-wide vote-and-fold value-for-value, leaving only
+    * [[simhash64]]'s xxhash64 *hash choice* without a cross-engine twin.
+    * Emitted as a 16-char hex string (hex char p = votes 4p..4p+3, vote
+    * 4p as the char's MSB): folding into a signed long is not portable —
+    * bit 63 overflows a sum-of-powers in DuckDB's BIGINT — and hex
+    * sidesteps signedness entirely. */
+  def simhashPortable64(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col(idCol), md5(col("token")).as("th"))
+      .distinct()
+    val votes = (0 until 64).map { j =>
+      val nib = conv(substring(col("th"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, 3 - (j % 4)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val voted = toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val hex = (0 until 16).map { p =>
+      val nibVal = (0 until 4).map { k =>
+        when(col(s"v${4 * p + k}") > 0, lit(1 << (3 - k))).otherwise(lit(0))
+      }.reduce(_ + _)
+      lower(conv(nibVal.cast("string"), 10, 16))
+    }
+    voted.select(col(idCol), concat(hex: _*).as("simhash_hex"))
+  }
+
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
