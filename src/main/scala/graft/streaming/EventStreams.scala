@@ -31,8 +31,17 @@ object EventStreams {
       user_id: Long, session_start: Long, session_end: Long,
       n_events: Long, total_value: Double)
 
+  /** Open-session accumulator; `start`/`last` in epoch MICROseconds — the
+    * gap decision must match batch q19, which compares exact integer
+    * microseconds (a seconds floor would merge sessions the batch query
+    * splits when timestamps carry sub-second parts). */
   private[streaming] final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
+
+  /** Epoch micros of a Timestamp (positive epochs; same value Spark's
+    * internal TimestampType carries). */
+  private[streaming] def epochMicros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
 
   /** Watermarked tumbling-window aggregation — the streaming twin of the
     * batch q18 time-window query. Late events beyond `watermarkDelay` are
@@ -83,19 +92,22 @@ object EventStreams {
   private[streaming] def updateSessions(gapSeconds: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val gapUs = gapSeconds * 1000000L
     val out = scala.collection.mutable.Buffer.empty[SessionOut]
+    // Emitted bounds floor to epoch seconds; the GAP compares micros.
     def close(s: SessionState): Unit =
-      out += SessionOut(userId, s.start, s.last, s.n, s.total)
+      out += SessionOut(userId, s.start / 1000000L, s.last / 1000000L,
+        s.n, s.total)
 
     if (state.hasTimedOut) {
       state.getOption.foreach(close)
       state.remove()
     } else {
       var cur = state.getOption
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime / 1000 // floor to seconds, like batch q19
+      events.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
+        val t = epochMicros(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapSeconds =>
+          case Some(s) if t - s.last <= gapUs =>
             cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
               s.total + e.value))
           case Some(s) =>
@@ -107,7 +119,7 @@ object EventStreams {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+        state.setTimeoutTimestamp((s.last + gapUs) / 1000)
       }
     }
     out.iterator

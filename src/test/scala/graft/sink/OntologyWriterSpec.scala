@@ -154,6 +154,66 @@ class OntologyWriterSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$dir/TEST.ttl")))
   }
 
+  test("an MSH export with a ZERO-EDGE tree renders tree-less " +
+    "(truthiness parity with the reference's `if tree:`)") {
+    // The reference's tree checks are truthiness tests
+    // (`umls2rdf.py:411,422,437`): an MSH export whose D-tree query
+    // returns no edges must not apply the tree rules — in particular the
+    // F14 MN-root rule (MN att without '.' -> owl:Thing subclass) must NOT
+    // fire. hasTree is therefore derived from tree non-emptiness, not from
+    // sab == "MSH".
+    def mshFixture(rel: Map[String, String]) = Map(
+      "MRCONSO" -> TestSpark.mkTable("MRCONSO", Seq(
+        conso("CM1", "AM1", "D000001", "MeSH Parent", "MH", "MSH"),
+        conso("CM2", "AM2", "D000002", "MeSH Child", "MH", "MSH"))),
+      "MRREL" -> TestSpark.mkTable("MRREL", Seq(rel)),
+      "MRRANK" -> TestSpark.mkTable("MRRANK", Seq(
+        Map("RANK" -> "0500", "SAB" -> "MSH", "TTY" -> "MH",
+          "SUPPRESS" -> "N"))),
+      "MRSAT" -> TestSpark.mkTable("MRSAT", Seq(
+        // MN without '.' on a D-code: fires the F14 owl:Thing rule IFF the
+        // export has a tree.
+        Map("CUI" -> "CM2", "CODE" -> "D000002", "ATN" -> "MN",
+          "ATV" -> "D1", "SAB" -> "MSH"))),
+      "MRSAB" -> TestSpark.mkTable("MRSAB", Seq(
+        Map("RSAB" -> "MSH", "VSAB" -> "MSH2025", "CURVER" -> "Y",
+          "LAT" -> "ENG"))),
+      "MRDOC" -> TestSpark.mkTable("MRDOC", Seq(
+        Map("DOCKEY" -> "ATN", "VALUE" -> "MN", "TYPE" -> "expanded_form",
+          "EXPL" -> "MeSH tree number"),
+        Map("DOCKEY" -> "REL", "VALUE" -> "CHD", "TYPE" -> "expanded_form",
+          "EXPL" -> "has child"),
+        Map("DOCKEY" -> "REL", "VALUE" -> "RO", "TYPE" -> "expanded_form",
+          "EXPL" -> "related to"))))
+    def exportMsh(rel: Map[String, String]): String = {
+      val dir = Files.createTempDirectory("graft-msh-tree").toString
+      val fx = mshFixture(rel)
+      OntologyWriter.write(spark, TestSpark.fixedSource(fx),
+        OntologyJob("MSH", None, "MSH.ttl", loadOnCuis = false),
+        UmlsExportConfig(umlsVersion = "2025AB"), s"$dir/MSH.ttl",
+        graft.assemble.PropertyDocs.collectMap(fx("MRDOC")), "")
+      new String(Files.readAllBytes(Paths.get(s"$dir/MSH.ttl")),
+        StandardCharsets.UTF_8)
+    }
+    val chd = Map("CUI1" -> "CM1", "AUI1" -> "AM1", "CUI2" -> "CM2",
+      "AUI2" -> "AM2", "REL" -> "CHD", "SAB" -> "MSH", "SUPPRESS" -> "N")
+    val ro = chd + ("REL" -> "RO")
+
+    // CHD edge -> non-empty D-tree: MN rule fires, tree parent emitted.
+    val withTree = exportMsh(chd)
+    assert(withTree.contains("rdfs:subClassOf owl:Thing"))
+    assert(withTree.contains(
+      "rdfs:subClassOf <http://purl.bioontology.org/ontology/MSH/D000001>"))
+
+    // RO edge only -> the D-tree query returns zero edges: the export
+    // behaves tree-less exactly like the reference — no MN owl:Thing, no
+    // tree subclass; the MN literal itself still renders.
+    val noTree = exportMsh(ro)
+    assert(!noTree.contains("owl:Thing"))
+    assert(!noTree.contains("rdfs:subClassOf"))
+    assert(noTree.contains("MN> \"\"\"D1\"\"\""))
+  }
+
   test("balanced turtle blocks: terms and STY classes are all present") {
     def countOf(needle: String): Int =
       ttl.sliding(needle.length).count(_ == needle)

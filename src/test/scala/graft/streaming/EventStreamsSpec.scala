@@ -89,6 +89,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize matches batch q19 on the harness events") {
+    // The two surfaces share gap semantics (1800 s compared in exact
+    // microseconds) but nothing else — different engines (window+lag vs
+    // keyed state), different orderings. Pin them against each other on
+    // real data: per-user session counts and event totals must be equal.
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = graft.catalog.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().toSeq
+    val maxSec = evs.map(_.ts.getTime / 1000).max
+
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // All real data in ONE batch (watermark only advances after it, so
+      // nothing is late-dropped), then two sentinel batches from a user id
+      // outside the data: the first advances the watermark past every
+      // open session's timeout, the next batch fires the timeouts.
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(ev(-1, maxSec + 3600 + 1800 + 10, -1L, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(-2, maxSec + 2 * (3600 + 1800), -1L, "x", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_eq")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(col("user_id"))
+          .as("n_sessions"),
+          org.apache.spark.sql.functions.sum("n_events").as("n_events"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val batch = graft.catalog.Queries.byName("q19_sessionize")(spark, sfDir)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sessionize state transition folds batches in event-time order") {
     // Direct unit test of the state function (no streaming query needed).
     val out = scala.collection.mutable.Buffer.empty[EventStreams.SessionOut]
