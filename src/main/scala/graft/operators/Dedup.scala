@@ -340,6 +340,38 @@ object Dedup {
     survivors.join(drops, Seq(idCol), "left_anti").select(idCol)
   }
 
+  // --- benchmark decontamination -----------------------------------------
+
+  /** Benchmark decontamination: drop training documents that share ANY
+    * word n-gram with a held-out/eval set — the standard guard against
+    * eval answers leaking into a training corpus (the real-data analog
+    * uses 8-13-grams; `n` is a knob because harness docs are short).
+    *
+    * Shape at 100 TB: the held-out side is an eval benchmark — tiny next
+    * to the corpus — so its distinct n-gram set is BROADCAST and the whole
+    * operator is one narrow shingle pass over the corpus plus a broadcast
+    * semi-join: no corpus-keyed shuffle at all beyond the per-doc
+    * distinct. Grams are hashed before the join (md5 when `portable` so
+    * an external engine can reproduce the decision; xxhash64 8-byte keys
+    * otherwise — a collision can only over-drop one training doc).
+    */
+  def decontaminate(train: DataFrame, heldOut: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val g = df.select(col(idCol),
+          explode(TextAnalysis.shingles(col(textCol), n)).as("token"))
+        .filter(length(col("token")) > 0)
+      if (portable) g.select(col(idCol), md5(col("token")).as("gh"))
+      else g.select(col(idCol), xxhash64(col("token")).as("gh"))
+    }
+    val evalGrams = grams(heldOut).select("gh").distinct()
+    val contaminated = grams(train)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // --- n-gram Jaccard -----------------------------------------------------
 
   /** Exact token-set Jaccard similarity of every document against one query

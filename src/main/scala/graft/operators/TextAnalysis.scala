@@ -151,7 +151,55 @@ object TextAnalysis {
       .cast("int") < cut, "train").otherwise("valid")
   }
 
+  // --- repetition (Gopher-style quality signals) -------------------------
+
+  /** Duplicate fraction of an array: 1 - distinct/total (0 for empty). */
+  private def dupFrac(arr: Column): Column = {
+    val n = size(arr)
+    when(n === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(arr)).cast("double") / n, 4))
+  }
+
+  /** Sentence-ish segments: split on '.', trimmed, empties dropped. */
+  private def sentences(text: Column): Column =
+    filter(transform(split(text, "\\."), s => trim(s)), s => length(s) > 0)
+
+  /** Gopher-style repetition signals per doc: duplicate-sentence fraction
+    * and duplicate 2-/3-gram fractions. Boilerplate and degenerately
+    * repetitive pages score high and get filtered before training. Pure
+    * array algebra — one narrow codegen'd pass, no shuffle, no explode
+    * (the n-gram lists stay inside the row). */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      dupFrac(sentences(t)).as("dup_sent_frac"),
+      dupFrac(shingles(t, 2)).as("dup_2gram_frac"),
+      dupFrac(shingles(t, 3)).as("dup_3gram_frac"))
+  }
+
   // --- DataFrame-level operators -----------------------------------------
+
+  /** Per-group quota sampling: keep (up to) `perGroup` docs per group,
+    * chosen by md5(id) order — deterministic, reshuffle-proof (the kept
+    * set is a pure function of the ids, like [[hashSplit]]), and
+    * group-balanced (the standard rebalancing step for over-represented
+    * languages/sources in a training mix).
+    *
+    * Scale: the rank filter is pushed down as a window GROUP LIMIT
+    * (Spark's `WindowGroupLimit` rewrite): each map task keeps only
+    * `perGroup` rows per group *before* the shuffle, so a skewed group
+    * costs map-side heap of O(perGroup), not a full-group sort. */
+  def stratifiedSample(docs: DataFrame, groupCol: String, perGroup: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perGroup)
+      .drop("rk")
+  }
 
   /** Per-document stats table: one narrow projection pass. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
