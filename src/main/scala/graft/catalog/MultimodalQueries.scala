@@ -89,8 +89,16 @@ object MultimodalQueries {
             .select(col("vec_id").as("media_id"),
               col("embedding").cast("array<double>").as("embedding")),
             Seq("media_id"))
+        // Planted ids live at the first power of 10 ABOVE max(doc_id) —
+        // derived, not hard-coded, so a larger scale factor cannot collide
+        // planted ids with real ones (which would silently corrupt the
+        // embeddings join AND the oracle, since it replicated the same
+        // constant). Digit-count arithmetic, not log10: exact on both
+        // engines. One 1-row planning action.
+        val maxId = Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
+        val offset = math.pow(10, maxId.toString.length.toDouble).toLong
         val planted = base.filter(col("media_id") % 7 === 0)
-          .select((col("media_id") + lit(1000000)).as("media_id"),
+          .select((col("media_id") + lit(offset)).as("media_id"),
             col("caption"),
             transform(col("embedding"), x => x * lit(1.5d)).as("embedding"))
         Multimodal.jointFilter(base.unionByName(planted),
@@ -103,10 +111,13 @@ object MultimodalQueries {
           SELECT d.doc_id AS media_id, d.text AS caption,
                  e.embedding::DOUBLE[] AS v
           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        off AS (
+          SELECT power(10, len(max(doc_id)::VARCHAR))::BIGINT AS o
+          FROM documents),
         all_media AS (
           SELECT media_id, caption, v FROM base
           UNION ALL
-          SELECT media_id + 1000000, caption,
+          SELECT media_id + (SELECT o FROM off), caption,
                  list_transform(v, x -> x * 1.5)
           FROM base WHERE media_id % 7 = 0),
         pass AS (

@@ -72,7 +72,8 @@ object IvfIndex {
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
     val minD = sample.map(v => sqDist(v, sample.head))
-    while (seeds.size < k && seeds.size < sample.length) {
+    var exhausted = false
+    while (seeds.size < k && seeds.size < sample.length && !exhausted) {
       // Farthest point from the chosen seeds; ties break on sample
       // (hash, id) order via the strict `>`, keeping init deterministic.
       var best = 0; var i = 1
@@ -80,12 +81,19 @@ object IvfIndex {
         if (minD(i) > minD(best)) best = i
         i += 1
       }
-      seeds += sample(best)
-      i = 0
-      while (i < sample.length) {
-        val d = sqDist(sample(i), sample(best))
-        if (d < minD(i)) minD(i) = d
-        i += 1
+      if (minD(best) == 0.0) {
+        // Every remaining sample point coincides with a chosen seed:
+        // appending more would duplicate centroids (and leave empty
+        // clusters in Lloyd). Return the fewer distinct centroids.
+        exhausted = true
+      } else {
+        seeds += sample(best)
+        i = 0
+        while (i < sample.length) {
+          val d = sqDist(sample(i), sample(best))
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
       }
     }
     var centroids: Array[Array[Double]] = seeds.toArray

@@ -161,13 +161,22 @@ object Multimodal {
   /** The 100 TB pair source: LSH-blocked cosine pairs
     * ([[Similarity.cosineNearDupPairs]] — per-bucket joins, never
     * all-pairs). Bucket count is sized to the candidate set and the
-    * embedding dim is read from one row — two tiny planning actions. */
+    * embedding dim is read from one row — two tiny planning actions. An
+    * empty candidate set (every caption filtered out) short-circuits to an
+    * empty pair frame instead of dying on the dim probe. */
   def lshPairs(bands: Int = 4): PairSource = (pass, threshold, idCol) => {
     val emb = pass.select(col(idCol), col("embedding"))
-    val n = emb.count()
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    Similarity.cosineNearDupPairs(emb, threshold,
-      Similarity.nBitsFor(n), dim, bands, "embedding", idCol)
+    emb.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption match {
+      case None =>
+        emb.filter(lit(false))
+          .select(col(idCol).as("id_a"), col(idCol).as("id_b"))
+      case Some(row) =>
+        val dim = row.getInt(0)
+        val n = emb.count()
+        Similarity.cosineNearDupPairs(emb, threshold,
+          Similarity.nBitsFor(n), dim, bands, "embedding", idCol)
+    }
   }
 
   /** Exact all-pairs source ([[Similarity.cosineNearDupPairsExact]]) —
@@ -196,7 +205,14 @@ object Multimodal {
       dupThreshold: Double, idCol: String = "media_id",
       pairSource: PairSource = lshPairs()): DataFrame = {
     val nTokens = size(TextAnalysis.tokens(col("caption")))
+    // Persisted: the caption-passing set feeds the pair source's planning
+    // actions (row count + dim probe), the per-band bucket joins AND the
+    // final anti-join — separate ACTIONS, so ReusedExchange cannot share
+    // the scan across them; without the persist the media scan + token
+    // gate re-runs 3-4×. LRU-evicted under pressure; callers holding the
+    // result long-term can unpersist via the returned plan's children.
     val pass = media.filter(nTokens >= minCaptionTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = pairSource(pass, dupThreshold, idCol)
     val drops = Dedup.nearDupDuplicates(pairs).select(col("id").as(idCol))
     pass.join(drops, Seq(idCol), "left_anti")

@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Deterministic shard of an id: first 4 md5 hex digits mod `numShards`. */
+  /** Deterministic shard of an id: first 15 md5 hex digits (60 bits — the
+    * object doc sizes numShards ≈ corpusTokens/shardTokenBudget, which
+    * passes 65,536 long before 100 TB, so a 4-digit/16-bit hash would
+    * leave shards permanently empty) mod `numShards`. Stays portable:
+    * DuckDB reproduces it as
+    * `('0x' || substring(md5(id::VARCHAR), 1, 15))::BIGINT % numShards`. */
   def hashShard(id: Column, numShards: Int): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int"),
-      lit(numShards))
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
 
   /** Concat-and-chunk packing (GPT-style): within each shard, the token
     * stream of docs in id order is cut into `capacity`-sized sequences and
@@ -63,6 +68,15 @@ object Packing {
   def packGreedy(docs: DataFrame, capacity: Int, numShards: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0 && numShards > 0)
+    // The per-shard fold keys and orders by a LONG id; a non-integral id
+    // column would cast to null and surface as an obscure encoder NPE deep
+    // in the job, so reject it at plan time instead.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(idType == LongType || idType == IntegerType ||
+        idType == ShortType || idType == ByteType,
+      s"packGreedy requires an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — map ids to long first")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"),

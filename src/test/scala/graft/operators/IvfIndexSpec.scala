@@ -61,4 +61,29 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("seeding never duplicates centroids when distinct vectors < k") {
+    // 60 rows but only 3 distinct vectors; k = 8 used to pad the seed set
+    // with copies of seed 0 (argmax over all-zero minD), creating empty
+    // clusters. Now seeding stops at the distinct count.
+    val base = Array(
+      Array.fill(Dim)(1.0), Array.fill(Dim)(-1.0),
+      Array.tabulate(Dim)(i => if (i % 2 == 0) 2.0 else -2.0))
+    val rows = (0 until 60).map { i =>
+      Row(i.toLong, base(i % 3).map(_.toFloat).toSeq, i % 3)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val centroids = IvfIndex.train(emb, k = 8, iters = 2)
+    assert(centroids.length === 3)
+    assert(centroids.map(_.toSeq).distinct.length === 3)
+    // every vector still lands in a non-empty, correct list
+    val a = IvfIndex.assignments(emb, centroids).select("cluster")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(a === Set(0, 1, 2))
+  }
 }

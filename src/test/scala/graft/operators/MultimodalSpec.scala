@@ -85,6 +85,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("jointFilter on a fully-filtered input returns empty, not a crash " +
+    "(lshPairs dim probe has no row to read)") {
+    val kept = Multimodal.jointFilter(media, minCaptionTokens = 10000,
+      dupThreshold = 0.9) // default lshPairs pair source
+      .collect()
+    assert(kept.isEmpty)
+  }
+
   test("jointFilter drops short captions and near-dup embeddings") {
     val kept = Multimodal.jointFilter(media, minCaptionTokens = 3,
       dupThreshold = 0.98)
