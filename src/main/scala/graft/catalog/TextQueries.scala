@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Packing, TextAnalysis}
 
 /** Oracle-checked catalog entries for the text-analysis / dedup operators
   * (graft.operators.TextAnalysis, graft.operators.Dedup) over `documents`.
@@ -298,6 +298,145 @@ object TextQueries {
                         AS INT) < ${(0.9 * 65536).toInt}
                     THEN 'train' ELSE 'valid' END AS split
         FROM documents
+        ORDER BY doc_id"""))
+  ) ++ packing ++ repetition
+
+  /** Deterministic md5 shard key, DuckDB side (Packing.hashShard). */
+  private def shardSql(n: Int): String =
+    s"(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $n)::INT"
+
+  private def packing: Seq[Q] = Seq(
+
+    // ----- q46: concat-and-chunk sequence packing (Packing.packChunked):
+    // per-shard token running sum cut into capacity-sized sequences. The
+    // whole decision — shard hash, id order, running sum, sequence id —
+    // is window SQL, so DuckDB checks it value-for-value.
+    Q("q46_pack_chunked",
+      (s, d) =>
+        Packing.packChunked(documents(s, d), capacity = 1000, numShards = 8)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, ${shardSql(8)} AS shard,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tokens
+          FROM documents),
+        w AS (
+          SELECT doc_id, shard,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens)::BIGINT AS tok_start
+          FROM t)
+        SELECT doc_id, shard, (tok_start // 1000)::INT AS seq_id, tok_start
+        FROM w
+        ORDER BY doc_id""")),
+
+    // ----- q47: greedy next-fit packing (Packing.packGreedy): the
+    // sequential per-shard fold, reproduced in DuckDB as a recursive CTE
+    // stepping one doc per shard per iteration — value-level verification
+    // of the one genuinely imperative operator in the engine.
+    Q("q47_pack_greedy",
+      (s, d) =>
+        Packing.packGreedy(documents(s, d), capacity = 1500, numShards = 4)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, ${shardSql(4)} AS shard,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                   AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT doc_id, shard, n_tokens,
+                 row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM t),
+        g(shard, rn, doc_id, bin, fill) AS (
+          SELECT shard, rn, doc_id, 0, n_tokens FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id,
+                 CASE WHEN g.fill + o.n_tokens <= 1500
+                      THEN g.bin ELSE g.bin + 1 END,
+                 CASE WHEN g.fill + o.n_tokens <= 1500
+                      THEN g.fill + o.n_tokens ELSE o.n_tokens END
+          FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
+        SELECT doc_id, shard, bin FROM g
+        ORDER BY doc_id""")))
+
+  private def repetition: Seq[Q] = Seq(
+
+    // ----- q48: Gopher-style repetition signals (duplicate-sentence and
+    // duplicate-n-gram fractions) — pure array algebra per doc, one
+    // narrow codegen'd pass, no shuffle.
+    Q("q48_repetition_stats",
+      (s, d) =>
+        TextAnalysis.repetitionStats(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, '.'),
+              s -> trim(s)), s -> len(s) > 0) AS sents,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+        sh AS (
+          SELECT doc_id, sents,
+            CASE WHEN len(a) < 2 THEN [array_to_string(a, ' ')]
+                 ELSE list_transform(generate_series(1, len(a)-1),
+                        i -> a[i] || ' ' || a[i+1]) END AS g2,
+            CASE WHEN len(a) < 3 THEN [array_to_string(a, ' ')]
+                 ELSE list_transform(generate_series(1, len(a)-2),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+                 END AS g3
+          FROM f)
+        SELECT doc_id,
+          CASE WHEN len(sents) = 0 THEN 0.0
+               ELSE round(1.0 - len(list_distinct(sents)) / len(sents), 4)
+               END AS dup_sent_frac,
+          CASE WHEN len(g2) = 0 THEN 0.0
+               ELSE round(1.0 - len(list_distinct(g2)) / len(g2), 4)
+               END AS dup_2gram_frac,
+          CASE WHEN len(g3) = 0 THEN 0.0
+               ELSE round(1.0 - len(list_distinct(g3)) / len(g3), 4)
+               END AS dup_3gram_frac
+        FROM sh
+        ORDER BY doc_id""")),
+
+    // ----- q49: benchmark decontamination (Dedup.decontaminate): drop
+    // every training doc sharing ANY word 3-gram with the held-out set
+    // (docs with doc_id % 41 = 0 stand in for an eval benchmark). The
+    // held-out gram set is broadcast; portable md5 grams let DuckDB
+    // reproduce the exact drop decision.
+    Q("q49_decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        val heldOut = docs.filter(col("doc_id") % 41 === 0)
+        Dedup.decontaminate(docs, heldOut, n = 3, portable = true)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${shingleCtesFrom("documents")},
+        egrams AS (
+          SELECT DISTINCT th FROM toks2 WHERE doc_id % 41 = 0),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM toks2
+          WHERE th IN (SELECT th FROM egrams))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id""")),
+
+    // ----- q49b: deterministic per-group quota sampling
+    // (TextAnalysis.stratifiedSample): keep 30 docs per language by
+    // md5(id) rank — reshuffle-proof, and planned as a WindowGroupLimit
+    // (per-group top-N before the shuffle, so a skewed group costs
+    // O(perGroup) map-side, never a full-group sort).
+    Q("q49b_stratified_sample",
+      (s, d) =>
+        TextAnalysis.stratifiedSample(documents(s, d), "lang", perGroup = 30)
+          .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 30
         ORDER BY doc_id"""))
   )
 

@@ -27,6 +27,59 @@ class DedupSpec extends AnyFunSuite {
     assert(drops === Set(11L -> 10L, 12L -> 10L, 21L -> 20L))
   }
 
+  test("decontaminate drops exactly the docs sharing a 3-gram with the " +
+    "held-out set, on both hash paths") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),      // shares "quick brown fox"
+      (2L, "entirely different words here"),  // clean
+      (3L, "slow brown fox runs away"),       // no shared 3-gram
+      (4L, "a b the quick brown fox"))        // shares via suffix
+      .toDF("doc_id", "text")
+    val heldOut = Seq((100L, "watch the quick brown fox leap"))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val kept = Dedup.decontaminate(train, heldOut, n = 3,
+          portable = portable)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 3L), s"portable=$portable")
+    }
+  }
+
+  test("repetitionStats flags duplicated sentences and n-grams") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "same thing. same thing. same thing."),
+      (2L, "one clause. two clause. red clause."),
+      (3L, "go go go go go go"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 3 identical sentences -> 2/3 duplicated
+    assert(got(1L)._1 === 0.6667)
+    // doc 2: all sentences distinct
+    assert(got(2L)._1 === 0.0)
+    // doc 3: "go go" x5 -> 4/5 dup 2-grams; "go go go" x4 -> 3/4 dup
+    assert(got(3L)._2 === 0.8 && got(3L)._3 === 0.75)
+    // ordering plumbing: same values via the catalog shape
+    assert(TextAnalysis.repetitionStats(docs).orderBy(col("doc_id"))
+      .count() === 3)
+  }
+
+  test("stratifiedSample keeps at most perGroup per group, " +
+    "deterministically") {
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"text $i", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val a = TextAnalysis.stratifiedSample(docs, "lang", perGroup = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.stratifiedSample(docs.repartition(17), "lang", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.size === 50)
+    assert(a.count(_ % 3 == 0) === 25)
+  }
+
   test("scrubPii redacts emails, phones, and long digit runs in order") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
