@@ -89,7 +89,13 @@ class ConceptAssembler(
   private var sharedInitialized = false
   private lazy val atomsShared: DataFrame = {
     sharedInitialized = true
-    atoms.persist(StorageLevel.MEMORY_AND_DISK)
+    // Only the 10 columns assembly reads — caching the full 19-column RRF
+    // row would double the cache bytes (and the row-encode cost) for
+    // columns nothing downstream touches.
+    atoms.select(col("code"), col("CUI"), col("TS"), col("STT"),
+        col("ISPREF"), col("AUI"), col("SCUI"), col("TTY"), col("CODE"),
+        col("STR"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Release the shared atom cache (no-op if assembly never ran). */
@@ -150,8 +156,11 @@ class ConceptAssembler(
       atomsShared.select(col("CUI").as("atom_id"), col("code").as("atom_code"))
         .distinct()
     else
+      // AUI is MRCONSO's primary key (one row per atom), so the (AUI, code)
+      // projection is already row-unique — a distinct here would be a
+      // full-width shuffle of every atom for nothing. (Code-ambiguity per
+      // atom id is separately policed by [[auiCardinalityViolations]].)
       atomsShared.select(col("AUI").as("atom_id"), col("code").as("atom_code"))
-        .distinct()
 
   /** J3+J4: relations attached to their source class, with AUI→code
     * endpoint resolution in codes mode (`umls2rdf.py:685-727`).
@@ -164,21 +173,45 @@ class ConceptAssembler(
     * target-resolution filters — exactly like the reference.
     */
   def relsResolved: (DataFrame, DataFrame) = {
+    val grouped = relsGroupedWithRoots
+    val out = grouped
+      .select(col("rcode"), explode(col("rels")).as("r"))
+      .select(col("rcode"), col("r.rel").as("rel"), col("r.rela").as("rela"),
+        col("r.cui1").as("cui1"), col("r.codeTarget"), col("r.codeSource"))
+    val rootFlags = grouped
+      .select(col("rcode").as("root_code"), col("is_root"))
+    (out, rootFlags)
+  }
+
+  /** The rels side of the assembly in ONE pass: per-source-code grouped
+    * relation structs plus the F17 root flag — `(rcode, rels, is_root)`.
+    *
+    * The root flag is detected over the SAME attached-rels relation the
+    * grouped structs come from, so fusing both into one `groupBy` halves
+    * the rels⋈atoms join work (round 2 computed `attached` twice — once
+    * for rootFlags, once for the resolved rels — and the differing
+    * downstream shuffle keys kept ReusedExchange from sharing them) and
+    * drops one join from [[assembled]]. Target resolution is a LEFT join
+    * + in-aggregate filter: `collect_list` skips NULL `when()` branches,
+    * so unresolved/self-map rels vanish from the struct list (reference
+    * drops them, `umls2rdf.py:715-718`) while still voting for `is_root`
+    * exactly as the reference computes it over ALL attached rels. */
+  def relsGroupedWithRoots: DataFrame = {
     val roots = cuiRoots
     val rootsCol = if (roots.isEmpty) lit(false)
       else col("CUI1").isin(roots.toSeq: _*)
     if (loadOnCuis) {
       val attached = rels
         .join(atomIdCode, col("CUI2") === col("atom_id"), "left_semi")
-      val rootFlags = attached
-        .groupBy(col("CUI2").as("root_code"))
-        .agg(max(rootsCol).as("is_root"))
-      val out = attached.select(
-        col("CUI2").as("rcode"),
-        col("REL").as("rel"), col("RELA").as("rela"),
-        col("CUI1").as("cui1"),
-        col("CUI1").as("codeTarget"), col("CUI2").as("codeSource"))
-      (out, rootFlags)
+      attached
+        .groupBy(col("CUI2").as("rcode"))
+        .agg(
+          collect_list(struct(
+            col("REL").as("rel"), col("RELA").as("rela"),
+            col("CUI1").as("cui1"),
+            col("CUI1").as("codeTarget"), col("CUI2").as("codeSource")))
+            .as("rels"),
+          max(rootsCol).as("is_root"))
     } else {
       val attached = rels.join(
         atomIdCode.select(col("atom_id").as("src_aui"),
@@ -188,20 +221,20 @@ class ConceptAssembler(
         if (sab == "ICD10CM")
           col("CUI1") === "C3264380" && col("REL") === "CHD"
         else lit(false)
-      val rootFlags = attached
-        .groupBy(col("codeSource").as("root_code"))
-        .agg(max((rootsCol && col("REL") === "CHD") || icdPatch)
-          .as("is_root"))
       val resolved = attached.join(
         atomIdCode.select(col("atom_id").as("tgt_aui"),
           col("atom_code").as("codeTarget")),
-        col("AUI1") === col("tgt_aui"))
-        .filter(col("codeTarget") =!= col("codeSource"))
-        .select(col("codeSource").as("rcode"),
-          col("REL").as("rel"), col("RELA").as("rela"),
-          col("CUI1").as("cui1"),
-          col("codeTarget"), col("codeSource"))
-      (resolved, rootFlags)
+        col("AUI1") === col("tgt_aui"), "left")
+      resolved
+        .groupBy(col("codeSource").as("rcode"))
+        .agg(
+          collect_list(when(
+            col("codeTarget").isNotNull &&
+              col("codeTarget") =!= col("codeSource"),
+            struct(col("REL").as("rel"), col("RELA").as("rela"),
+              col("CUI1").as("cui1"),
+              col("codeTarget"), col("codeSource")))).as("rels"),
+          max((rootsCol && col("REL") === "CHD") || icdPatch).as("is_root"))
     }
   }
 
@@ -282,10 +315,7 @@ class ConceptAssembler(
       if (badAuis > 0) throw new IllegalStateException(
         s"$badAuis atom ids resolve to more than one code in SAB $sab")
     }
-    val (relsDf, rootFlags) = relsResolved
-    val relsGrouped = relsDf.groupBy(col("rcode"))
-      .agg(collect_list(struct(col("rel"), col("rela"), col("cui1"),
-        col("codeTarget"), col("codeSource"))).as("rels"))
+    val relsGrouped = relsGroupedWithRoots
     val atomsGrouped = atomsShared.groupBy(col("code"))
       .agg(collect_list(struct(
         col("CUI").as("cui"), col("TS").as("ts"), col("STT").as("stt"),
@@ -301,7 +331,6 @@ class ConceptAssembler(
 
     val joined = atomsGrouped
       .join(relsGrouped, col("code") === col("rcode"), "left")
-      .join(rootFlags, col("code") === col("root_code"), "left")
       .join(defsByCode, col("code") === col("dcode"), "left")
       .join(attsByCode, col("code") === col("acode"), "left")
       .join(tuisByCode, col("code") === col("tcode"), "left")
