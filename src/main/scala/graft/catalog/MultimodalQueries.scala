@@ -154,5 +154,17 @@ object MultimodalQueries {
           .select(col("media_id"), col("kind"), col("n_bytes"),
             round(col("mean_luma"), 4).as("mean_luma"), col("phash"))
           .orderBy("media_id"),
+      None),
+
+    // ----- q55: perceptual near-dup pairs — decode-once phash, then the
+    // generic 16-bit-chunk pigeonhole blocking (Dedup.hammingNearDupPairs)
+    // over 8-byte signatures. Rows-only (phash comes from the
+    // engine-internal decode stub); the planted byte-dup pairs (0,1) and
+    // (2,3) are asserted present by MultimodalSpec.
+    Q("q55_phash_neardup",
+      (s, _) =>
+        Multimodal.phashNearDupPairs(
+          s.read.parquet(s"$FixtureDir/media.parquet"), maxDist = 2)
+          .orderBy("id_a", "id_b"),
       None))
 }

@@ -437,6 +437,128 @@ object TextQueries {
                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
           FROM documents)
         WHERE rk <= 30
+        ORDER BY doc_id""")),
+
+    // ----- q53: incremental ingestion dedup — a synthetic incoming batch
+    // (every 3rd doc re-enters above max(doc_id): even ids byte-identical,
+    // odd ids with a perturbed tail; every 15th enters TWICE for in-batch
+    // dups) is deduped against the CORPUS'S at-rest (fp, band, key) index
+    // without re-reading corpus text. Portable md5 end to end, so DuckDB
+    // replays the exact four-stage drop decision.
+    Q("q53_dedup_incremental",
+      (s, d) => {
+        val corpus = documents(s, d)
+        val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+        val off = math.pow(10, maxId.toString.length.toDouble).toLong
+        def entering(mod: Int, offset: Long) =
+          corpus.filter(col("doc_id") % mod === 0)
+            .select((col("doc_id") + offset).as("doc_id"),
+              when(col("doc_id") % 2 === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" zq"),
+                  col("doc_id") % 10)).as("text"))
+        // Genuinely novel docs (synthetic unique tokens) must SURVIVE —
+        // without them the expected answer is empty and the oracle
+        // comparison would be vacuous.
+        val novel = corpus.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 3 * off).as("doc_id"),
+            concat_ws(" ",
+              concat(lit("nva"), col("doc_id")),
+              concat(lit("nvb"), col("doc_id")),
+              concat(lit("nvc"), col("doc_id")),
+              concat(lit("nvd"), col("doc_id"))).as("text"))
+        val batch = entering(3, off).unionByName(entering(15, 2 * off))
+          .unionByName(novel)
+        val index = Dedup.dedupIndex(corpus, portable = true)
+        Dedup.dedupIncremental(batch, index, portable = true)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        off AS (
+          SELECT power(10, len(max(doc_id)::VARCHAR))::BIGINT AS o
+          FROM base),
+        perturbed AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN text
+                      ELSE text || ' zq' || (doc_id % 10)::VARCHAR
+                 END AS new_text
+          FROM base),
+        batch AS (
+          SELECT doc_id + (SELECT o FROM off) AS doc_id, new_text AS text
+          FROM perturbed WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2 * (SELECT o FROM off), new_text
+          FROM perturbed WHERE doc_id % 15 = 0
+          UNION ALL
+          SELECT doc_id + 3 * (SELECT o FROM off),
+                 'nva' || doc_id || ' nvb' || doc_id ||
+                 ' nvc' || doc_id || ' nvd' || doc_id
+          FROM base WHERE doc_id % 7 = 3),
+        allrows AS (
+          SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id, text FROM batch),
+        ${minhashCtesFrom("allrows")},
+        fps AS (
+          SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+          FROM allrows),
+        ixfp AS (
+          SELECT DISTINCT fp FROM fps
+          WHERE doc_id < (SELECT o FROM off)),
+        bfp AS (
+          SELECT doc_id, fp FROM fps
+          WHERE doc_id >= (SELECT o FROM off)),
+        keep1 AS (SELECT min(doc_id) AS doc_id FROM bfp GROUP BY fp),
+        s1 AS (
+          SELECT k.doc_id FROM keep1 k JOIN bfp f ON f.doc_id = k.doc_id
+          WHERE f.fp NOT IN (SELECT fp FROM ixfp)),
+        ib AS (
+          SELECT DISTINCT band, key FROM bands
+          WHERE doc_id < (SELECT o FROM off)),
+        bb AS (
+          SELECT b.doc_id, b.band, b.key
+          FROM bands b JOIN s1 ON s1.doc_id = b.doc_id),
+        nearc AS (
+          SELECT DISTINCT bb.doc_id
+          FROM bb JOIN ib ON bb.band = ib.band AND bb.key = ib.key),
+        s2 AS (
+          SELECT doc_id FROM s1
+          WHERE doc_id NOT IN (SELECT doc_id FROM nearc)),
+        bb2 AS (
+          SELECT bb.doc_id, bb.band, bb.key
+          FROM bb JOIN s2 ON s2.doc_id = bb.doc_id),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bb2 a JOIN bb2 b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS comp FROM r GROUP BY id)
+          WHERE id <> comp)
+        SELECT doc_id FROM s2
+        WHERE doc_id NOT IN (SELECT id FROM drops)
+        ORDER BY doc_id""")),
+
+    // ----- q54: deterministic weighted corpus mixing — per-language keep
+    // fractions decided by a salted md5 of the id (reshuffle-proof; the
+    // "mix|" salt keeps mixing independent of q39's split decision).
+    Q("q54_corpus_mix",
+      (s, d) =>
+        TextAnalysis.sampleByWeights(documents(s, d), "lang",
+          Map("en" -> 0.5, "zh" -> 0.25))
+          .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 4))::INT
+              < CASE lang WHEN 'en' THEN ${(0.5 * 65536).toInt}
+                          WHEN 'zh' THEN ${(0.25 * 65536).toInt}
+                          ELSE 65536 END
         ORDER BY doc_id"""))
   )
 

@@ -217,23 +217,35 @@ object Dedup {
     * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
     * one of 4 chunks) — avoids the all-pairs join at scale. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = simhash64(docs, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hammingNearDupPairs(simhash64(docs, textCol, idCol), maxDist,
+      "simhash", idCol)
+
+  /** Near-dup pairs of ANY 64-bit signature column (SimHash, perceptual
+    * hash, feature sketch) within Hamming distance `maxDist`, blocked on
+    * 16-bit chunks — pigeonhole: a pair differing in ≤ 3 bits agrees on
+    * at least one of the 4 chunks, so blocking recall is exactly 1 for
+    * `maxDist` ≤ 3 while the pair join stays per-bucket (sum of bucket²),
+    * never all-pairs. */
+  def hammingNearDupPairs(sigs: DataFrame, maxDist: Int = 3,
+      sigCol: String = "simhash", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-chunk pigeonhole blocking guarantees recall only for maxDist <= 3")
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("key"))
+        shiftright(col(sigCol), c * 16).bitwiseAND(0xFFFF).as("key"))
     }
-    val blocked = sh.select(col(idCol), col("simhash"),
+    val blocked = sigs.select(col(idCol), col(sigCol).as("sig"),
       explode(array(chunks: _*)).as("bk"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col("sig"),
         col("bk.chunk").as("chunk"), col("bk.key").as("key"))
     val a = blocked.select(col("chunk"), col("key"),
-      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("chunk"), col("key"),
-      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b") &&
-        hammingDist(col("sim_a"), col("sim_b")) <= maxDist)
+        hammingDist(col("sig_a"), col("sig_b")) <= maxDist)
       .select("id_a", "id_b")
       .distinct()
   }
@@ -338,6 +350,74 @@ object Dedup {
     val drops = nearDupDuplicates(pairs)
       .select(col("id").as(idCol))
     survivors.join(drops, Seq(idCol), "left_anti").select(idCol)
+  }
+
+  // --- incremental dedup against an at-rest index --------------------------
+
+  /** The at-rest dedup index of a corpus: `(id, fp, band, key)` — the
+    * exact content fingerprint plus one row per MinHash LSH band key.
+    * Written once per corpus (or appended per ingested batch), it lets
+    * every FUTURE batch dedup against the whole corpus without touching
+    * corpus text again: the index row is ~50 bytes regardless of document
+    * size. At rest, store it partitioned/bucketed by `fp` and `(band,
+    * key)` (see `sources/Bucketing`) so the per-batch probe joins are
+    * co-located instead of shuffling the index. */
+  def dedupIndex(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      portable: Boolean = false, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val fps = docs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val bk = lshBands(
+      minhashSignature(docs, numHashes, textCol, idCol, portable),
+      bands, numHashes / bands, idCol)
+    fps.join(bk, Seq(idCol)).select(col(idCol), col("fp"),
+      col("band"), col("key"))
+  }
+
+  /** Dedup an INCOMING batch against an existing corpus [[dedupIndex]]
+    * (built with the same `numHashes`/`bands`/`portable`) and against
+    * itself, without re-reading corpus text — the ingestion-time shape of
+    * [[dedupCorpus]]:
+    *   1. in-batch exact dedup (keep min id per fingerprint);
+    *   2. drop batch docs whose fingerprint exists in the index;
+    *   3. drop batch docs sharing any LSH band key with the index
+    *      (near-dup of some corpus doc);
+    *   4. in-batch near-dup: candidate pairs among the remaining docs →
+    *      connected components → min-id keeper.
+    * Returns the surviving batch ids. Batch band keys are computed once
+    * and reused by steps 3-4. Scale shape: steps 2-3 are key-equi joins a
+    * bucketed at-rest index serves without shuffling itself; everything
+    * batch-sided is proportional to the BATCH, not the corpus. */
+  def dedupIncremental(batch: DataFrame, index: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val fps = batch.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exactKeep = fps.groupBy("fp").agg(min(idCol).as(idCol))
+      .select(idCol)
+    val dupOfCorpus = fps
+      .join(index.select("fp"), Seq("fp"), "left_semi")
+      .select(idCol)
+    val survivors1 = batch
+      .join(exactKeep, Seq(idCol), "left_semi")
+      .join(dupOfCorpus, Seq(idCol), "left_anti")
+    val bk = lshBands(
+      minhashSignature(survivors1, numHashes, textCol, idCol, portable),
+      bands, numHashes / bands, idCol)
+    val nearCorpus = bk
+      .join(index.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select(idCol).distinct()
+    val survivors2 = survivors1.join(nearCorpus, Seq(idCol), "left_anti")
+    val bk2 = bk.join(survivors2.select(idCol), Seq(idCol), "left_semi")
+    val a = bk2.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = bk2.select(col("band"), col("key"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val drops = nearDupDuplicates(pairs).select(col("id").as(idCol))
+    survivors2.join(drops, Seq(idCol), "left_anti").select(idCol)
   }
 
   // --- benchmark decontamination -----------------------------------------

@@ -137,6 +137,15 @@ object Multimodal {
         (m.media_id, resizeStub(m.bytes, m.width, m.height, dstW, dstH))))
   }
 
+  /** Perceptual near-duplicate media pairs: one decode pass extracts the
+    * 64-bit phash, then [[Dedup.hammingNearDupPairs]] blocks on 16-bit
+    * chunks — the pair join runs over 8-byte signatures in the metadata
+    * plane; payload bytes are read exactly once and never join. */
+  def phashNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairs(
+      decodeFeatures(media).toDF().select(col("media_id"), col("phash")),
+      maxDist, sigCol = "phash", idCol = "media_id")
+
   // --- metadata-plane operators (pure Column algebra) ----------------------
 
   /** Portable byte fingerprint: md5 over the hex expansion (DuckDB's md5

@@ -181,6 +181,31 @@ object TextAnalysis {
 
   // --- DataFrame-level operators -----------------------------------------
 
+  /** Deterministic weighted corpus mixing: keep each doc of group g with
+    * probability `weights(g)` (groups absent from the map keep
+    * `defaultWeight`). The keep decision is a pure function of the id —
+    * first 4 hex digits of a salted md5 against a 16-bit threshold, the
+    * [[hashSplit]] technique with a "mix|" salt so mixing and splitting
+    * decisions stay independent — making the sampled mix reshuffle-proof,
+    * replay-stable, and portable to external engines for verification.
+    * The standard re-weighting step for combining sources/languages into
+    * a training mix at a target token budget. */
+  def sampleByWeights(docs: DataFrame, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight))
+        .forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be fractions in [0, 1]")
+    val bucket = conv(
+      substring(md5(concat_ws("|", lit("mix"), col(idCol).cast("string"))),
+        1, 4), 16, 10).cast("int")
+    val thr = weights.foldLeft(lit((defaultWeight * 65536).toInt)) {
+      case (acc, (g, w)) =>
+        when(col(groupCol) === g, lit((w * 65536).toInt)).otherwise(acc)
+    }
+    docs.filter(bucket < thr)
+  }
+
   /** Per-group quota sampling: keep (up to) `perGroup` docs per group,
     * chosen by md5(id) order — deterministic, reshuffle-proof (the kept
     * set is a pure function of the ids, like [[hashSplit]]), and

@@ -80,6 +80,65 @@ class DedupSpec extends AnyFunSuite {
     assert(a.count(_ % 3 == 0) === 25)
   }
 
+  test("dedupIncremental: exact corpus dups, near corpus dups, in-batch " +
+    "exact and near dups all drop; novel docs survive") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (102L, "one two three four five six seven eight nine ten"), // near dup of 2
+      (103L, "completely novel content with distinct shingle words"),
+      (104L, "completely novel content with distinct shingle words"), // in-batch exact dup
+      (105L, "totally different payload nothing shared anywhere honest"))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val index = Dedup.dedupIndex(corpus, portable = portable)
+      val kept = Dedup.dedupIncremental(batch, index, portable = portable)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(103L, 105L), s"portable=$portable")
+    }
+  }
+
+  test("hammingNearDupPairs finds all pairs within the distance bound " +
+    "and rejects maxDist > 3") {
+    val sigs = Seq(
+      (1L, 0x00000000000000FFL),
+      (2L, 0x00000000000000FDL), // dist 2 from 1
+      (3L, 0x00000000000000FFL), // dist 0 from 1
+      (4L, 0x7F000000000000FFL)) // dist 7 from 1
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.hammingNearDupPairs(sigs, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(sigs, maxDist = 4)
+    }
+  }
+
+  test("sampleByWeights keeps ~weight fraction per group, " +
+    "deterministically, and rejects bad weights") {
+    val docs = (0 until 1000)
+      .map(i => (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.sampleByWeights(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+      .select("doc_id", "lang").collect()
+    val en = kept.count(_.getString(1) == "en")
+    val de = kept.count(_.getString(1) == "de")
+    assert(en > 200 && en < 300, s"en=$en expected ~250")
+    assert(de > 20 && de < 80, s"de=$de expected ~50")
+    // pure function of the id: same kept set under repartition
+    val again = TextAnalysis.sampleByWeights(docs.repartition(9), "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sampleByWeights(docs, "lang", Map("en" -> 1.5))
+    }
+  }
+
   test("scrubPii redacts emails, phones, and long digit runs in order") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(

@@ -85,6 +85,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("phashNearDupPairs surfaces the byte-identical payload pairs") {
+    val pairs = Multimodal.phashNearDupPairs(media, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids (0,1) and (2,3) share payload bytes -> identical phash
+    assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)))
+  }
+
   test("jointFilter on a fully-filtered input returns empty, not a crash " +
     "(lshPairs dim probe has no row to read)") {
     val kept = Multimodal.jointFilter(media, minCaptionTokens = 10000,
