@@ -138,6 +138,38 @@ object IvfIndex {
       (d, i)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
 
+  /** Materialize the corpus partitioned BY CLUSTER — the IVF inverted
+    * lists as an at-rest layout (the k-means analog of
+    * [[Similarity.writeBucketed]]). A probe then reads only the `nProbe`
+    * probed clusters' directories: partition pruning at the scan, no full
+    * pass, no assignment recompute at query time. */
+  def writeClustered(emb: DataFrame, path: String,
+      centroids: Array[Array[Double]], vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit =
+    emb.withColumn("cluster",
+        assignCol(col(vecCol), centroids).getField("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** IVF top-k over a [[writeClustered]] layout: the probe list is a
+    * literal IN filter on the partition column, so Catalyst prunes to the
+    * probed inverted lists before any I/O; candidates are exact-cosine
+    * re-ranked. */
+  def clusteredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Double], centroids: Array[Array[Double]], k: Int,
+      nProbe: Int, vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    val probes = probeClusters(queryVec, centroids, nProbe)
+    val qLit = typedLit(queryVec.toSeq)
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol),
+        round(Similarity.dot(col(vecCol), qLit) /
+          (Similarity.norm(col(vecCol)) * lit(qNorm)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: probe the query's `nProbe` inverted lists, exact-cosine
     * re-rank inside them. Scan cost ≈ nProbe/k of the corpus. */
   def topK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,

@@ -62,6 +62,30 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("clusteredTopK prunes to the probed inverted-list partitions and " +
+    "matches the in-memory probe") {
+    val emb = clustered(4, 25)
+    val centroids = IvfIndex.train(emb, k = 4, iters = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.writeClustered(emb, dir, centroids)
+
+    val qVec = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+
+    val df = IvfIndex.clusteredTopK(spark, dir, qVec, centroids,
+      k = 5, nProbe = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      plan.take(2000))
+
+    val atRest = df.collect().map(_.getLong(0)).toSeq
+    val inMem = IvfIndex.topK(emb, centroids, queryId = 7L, k = 5, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    // the at-rest probe sees the query vector itself; drop it to compare
+    assert(atRest.head === 7L)
+    assert(atRest.tail.toSet subsetOf (inMem.toSet + 7L))
+  }
+
   test("seeding never duplicates centroids when distinct vectors < k") {
     // 60 rows but only 3 distinct vectors; k = 8 used to pad the seed set
     // with copies of seed 0 (argmax over all-zero minD), creating empty

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Enforced plan shapes: every scale claim an operator's doc makes about
+  * its physical plan is asserted here, so a regression that silently
+  * reintroduces a global window, loses a broadcast, or un-prunes a scan
+  * fails CI instead of surviving until a 100 TB run finds it.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, s"alpha bravo charlie token$i delta echo",
+        if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("stratifiedSample plans as WindowGroupLimit (map-side top-N per " +
+    "group, not a full-group sort)") {
+    val p = plan(TextAnalysis.stratifiedSample(docs(100), "lang", 5))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
+  test("packing and sampling plans contain no UNPARTITIONED window " +
+    "(a global orderBy window collapses the corpus into one task)") {
+    for (df <- Seq(
+        Packing.packChunked(docs(100), 64, 8),
+        TextAnalysis.stratifiedSample(docs(100), "lang", 5))) {
+      val p = plan(df)
+      // every Window/Sort over a window must carry a partition key
+      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+        p.take(600))
+      assert(!"Sort \\[[^\\]]*\\], true".r.findAllIn(p).exists(_ =>
+          p.contains("SinglePartition")), p.take(600))
+    }
+  }
+
+  test("decontaminate broadcasts the held-out gram set") {
+    val held = docs(10)
+    val p = plan(Dedup.decontaminate(docs(200), held, n = 3))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("jaccardToQuery broadcasts the query token set") {
+    val p = plan(Dedup.jaccardToQuery(docs(200), queryId = 1L))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("exact dedup is a single hash aggregation over the digest " +
+    "(no join, no window)") {
+    val p = plan(Dedup.exactGroups(docs(200)))
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("sampleByWeights and hashSplit plan as pure filters/projections " +
+    "over the scan (no shuffle at all)") {
+    for (df <- Seq(
+        TextAnalysis.sampleByWeights(docs(100), "lang", Map("en" -> 0.5)),
+        docs(100).select(col("doc_id"),
+          TextAnalysis.hashSplit(col("doc_id"), 0.9).as("split")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p.take(600))
+    }
+  }
+}
