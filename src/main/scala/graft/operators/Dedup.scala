@@ -210,6 +210,29 @@ object Dedup {
     voted.select(col(idCol), concat(hex: _*).as("simhash_hex"))
   }
 
+  /** The 64-bit SimHash of ONE row, as pure array algebra — identical
+    * values to [[simhash64]] (same distinct xxhash64 shingle features,
+    * same vote-and-fold), but computed per row with no explode and no
+    * groupBy shuffle. That statelessness is the point: it drops into a
+    * Structured Streaming plan (see `EventStreams.streamingNearDupDedup`)
+    * where a streaming aggregation would need its own watermark state.
+    * Cost: 64 interpreted array folds per row — fine on the per-row
+    * ingest path; the batch [[simhash64]] keeps the codegen'd map-side
+    * aggregate, which wins when documents are long. */
+  def rowSimhash64(text: Column): Column = {
+    val features = array_distinct(
+      transform(
+        filter(TextAnalysis.shingles(text, 3), t => length(t) > 0),
+        t => xxhash64(t)))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(features, lit(0),
+        (acc, f) => acc +
+          when(shiftright(f, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

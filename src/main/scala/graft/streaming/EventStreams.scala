@@ -86,6 +86,41 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Streaming NEAR-dup dedup: the first document with a given 64-bit
+    * SimHash passes; later documents whose shingle votes collapse to the
+    * SAME signature (boilerplate re-posts, small templated edits) are
+    * dropped inside the watermark horizon. The signature is
+    * [[graft.operators.Dedup.rowSimhash64]] — pure per-row array algebra,
+    * so the only stateful operator is the signature dedup itself
+    * (bounded, watermark-reclaimed). Hamming-radius matching (dist ≤ 3)
+    * needs cross-key coordination no single streaming stage can express
+    * with bounded state — that decision belongs to the batch/ingest path
+    * ([[graft.operators.Dedup.dedupIncremental]]); this operator is the
+    * streaming point on the dedup spectrum between exact bytes
+    * ([[streamingExactDedup]]) and batch hamming. */
+  def streamingNearDupDedup(docs: DataFrame, watermarkDelay: String,
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.operators.Dedup.rowSimhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("simhash")
+      .drop("simhash")
+
+  /** Streaming ingestion dedup against a STATIC at-rest corpus index
+    * ([[graft.operators.Dedup.dedupIndex]] output, read from the lake):
+    * documents whose content fingerprint already exists in the corpus are
+    * dropped. A stream-static LEFT ANTI join — stateless on the stream
+    * side (the corpus index IS the state, at rest), so it composes with
+    * [[streamingNearDupDedup]]/[[streamingExactDedup]] downstream. */
+  def streamingIndexDedup(docs: DataFrame, index: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp",
+        graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
+      .drop("fp")
+
   /** Per-key state transition: fold this batch's events (event-time order)
     * into the open session; emit sessions closed by a gap; park the open
     * session in state with a timeout at `last + gap`. */

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -86,6 +87,62 @@ class EventStreamsSpec extends AnyFunSuite {
       val ids = spark.table("dedup_out")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streamingNearDupDedup drops same-signature content; " +
+    "rowSimhash64 is value-identical to the batch simhash64") {
+    // value equivalence first (the streaming signature must equal the
+    // batch one, or stream-then-batch pipelines would disagree)
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"alpha bravo token$i charlie delta echo fox golf"))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.Dedup.simhash64(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val row = docs.select(col("doc_id"),
+        graft.operators.Dedup.rowSimhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(row === batch)
+
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = EventStreams.streamingNearDupDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, new Timestamp(1000 * 1000), "alpha beta gamma delta"),
+        (2L, new Timestamp(1010 * 1000), "entirely different words here"))
+      q.processAllAvailable()
+      // identical shingle votes (same text) inside the horizon -> dropped
+      input.addData((3L, new Timestamp(1020 * 1000), "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streamingIndexDedup drops stream docs whose fingerprint is in " +
+    "the static corpus index") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "known corpus content here"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.dedupIndex(corpus, portable = true)
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = EventStreams.streamingIndexDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), index)
+      .writeStream.format("memory").queryName("ixdedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, new Timestamp(1000 * 1000), "alpha beta gamma delta"), // in corpus
+        (2L, new Timestamp(1010 * 1000), "fresh novel document text"))
+      q.processAllAvailable()
+      val ids = spark.table("ixdedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(2L))
     } finally q.stop()
   }
 
