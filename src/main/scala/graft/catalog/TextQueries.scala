@@ -545,6 +545,35 @@ object TextQueries {
         WHERE doc_id NOT IN (SELECT id FROM drops)
         ORDER BY doc_id""")),
 
+    // ----- q53b: the production incremental-dedup configuration —
+    // identical composition to q53 with xxhash64 signatures (8-byte band
+    // keys, no md5). Rows-only (no DuckDB xxhash64); the composition is
+    // value-verified by q53.
+    Q("q53b_dedup_incremental_fast",
+      (s, d) => {
+        val corpus = documents(s, d)
+        val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+        val off = math.pow(10, maxId.toString.length.toDouble).toLong
+        def entering(mod: Int, offset: Long) =
+          corpus.filter(col("doc_id") % mod === 0)
+            .select((col("doc_id") + offset).as("doc_id"),
+              when(col("doc_id") % 2 === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" zq"),
+                  col("doc_id") % 10)).as("text"))
+        val novel = corpus.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 3 * off).as("doc_id"),
+            concat_ws(" ",
+              concat(lit("nva"), col("doc_id")),
+              concat(lit("nvb"), col("doc_id")),
+              concat(lit("nvc"), col("doc_id")),
+              concat(lit("nvd"), col("doc_id"))).as("text"))
+        val batch = entering(3, off).unionByName(entering(15, 2 * off))
+          .unionByName(novel)
+        val index = Dedup.dedupIndex(corpus)
+        Dedup.dedupIncremental(batch, index).orderBy("doc_id")
+      },
+      None),
+
     // ----- q54: deterministic weighted corpus mixing — per-language keep
     // fractions decided by a salted md5 of the id (reshuffle-proof; the
     // "mix|" salt keeps mixing independent of q39's split decision).
