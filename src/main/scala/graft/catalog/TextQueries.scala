@@ -468,7 +468,11 @@ object TextQueries {
               concat(lit("nvd"), col("doc_id"))).as("text"))
         val batch = entering(3, off).unionByName(entering(15, 2 * off))
           .unionByName(novel)
+        // In production the index is parquet AT REST (written once by
+        // dedupIndex); persisting the derived frame models that — without
+        // it the corpus minhash chain re-runs once per index consumer.
         val index = Dedup.dedupIndex(corpus, portable = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Dedup.dedupIncremental(batch, index, portable = true)
           .orderBy("doc_id")
       },
@@ -570,6 +574,7 @@ object TextQueries {
         val batch = entering(3, off).unionByName(entering(15, 2 * off))
           .unionByName(novel)
         val index = Dedup.dedupIndex(corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Dedup.dedupIncremental(batch, index).orderBy("doc_id")
       },
       None),

@@ -426,9 +426,14 @@ object Dedup {
     val survivors1 = batch
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(dupOfCorpus, Seq(idCol), "left_anti")
+    // The batch band keys feed three separate consumers across separate
+    // ACTIONS (corpus-key probe, survivor filter, in-batch pair join →
+    // component rounds), so without a persist the batch shingle/minhash
+    // chain re-runs per consumer. Batch-sized, not corpus-sized.
     val bk = lshBands(
       minhashSignature(survivors1, numHashes, textCol, idCol, portable),
       bands, numHashes / bands, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearCorpus = bk
       .join(index.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(idCol).distinct()
