@@ -593,7 +593,30 @@ object TextQueries {
               < CASE lang WHEN 'en' THEN ${(0.5 * 65536).toInt}
                           WHEN 'zh' THEN ${(0.25 * 65536).toInt}
                           ELSE 65536 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- q56: strided document chunking — overlapping 64-token context
+    // windows every 48 tokens, one narrow posexplode pass (no shuffle).
+    // DuckDB reproduces the slicing exactly (1-based inclusive-clamped
+    // list slices on both engines).
+    Q("q56_chunk_docs",
+      (s, d) =>
+        TextAnalysis.chunkDocs(documents(s, d), maxTokens = 64, stride = 48)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+        c AS (
+          SELECT doc_id, u.st,
+                 array_to_string(a[u.st+1 : u.st+64], ' ') AS chunk,
+                 least(64, len(a) - u.st)::INT AS n_tokens
+          FROM t, unnest(generate_series(0, len(a)-1, 48)) AS u(st))
+        SELECT doc_id, (st // 48)::INT AS chunk_id, st::INT AS chunk_start,
+               chunk, n_tokens
+        FROM c
+        ORDER BY doc_id, chunk_id"""))
   )
 
   /** Shared CTE chain reproducing the md5 MinHash+LSH pipeline over

@@ -181,6 +181,31 @@ object TextAnalysis {
 
   // --- DataFrame-level operators -----------------------------------------
 
+  /** Split documents into `maxTokens`-token chunks starting every
+    * `stride` tokens (overlapping context windows when stride <
+    * maxTokens) — the standard long-document preprocessing step before
+    * packing/tokenization. One narrow codegen'd pass, no shuffle: the
+    * token array is bound ONCE as a lambda variable (HOF no-CSE — see
+    * [[shingles]]), chunk starts are a per-row `sequence`, and
+    * `posexplode` emits one row per chunk. */
+  def chunkDocs(docs: DataFrame, maxTokens: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "need 0 < stride <= maxTokens")
+    val chunksCol = element_at(
+      transform(array(tokens(col(textCol))), t =>
+        transform(sequence(lit(0), size(t) - 1, lit(stride)), st =>
+          struct(st.as("chunk_start"),
+            array_join(slice(t, st + 1, lit(maxTokens)), " ").as("chunk"),
+            least(lit(maxTokens), size(t) - st).as("n_tokens")))),
+      1)
+    docs.select(col(idCol), posexplode(chunksCol).as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"),
+        col("c.chunk_start").as("chunk_start"),
+        col("c.chunk").as("chunk"),
+        col("c.n_tokens").as("n_tokens"))
+  }
+
   /** Deterministic weighted corpus mixing: keep each doc of group g with
     * probability `weights(g)` (groups absent from the map keep
     * `defaultWeight`). The keep decision is a pure function of the id —

@@ -139,6 +139,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: strided overlapping chunks reconstruct the token " +
+    "stream; tail chunk is short; single chunk for short docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "just three tokens"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, maxTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getInt(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 -> 4 chunks; last has 1 token
+    assert(d1.map(_._3).toSeq === Seq(0, 3, 6, 9))
+    assert(d1.head._4 === "w1 w2 w3 w4")
+    assert(d1.last._4 === "w10" && d1.last._5 === 1)
+    assert(d1.forall(c => c._4.split(" ").length == c._5))
+    // stride-prefix concatenation reconstructs the original stream
+    val rebuilt = d1.init.flatMap(_._4.split(" ").take(3)) ++
+      d1.last._4.split(" ")
+    assert(rebuilt.toSeq === (1 to 10).map(i => s"w$i"))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._4 === "just three tokens" &&
+      d2.head._5 === 3)
+  }
+
   test("scrubPii redacts emails, phones, and long digit runs in order") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
