@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen/parquet-reader paths so the first timed query

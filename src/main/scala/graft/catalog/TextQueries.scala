@@ -470,15 +470,34 @@ object TextQueries {
               concat(lit("nvb"), col("doc_id")),
               concat(lit("nvc"), col("doc_id")),
               concat(lit("nvd"), col("doc_id"))).as("text"))
+        // Twins of every 3rd novel doc (same tokens + one extra): in-batch
+        // NEAR-dups that are nobody's exact dup and unlike anything in the
+        // corpus — the only docs that can reach the stage-4 component
+        // decision. Which twins share an LSH band is a deterministic
+        // function of the portable md5 hashes, so the oracle reproduces
+        // the exact drop set.
+        val novelTwin = corpus
+          .filter(col("doc_id") % 7 === 3 && col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 4 * off).as("doc_id"),
+            concat_ws(" ",
+              concat(lit("nva"), col("doc_id")),
+              concat(lit("nvb"), col("doc_id")),
+              concat(lit("nvc"), col("doc_id")),
+              concat(lit("nvd"), col("doc_id")),
+              lit("zx")).as("text"))
         val batch = entering(3, off).unionByName(entering(15, 2 * off))
-          .unionByName(novel)
+          .unionByName(novel).unionByName(novelTwin)
         // In production the index is parquet AT REST (written once by
         // dedupIndex); persisting the derived frame models that — without
         // it the corpus minhash chain re-runs once per index consumer.
+        // dedupIncremental materializes its result eagerly, so the index
+        // cache is released before returning.
         val index = Dedup.dedupIndex(corpus, portable = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Dedup.dedupIncremental(batch, index, portable = true)
+        val kept = Dedup.dedupIncremental(batch, index, portable = true)
           .orderBy("doc_id")
+        index.unpersist()
+        kept
       },
       Some(s"""
         WITH RECURSIVE base AS (
@@ -502,7 +521,12 @@ object TextQueries {
           SELECT doc_id + 3 * (SELECT o FROM off),
                  'nva' || doc_id || ' nvb' || doc_id ||
                  ' nvc' || doc_id || ' nvd' || doc_id
-          FROM base WHERE doc_id % 7 = 3),
+          FROM base WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 4 * (SELECT o FROM off),
+                 'nva' || doc_id || ' nvb' || doc_id ||
+                 ' nvc' || doc_id || ' nvd' || doc_id || ' zx'
+          FROM base WHERE doc_id % 7 = 3 AND doc_id % 3 = 0),
         allrows AS (
           SELECT doc_id, text FROM base
           UNION ALL SELECT doc_id, text FROM batch),
@@ -576,11 +600,22 @@ object TextQueries {
               concat(lit("nvb"), col("doc_id")),
               concat(lit("nvc"), col("doc_id")),
               concat(lit("nvd"), col("doc_id"))).as("text"))
+        val novelTwin = corpus
+          .filter(col("doc_id") % 7 === 3 && col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 4 * off).as("doc_id"),
+            concat_ws(" ",
+              concat(lit("nva"), col("doc_id")),
+              concat(lit("nvb"), col("doc_id")),
+              concat(lit("nvc"), col("doc_id")),
+              concat(lit("nvd"), col("doc_id")),
+              lit("zx")).as("text"))
         val batch = entering(3, off).unionByName(entering(15, 2 * off))
-          .unionByName(novel)
+          .unionByName(novel).unionByName(novelTwin)
         val index = Dedup.dedupIndex(corpus)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Dedup.dedupIncremental(batch, index).orderBy("doc_id")
+        val kept = Dedup.dedupIncremental(batch, index).orderBy("doc_id")
+        index.unpersist()
+        kept
       },
       None),
 

@@ -293,17 +293,32 @@ object Dedup {
     *   definition and need no row.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // The both-directions union references `pairs` twice, but the two
-    // branches are identical subplans — Spark's ReusedExchange computes
-    // the candidate generation once (persisting `pairs` here measured
-    // SLOWER: it trades the free exchange reuse for a cache-write pass).
+    // localCheckpoint (not persist): an iterative algorithm must CUT its
+    // lineage, not just cache it. A persisted edge set still carries the
+    // whole candidate-generation plan inside its InMemoryRelation, and
+    // every loop action re-analyzes it, re-runs cache-lookup canonical
+    // comparisons over it, and stringifies it for the SQL-listener event —
+    // measured at seconds per action on a 60-row edge set (and the
+    // per-round plan DOUBLING — `next` references `labels` twice — made
+    // plan trees exponential in the round count, to the point of OOMing
+    // explainString). Checkpointed frames are LogicalRDDs: per-round cost
+    // becomes the rows, not the plan. Edge rows are LSH-bounded, label
+    // rows node-count-sized — both tiny next to the corpus.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
+    // An empty graph (common for an already-clean batch) skips the
+    // propagation loop entirely.
+    if (edges.isEmpty) {
+      // limit(0) collapses to an empty LocalRelation (OptimizeLimitZero),
+      // so consumers never re-plan the candidate-generation chain.
+      return pairs.limit(0)
+        .select(col("id_a").as("id"), col("id_a").as("component"))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -315,16 +330,14 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"),
         Seq("id"))
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     // A silent non-converged result would mislabel components; near-dup
     // graphs are shallow (dup clusters, not chains), so hitting the bound
     // means the input isn't the expected shape — fail loudly.
@@ -361,18 +374,27 @@ object Dedup {
     // engines (the raw doubles are equal, but belt and suspenders).
     val pass = docs.filter(
       round(TextAnalysis.qualityScore(col(textCol)), 3) >= minQuality)
-    // Exact dedup: keep the min id of each fingerprint group.
-    val exactKeepers = pass
+    // Exact dedup: keep the min id of each fingerprint group. The keeper
+    // ids anchor the LSH chain, the component loop's edge materialization
+    // AND the final anti-join — three separate actions that would each
+    // replay the quality-regex + fingerprint shuffle uncached, and even
+    // cached the plan would be re-analyzed/stringified per action (see
+    // nearDupComponents). localCheckpoint: ids only, a few bytes per
+    // surviving doc, lineage cut to a LogicalRDD.
+    val survivorIds = pass
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(idCol).as(idCol))
       .select(idCol)
-    val survivors = pass.join(exactKeepers, Seq(idCol))
+      .localCheckpoint()
+    val survivors = docs.join(survivorIds, Seq(idCol), "left_semi")
     // Near-dup decision over the exact-dedup survivors.
     val pairs = lshCandidatePairs(survivors, numHashes, bands,
       textCol, idCol, portable)
     val drops = nearDupDuplicates(pairs)
       .select(col("id").as(idCol))
-    survivors.join(drops, Seq(idCol), "left_anti").select(idCol)
+    // The returned frame is materialized and lineage-cut: callers can
+    // re-consume it freely without replaying the pipeline.
+    survivorIds.join(drops, Seq(idCol), "left_anti").localCheckpoint()
   }
 
   // --- incremental dedup against an at-rest index --------------------------
@@ -428,24 +450,33 @@ object Dedup {
       .join(dupOfCorpus, Seq(idCol), "left_anti")
     // The batch band keys feed three separate consumers across separate
     // ACTIONS (corpus-key probe, survivor filter, in-batch pair join →
-    // component rounds), so without a persist the batch shingle/minhash
-    // chain re-runs per consumer. Batch-sized, not corpus-sized.
+    // component rounds): localCheckpoint computes the batch
+    // shingle/minhash chain ONCE and cuts the lineage, so downstream
+    // actions neither recompute nor re-plan it (see nearDupComponents for
+    // why caching alone is not enough). Batch-sized, not corpus-sized.
     val bk = lshBands(
       minhashSignature(survivors1, numHashes, textCol, idCol, portable),
       bands, numHashes / bands, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nearCorpus = bk
       .join(index.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(idCol).distinct()
-    val survivors2 = survivors1.join(nearCorpus, Seq(idCol), "left_anti")
-    val bk2 = bk.join(survivors2.select(idCol), Seq(idCol), "left_semi")
+    // The surviving-id set anchors the pair join, the component loop's
+    // edge materialization, AND the final anti-join — checkpoint it too
+    // (ids only, a few bytes per surviving batch row).
+    val s2ids = survivors1.select(idCol)
+      .join(nearCorpus, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val bk2 = bk.join(s2ids, Seq(idCol), "left_semi")
     val a = bk2.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = bk2.select(col("band"), col("key"), col(idCol).as("id_b"))
     val pairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val drops = nearDupDuplicates(pairs).select(col("id").as(idCol))
-    survivors2.join(drops, Seq(idCol), "left_anti").select(idCol)
+    // The returned frame is materialized and lineage-cut: callers can
+    // re-consume it freely without replaying the composition.
+    s2ids.join(drops, Seq(idCol), "left_anti").localCheckpoint()
   }
 
   // --- benchmark decontamination -----------------------------------------

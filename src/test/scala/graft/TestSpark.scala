@@ -12,6 +12,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1048576")
     .getOrCreate()
 
   /** Build a fixture UMLS table: missing columns become "" (the RRF/MySQL
