@@ -656,8 +656,202 @@ object TextQueries {
         SELECT doc_id, (st // 48)::INT AS chunk_id, st::INT AS chunk_start,
                chunk, n_tokens
         FROM c
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // ----- BM25 relevance search (TextSearch.bm25): Robertson/Lucene
+    // formula, corpus constants as broadcast 1-row aggregates, postings
+    // restricted to query terms by an isin pushdown. Ordered by rounded
+    // score so the top-k cut is engine-stable.
+    Q("q57_bm25_search",
+      (s, d) => {
+        import graft.operators.TextSearch
+        TextSearch.bm25(documents(s, d), bm25Query)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, u.token, count(*) AS tf
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0
+          GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        qtf AS (SELECT * FROM tf WHERE token IN ($bm25QueryInList)),
+        dfs AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1)
+        SELECT q.doc_id,
+               round(sum(
+                 ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (q.tf * 2.2) /
+                 (q.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))), 4) AS score
+        FROM qtf q
+        JOIN dfs f USING (token)
+        JOIN dl d USING (doc_id), corpus c
+        GROUP BY q.doc_id
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ----- corpus vocabulary, tokenizer-training view (TextSearch
+    // .topVocab): doc frequency + total count, top 100 by count.
+    Q("q58_vocab",
+      (s, d) => {
+        import graft.operators.TextSearch
+        TextSearch.topVocab(documents(s, d), 100)
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, u.token, count(*) AS tf
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0
+          GROUP BY 1, 2)
+        SELECT token, count(*) AS doc_freq, sum(tf) AS total_count
+        FROM tf
+        GROUP BY token
+        ORDER BY total_count DESC, token LIMIT 100""")),
+
+    // ----- cross-doc duplicated-span statistics (TextAnalysis
+    // .dupSpanStats): fraction of each doc's 5-gram positions whose gram
+    // appears in >= 2 docs — the exact-substring-dedup signal. Portable
+    // path (raw gram strings) so DuckDB reproduces values; the scale path
+    // hashes grams to 8-byte keys first.
+    Q("q59_dup_spans",
+      (s, d) =>
+        TextAnalysis.dupSpanStats(documents(s, d), n = 5, portable = true)
+          .orderBy("doc_id"),
+      Some("""
+        WITH arr AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(a) < 5 THEN [array_to_string(a, ' ')]
+                      ELSE list_transform(generate_series(1, len(a)-4),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] ||
+                             ' ' || a[i+3] || ' ' || a[i+4])
+                 END AS gs
+          FROM arr),
+        pos AS (
+          SELECT doc_id, unnest(gs) AS gram FROM g),
+        pos2 AS (SELECT * FROM pos WHERE length(gram) > 0),
+        df AS (
+          SELECT gram, count(DISTINCT doc_id) AS df FROM pos2 GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_spans FROM pos2 GROUP BY 1),
+        dup AS (
+          SELECT p.doc_id, count(*) AS dup_spans
+          FROM pos2 p JOIN df USING (gram)
+          WHERE df.df >= 2
+          GROUP BY 1)
+        SELECT t.doc_id, t.n_spans,
+               coalesce(d.dup_spans, 0) AS dup_spans,
+               round(coalesce(d.dup_spans, 0) / t.n_spans, 4)
+                 AS dup_span_frac
+        FROM tot t LEFT JOIN dup d USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ----- C4-style cross-document boilerplate line removal (TextAnalysis
+    // .removeBoilerplateLines) over a synthesized multi-line corpus (the
+    // harness documents are single-line): every doc gets a global header,
+    // a per-(id%5) banner, and unique content; lines recurring in >= 2
+    // docs must vanish while unique lines keep their order.
+    Q("q60_boilerplate_lines",
+      (s, d) => {
+        val synth = documents(s, d).select(col("doc_id"),
+          concat_ws("\n",
+            lit("shared header alpha"),
+            concat_ws(" ", lit("group"), (col("doc_id") % 5), lit("banner")),
+            concat(lit("u"), col("doc_id").cast("string"), lit(" "),
+              substring(col("text"), 1, 40)),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("x"), col("doc_id").cast("string")))
+              .otherwise(lit(null).cast("string"))).as("text"))
+        TextAnalysis.removeBoilerplateLines(synth, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 'shared header alpha' || chr(10) ||
+                 'group ' || (doc_id % 5) || ' banner' || chr(10) ||
+                 'u' || doc_id || ' ' || substr(text, 1, 40) ||
+                 CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'x' || doc_id
+                      ELSE '' END AS text
+          FROM documents),
+        split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+        l AS (
+          SELECT doc_id, i.i AS pos, ls[i.i] AS line
+          FROM split, unnest(generate_series(1, len(ls))) AS i(i)
+          WHERE length(trim(ls[i.i])) > 0),
+        boiler AS (
+          SELECT trim(line) AS key
+          FROM (SELECT DISTINCT doc_id, trim(line) AS line FROM l)
+          GROUP BY 1 HAVING count(*) >= 2),
+        kept AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+          FROM l
+          WHERE trim(line) NOT IN (SELECT key FROM boiler)
+          GROUP BY doc_id)
+        SELECT s.doc_id, coalesce(k.clean, '') AS text
+        FROM synth s LEFT JOIN kept k USING (doc_id)
+        ORDER BY s.doc_id""")),
+
+    // ----- exact-Jaccard VERIFICATION of the LSH candidate pairs
+    // (Dedup.pairJaccard): the precision gate between candidate
+    // generation and the merge decision. Every q35 candidate pair gets
+    // its true shingle Jaccard, value-checked by DuckDB.
+    Q("q61_verified_pairs",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cand = Dedup.lshCandidatePairs(docs, numHashes = 16, bands = 4,
+          portable = true)
+        Dedup.pairJaccard(cand, docs, portable = true)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+        inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p
+          JOIN toks2 ta ON ta.doc_id = p.id_a
+          JOIN toks2 tb ON tb.doc_id = p.id_b AND tb.th = ta.th
+          GROUP BY 1, 2)
+        SELECT p.id_a, p.id_b,
+               round(coalesce(i.inter, 0) /
+                 (sa.sz + sb.sz - coalesce(i.inter, 0)), 4) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        ORDER BY 1, 2""")),
+
+    // ----- the verified near-dup pair source on the SCALE path
+    // (Dedup.verifiedNearDupPairs, xxhash64 shingle features): rows-only —
+    // the verification algebra is value-checked by q61, the hash choice by
+    // q35/q35b agreement.
+    Q("q61b_verified_pairs_fast",
+      (s, d) =>
+        Dedup.verifiedNearDupPairs(documents(s, d), threshold = 0.5,
+          portable = false)
+          .orderBy("id_a", "id_b"),
+      None)
   )
+
+  /** Query string for q57 — terms chosen to span high/low doc frequency. */
+  private val bm25Query = "spark join window vector"
+  private val bm25QueryInList =
+    bm25Query.split(" ").map(t => s"'$t'").mkString(", ")
 
   /** Shared CTE chain reproducing the md5 MinHash+LSH pipeline over
     * word-3-gram shingles, ending at the `bands` relation. Signature hash

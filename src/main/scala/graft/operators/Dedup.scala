@@ -511,6 +511,70 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  // --- exact-Jaccard pair verification ------------------------------------
+
+  /** Exact shingle-set Jaccard for an explicit PAIR list — the verification
+    * stage a production MinHash pipeline runs between LSH candidate
+    * generation and the merge decision, so band collisions (hash noise,
+    * unlucky signatures) can't over-merge two genuinely dissimilar docs
+    * into one component.
+    *
+    * Cost shape at 100 TB: the shingle relation is restricted to ids that
+    * appear in some pair BEFORE the per-pair intersection join, so the work
+    * is proportional to the CANDIDATE set (LSH-bounded), never the corpus;
+    * the intersection itself is an equi-join on (pair, shingle-hash) with
+    * 8-byte keys (md5 strings when `portable`).
+    *
+    * @return (id_a, id_b, jaccard) for every input pair.
+    */
+  def pairJaccard(pairs: DataFrame, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    val toks =
+      if (portable)
+        candDocs.select(col(idCol),
+            explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
+          .filter(length(col("token")) > 0)
+          .select(col(idCol), md5(col("token")).as("sh"))
+          .distinct()
+      else docShingleFeatures(candDocs, textCol, idCol)
+        .withColumnRenamed("feature", "sh")
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    // Intersection size: pair → a's shingles, then match b on the same
+    // shingle — one (pair, shingle) equi-join, never a per-pair scan.
+    val inter = pairs
+      .join(toks.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("inter"), lit(0L)) /
+          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  /** LSH candidate pairs FILTERED by exact shingle Jaccard ≥ `threshold` —
+    * the verified near-dup pair source. Candidates come from
+    * [[lshCandidatePairs]] (recall); the [[pairJaccard]] gate supplies the
+    * precision MinHash banding alone cannot. */
+  def verifiedNearDupPairs(docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    val cand = lshCandidatePairs(docs, numHashes, bands, textCol, idCol,
+      portable)
+    pairJaccard(cand, docs, textCol, idCol, portable)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   // --- n-gram Jaccard -----------------------------------------------------
 
   /** Exact token-set Jaccard similarity of every document against one query

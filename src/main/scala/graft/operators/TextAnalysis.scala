@@ -251,6 +251,86 @@ object TextAnalysis {
       .drop("rk")
   }
 
+  /** CORPUS-level duplicated-span statistics per document: the fraction of
+    * each doc's word `n`-gram positions whose n-gram also appears in at
+    * least one OTHER document (the signal behind exact-substring dedup à la
+    * "Deduplicating Training Data Makes Language Models Better" — docs
+    * dominated by spans that exist elsewhere are copies, templates, or
+    * boilerplate). Unlike [[repetitionStats]] (within-doc), this is a
+    * cross-doc measure.
+    *
+    * Shape at 100 TB: one posexplode to (id, pos, gram), one distinct
+    * (id, gram) projection, one groupBy(gram) doc-frequency, one semi-join
+    * back on gram, one groupBy(id). With `portable = false` grams are
+    * hashed to 8-byte xxhash64 keys BEFORE any shuffle (collisions can only
+    * nudge a fraction); `portable = true` keeps raw gram strings so an
+    * external engine reproduces exact values.
+    *
+    * @return (id, n_spans, dup_spans, dup_span_frac)
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    val raw = docs.select(col(idCol),
+        posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .filter(length(col("gram")) > 0)
+    val grams =
+      if (portable) raw
+      else raw.select(col(idCol), col("pos"),
+        xxhash64(col("gram")).as("gram"))
+    // Doc frequency per gram over DISTINCT (id, gram) — a gram repeated
+    // within one doc is not corpus duplication.
+    val docFreq = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val dupGrams = docFreq.filter(col("df") >= 2).select("gram")
+    val marked = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
+    grams.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+      .join(marked, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)) / col("n_spans"), 4)
+          .as("dup_span_frac"))
+  }
+
+  /** Remove boilerplate LINES: any line (after trimming) occurring in at
+    * least `minDocs` distinct documents is dropped from every document —
+    * the C4-style cross-document line dedup that strips headers, footers,
+    * cookie banners, and license blocks. Docs whose every line is
+    * boilerplate survive with empty text (dropping rows is a separate
+    * quality-filter decision).
+    *
+    * Shape at 100 TB: lines are md5-fingerprinted BEFORE the doc-frequency
+    * shuffle (32-byte keys, not line bytes); reassembly is one
+    * groupBy(id) whose per-doc line list is array_sort'ed by position —
+    * bounded by document size, no window, no driver state.
+    *
+    * @return (id, text) with boilerplate lines removed, line order kept.
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, "a line must recur across >= 2 docs to be boilerplate")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("lfp", md5(trim(col("line"))))
+    val boiler = lines.select(col(idCol), col("lfp")).distinct()
+      .groupBy("lfp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("lfp")
+    val kept = lines.join(boiler, Seq("lfp"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    // Preserve every input doc: all-boilerplate (or all-blank) docs keep
+    // an empty text.
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as(textCol))
+  }
+
   /** Per-document stats table: one narrow projection pass. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over a document corpus: TF-IDF statistics,
+  * vocabulary building, and BM25 ranking — the retrieval ops a training-data
+  * pipeline needs for corpus exploration, quality-by-query auditing, and
+  * dataset curation ("find the docs most like this prompt").
+  *
+  * Scale design (100 TB corpus):
+  *   - term stats are one explode + one groupBy((id, token)) — map-side
+  *     combined, shuffle keyed on (id, token);
+  *   - corpus constants (N, avgdl) are a 1-row aggregate broadcast into the
+  *     scoring join, never a driver collect;
+  *   - the query is tokens-of-a-string — a literal array, so scoring is a
+  *     broadcast semi-join of the posting rows that match query terms; cost
+  *     is the matching postings, not the corpus;
+  *   - top-k is TakeOrdered (no global sort).
+  * No UDFs: everything is codegen'd Column algebra.
+  */
+object TextSearch {
+
+  /** (id, token, tf): term frequencies per document. Tokenization matches
+    * [[TextAnalysis.tokens]] so search statistics agree with the analysis
+    * operators. */
+  def termFreqs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(idCol, "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (token, doc_freq, total_count): corpus vocabulary statistics. One
+    * groupBy(token) over the term-frequency relation; since (id, token) is
+    * unique there, doc_freq is a plain count. */
+  def vocab(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    termFreqs(docs, textCol, idCol)
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
+
+  /** Top-`n` vocabulary by total count (ties broken by token) — the
+    * tokenizer-training view of the corpus. TakeOrdered, no global sort. */
+  def topVocab(docs: DataFrame, n: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    vocab(docs, textCol, idCol)
+      .orderBy(col("total_count").desc, col("token"))
+      .limit(n)
+
+  /** BM25 scores of every document matching `query`, highest first.
+    *
+    * Standard Robertson/Lucene BM25:
+    *   idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * summed over DISTINCT query terms.
+    *
+    * The query tokenizes driver-side (it is a string, not data); matching
+    * posting rows are selected with an `isin` pushdown, so the scoring
+    * subtree touches only postings of query terms. `N`/`avgdl` and the
+    * per-term `df` are broadcast 1-row/tiny aggregates.
+    */
+  def bm25(docs: DataFrame, query: String, k1: Double = 1.2,
+      b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val qTerms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25 query must contain at least one token")
+    val tf = termFreqs(docs, textCol, idCol)
+    // Document length in tokens (sum of tfs) — derived from the same
+    // relation so no second corpus pass.
+    val docLen = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"),
+      avg("dl").as("avgdl")) // 1 row
+    val qtf = tf.filter(col("token").isin(qTerms: _*))
+    val dfs = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    qtf
+      .join(broadcast(dfs), Seq("token"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), (idf * tfNorm).as("term_score"))
+      .groupBy(idCol)
+      .agg(sum("term_score").as("score"))
+  }
+
+  /** Top-`k` BM25 hits for `query` (TakeOrdered; ties broken by id for
+    * deterministic output). */
+  def bm25TopK(docs: DataFrame, query: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bm25(docs, query, k1, b, textCol, idCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BM25 search, vocabulary stats, pair-Jaccard verification, and the
+  * cross-doc span/boilerplate operators. */
+class TextSearchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark shuffle join spark"),
+    (1L, "spark join"),
+    (2L, "window sort filter"),
+    (3L, "join join join window"))
+    .toDF("doc_id", "text")
+
+  test("vocab counts doc and total frequencies") {
+    val got = TextSearch.vocab(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("spark") === ((2L, 3L)))   // docs 0,1; 2+1 occurrences
+    assert(got("join") === ((3L, 5L)))    // docs 0,1,3; 1+1+3
+    assert(got("window") === ((2L, 2L)))
+    assert(got("filter") === ((1L, 1L)))
+  }
+
+  test("topVocab orders by total count, token tiebreak, limit") {
+    val top = TextSearch.topVocab(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(top.toSeq === Seq(("join", 5L), ("spark", 3L)))
+  }
+
+  test("bm25 matches the hand-computed Robertson/Lucene formula") {
+    // Query "spark window": N=4, avgdl = (4+2+3+4)/4 = 3.25
+    // df(spark)=2, df(window)=2 -> idf = ln(1 + 2.5/2.5) = ln 2
+    def idf = math.log(2.0)
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.25))
+    val expected = Map(
+      0L -> idf * tfn(2, 4),               // spark tf=2, dl=4
+      1L -> idf * tfn(1, 2),               // spark tf=1, dl=2
+      2L -> idf * tfn(1, 3),               // window tf=1, dl=3
+      3L -> idf * tfn(1, 4))               // window tf=1, dl=4
+    val got = TextSearch.bm25(docs, "spark window").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-12, s"doc $id") }
+  }
+
+  test("bm25TopK ranks the heaviest-match doc first, id tiebreak") {
+    val top = TextSearch.bm25TopK(docs, "join", 2).collect()
+      .map(_.getLong(0))
+    // doc 3 has tf=3 (dl 4); docs 0,1 have tf=1 — doc 1 shorter dl wins.
+    assert(top.toSeq === Seq(3L, 1L))
+  }
+
+  test("pairJaccard computes exact shingle Jaccard per pair " +
+    "on both hash paths") {
+    val d = Seq(
+      (1L, "a b c d e"),        // 3-shingles: {abc, bcd, cde}
+      (2L, "a b c d x"),        // {abc, bcd, cdx} -> inter 2, union 4
+      (3L, "p q r s t"))        // disjoint from 1
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    for (portable <- Seq(true, false)) {
+      val got = Dedup.pairJaccard(pairs, d, portable = portable).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(math.abs(got((1L, 2L)) - 0.5) < 1e-12, s"portable=$portable")
+      assert(got((1L, 3L)) === 0.0, s"portable=$portable")
+    }
+  }
+
+  test("verifiedNearDupPairs keeps only candidates above the exact " +
+    "Jaccard threshold") {
+    // 1/2 near-identical; 5/6 identical; 9 alone. LSH(16,4) will emit
+    // 1-2 and 5-6 as candidates; the 0.9 gate must kill 1-2 (J=0.5).
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (5L, "m n o p q"),
+      (6L, "m n o p q"),
+      (9L, "z y x w v"))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      // Identical docs share every band key, so (5,6) is ALWAYS a
+      // candidate; whether a J=0.5 pair collides on some band is a
+      // deterministic-but-hash-dependent fact, so the loose gate asserts
+      // only that nothing below threshold leaks through.
+      val loose = Dedup.verifiedNearDupPairs(d, threshold = 0.4,
+          portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(loose.contains((5L, 6L)), s"portable=$portable")
+      assert(!loose.contains((1L, 3L)) && !loose.contains((1L, 9L)),
+        s"portable=$portable")
+      val strict = Dedup.verifiedNearDupPairs(d, threshold = 0.9,
+          portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(strict === Set((5L, 6L)), s"portable=$portable")
+    }
+  }
+
+  test("dupSpanStats measures cross-doc duplicated n-gram fraction") {
+    val d = Seq(
+      (1L, "a b c d e"),   // 3 trigram positions; "a b c","b c d" shared w/2
+      (2L, "a b c d x"),   // shares "a b c","b c d"
+      (3L, "p q r s t"))   // nothing shared
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val got = TextAnalysis.dupSpanStats(d, n = 3, portable = portable)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got(1L) === ((3L, 2L)), s"portable=$portable")
+      assert(got(2L) === ((3L, 2L)), s"portable=$portable")
+      assert(got(3L) === ((3L, 0L)), s"portable=$portable")
+    }
+  }
+
+  test("dupSpanStats counts within-doc repeats of a shared gram at " +
+    "every position") {
+    val d = Seq(
+      (1L, "a b c a b c"),   // grams: abc,bca,cab,abc -> "a b c" twice
+      (2L, "a b c z z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanStats(d, n = 3, portable = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 4 positions, "a b c" at 2 of them is the only cross-doc gram
+    assert(got(1L) === ((4L, 2L)))
+  }
+
+  test("removeBoilerplateLines strips recurring lines, keeps order, " +
+    "preserves all-boilerplate docs as empty") {
+    val d = Seq(
+      (1L, "COOKIE NOTICE\nreal content one\nfooter inc"),
+      (2L, "COOKIE NOTICE\nsomething else\nfooter inc"),
+      (3L, "COOKIE NOTICE\nfooter inc"),
+      (4L, "unique only"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(d, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "real content one")
+    assert(got(2L) === "something else")
+    assert(got(3L) === "")
+    assert(got(4L) === "unique only")
+  }
+
+  test("removeBoilerplateLines keeps multi-line remainders in original " +
+    "order and ignores blank lines") {
+    val d = Seq(
+      (1L, "keep one\nBOILER\n\nkeep two\nkeep three"),
+      (2L, "BOILER\nother"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(d, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "keep one\nkeep two\nkeep three")
+    assert(got(2L) === "other")
+  }
+}
