@@ -845,13 +845,57 @@ object TextQueries {
         Dedup.verifiedNearDupPairs(documents(s, d), threshold = 0.5,
           portable = false)
           .orderBy("id_a", "id_b"),
-      None)
+      None),
+
+    // ----- BM25 over the AT-REST inverted index (TextSearch.writeIndex /
+    // searchIndex): postings partitioned by token hash bucket, the query
+    // reading only its terms' partitions. The timed number includes the
+    // one-off index build (write once, query many in production); the
+    // oracle is layout-independent — scores must equal corpus BM25.
+    Q("q62_bm25_indexed",
+      (s, d) => {
+        import graft.operators.TextSearch
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q62-idx").toString
+        TextSearch.writeIndex(documents(s, d), dir, nBuckets = 64)
+        TextSearch.searchIndex(s, dir, bm25IndexedQuery, k = 20,
+          nBuckets = 64)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, u.token, count(*) AS tf
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0
+          GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        qtf AS (SELECT * FROM tf WHERE token IN ($bm25IndexedQueryInList)),
+        dfs AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1)
+        SELECT q.doc_id,
+               round(sum(
+                 ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (q.tf * 2.2) /
+                 (q.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))), 4) AS score
+        FROM qtf q
+        JOIN dfs f USING (token)
+        JOIN dl d USING (doc_id), corpus c
+        GROUP BY q.doc_id
+        ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */
   private val bm25Query = "spark join window vector"
   private val bm25QueryInList =
     bm25Query.split(" ").map(t => s"'$t'").mkString(", ")
+
+  /** Distinct query for q62 so the two search surfaces don't share a cut. */
+  private val bm25IndexedQuery = "customer stream batch"
+  private val bm25IndexedQueryInList =
+    bm25IndexedQuery.split(" ").map(t => s"'$t'").mkString(", ")
 
   /** Shared CTE chain reproducing the md5 MinHash+LSH pipeline over
     * word-3-gram shingles, ending at the `bands` relation. Signature hash

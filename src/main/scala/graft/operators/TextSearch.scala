@@ -97,4 +97,64 @@ object TextSearch {
     bm25(docs, query, k1, b, textCol, idCol)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  // --- at-rest inverted index ---------------------------------------------
+
+  /** Write the at-rest inverted index for indexed BM25: postings
+    * `(token, id, tf)` PARTITIONED by a hash bucket of the token, plus the
+    * doc-length table and the 1-row corpus stats. Built once per corpus;
+    * every later query reads only its terms' buckets (≤ one directory per
+    * query term out of `nBuckets`), so query cost is postings-of-terms,
+    * not corpus. Bucketing by hash (not raw token) bounds the directory
+    * count at `nBuckets` regardless of vocabulary size. */
+  def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val tf = termFreqs(docs, textCol, idCol)
+    tf.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Top-`k` BM25 over a [[writeIndex]] layout — identical scores to
+    * [[bm25TopK]] on the indexed corpus, but reading ONLY the query
+    * terms' partitions: the bucket list is a literal IN filter Catalyst
+    * turns into PartitionFilters before any I/O. The query's buckets are
+    * computed with the same `xxhash64` expression via a one-row local
+    * relation (no reimplementation of Spark's hash on the driver). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: String, k: Int, nBuckets: Int = 64, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id"): DataFrame = {
+    val qTerms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "searchIndex query must contain a token")
+    import spark.implicits._
+    val buckets = qTerms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("bucket"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("token").isin(qTerms: _*))
+    val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val docLen = spark.read.parquet(s"$path/doclen")
+    val corpus = spark.read.parquet(s"$path/stats") // 1 row
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), (idf * tfNorm).as("term_score"))
+      .groupBy(idCol)
+      .agg(sum("term_score").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

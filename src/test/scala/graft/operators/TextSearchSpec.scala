@@ -146,6 +146,27 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(4L) === "unique only")
   }
 
+  test("searchIndex prunes partitions and matches in-memory bm25TopK") {
+    val corpus = Seq.tabulate(40) { i =>
+      (i.toLong, s"tok$i spark shared t${i % 7} join t${i % 3} filler")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx")
+      .toString
+    TextSearch.writeIndex(corpus, dir, nBuckets = 16)
+
+    val df = TextSearch.searchIndex(spark, dir, "spark t4 join", k = 10,
+      nBuckets = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(2000))
+
+    val expected = TextSearch.bm25TopK(corpus, "spark t4 join", k = 10)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+    val got = df.collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("removeBoilerplateLines keeps multi-line remainders in original " +
     "order and ignores blank lines") {
     val d = Seq(
