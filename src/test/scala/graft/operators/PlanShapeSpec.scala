@@ -64,6 +64,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(600))
   }
 
+  test("bm25 broadcasts the per-term dfs and the 1-row corpus stats; " +
+    "top-k is TakeOrdered, never a global sort") {
+    val p = plan(TextSearch.bm25TopK(docs(200), "alpha delta", k = 5))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("topVocab plans as TakeOrdered over one aggregation chain " +
+    "(no global sort, no join)") {
+    val p = plan(TextSearch.topVocab(docs(200), 50))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("pairJaccard restricts the shingle relation to candidate ids " +
+    "with a semi-join before the per-pair intersection") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val p = plan(Dedup.pairJaccard(pairs, docs(200)))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("dupSpanStats marks duplicated positions via a semi-join " +
+    "(never a per-pair or windowed comparison)") {
+    val p = plan(TextAnalysis.dupSpanStats(docs(100), n = 3))
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("Cartesian"), p.take(1200))
+  }
+
+  test("removeBoilerplateLines reassembles per doc with in-row array " +
+    "sort — no window, no cartesian") {
+    val d = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val p = plan(TextAnalysis.removeBoilerplateLines(d, minDocs = 2))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("Cartesian"), p.take(1200))
+  }
+
   test("sampleByWeights and hashSplit plan as pure filters/projections " +
     "over the scan (no shuffle at all)") {
     for (df <- Seq(
