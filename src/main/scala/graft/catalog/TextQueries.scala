@@ -884,7 +884,54 @@ object TextQueries {
         JOIN dfs f USING (token)
         JOIN dl d USING (doc_id), corpus c
         GROUP BY q.doc_id
-        ORDER BY score DESC, doc_id LIMIT 20"""))
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ----- per-split corpus summary, EXACT form (TextAnalysis
+    // .corpusStats): the portable correctness twin of the sketch path.
+    Q("q63_corpus_stats",
+      (s, d) =>
+        TextAnalysis.corpusStats(documents(s, d))
+          .select(col("split"), col("n_docs"), col("total_tokens"),
+            col("distinct_tokens"),
+            round(col("p50_tokens"), 4).as("p50_tokens"),
+            round(col("p90_tokens"), 4).as("p90_tokens"))
+          .orderBy("split"),
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))
+                        AS INT) < 58982
+                      THEN 'train' ELSE 'valid' END AS split,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+        perdoc AS (
+          SELECT split, doc_id, len(a) AS n_tok FROM base),
+        toks AS (
+          SELECT DISTINCT split, u.token
+          FROM base, unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        dt AS (
+          SELECT split, count(*) AS distinct_tokens FROM toks GROUP BY 1),
+        agg AS (
+          SELECT split, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+                 round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+                 round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens
+          FROM perdoc GROUP BY 1)
+        SELECT a.split, a.n_docs, a.total_tokens, d.distinct_tokens,
+               a.p50_tokens, a.p90_tokens
+        FROM agg a JOIN dt d USING (split)
+        ORDER BY split""")),
+
+    // ----- the SAME summary on the 100 TB sketch path: HyperLogLog++
+    // distinct counts + approx_percentile (constant-size mergeable state
+    // per partition instead of a distinct-token shuffle / global sort).
+    // Rows-only here; the sketch-vs-exact error bound is asserted
+    // in-engine by the spec.
+    Q("q63b_corpus_stats_sketch",
+      (s, d) =>
+        TextAnalysis.corpusStats(documents(s, d), approximate = true)
+          .orderBy("split"),
+      None)
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

@@ -331,6 +331,52 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as(textCol))
   }
 
+  /** Per-split corpus summary: doc counts, token totals, distinct-token
+    * cardinality, and token-count percentiles — the dataset card a
+    * pipeline publishes per corpus slice.
+    *
+    * `approximate = true` is the 100 TB path: `approx_count_distinct`
+    * (HyperLogLog++, relative error ~`hllRsd`) replaces the exact
+    * distinct — whose shuffle carries every distinct token — with a
+    * constant-size mergeable sketch per partition, and
+    * `approx_percentile` replaces the exact sort-based percentile the
+    * same way. The exact form (`approximate = false`) is the portable
+    * correctness twin; the sketch path's error is asserted in-engine
+    * against it (see spec / q63b).
+    */
+  def corpusStats(docs: DataFrame, approximate: Boolean = false,
+      hllRsd: Double = 0.02, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val split = hashSplit(col(idCol), 0.9).as("split")
+    val perDoc = docs.select(split, tokenCount(col(textCol)).as("n_tok"))
+    val tokenRel = docs.select(split,
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val distinctToks =
+      if (approximate)
+        tokenRel.groupBy("split")
+          .agg(approx_count_distinct(col("token"), hllRsd)
+            .as("distinct_tokens"))
+      else
+        tokenRel.select(col("split"), col("token")).distinct()
+          .groupBy("split")
+          .agg(count(lit(1)).as("distinct_tokens"))
+    val pcts =
+      if (approximate)
+        percentile_approx(col("n_tok"),
+          array(lit(0.5), lit(0.9)), lit(10000))
+      else expr("percentile(n_tok, array(0.5D, 0.9D))")
+    val base = perDoc.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("total_tokens"),
+      pcts.as("tok_pcts"))
+    base.join(distinctToks, Seq("split"))
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        col("tok_pcts").getItem(0).cast("double").as("p50_tokens"),
+        col("tok_pcts").getItem(1).cast("double").as("p90_tokens"))
+  }
+
   /** Per-document stats table: one narrow projection pass. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

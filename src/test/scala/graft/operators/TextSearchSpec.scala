@@ -167,6 +167,30 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("corpusStats exact matches hand counts; sketch path stays within " +
+    "HLL/quantile error of exact") {
+    val corpus = Seq.tabulate(200) { i =>
+      (i.toLong, (0 to i % 13).map(j => s"w${(i + j) % 37}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.corpusStats(corpus).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Sanity: splits partition the 200 docs, vocabulary is bounded by 37.
+    assert(exact.values.map(_._1).sum === 200L)
+    exact.values.foreach { case (_, total, distinct) =>
+      assert(distinct <= 37L && total >= distinct)
+    }
+    val approx = TextAnalysis.corpusStats(corpus, approximate = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    exact.foreach { case (split, (nDocs, total, distinct)) =>
+      val a = approx(split)
+      assert(a._1 === nDocs && a._2 === total, split)
+      assert(math.abs(a._3 - distinct).toDouble /
+        distinct.max(1L) <= 0.05, s"$split hll ${a._3} vs $distinct")
+    }
+  }
+
   test("removeBoilerplateLines keeps multi-line remainders in original " +
     "order and ignores blank lines") {
     val d = Seq(
