@@ -519,7 +519,73 @@ object Queries {
                round(sum(l_extendedprice), 2) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
-        ORDER BY s_name"""))
+        ORDER BY s_name""")),
+
+    // ----- as-of join (TemporalJoin.asofJoin): every click enriched with
+    // the user's latest at-or-before error — the union-and-window form
+    // (one keyed shuffle, NO join node; naive SQL would be a nested-loop
+    // inequality join). Oracle: DuckDB's native ASOF LEFT JOIN — an
+    // independent implementation of the same semantics. The right side is
+    // pre-aggregated to one row per (user, ts) so "latest" is well-defined
+    // in both engines.
+    Q("q64_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val errs = ev.filter(col("event_type") === "error")
+          .groupBy("user_id", "ts").agg(max("value").as("err_value"))
+        graft.operators.TemporalJoin.asofJoin(clicks, errs, "user_id",
+          "ts", "ts", Seq("ts", "err_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof_ts")).as("asof_ts_us"),
+            col("asof_err_value").as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        errs AS (
+          SELECT user_id, ts, max(value) AS err_value FROM events
+          WHERE event_type = 'error' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               epoch_us(e.ts) AS asof_ts_us, e.err_value AS asof_value
+        FROM clicks c ASOF LEFT JOIN errs e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.event_id""")),
+
+    // ----- bounded range join (TemporalJoin.rangeJoin): clicks within 6
+    // hours after each error, per user — time-bucketed so the
+    // inequality is an equi-join on (user, bucket), never a nested loop.
+    // Aggregated per error so the oracle checks the exact pair multiset.
+    Q("q65_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val errs = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        graft.operators.TemporalJoin.rangeJoin(errs, clicks, "user_id",
+          "ts", "ts", widthSec = 21600L)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            r2(sum("r_value")).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT e.event_id, count(*) AS n_clicks,
+               round(sum(c.value), 2) AS click_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') e
+        JOIN (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click') c
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts
+         AND epoch_us(c.ts) < epoch_us(e.ts) + 21600000000
+        GROUP BY 1
+        ORDER BY 1"""))
   )
 
   // ==========================================================================
