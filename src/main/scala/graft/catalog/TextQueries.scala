@@ -931,7 +931,56 @@ object TextQueries {
       (s, d) =>
         TextAnalysis.corpusStats(documents(s, d), approximate = true)
           .orderBy("split"),
-      None)
+      None),
+
+    // ----- exact duplicate-SPAN removal (Dedup.removeDuplicateSpans,
+    // Lee-et-al. semantics at word granularity): all-but-first occurrences
+    // of every duplicated 4-gram are cut and the remaining tokens
+    // reassembled. The oracle reproduces the edit decision (first
+    // occurrence by encoded (doc, pos) key) and the reassembled bytes.
+    Q("q66_remove_dup_spans",
+      (s, d) =>
+        Dedup.removeDuplicateSpans(documents(s, d), n = 4)
+          .orderBy("doc_id"),
+      Some("""
+        WITH arr AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+        toks AS (
+          SELECT doc_id, i.i - 1 AS pos, a[i.i] AS token
+          FROM arr, unnest(generate_series(1, len(a))) AS i(i)),
+        occs AS (
+          SELECT doc_id, g.i - 1 AS pos,
+                 a[g.i] || ' ' || a[g.i+1] || ' ' || a[g.i+2] || ' ' ||
+                   a[g.i+3] AS gram
+          FROM arr, unnest(generate_series(1, len(a)-3)) AS g(i)
+          WHERE len(a) >= 4
+          UNION ALL
+          SELECT doc_id, 0 AS pos, array_to_string(a, ' ') AS gram
+          FROM arr WHERE len(a) < 4),
+        occs2 AS (SELECT * FROM occs WHERE length(gram) > 0),
+        gs AS (
+          SELECT gram, count(*) AS cnt,
+                 min(doc_id * 1048576 + pos) AS first_occ
+          FROM occs2 GROUP BY 1),
+        cuts AS (
+          SELECT o.doc_id, o.pos
+          FROM occs2 o JOIN gs USING (gram)
+          WHERE gs.cnt >= 2
+            AND o.doc_id * 1048576 + o.pos != gs.first_occ),
+        covered AS (
+          SELECT DISTINCT doc_id, pos + d.d AS pos
+          FROM cuts, unnest(generate_series(0, 3)) AS d(d)),
+        kept AS (
+          SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS clean
+          FROM toks t
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+          GROUP BY t.doc_id)
+        SELECT a.doc_id, coalesce(k.clean, '') AS text
+        FROM arr a LEFT JOIN kept k USING (doc_id)
+        ORDER BY a.doc_id"""))
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

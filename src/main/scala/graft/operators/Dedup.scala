@@ -575,6 +575,65 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  // --- exact duplicate-span removal ---------------------------------------
+
+  /** Exact duplicate-SPAN removal ("Deduplicating Training Data Makes
+    * Language Models Better" semantics, word-token granularity): every
+    * occurrence of a duplicated `n`-token span EXCEPT the globally first
+    * one is cut out of its document, and the remaining tokens are
+    * reassembled in order. Unlike document-level dedup this keeps the
+    * unique parts of partially-copied docs; unlike [[TextAnalysis
+    * .dupSpanStats]] (measurement) this performs the edit.
+    *
+    * "First" is the minimum (doc, position) occurrence corpus-wide —
+    * deterministic and engine-portable via the encoded key
+    * `id * 2^20 + pos` (documents must stay under 2^20 tokens; ids under
+    * 2^43 — both far beyond any real document/corpus id).
+    *
+    * Shape at 100 TB: grams with positions (one posexplode), a
+    * groupBy(gram) for (count, first-occurrence), a join back on gram for
+    * the duplicated occurrences, one explode of the n covered positions
+    * per cut occurrence, an anti-join on (id, position), and one
+    * groupBy(id) reassembly — every stage keyed, nothing all-pairs.
+    * Docs with no duplicated span pass through byte-identical.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "span length must be at least 1 token")
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+    // Span occurrences: gram starting at pos (only full n-token windows).
+    val occs = docs.select(col(idCol),
+        posexplode(TextAnalysis.shingles(col(textCol), n))
+          .as(Seq("pos", "gram")))
+      .filter(length(col("gram")) > 0)
+    val occKey = col(idCol) * lit(1048576L) + col("pos")
+    val gramStats = occs
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occ_cnt"), min(occKey).as("first_occ"))
+    // Every non-first occurrence of a gram occurring 2+ times is cut.
+    val cuts = occs
+      .join(gramStats.filter(col("occ_cnt") >= 2), Seq("gram"))
+      .filter(occKey =!= col("first_occ"))
+      .select(col(idCol), col("pos"))
+    // Token positions covered by any cut span.
+    val covered = cuts
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), " ").as("clean_text"))
+    // Fully-cut docs survive with empty text (dropping them is a separate
+    // quality decision), mirroring removeBoilerplateLines.
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as(textCol))
+  }
+
   // --- n-gram Jaccard -----------------------------------------------------
 
   /** Exact token-set Jaccard similarity of every document against one query

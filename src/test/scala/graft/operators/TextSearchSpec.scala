@@ -130,6 +130,40 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(1L) === ((4L, 2L)))
   }
 
+  test("removeDuplicateSpans cuts all-but-first occurrences across docs") {
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "x x a b c y"))   // "a b c" first occurs in doc 1
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "a b c d e")
+    assert(got(2L) === "x x y")
+  }
+
+  test("removeDuplicateSpans collapses within-doc repetition to one copy") {
+    val d = Seq((1L, "p q r p q r p q r"), (2L, "u v w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "p q r")
+    assert(got(2L) === "u v w")
+  }
+
+  test("removeDuplicateSpans keeps clean docs byte-identical and empties " +
+    "a fully-duplicated doc") {
+    val d = Seq(
+      (1L, "m n o p q r"),
+      (2L, "m n o p q r"),    // exact copy -> fully cut
+      (3L, "entirely different tokens here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "m n o p q r")
+    assert(got(2L) === "")
+    assert(got(3L) === "entirely different tokens here")
+  }
+
   test("removeBoilerplateLines strips recurring lines, keeps order, " +
     "preserves all-boilerplate docs as empty") {
     val d = Seq(
