@@ -283,6 +283,71 @@ object TextQueries {
           .orderBy("doc_id"),
       None),
 
+    // ----- the corpus pipeline WITH the exact-Jaccard precision gate
+    // between LSH candidates and the component decision
+    // (jaccardThreshold) — the full production composition: quality →
+    // exact dedup → candidates → verify → components. DuckDB verifies the
+    // whole thing including the verification stage's drop decisions.
+    Q("q38c_corpus_dedup_verified",
+      (s, d) =>
+        Dedup.dedupCorpus(documents(s, d), minQuality = 0.3,
+          numHashes = 16, bands = 4, portable = true,
+          jaccardThreshold = Some(0.5))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE qgate AS (
+          SELECT doc_id, text FROM documents
+          WHERE round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) >= 0.3
+        ),
+        fpk AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+                FROM qgate)
+          GROUP BY fp
+        ),
+        s1 AS (SELECT q.* FROM qgate q JOIN fpk USING (doc_id)),
+        ${minhashCtesFrom("s1")},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+        inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p
+          JOIN toks2 ta ON ta.doc_id = p.id_a
+          JOIN toks2 tb ON tb.doc_id = p.id_b AND tb.th = ta.th
+          GROUP BY 1, 2),
+        vpairs AS (
+          SELECT p.id_a, p.id_b
+          FROM pairs p
+          JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          JOIN sizes sa ON sa.doc_id = p.id_a
+          JOIN sizes sb ON sb.doc_id = p.id_b
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM vpairs
+          UNION
+          SELECT id_b, id_a FROM vpairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS comp FROM r GROUP BY id)
+          WHERE id <> comp)
+        SELECT doc_id FROM s1
+        WHERE doc_id NOT IN (SELECT id FROM drops)
+        ORDER BY doc_id""")),
+
     // ----- deterministic hash-based train/valid split — reshuffle-proof
     // (assignment is a pure function of the id, never rand()); md5 buckets
     // make it portable, so DuckDB verifies the exact assignment.

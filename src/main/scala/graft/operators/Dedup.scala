@@ -369,7 +369,8 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, minQuality: Double = 0.3,
       numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      jaccardThreshold: Option[Double] = None): DataFrame = {
     // Quality gate; round(3) so the boundary compare is stable across
     // engines (the raw doubles are equal, but belt and suspenders).
     val pass = docs.filter(
@@ -387,9 +388,16 @@ object Dedup {
       .select(idCol)
       .localCheckpoint()
     val survivors = docs.join(survivorIds, Seq(idCol), "left_semi")
-    // Near-dup decision over the exact-dedup survivors.
-    val pairs = lshCandidatePairs(survivors, numHashes, bands,
+    // Near-dup decision over the exact-dedup survivors; with a
+    // `jaccardThreshold` the candidates pass the exact-Jaccard precision
+    // gate ([[pairJaccard]]) before the merge decision, so band-collision
+    // noise can't over-merge dissimilar docs into one component.
+    val candidates = lshCandidatePairs(survivors, numHashes, bands,
       textCol, idCol, portable)
+    val pairs = jaccardThreshold.fold(candidates)(t =>
+      pairJaccard(candidates, survivors, textCol, idCol, portable)
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b"))
     val drops = nearDupDuplicates(pairs)
       .select(col("id").as(idCol))
     // The returned frame is materialized and lineage-cut: callers can

@@ -130,6 +130,22 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(1L) === ((4L, 2L)))
   }
 
+  test("dedupCorpus jaccardThreshold: 0.0 is the identity gate, a high " +
+    "threshold can only keep more docs") {
+    val corpus = Seq.tabulate(30) { i =>
+      val base = s"alpha bravo charlie d$i echo foxtrot golf hotel"
+      (i.toLong, if (i % 5 == 0) base + " extra" else base)
+    }.toDF("doc_id", "text")
+    def kept(threshold: Option[Double]) =
+      Dedup.dedupCorpus(corpus, minQuality = 0.0, portable = true,
+        jaccardThreshold = threshold)
+        .collect().map(_.getLong(0)).toSet
+    val unverified = kept(None)
+    assert(kept(Some(0.0)) === unverified)
+    val strict = kept(Some(0.99))
+    assert(unverified.subsetOf(strict))
+  }
+
   test("removeDuplicateSpans cuts all-but-first occurrences across docs") {
     val d = Seq(
       (1L, "a b c d e"),
