@@ -556,6 +556,40 @@ object Queries {
           ON c.user_id = e.user_id AND c.ts >= e.ts
         ORDER BY c.event_id""")),
 
+    // ----- the SAME as-of enrichment via the broadcast form
+    // (TemporalJoin.asofJoinBroadcast): the error series collapses to one
+    // sorted history array per user, broadcast, and each click probes it
+    // in-row — ZERO shuffle of the click stream (the scale shape when the
+    // right side is a dimension series). Same DuckDB ASOF oracle as q64:
+    // two independent implementations, one semantic.
+    Q("q64b_asof_broadcast",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val errs = ev.filter(col("event_type") === "error")
+          .groupBy("user_id", "ts").agg(max("value").as("err_value"))
+        graft.operators.TemporalJoin.asofJoinBroadcast(clicks, errs,
+          "user_id", "ts", "ts", Seq("ts", "err_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof_ts")).as("asof_ts_us"),
+            col("asof_err_value").as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        errs AS (
+          SELECT user_id, ts, max(value) AS err_value FROM events
+          WHERE event_type = 'error' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               epoch_us(e.ts) AS asof_ts_us, e.err_value AS asof_value
+        FROM clicks c ASOF LEFT JOIN errs e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.event_id""")),
+
     // ----- bounded range join (TemporalJoin.rangeJoin): clicks within 6
     // hours after each error, per user — time-bucketed so the
     // inequality is an equi-join on (user, bucket), never a nested loop.

@@ -72,6 +72,42 @@ object TemporalJoin {
     matched.select(outCols: _*)
   }
 
+  /** As-of join for a SMALL right side (a dimension series: prices,
+    * configs, model versions): the right side is collapsed to one row per
+    * key holding its time-sorted (t, payload) array, broadcast, and each
+    * left row picks its match with an in-row array probe
+    * (`element_at(filter(...), -1)`). ZERO shuffle of the left side —
+    * against [[asofJoin]]'s one keyed exchange — so a 100 TB event scan
+    * stays a narrow map. Right side must fit the broadcast budget
+    * (per-key history arrays are part of the row size).
+    *
+    * Same output contract as [[asofJoin]]: left columns unchanged,
+    * payload columns `asof_`-prefixed, null payload when no right row is
+    * at-or-before (or strictly before with `allowEqual = false`). */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      allowEqual: Boolean = true): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val hist = right
+      .groupBy(col(key).as("__k"))
+      .agg(array_sort(collect_list(struct(col(rightTime).as("__t"),
+        struct(payload.map(col): _*).as("__p")))).as("__hist"))
+    val lt = col(leftTime)
+    val visible = filter(col("__hist"),
+      x => if (allowEqual) x.getField("__t") <= lt
+           else x.getField("__t") < lt)
+    // Guarded: element_at on an empty array throws under ANSI mode; the
+    // `when` evaluates the probe only for rows with a visible match.
+    val probe = when(size(visible) > 0,
+      element_at(visible, -1).getField("__p"))
+    val leftCols = left.columns.toSeq
+    left
+      .join(broadcast(hist), col(key) === col("__k"), "left")
+      .withColumn("__asof", probe)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
   /** Bounded range join: all (left, right) pairs with equal `key` and
     * `rightTime` in `[leftTime, leftTime + widthSec)`. The window width
     * doubles as the time-bucket size, so each left row probes its own and

@@ -74,6 +74,30 @@ class TemporalJoinSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("asofJoinBroadcast matches asofJoin on both boundary modes") {
+    for (allowEqual <- Seq(true, false)) {
+      val expected = TemporalJoin.asofJoin(trades, quotes, "user_id",
+        "ts", "ts", Seq("price", "ts"), allowEqual)
+        .collect().map(_.toSeq).toSet
+      val got = TemporalJoin.asofJoinBroadcast(trades, quotes, "user_id",
+        "ts", "ts", Seq("price", "ts"), allowEqual)
+        .collect().map(_.toSeq).toSet
+      assert(got === expected, s"allowEqual=$allowEqual")
+    }
+  }
+
+  test("asofJoinBroadcast never shuffles the left side (broadcast join, " +
+    "no left exchange, no window)") {
+    val p = TemporalJoin.asofJoinBroadcast(trades, quotes, "user_id",
+      "ts", "ts", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("Window"), p.take(1000))
+    // The only exchange allowed is the broadcast itself (and the right
+    // side's tiny pre-aggregation) — never a hash partitioning of left.
+    assert(!p.contains("SortMergeJoin"), p.take(1000))
+  }
+
   test("rangeJoin emits exactly the pairs inside [t, t+width), " +
     "bucket-blocked equi-join plan") {
     // width 10s: trade 101 (t=5) sees quotes at 10 (user 1) — [5, 15);
