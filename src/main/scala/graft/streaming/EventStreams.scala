@@ -121,6 +121,21 @@ object EventStreams {
       .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** Streaming as-of enrichment: each streamed event picks the latest
+    * at-or-before row of a STATIC dimension series (prices, configs,
+    * model versions) for its key. Delegates to
+    * [[graft.operators.TemporalJoin.asofJoinBroadcast]] — whose broadcast
+    * + in-row-probe shape is exactly what a streaming plan can run
+    * STATELESSLY: a stream-static broadcast equi-join plus per-row array
+    * algebra, no watermark, no state store, append-mode safe. (The
+    * union-and-window batch form is NOT streamable — a window over an
+    * unbounded stream needs stateful ordering.) */
+  def streamingAsofEnrich(stream: DataFrame, dim: DataFrame, key: String,
+      streamTime: String, dimTime: String,
+      payload: Seq[String]): DataFrame =
+    graft.operators.TemporalJoin.asofJoinBroadcast(stream, dim, key,
+      streamTime, dimTime, payload)
+
   /** Per-key state transition: fold this batch's events (event-time order)
     * into the open session; emit sessions closed by a gap; park the open
     * session in state with a timeout at `last + gap`. */

@@ -123,6 +123,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingAsofEnrich matches the batch broadcast as-of join " +
+    "and runs stateless in append mode") {
+    val quotes = Seq(
+      (1L, new Timestamp(10 * 1000), 100.0),
+      (1L, new Timestamp(20 * 1000), 200.0),
+      (2L, new Timestamp(15 * 1000), 150.0))
+      .toDF("user_id", "ts", "price")
+    val batchRows = Seq(
+      (101L, 1L, new Timestamp(5 * 1000)),   // before any quote -> null
+      (102L, 1L, new Timestamp(25 * 1000)),  // latest = 200
+      (103L, 2L, new Timestamp(16 * 1000)),  // 150
+      (104L, 3L, new Timestamp(30 * 1000)))  // keyless -> null
+    val expected = graft.operators.TemporalJoin.asofJoinBroadcast(
+      batchRows.toDF("trade_id", "user_id", "ts"), quotes,
+      "user_id", "ts", "ts", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    val input = MemoryStream[(Long, Long, Timestamp)](spark)
+    val q = EventStreams.streamingAsofEnrich(
+      input.toDF().toDF("trade_id", "user_id", "ts"), quotes,
+      "user_id", "ts", "ts", Seq("price"))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batchRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(got === expected)
+      assert(got === Map(101L -> None, 102L -> Some(200.0),
+        103L -> Some(150.0), 104L -> None))
+      // Stateless claim: no state store operator in the streaming plan.
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        q.lastProgress.toString.take(500))
+    } finally q.stop()
+  }
+
   test("streamingIndexDedup drops stream docs whose fingerprint is in " +
     "the static corpus index") {
     val corpus = Seq(
