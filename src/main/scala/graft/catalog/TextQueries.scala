@@ -486,6 +486,32 @@ object TextQueries {
         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         ORDER BY doc_id""")),
 
+    // ----- q49c: Bloom-filter decontamination (Dedup.decontaminateBloom):
+    // the 100 TB path — the held-out gram set is NOT broadcast; a
+    // fixed-size bloom sketch is probed map-side and only bloom-positive
+    // grams reach the exact verification join. Value-identical to q49 by
+    // construction (bloom has no false negatives; false positives are
+    // removed by the exact stage), so it shares q49's oracle verbatim.
+    // Spark side hashes grams with xxhash64; the oracle's md5 gram identity
+    // agrees because both are injective on the fixture's gram set.
+    Q("q49c_decontaminate_bloom",
+      (s, d) => {
+        val docs = documents(s, d)
+        val heldOut = docs.filter(col("doc_id") % 41 === 0)
+        Dedup.decontaminateBloom(docs, heldOut, n = 3)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${shingleCtesFrom("documents")},
+        egrams AS (
+          SELECT DISTINCT th FROM toks2 WHERE doc_id % 41 = 0),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM toks2
+          WHERE th IN (SELECT th FROM egrams))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id""")),
+
     // ----- q49b: deterministic per-group quota sampling
     // (TextAnalysis.stratifiedSample): keep 30 docs per language by
     // md5(id) rank — reshuffle-proof, and planned as a WindowGroupLimit

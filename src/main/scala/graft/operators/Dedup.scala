@@ -519,6 +519,61 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination for held-out sets too large to broadcast exactly: a
+    * Bloom filter of the held-out gram hashes is built distributed
+    * (`BloomFilterAggregate`), shipped to every task as a literal (the
+    * sketch is ~1 MB however large the gram set is), and probed MAP-SIDE —
+    * the corpus-sized gram relation never joins or shuffles. Only the
+    * bloom-positive grams (true hits + `fpp` noise) reach the exact
+    * semi-join verification, so false positives cost work, never
+    * correctness: the result is value-identical to [[decontaminate]].
+    *
+    * Cost shape at 100 TB: one pass over the held-out grams (build), one
+    * narrow pass over the corpus grams (probe), one candidate-bounded
+    * shuffle (verify). The broadcast-exact path ships every gram hash to
+    * every executor; this ships a fixed-size sketch.
+    *
+    * @param fpp target false-positive rate used to size the filter
+    *            (bits are capped at Spark's `maxNumBits`; an undersized
+    *            filter degrades `fpp`, not correctness).
+    */
+  def decontaminateBloom(train: DataFrame, heldOut: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(TextAnalysis.shingles(col(textCol), n)).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col(idCol), xxhash64(col("token")).as("gh"))
+
+    // Persisted: the relation feeds the size probe, the bloom build, and
+    // the exact verification join in the returned plan. Left cached for
+    // the caller's execution (LRU-evicted; same convention as Multimodal).
+    val heldGrams = grams(heldOut).select("gh").distinct().persist()
+    val nItems = math.max(1L, heldGrams.count())
+    // Optimal sizing m = -n·ln(p)/ln(2)², capped at Spark's default
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (67108864 = 8 MB).
+    val numBits = math.min(67108864L, math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val bloomAgg = GraftSqlShims.columnOf(
+      new BloomFilterAggregate(GraftSqlShims.expressionOf(col("gh")),
+        Literal(nItems), Literal(numBits)).toAggregateExpression())
+    val bloomBytes =
+      heldGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = GraftSqlShims.columnOf(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftSqlShims.expressionOf(col("gh"))))
+    val candGrams = grams(train).filter(mightContain)
+    val contaminated = candGrams.join(heldGrams, Seq("gh"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // --- exact-Jaccard pair verification ------------------------------------
 
   /** Exact shingle-set Jaccard for an explicit PAIR list — the verification

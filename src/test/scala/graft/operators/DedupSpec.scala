@@ -45,6 +45,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom equals the exact broadcast path, even when an " +
+    "undersized filter forces false positives through verification") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "entirely different words here"),
+      (3L, "slow brown fox runs away"),
+      (4L, "a b the quick brown fox"))
+      .toDF("doc_id", "text")
+    val heldOut = Seq((100L, "watch the quick brown fox leap"))
+      .toDF("doc_id", "text")
+    // fpp = 0.5 sizes the filter near its floor, so bloom false positives
+    // are likely — the exact verification stage must absorb them.
+    for (fpp <- Seq(0.01, 0.5)) {
+      val kept = Dedup.decontaminateBloom(train, heldOut, n = 3, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 3L), s"fpp=$fpp")
+    }
+  }
+
+  test("decontaminateBloom with an empty held-out set keeps everything") {
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val heldOut = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = Dedup.decontaminateBloom(train, heldOut, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("repetitionStats flags duplicated sentences and n-grams") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
