@@ -619,7 +619,40 @@ object Queries {
          AND c.ts >= e.ts
          AND epoch_us(c.ts) < epoch_us(e.ts) + 21600000000
         GROUP BY 1
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // ----- multi-level aggregation: ROLLUP over (returnflag, linestatus)
+    // with grouping_id — subtotals and the grand total in ONE pass
+    // (Spark expands the grouping sets before the shuffle; partial
+    // aggregation still applies per set, so this is one shuffle, not
+    // three queries). Spark's grouping_id() bit pattern matches DuckDB's
+    // GROUPING() exactly (0 = detail, 1 = per-flag subtotal, 3 = grand
+    // total); NULL group keys are coalesced to a sentinel on both sides
+    // so the hash compare sees identical strings.
+    Q("q69_rollup_pricing",
+      (s, d) =>
+        lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            r2(sum("l_quantity")).as("sum_qty"),
+            r2(sum("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("gid"), col("sum_qty"), col("sum_price"), col("n"))
+          .orderBy("gid", "l_returnflag", "l_linestatus"),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               grouping(l_returnflag, l_linestatus) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus"""))
   )
 
   // ==========================================================================

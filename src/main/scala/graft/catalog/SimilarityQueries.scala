@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.functions._
-import graft.operators.{IvfIndex, Similarity}
+import graft.operators.{IvfIndex, PqIndex, Similarity}
 
 /** Oracle-checked catalog entries for embedding similarity search
   * (graft.operators.Similarity) over `embeddings` (64-dim float vectors).
@@ -123,6 +123,20 @@ object SimilarityQueries {
         val emb = embeddings(s, d)
         val centroids = IvfIndex.train(emb, k = 16, iters = 3)
         IvfIndex.topK(emb, centroids, queryId = 0L, k = 10, nProbe = 4)
+      },
+      None),
+
+    // ----- PQ/ADC ANN — the third scale path, and the one that compresses
+    // the scan: 8 sub-codebook codes per vector (32× smaller than the
+    // raw 64-dim floats), approximate scores via an m×k lookup table,
+    // exact re-rank of the top refine·k candidates only. Codebooks are
+    // engine-internal (trained) → rows-only; recall vs brute force is
+    // asserted in PqIndexSpec.
+    Q("q70_pq_ann",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val books = PqIndex.train(emb, m = 8, k = 16, iters = 3)
+        PqIndex.topK(emb, books, queryId = 0L, k = 10, refine = 20)
       },
       None)
   )

@@ -1071,7 +1071,76 @@ object TextQueries {
           GROUP BY t.doc_id)
         SELECT a.doc_id, coalesce(k.clean, '') AS text
         FROM arr a LEFT JOIN kept k USING (doc_id)
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // ----- q67: per-language top-k token frequencies (TextAnalysis
+    // .topTokensByGroup) — the dataset-card vocabulary slice. Map-side
+    // partial counts, then the rank filter plans as a WindowGroupLimit
+    // (per-task top-k per group BEFORE the shuffle — no full-group sort);
+    // (count desc, token) is a total order, so values are portable.
+    Q("q67_top_tokens",
+      (s, d) =>
+        TextAnalysis.topTokensByGroup(documents(s, d), "lang", k = 15)
+          .orderBy("lang", "rk"),
+      Some("""
+        WITH counts AS (
+          SELECT lang, u.token AS token, count(*) AS n
+          FROM (SELECT lang,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0
+          GROUP BY 1, 2)
+        SELECT lang, token, n, rk FROM (
+          SELECT lang, token, n,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n DESC, token) AS rk
+          FROM counts)
+        WHERE rk <= 15
+        ORDER BY lang, rk""")),
+
+    // ----- q68: per-language relative quality filter (TextAnalysis
+    // .qualityTopFraction, exact rank twin): keep the best 40% of each
+    // language by quality score — integer rank decisions over a total
+    // order, value-for-value reproducible. The approx-threshold scale
+    // path is q68b.
+    Q("q68_quality_top_fraction",
+      (s, d) =>
+        TextAnalysis.qualityTopFraction(documents(s, d), "lang", frac = 0.4)
+          .select(col("doc_id"), col("lang"), col("q_score"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 round(
+                   (length(regexp_extract_all(lower(text), '[a-z]'))
+                      / greatest(length(text), 1))
+                   * (CASE WHEN length(regexp_split_to_array(trim(lower(text)),
+                             '\s+')) BETWEEN 5 AND 5000
+                      THEN 1.0 ELSE 0.5 END)
+                   - (length(regexp_extract_all(text, '[0-9]'))
+                      / greatest(length(text), 1)), 3) AS q_score
+          FROM documents)
+        SELECT doc_id, lang, q_score FROM (
+          SELECT doc_id, lang, q_score,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY q_score DESC, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n_g
+          FROM scored)
+        WHERE rk <= ceil(n_g * 0.4)
+        ORDER BY doc_id""")),
+
+    // ----- q68b: the SAME relative quality filter on the 100 TB path —
+    // per-group approx_percentile threshold (mergeable sketch, no
+    // per-group sort, no skew hazard) broadcast back as a stateless
+    // filter. Rows-only (sketch thresholds are engine-internal); the
+    // kept-set agreement with the exact twin is spec-asserted.
+    Q("q68b_quality_top_fraction_approx",
+      (s, d) =>
+        TextAnalysis.qualityTopFraction(documents(s, d), "lang", frac = 0.4,
+            approximate = true)
+          .select(col("doc_id"), col("lang"), col("q_score"))
+          .orderBy("doc_id"),
+      None)
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

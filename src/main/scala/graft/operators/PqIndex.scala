@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the third ANN scale path beside hyperplane
+  * LSH ([[Similarity]]) and IVF ([[IvfIndex]]), and the one that changes
+  * the MEMORY story: each vector is compressed to `m` sub-codebook codes
+  * (m bytes-ish vs 4·dim bytes — 32× at dim=64/m=8/k=16), so the whole
+  * candidate scan runs over compact codes and the raw embedding column is
+  * touched only for the final exact re-rank of a bounded candidate set.
+  * This is the standard IVF-PQ/ADC design (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Split of labor:
+  *   - TRAIN (driver, one-off): per-block k-means over a deterministic
+  *     hash-ordered sample — same bounded-sample discipline as
+  *     [[IvfIndex.train]]: no RNG, no global window, TakeOrdered sample,
+  *     O(m · k · sample · subdim) driver flops.
+  *   - ENCODE (distributed, Column algebra): per block, argmin-centroid
+  *     over the sliced subvector — the [[IvfIndex]] fold, once per block;
+  *     the slice is lambda-bound so it is computed once per block, not
+  *     once per centroid. Output is one `array<int>` column; at rest it
+  *     can be written beside the id and scanned WITHOUT the embedding.
+  *   - SEARCH (distributed, Column algebra): asymmetric distance
+  *     computation — the query builds an m×k lookup table of exact
+  *     query-sub-block · centroid dot products (driver, tiny), entered
+  *     into the plan as a literal; each row's approximate score is m
+  *     array reads + a sum. Top `refine·k` candidates by approximate
+  *     score (TakeOrdered — per-partition top-N, no global sort), then an
+  *     exact cosine re-rank over just those rows.
+  */
+object PqIndex {
+
+  /** Codebooks: codebooks(b)(c) = centroid c of block b (subdim doubles). */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val d = a(i) - b(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Driver-side Lloyd over a bounded sample with farthest-point seeding —
+    * deterministic (sample order ties break by position), duplicate-proof
+    * (seeding stops when every remaining point coincides with a seed). */
+  private def kmeansLocal(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot run k-means on an empty sample")
+    val seeds = scala.collection.mutable.ArrayBuffer(points.head)
+    val minD = points.map(p => sqDist(p, points.head))
+    var exhausted = false
+    while (seeds.size < k && seeds.size < points.length && !exhausted) {
+      var best = 0; var i = 1
+      while (i < points.length) {
+        if (minD(i) > minD(best)) best = i
+        i += 1
+      }
+      if (minD(best) == 0.0) exhausted = true
+      else {
+        seeds += points(best)
+        var j = 0
+        while (j < points.length) {
+          val d = sqDist(points(j), points(best))
+          if (d < minD(j)) minD(j) = d
+          j += 1
+        }
+      }
+    }
+    var centroids = seeds.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(
+        new Array[Double](points.head.length))
+      val counts = new Array[Long](centroids.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          val d = sqDist(p, centroids(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train `m` sub-codebooks of `k` centroids each over a deterministic
+    * hash-ordered sample (the [[IvfIndex.train]] sampling discipline:
+    * pure function of the id, reshuffle-proof, planned as TakeOrdered).
+    * `dim` must be divisible by `m`. Training is a one-off. */
+  def train(emb: DataFrame, m: Int, k: Int, iters: Int = 5,
+      sampleSize: Int = 8192, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Codebooks = {
+    require(m > 0 && k > 1, "need m >= 1 blocks and k >= 2 codes")
+    val sample: Array[Array[Double]] = emb
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h"), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    Array.tabulate(m) { b =>
+      kmeansLocal(sample.map(v => v.slice(b * sub, (b + 1) * sub)), k, iters)
+    }
+  }
+
+  /** Argmin-code fold for one block. The sliced subvector is bound ONCE
+    * as a lambda variable (HOF no-CSE — the [[TextAnalysis.shingles]]
+    * lesson), so each centroid comparison is a dot product over an
+    * already-materialized slice. dist² compares as (-2 q·c + |c|²) —
+    * |v|² is constant within the fold. */
+  private def blockCode(vec: Column, b: Int, sub: Int,
+      codebook: Array[Array[Double]]): Column =
+    element_at(
+      transform(array(slice(vec, b * sub + 1, sub)), s => {
+        val scored = codebook.zipWithIndex.map { case (c, i) =>
+          struct(
+            (Similarity.dot(s, typedLit(c.toSeq)) * lit(-2.0) +
+              lit(c.map(x => x * x).sum)).as("d"),
+            lit(i).as("code"))
+        }
+        aggregate(
+          array(scored.toIndexedSeq: _*),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
+          (acc, x) =>
+            when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
+          .getField("code")
+      }),
+      1)
+
+  /** Encode every vector to its `m` block codes: (id, codes array<int>).
+    * At rest this is the compact scan column; the raw embedding is only
+    * needed again for exact re-ranks. */
+  def encode(emb: DataFrame, codebooks: Codebooks,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val vec = col(vecCol).cast("array<double>")
+    emb.select(col(idCol),
+      array((0 until m).map(b =>
+        blockCode(vec, b, sub, codebooks(b))): _*).as("codes"))
+  }
+
+  /** ADC top-k: approximate scores over codes (m lookup-table reads per
+    * row), exact cosine re-rank of the best `refine · k` candidates.
+    *
+    * The candidate set is a TakeOrdered over the code scan — the full
+    * corpus is never sorted and the embedding column is read only for the
+    * candidate re-rank (a broadcast semi-join at corpus scale). */
+  def adcTopK(emb: DataFrame, codebooks: Codebooks,
+      queryVec: Array[Double], k: Int, refine: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && refine >= 1)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    require(queryVec.length == m * sub,
+      s"query dim ${queryVec.length} != m*sub ${m * sub}")
+    // m×k LUTs: exact dot(query block, centroid) and centroid norm² —
+    // driver-side, tiny, entered as literals (the broadcast-side-table
+    // pattern).
+    val lutDot: Seq[Seq[Double]] = (0 until m).map { b =>
+      val qb = queryVec.slice(b * sub, (b + 1) * sub)
+      codebooks(b).toIndexedSeq.map(c =>
+        c.iterator.zip(qb.iterator).map { case (x, y) => x * y }.sum)
+    }
+    val lutN2: Seq[Seq[Double]] = (0 until m).map { b =>
+      codebooks(b).toIndexedSeq.map(c => c.map(x => x * x).sum)
+    }
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val codes = encode(emb, codebooks, vecCol, idCol)
+    val approxDot = aggregate(
+      zip_with(col("codes"),
+        typedLit(lutDot).cast("array<array<double>>"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val approxN2 = aggregate(
+      zip_with(col("codes"),
+        typedLit(lutN2).cast("array<array<double>>"),
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val cands = codes
+      .select(col(idCol),
+        (approxDot / (sqrt(approxN2) * lit(qNorm))).as("approx_score"))
+      .orderBy(col("approx_score").desc, col(idCol))
+      .limit(k * refine)
+    val qLit = typedLit(queryVec.toSeq)
+    emb.join(broadcast(cands.select(idCol)), Seq(idCol))
+      .select(col(idCol),
+        round(Similarity.dot(col(vecCol).cast("array<double>"), qLit) /
+          (Similarity.norm(col(vecCol)) * lit(qNorm)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Convenience: ADC top-k for an in-corpus query id (excluded from the
+    * result, like [[Similarity.bruteForceTopK]]). */
+  def topK(emb: DataFrame, codebooks: Codebooks, queryId: Long, k: Int,
+      refine: Int = 10, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qVec = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    adcTopK(emb.filter(col(idCol) =!= queryId), codebooks, qVec, k, refine,
+      vecCol, idCol)
+  }
+}

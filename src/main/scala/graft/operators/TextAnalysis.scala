@@ -251,6 +251,80 @@ object TextAnalysis {
       .drop("rk")
   }
 
+  /** Per-group top-`k` token frequencies — the vocabulary slice of a
+    * dataset card (most frequent tokens per language/source), and the
+    * standard first look at a new corpus slice.
+    *
+    * Shape at 100 TB: one explode → groupBy(group, token) count with
+    * map-side partial aggregation (the token shuffle carries one row per
+    * DISTINCT (group, token) per map task, not per occurrence), then the
+    * rank filter is pushed down as a window GROUP LIMIT
+    * (`WindowGroupLimit`): each task keeps only `k` rows per group before
+    * the final shuffle, so no full-group sort ever materializes. Ties
+    * break on token order — a total order, so the result is deterministic
+    * and portable.
+    *
+    * @return (group, token, n, rk) with rk in [1, k]
+    */
+  def topTokensByGroup(docs: DataFrame, groupCol: String, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(groupCol, "token")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("n").desc, col("token"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Keep the top `frac` of each group by [[qualityScore]] — per-language
+    * (or per-source) quality filtering against a *relative* bar, the
+    * standard way to apply one quality model across slices with different
+    * score distributions (an absolute threshold keeps everything from a
+    * clean slice and nothing from a noisy one).
+    *
+    * Two paths, the established portable/scale twin split:
+    *   - `approximate = false` (verification twin): rank-based — keep the
+    *     `ceil(frac · |group|)` best rows by (score desc, id). Pure
+    *     integer decisions over a total order, so an external engine
+    *     reproduces the exact kept set. Costs one per-group window sort.
+    *   - `approximate = true` (100 TB path): value-based — per-group
+    *     `approx_percentile` threshold (constant-size mergeable sketch,
+    *     map-side combined; one tiny row per group) broadcast back as a
+    *     join, then a stateless filter. No per-group sort, no skew
+    *     hazard; the kept fraction is approximate within the sketch
+    *     accuracy (spec-asserted against the exact twin).
+    */
+  def qualityTopFraction(docs: DataFrame, groupCol: String, frac: Double,
+      approximate: Boolean = false, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val scored = docs.withColumn("q_score",
+      round(qualityScore(col(textCol)), 3))
+    if (approximate) {
+      val thr = scored.groupBy(groupCol)
+        .agg(percentile_approx(col("q_score"), lit(1.0 - frac), lit(10000))
+          .as("q_thr"))
+      scored.join(broadcast(thr), Seq(groupCol))
+        .filter(col("q_score") >= col("q_thr"))
+        .drop("q_thr")
+    } else {
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol)
+        .orderBy(col("q_score").desc, col(idCol))
+      val whole = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol)
+      scored.withColumn("rk", row_number().over(byScore))
+        .withColumn("n_g", count(lit(1)).over(whole))
+        .filter(col("rk") <= ceil(col("n_g") * lit(frac)))
+        .drop("rk", "n_g")
+    }
+  }
+
   /** CORPUS-level duplicated-span statistics per document: the fraction of
     * each doc's word `n`-gram positions whose n-gram also appears in at
     * least one OTHER document (the signal behind exact-substring dedup à la

@@ -112,4 +112,56 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), p.take(600))
     }
   }
+
+  test("topTokensByGroup plans as WindowGroupLimit over partial-aggregated " +
+    "counts (per-task top-k per group, no full-group sort)") {
+    val p = plan(TextAnalysis.topTokensByGroup(docs(100), "lang", 10))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("approximate qualityTopFraction broadcasts the per-group sketch " +
+    "thresholds and contains no window") {
+    val p = plan(TextAnalysis.qualityTopFraction(docs(100), "lang", 0.5,
+      approximate = true))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("Window"), p.take(1000))
+  }
+
+  test("approximate qualityTopFraction keeps approximately the target " +
+    "fraction and overlaps the exact twin's kept set") {
+    // a graded quality continuum per language (digit ratio rises with i):
+    // the sketch threshold may differ from the exact rank cut only at the
+    // boundary score level
+    val d = (0 until 200).map { i =>
+      val text = "lorem ipsum dolor sit amet elit " + ("9 " * (i % 40))
+      (i.toLong, text.trim, if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val exact = TextAnalysis.qualityTopFraction(d, "lang", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = TextAnalysis.qualityTopFraction(d, "lang", 0.4,
+        approximate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inter = (exact intersect approx).size
+    assert(inter >= (exact.size * 0.9).toInt,
+      s"overlap $inter of ${exact.size}")
+    assert(math.abs(approx.size - exact.size) <=
+      math.max(2, (exact.size * 0.15).toInt),
+      s"kept ${approx.size} vs exact ${exact.size}")
+  }
+
+  test("PQ ADC candidate selection is TakeOrdered over the code scan " +
+    "and the re-rank joins a broadcast candidate set") {
+    val rnd = new scala.util.Random(3L)
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = PqIndex.train(emb, m = 2, k = 4, iters = 2)
+    val p = plan(PqIndex.adcTopK(emb, books,
+      Array.fill(8)(0.5), k = 5, refine = 2))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization: training is deterministic, codes stay in range
+  * and compress the representation, and ADC search recalls the brute-force
+  * answer on clustered data (where ANN is actually used).
+  */
+class PqIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val Dim = 16
+
+  private def clustered(nClusters: Int, per: Int, seed: Long = 7L) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, Dim)(rnd.nextGaussian() * 3)
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until per
+    } yield Row((c * per + i).toLong,
+      centers(c).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq, c)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("codes are in range and the representation is m ints per vector") {
+    val emb = clustered(4, 25)
+    val books = PqIndex.train(emb, m = 4, k = 8, iters = 3)
+    assert(books.length === 4)
+    assert(books.forall(_.forall(_.length === Dim / 4)))
+    val codes = PqIndex.encode(emb, books).collect()
+    assert(codes.length === 100)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 4)
+      assert(cs.forall(c => c >= 0 && c < 8), cs)
+    }
+  }
+
+  test("training and encoding are deterministic under repartition") {
+    val emb = clustered(3, 20)
+    val a = PqIndex.train(emb, m = 4, k = 4, iters = 3)
+    val b = PqIndex.train(emb.repartition(7), m = 4, k = 4, iters = 3)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq === b.map(_.map(_.toSeq).toSeq).toSeq)
+    val ca = PqIndex.encode(emb, a).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toSeq
+    val cb = PqIndex.encode(emb.repartition(5), a).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toSeq
+    assert(ca === cb)
+  }
+
+  test("same-cluster vectors share codes on well-separated data") {
+    // k = #clusters: per block, k-means converges on the cluster centers,
+    // so each tight cluster quantizes to exactly one code word (k > #
+    // clusters may legitimately split a cluster across two centroids).
+    val emb = clustered(4, 25)
+    val books = PqIndex.train(emb, m = 4, k = 4, iters = 5)
+    val codes = PqIndex.encode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 4).foreach { label =>
+      val perCluster = (0 until 25).map(i => codes((label * 25 + i).toLong))
+      assert(perCluster.distinct.size === 1,
+        s"label $label spread over ${perCluster.distinct.size} code words")
+    }
+  }
+
+  test("ADC topK recalls brute force on clustered vectors") {
+    val emb = clustered(4, 25)
+    val books = PqIndex.train(emb, m = 4, k = 8, iters = 5)
+    val exact = Similarity.bruteForceTopK(emb, queryId = 7L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = PqIndex.topK(emb, books, queryId = 7L, k = 10, refine = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect pq).size >= 9,
+      s"recall ${(exact intersect pq).size}/10")
+  }
+
+  test("refine=1 still returns k exact-scored rows ordered by score") {
+    val emb = clustered(2, 30)
+    val books = PqIndex.train(emb, m = 4, k = 4, iters = 3)
+    val rows = PqIndex.topK(emb, books, queryId = 0L, k = 5, refine = 1)
+      .collect()
+    assert(rows.length === 5)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+}
