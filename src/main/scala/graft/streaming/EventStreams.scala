@@ -136,6 +136,42 @@ object EventStreams {
     graft.operators.TemporalJoin.asofJoinBroadcast(stream, dim, key,
       streamTime, dimTime, payload)
 
+  /** Stream-STREAM interval join: all (left, right) pairs with equal
+    * `key` and `rightTime` in `[leftTime, leftTime + widthSec)` — the
+    * streaming twin of [[graft.operators.TemporalJoin.rangeJoin]]
+    * (attribution between two live feeds: impressions ⋈ clicks, errors ⋈
+    * follow-up actions). Spark's stream-stream inner join with an
+    * event-time range condition keeps BOTH sides' state bounded: each
+    * side buffers only rows newer than its watermark minus the interval,
+    * so state tracks the live window, not stream history. Same output
+    * contract as the batch operator: left columns unchanged, right
+    * columns `r_`-prefixed.
+    *
+    * The batch twin buckets time to turn the inequality into an
+    * equi-join; the streaming runtime instead bounds the symmetric hash
+    * join with the watermark — same semantics, each engine's native
+    * bounding mechanism (spec-pinned equal to the batch operator). */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String, widthSec: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(widthSec > 0, "window width must be positive")
+    val rCols = right.columns.toSeq
+    // Rename BEFORE attaching the watermark so the watermark rides the
+    // surviving column; "__rk"/"__rt" keep the join unambiguous when both
+    // feeds share column names (two event streams both carrying "ts").
+    val r = right
+      .select(col(key).as("__rk") +: col(rightTime).as("__rt") +:
+        rCols.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("__rt", watermarkDelay)
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    l.join(r,
+        col(key) === col("__rk") &&
+          col("__rt") >= col(leftTime) &&
+          col("__rt") < col(leftTime) +
+            expr(s"INTERVAL $widthSec SECOND"))
+      .drop("__rk", "__rt")
+  }
+
   /** Per-key state transition: fold this batch's events (event-time order)
     * into the open session; emit sessions closed by a gap; park the open
     * session in state with a timeout at `last + gap`. */

@@ -244,6 +244,47 @@ class EventStreamsSpec extends AnyFunSuite {
       List((1000L, 1100L, 2L))) // first session closed by the 5000s event
     assert(state.updated.map(_.toString).nonEmpty) // 5000s session parked
   }
+
+  test("streamStreamIntervalJoin matches the batch rangeJoin pair set") {
+    // batch 2 (user 2) sits AFTER batch 1's max event time: with a 0 s
+    // watermark delay, older rows in a later batch would be legitimately
+    // dropped as late — the equivalence holds for in-watermark arrivals.
+    val errors = Seq(
+      ev(1, 1000, 1, "error", 0.0), ev(2, 9000, 1, "error", 0.0),
+      ev(3, 12000, 2, "error", 0.0))
+    val clicks = Seq(
+      ev(10, 1500, 1, "click", 5.0),   // in window of error 1
+      ev(11, 4500, 1, "click", 6.0),   // outside (width 3000 s)
+      ev(12, 9100, 1, "click", 7.0),   // in window of error 2
+      ev(13, 12000, 2, "click", 8.0),  // boundary: rightTime == leftTime, in
+      ev(14, 11999, 2, "click", 9.0))  // before the error, out
+    val expected = graft.operators.TemporalJoin.rangeJoin(
+        errors.toDF(), clicks.toDF(), "user_id", "ts", "ts",
+        widthSec = 3000L)
+      .select("event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected === Set((1L, 10L), (2L, 12L), (3L, 13L)))
+
+    val lIn = MemoryStream[Event](spark)
+    val rIn = MemoryStream[Event](spark)
+    val q = EventStreams.streamStreamIntervalJoin(
+        lIn.toDF(), rIn.toDF(), "user_id", "ts", "ts", widthSec = 3000L,
+        watermarkDelay = "0 seconds")
+      .select(col("event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(errors.take(2): _*)
+      rIn.addData(clicks.take(3): _*)
+      q.processAllAvailable()
+      lIn.addData(errors.drop(2): _*)
+      rIn.addData(clicks.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState stub for direct state-function tests. */
