@@ -1140,7 +1140,92 @@ object TextQueries {
             approximate = true)
           .select(col("doc_id"), col("lang"), col("q_score"))
           .orderBy("doc_id"),
-      None)
+      None),
+
+    // ----- q71: the END-TO-END training-data pipeline — PII scrub →
+    // quality gate → exact dedup → LSH near-dup component collapse →
+    // weighted language mixing → deterministic train/valid split — every
+    // stage one of the individually-oracled operators above, composed in
+    // the order a production corpus build runs them, and the WHOLE
+    // composition value-checked in DuckDB (scrubbed bytes feed the
+    // fingerprints, so stage coupling is exercised, not just stage
+    // outputs). All decisions are pure md5 functions of content/id:
+    // reshuffle-proof, replay-stable, engine-portable.
+    Q("q71_training_pipeline",
+      (s, d) => {
+        val scrubbed = documents(s, d).select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("text"), col("lang"))
+        val kept = Dedup.dedupCorpus(scrubbed, minQuality = 0.3,
+          numHashes = 16, bands = 4, portable = true)
+        val survivors = scrubbed.join(kept, Seq("doc_id"), "left_semi")
+        val mixed = TextAnalysis.sampleByWeights(survivors, "lang",
+          Map("en" -> 1.0, "de" -> 0.5), defaultWeight = 0.8)
+        mixed.select(col("doc_id"), col("lang"),
+            TextAnalysis.hashSplit(col("doc_id"), 0.9).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE scrub AS (
+          SELECT doc_id, lang,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\d{9,}', '<ID>', 'g'),
+                   '(\\+?\\d{1,3}[-. ()]{0,2})?\\d{3}[-. ()]{0,2}\\d{3}[-. ]?\\d{4}',
+                   '<PHONE>', 'g') AS text
+          FROM documents),
+        qgate AS (
+          SELECT doc_id, text FROM scrub
+          WHERE round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) >= 0.3
+        ),
+        fpk AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+                FROM qgate)
+          GROUP BY fp
+        ),
+        s1 AS (SELECT q.* FROM qgate q JOIN fpk USING (doc_id)),
+        ${minhashCtesFrom("s1")},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS comp FROM r GROUP BY id)
+          WHERE id <> comp),
+        kept AS (
+          SELECT doc_id FROM s1
+          WHERE doc_id NOT IN (SELECT id FROM drops)),
+        mixed AS (
+          SELECT k.doc_id, s.lang
+          FROM kept k JOIN scrub s USING (doc_id)
+          WHERE CAST(('0x' || substr(md5('mix|' || k.doc_id::VARCHAR), 1, 4))
+                  AS INT)
+                < CASE s.lang WHEN 'en' THEN 65536
+                              WHEN 'de' THEN 32768
+                              ELSE 52428 END)
+        SELECT doc_id, lang,
+               CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))
+                      AS INT) < 58982
+                    THEN 'train' ELSE 'valid' END AS split
+        FROM mixed
+        ORDER BY doc_id"""))
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

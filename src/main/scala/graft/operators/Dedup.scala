@@ -453,9 +453,14 @@ object Dedup {
     val dupOfCorpus = fps
       .join(index.select("fp"), Seq("fp"), "left_semi")
       .select(idCol)
+    // Checkpointed: survivors1 feeds the band-key chain (action below) AND
+    // the s2ids checkpoint — without the cut, each of those actions
+    // replays the batch construction + fingerprint + exact/corpus probes.
+    // Batch-sized (id + text), not corpus-sized.
     val survivors1 = batch
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(dupOfCorpus, Seq(idCol), "left_anti")
+      .localCheckpoint()
     // The batch band keys feed three separate consumers across separate
     // ACTIONS (corpus-key probe, survivor filter, in-batch pair join →
     // component rounds): localCheckpoint computes the batch
