@@ -303,6 +303,97 @@ class ConceptAssembler(
       Encoders.product[UmlsConceptRow])
   }
 
+  /** Column-algebra finishing — the codegen twin of
+    * [[ConceptAssembler.finish]]: canonical atom order, prefLabel
+    * selection (A7/A8/A9 branch-for-branch), distinct sorted
+    * altLabels/CUIs/TUIs — as array expressions over the grouped shape,
+    * so the scale path (q25s, any whole-corpus pre-pass) stays inside
+    * whole-stage codegen instead of round-tripping every class through
+    * the product encoder (the encoder map measured ~2× the whole
+    * assembly's cost at 600k atoms). The typed [[concepts]] remains the
+    * per-term unit the sink's `Try` wraps (S6); equality of the two
+    * paths is spec-pinned (`ConceptAssemblerSpec`).
+    *
+    * Output columns match [[UmlsConceptRow]] field-for-field. */
+  def conceptsColumns(strict: Boolean = false): DataFrame = {
+    val rankMap = rankByTty
+    val raw = assembled(strict).toDF()
+    val schema = raw.schema
+    def emptyLike(c: String) =
+      array().cast(schema(schema.fieldIndex(c)).dataType)
+    // Canonical (aui, cui) order via a keyed struct sort (struct field
+    // ORDER is the sort key, so the key must be rebuilt, not the raw
+    // atom struct whose first field is cui).
+    val sortedAtoms = transform(
+      array_sort(transform(col("atoms"), a =>
+        struct(a.getField("aui").as("k1"), a.getField("cui").as("k2"),
+          a.as("v")))),
+      x => x.getField("v"))
+    val withSorted = raw.withColumn("atoms_sorted", sortedAtoms)
+    val atomsS = col("atoms_sorted")
+    val strs = transform(atomsS, a => a.getField("str"))
+    val first = element_at(atomsS, 1).getField("str")
+    val prefCol =
+      if (loadOnCuis) {
+        // A8 cascade (umls2rdf.py:296-319), branch-for-branch.
+        val labels = array_distinct(strs)
+        val isPref = filter(atomsS, a => a.getField("ispref") === "Y")
+        val prefPf = filter(isPref, a => a.getField("stt") === "PF")
+        val ttyP = filter(atomsS, a => a.getField("tty").startsWith("P"))
+        when(size(atomsS) === 1, first)
+          .when(size(labels) === 1, element_at(labels, 1))
+          .when(size(isPref) === 0, first)
+          .when(size(isPref) === 1, element_at(isPref, 1).getField("str"))
+          .when(size(prefPf) === 0, first)
+          .when(size(prefPf) === 1, element_at(prefPf, 1).getField("str"))
+          .when(size(ttyP) === 1, element_at(ttyP, 1).getField("str"))
+          .otherwise(first)
+      } else if (rankMap.nonEmpty) {
+        // A7 argmax; strict `>` keeps the FIRST max in canonical order
+        // (the typed path's maxBy tie-break). Missing TTY raises like the
+        // reference's KeyError.
+        val rankLit = typedLit(rankMap)
+        def rankOf(tty: org.apache.spark.sql.Column) = {
+          val r = element_at(rankLit, tty)
+          when(r.isNull,
+            raise_error(concat(lit("TTY "), tty, lit(" not in MRRANK")))
+              .cast("int"))
+            .otherwise(r)
+        }
+        aggregate(atomsS,
+          struct(lit(Int.MinValue).as("r"),
+            lit(null).cast("string").as("str")),
+          (acc, a) =>
+            when(rankOf(a.getField("tty")) > acc.getField("r"),
+              struct(rankOf(a.getField("tty")).as("r"),
+                a.getField("str").as("str")))
+              .otherwise(acc))
+          .getField("str")
+      } else {
+        // A9: empty MRRANK requires exactly one 'P'-TTY atom.
+        val prefAtoms = filter(atomsS, a => a.getField("tty").contains("P"))
+        when(size(prefAtoms) === 1, element_at(prefAtoms, 1).getField("str"))
+          .otherwise(
+            raise_error(lit("Unable to select pref label")).cast("string"))
+      }
+    withSorted
+      .withColumn("prefLabel", prefCol)
+      .select(
+        col("code"),
+        col("prefLabel"),
+        array_sort(array_remove(array_distinct(strs), col("prefLabel")))
+          .as("altLabels"),
+        coalesce(col("defs"), emptyLike("defs")).as("defs"),
+        array_sort(array_distinct(
+          transform(atomsS, a => a.getField("cui")))).as("cuis"),
+        array_sort(coalesce(col("tuis"), emptyLike("tuis"))).as("tuis"),
+        coalesce(col("atts"), emptyLike("atts")).as("atts"),
+        coalesce(col("rels"), emptyLike("rels")).as("rels"),
+        col("isRoot"),
+        array_sort(coalesce(col("treeParents"), emptyLike("treeParents")))
+          .as("treeParents"))
+  }
+
   /** The grouped-and-joined shape BEFORE per-class finishing — exposed so
     * the sink can wrap finish+render in a per-term Try (S6 error
     * tolerance, `umls2rdf.py:764-771`). */

@@ -313,7 +313,9 @@ object UmlsQueries {
     Q("q25s_assembly_scale",
       (s, d) => {
         val asm = new ConceptAssembler(s, scaleSource(s, d), "BIG")
-        asm.concepts().toDF()
+        // Columnar finishing: the whole spine stays in whole-stage
+        // codegen (equality with the typed path is spec-pinned).
+        asm.conceptsColumns()
           .select(col("code"), col("prefLabel"),
             size(col("altLabels")).as("n_alt"), size(col("rels")).as("n_rels"),
             size(col("atts")).as("n_atts"), size(col("cuis")).as("n_cuis"),
@@ -327,6 +329,11 @@ object UmlsQueries {
     * consecutive lines become rels, orders become defs, parts become
     * atts, customers-of-orders become STY rows. Everything is a narrow
     * projection — the scan cost stays parquet-side. */
+  /** Factory for profiling tools: a fresh assembler over [[scaleSource]]. */
+  private[graft] def scaleAssembler(s: SparkSession, dir: String)
+      : () => ConceptAssembler =
+    () => new ConceptAssembler(s, scaleSource(s, dir), "BIG")
+
   private def scaleSource(s: SparkSession, dir: String): UmlsSource = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val ord = s.read.parquet(s"$dir/orders.parquet")

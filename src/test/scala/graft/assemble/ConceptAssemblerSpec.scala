@@ -47,6 +47,45 @@ class ConceptAssemblerSpec extends AnyFunSuite {
     new ConceptAssembler(spark, src, "TEST")
   }
 
+  test("columnar finishing equals the typed path in every fixture mode") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.UmlsSource
+    // Flatten with per-array sorts: collect_list element order is
+    // execution-dependent on BOTH paths, and finish() deliberately leaves
+    // rels/atts/defs in collection order (the renderer sorts them).
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("code"), col("prefLabel"),
+        array_join(col("altLabels"), "|").as("alt"),
+        array_join(array_sort(col("defs")), "|").as("defs"),
+        array_join(col("cuis"), "|").as("cuis"),
+        array_join(col("tuis"), "|").as("tuis"),
+        array_join(array_sort(transform(col("atts"), a =>
+          concat_ws("~", a.getField("atn"), a.getField("atv")))), "|")
+          .as("atts"),
+        array_join(array_sort(transform(col("rels"), r =>
+          concat_ws("~", r.getField("rel"), r.getField("rela"),
+            r.getField("cui1"), r.getField("codeTarget"),
+            r.getField("codeSource")))), "|").as("rels"),
+        col("isRoot"),
+        array_join(col("treeParents"), "|").as("parents"))
+        .orderBy("code").collect().map(_.toSeq).toSeq
+    val fixtureDir = "/root/repo/fixtures/umls"
+    val modes = Seq(
+      // codes mode with MRRANK (A7 argmax + tie-break)
+      new ConceptAssembler(spark, UmlsSource.parquet(spark, fixtureDir), "FIX"),
+      // cuis mode (A8 cascade, one fixture CUI per branch)
+      new ConceptAssembler(spark, UmlsSource.parquet(spark, fixtureDir),
+        "CFX", loadOnCuis = true),
+      // MeSH (tree parents populated)
+      new ConceptAssembler(spark, UmlsSource.parquet(spark, fixtureDir), "MSH"),
+      // empty-MRRANK A9 branch (in-memory fixture has no MRRANK rows)
+      assembler())
+    modes.foreach { asm =>
+      assert(flat(asm.concepts().toDF()) === flat(asm.conceptsColumns()),
+        asm.toString)
+    }
+  }
+
   test("terms rewrite code-mode relations and filter self-maps") {
     val terms = assembler().concepts().collect().map(t => t.code -> t).toMap
     assert(terms.keySet == Set("CODE1", "CODE2"))
