@@ -155,23 +155,17 @@ object PqIndex {
         blockCode(vec, b, sub, codebooks(b))): _*).as("codes"))
   }
 
-  /** ADC top-k: approximate scores over codes (m lookup-table reads per
-    * row), exact cosine re-rank of the best `refine · k` candidates.
-    *
-    * The candidate set is a TakeOrdered over the code scan — the full
-    * corpus is never sorted and the embedding column is read only for the
-    * candidate re-rank (a broadcast semi-join at corpus scale). */
-  def adcTopK(emb: DataFrame, codebooks: Codebooks,
-      queryVec: Array[Double], k: Int, refine: Int = 10,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    require(k > 0 && refine >= 1)
+  /** Candidate selection over a code relation: approximate cosine from
+    * m×k lookup tables (exact query-block · centroid dots and centroid
+    * norms², computed driver-side and entered as literals — the
+    * broadcast-side-table pattern), TakeOrdered top `n` — the full
+    * corpus is never sorted. */
+  private def adcCandidates(codes: DataFrame, codebooks: Codebooks,
+      queryVec: Array[Double], n: Int, idCol: String): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     require(queryVec.length == m * sub,
       s"query dim ${queryVec.length} != m*sub ${m * sub}")
-    // m×k LUTs: exact dot(query block, centroid) and centroid norm² —
-    // driver-side, tiny, entered as literals (the broadcast-side-table
-    // pattern).
     val lutDot: Seq[Seq[Double]] = (0 until m).map { b =>
       val qb = queryVec.slice(b * sub, (b + 1) * sub)
       codebooks(b).toIndexedSeq.map(c =>
@@ -181,7 +175,6 @@ object PqIndex {
       codebooks(b).toIndexedSeq.map(c => c.map(x => x * x).sum)
     }
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
-    val codes = encode(emb, codebooks, vecCol, idCol)
     val approxDot = aggregate(
       zip_with(col("codes"),
         typedLit(lutDot).cast("array<array<double>>"),
@@ -192,18 +185,61 @@ object PqIndex {
         typedLit(lutN2).cast("array<array<double>>"),
         (c, row) => element_at(row, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val cands = codes
+    codes
       .select(col(idCol),
         (approxDot / (sqrt(approxN2) * lit(qNorm))).as("approx_score"))
       .orderBy(col("approx_score").desc, col(idCol))
-      .limit(k * refine)
+      .limit(n)
+  }
+
+  /** Exact cosine re-rank of a (small, broadcast) candidate id set. */
+  private def rerank(emb: DataFrame, cands: DataFrame,
+      queryVec: Array[Double], k: Int, vecCol: String, idCol: String)
+      : DataFrame = {
     val qLit = typedLit(queryVec.toSeq)
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
     emb.join(broadcast(cands.select(idCol)), Seq(idCol))
       .select(col(idCol),
         round(Similarity.dot(col(vecCol).cast("array<double>"), qLit) /
           (Similarity.norm(col(vecCol)) * lit(qNorm)), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** ADC top-k: approximate scores over codes (m lookup-table reads per
+    * row), exact cosine re-rank of the best `refine · k` candidates —
+    * the embedding column is read only for the candidate re-rank (a
+    * broadcast semi-join at corpus scale). */
+  def adcTopK(emb: DataFrame, codebooks: Codebooks,
+      queryVec: Array[Double], k: Int, refine: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && refine >= 1)
+    val cands = adcCandidates(encode(emb, codebooks, vecCol, idCol),
+      codebooks, queryVec, k * refine, idCol)
+    rerank(emb, cands, queryVec, k, vecCol, idCol)
+  }
+
+  /** Materialize the code column at rest beside the id — the compact
+    * search copy of the corpus (m ints vs 4·dim bytes per vector). The
+    * ADC scan then reads THIS table only; raw embeddings are touched for
+    * the final re-rank rows alone. */
+  def writeEncoded(emb: DataFrame, path: String, codebooks: Codebooks,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    encode(emb, codebooks, vecCol, idCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** ADC top-k over a [[writeEncoded]] layout: approximate scores scan
+    * only the (id, codes) parquet — column pruning keeps the raw
+    * embedding table out of the candidate pass entirely; `emb` is read
+    * just for the broadcast-candidate exact re-rank. */
+  def encodedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      emb: DataFrame, codebooks: Codebooks, queryVec: Array[Double],
+      k: Int, refine: Int = 10, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && refine >= 1)
+    val cands = adcCandidates(spark.read.parquet(path), codebooks, queryVec,
+      k * refine, idCol)
+    rerank(emb, cands, queryVec, k, vecCol, idCol)
   }
 
   /** Convenience: ADC top-k for an in-corpus query id (excluded from the

@@ -82,6 +82,27 @@ class PqIndexSpec extends AnyFunSuite {
       s"recall ${(exact intersect pq).size}/10")
   }
 
+  test("at-rest encoded search matches the in-memory ADC answer and " +
+    "never reads the embedding column in the candidate pass") {
+    val emb = clustered(4, 25)
+    val books = PqIndex.train(emb, m = 4, k = 8, iters = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    PqIndex.writeEncoded(emb, dir, books)
+    val qVec = emb
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val atRest = PqIndex.encodedTopK(spark, dir, emb, books, qVec,
+      k = 5, refine = 3)
+    // the candidate scan is the parquet codes table: (vec_id, codes) only
+    val plan = atRest.queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), plan.take(1500))
+    val inMem = PqIndex.adcTopK(emb, books, qVec, k = 5, refine = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(atRest.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === inMem)
+  }
+
   test("refine=1 still returns k exact-scored rows ordered by score") {
     val emb = clustered(2, 30)
     val books = PqIndex.train(emb, m = 4, k = 4, iters = 3)
