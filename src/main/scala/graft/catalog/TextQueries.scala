@@ -1225,6 +1225,65 @@ object TextQueries {
                       AS INT) < 58982
                     THEN 'train' ELSE 'valid' END AS split
         FROM mixed
+        ORDER BY doc_id""")),
+
+    // ----- q72: vocabulary-coded documents (TextAnalysis.tokensToIds) —
+    // top-200 vocab by (count desc, token), ids in rank order, OOV = -1,
+    // each doc re-emitted as its position-ordered id sequence. The vocab
+    // rank filter and the in-row position re-sort are both deterministic
+    // total orders, so the coded sequences compare value-for-value.
+    Q("q72_tokenize_ids",
+      (s, d) =>
+        TextAnalysis.tokensToIds(documents(s, d), vocabSize = 200)
+          .select(col("doc_id"),
+            array_join(col("token_ids"), ",").as("ids"),
+            col("n_tokens"), col("n_oov"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH arr AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+        toks AS (
+          SELECT doc_id, u.i - 1 AS pos, a[u.i] AS token
+          FROM arr, unnest(generate_series(1, len(a))) AS u(i)
+          WHERE length(a[u.i]) > 0),
+        vocab AS (
+          SELECT token, vid FROM (
+            SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS vid
+            FROM (SELECT token, count(*) AS n FROM toks GROUP BY 1))
+          WHERE vid < 200),
+        coded AS (
+          SELECT t.doc_id, t.pos, coalesce(v.vid, -1) AS vid
+          FROM toks t LEFT JOIN vocab v USING (token))
+        SELECT doc_id,
+               string_agg(vid::VARCHAR, ',' ORDER BY pos) AS ids,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        FROM coded
+        GROUP BY 1
+        ORDER BY doc_id""")),
+
+    // ----- q73: unigram LM document scoring (TextAnalysis
+    // .unigramLogprob) — the CCNet-style perplexity proxy: mean ln
+    // p(token) under the corpus unigram model. The model stays a joined
+    // relation (unbounded vocab); the 1-row total is broadcast.
+    Q("q73_unigram_logprob",
+      (s, d) =>
+        TextAnalysis.unigramLogprob(documents(s, d))
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, u.token AS token
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT sum(cnt)::DOUBLE AS total FROM counts)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(ln(cnt::DOUBLE / total)), 4) AS avg_logprob
+        FROM toks JOIN counts USING (token), tot
+        GROUP BY 1
         ORDER BY doc_id"""))
   )
 

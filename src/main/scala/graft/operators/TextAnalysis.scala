@@ -325,6 +325,73 @@ object TextAnalysis {
     }
   }
 
+  /** Vocabulary-coded documents — the tokenize-to-ids step between a
+    * cleaned corpus and a trainer: build the top-`vocabSize` vocabulary
+    * (by count desc, token asc — a total order), assign ids in rank
+    * order (0-based), and re-emit each document as its token-id sequence
+    * with out-of-vocabulary tokens coded `-1`.
+    *
+    * Shape at 100 TB: vocab construction is one partial-aggregated
+    * count + TakeOrdered (the [[TextSearch.topVocab]] shape) and the
+    * id-rank window runs over the already-limited `vocabSize` rows, not
+    * the corpus; coding is explode → broadcast-join vocab → one
+    * groupBy(id) whose per-doc list is re-ordered in-row by position.
+    *
+    * @return (id, token_ids array<int>, n_tokens, n_oov)
+    */
+  def tokensToIds(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
+      .withColumn("vid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))) - 1)
+      .select("token", "vid")
+    val coded = toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("vid"), lit(-1)).as("vid"))
+    coded.groupBy(idCol)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("vid")))),
+          s => s.getField("vid")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vid") === -1, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Unigram language-model document scoring (the CCNet-style perplexity
+    * proxy): p(token) = corpus count / corpus total, and a document's
+    * score is the mean log-probability of its tokens — repetitive
+    * common-token documents score high, rare-gibberish documents score
+    * low; pipelines threshold or bucket on this before training.
+    *
+    * Shape at 100 TB: one token count (partial-aggregated), the 1-row
+    * total broadcast, one keyed join back to the token stream, one
+    * groupBy(doc). The model table stays a relation (joined, never
+    * collected) so vocabulary size is unbounded.
+    *
+    * @return (id, n_tokens, avg_logprob)
+    */
+  def unigramLogprob(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+  }
+
   /** CORPUS-level duplicated-span statistics per document: the fraction of
     * each doc's word `n`-gram positions whose n-gram also appears in at
     * least one OTHER document (the signal behind exact-substring dedup à la
