@@ -598,9 +598,20 @@ object Dedup {
   def pairJaccard(pairs: DataFrame, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       portable: Boolean = false): DataFrame = {
-    val candIds = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    // The pair relation is referenced FOUR times below (both candidate-id
+    // projections, the intersection probe, the final join) and usually
+    // arrives as the whole LSH candidate-generation plan — without a
+    // lineage cut each reference replays minhash + banding + the bucket
+    // join. Pairs are LSH-bounded (sum of bucket²), two longs per row.
+    val p = pairs.localCheckpoint()
+    val candIds = p.select(col("id_a").as(idCol))
+      .union(p.select(col("id_b").as(idCol))).distinct()
     val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    // The candidate shingle relation is re-derived by the size aggregate
+    // and both intersection probes, but it is candidate-bounded (the
+    // semi-join runs before the explode), so the recompute is cheap next
+    // to the pair-plan replay the `p` checkpoint removes — and keeping it
+    // lazy keeps the semi-join visible to plan audits.
     val toks =
       if (portable)
         candDocs.select(col(idCol),
@@ -613,11 +624,11 @@ object Dedup {
     val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
     // Intersection size: pair → a's shingles, then match b on the same
     // shingle — one (pair, shingle) equi-join, never a per-pair scan.
-    val inter = pairs
+    val inter = p
       .join(toks.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
       .join(toks.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    pairs
+    p
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),
         Seq("id_a"))
