@@ -1284,7 +1284,75 @@ object TextQueries {
                round(avg(ln(cnt::DOUBLE / total)), 4) AS avg_logprob
         FROM toks JOIN counts USING (token), tot
         GROUP BY 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- q74: corpus snapshot diff (TextAnalysis.corpusDiff) — v2 is
+    // derived from v1 deterministically (every 13th doc removed, every
+    // 7th surviving doc edited, new ids appended above a derived offset),
+    // and the diff must classify exactly those sets. Both sides shuffle
+    // 32-byte fingerprints, never text.
+    Q("q74_corpus_diff",
+      (s, d) => {
+        val v1 = documents(s, d)
+        val maxId = v1.agg(max("doc_id")).head().getLong(0)
+        val off = math.pow(10, maxId.toString.length.toDouble).toLong
+        val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" edited v2"))).otherwise(col("text"))
+              .as("text"))
+          .unionByName(v1.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("text")))
+        TextAnalysis.corpusDiff(v1, v2).orderBy("doc_id")
+      },
+      Some("""
+        WITH off AS (
+          SELECT power(10, len(max(doc_id)::VARCHAR))::BIGINT AS o
+          FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 13 != 0
+          UNION ALL
+          SELECT doc_id + (SELECT o FROM off), text
+          FROM documents WHERE doc_id % 11 = 0),
+        fp1 AS (
+          SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp_old
+          FROM documents),
+        fp2 AS (
+          SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp_new
+          FROM v2)
+        SELECT doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old != fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM fp1 FULL OUTER JOIN fp2 USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ----- q75: corpus contract validation (TextAnalysis.validateCorpus)
+    // — the one-row expectations report: id uniqueness, null/empty text,
+    // token-count bounds.
+    Q("q75_validate_corpus",
+      (s, d) => TextAnalysis.validateCorpus(documents(s, d)),
+      Some("""
+        SELECT count(*)::BIGINT AS n_rows,
+               count(DISTINCT doc_id)::BIGINT AS n_distinct_ids,
+               (count(*) - count(DISTINCT doc_id))::BIGINT AS n_dup_ids,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_null_text,
+               sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_empty_text,
+               min(CASE WHEN text IS NOT NULL THEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                 AS min_tokens,
+               max(CASE WHEN text IS NOT NULL THEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                 AS max_tokens
+        FROM documents"""))
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

@@ -518,6 +518,56 @@ object TextAnalysis {
         col("tok_pcts").getItem(1).cast("double").as("p90_tokens"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive an
+    * incremental pipeline runs between two corpus versions: classify
+    * every id as `added` (new only), `removed` (old only), `changed`
+    * (both, content fingerprint differs), or `unchanged`. Content
+    * equality is the portable md5 [[fingerprint]], so the decision is
+    * engine-portable and replay-stable.
+    *
+    * Shape at 100 TB: both sides project to (id, 32-byte fp) BEFORE the
+    * full-outer join, so the one keyed shuffle carries fingerprints,
+    * never document bytes.
+    *
+    * @return (id, status) for every id in either snapshot
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldDocs.select(col(idCol),
+      fingerprint(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol),
+      fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Corpus contract validation — the expectations report a pipeline
+    * checks before accepting a snapshot: row/distinct-id counts (id
+    * uniqueness), null/empty text counts, token-count bounds. One
+    * aggregation pass; count(distinct) plans as Spark's two-stage
+    * partial-distinct, so no single reducer sees all ids.
+    *
+    * @return one row: (n_rows, n_distinct_ids, n_dup_ids, n_null_text,
+    *         n_empty_text, min_tokens, max_tokens)
+    */
+  def validateCorpus(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(idCol)).as("n_distinct_ids"),
+      (count(lit(1)) - countDistinct(col(idCol))).as("n_dup_ids"),
+      sum(when(t.isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(t.isNotNull && length(trim(t)) === 0, 1L).otherwise(0L))
+        .as("n_empty_text"),
+      min(when(t.isNotNull, tokenCount(t).cast("long"))).as("min_tokens"),
+      max(when(t.isNotNull, tokenCount(t).cast("long"))).as("max_tokens"))
+  }
+
   /** Per-document stats table: one narrow projection pass. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
