@@ -1352,7 +1352,28 @@ object TextQueries {
                max(CASE WHEN text IS NOT NULL THEN
                  len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
                  AS max_tokens
-        FROM documents"""))
+        FROM documents""")),
+
+    // ----- q76: per-doc token entropy (TextAnalysis.tokenEntropy) — the
+    // degenerate-text signal: H = ln n − (Σ c ln c)/n over each doc's own
+    // token counts. Two partial-aggregated groupBys, no window.
+    Q("q76_token_entropy",
+      (s, d) =>
+        TextAnalysis.tokenEntropy(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, u.token AS token
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        pc AS (
+          SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        FROM pc
+        GROUP BY 1
+        ORDER BY doc_id"""))
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

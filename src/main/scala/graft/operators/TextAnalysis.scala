@@ -518,6 +518,28 @@ object TextAnalysis {
         col("tok_pcts").getItem(1).cast("double").as("p90_tokens"))
   }
 
+  /** Per-document token entropy (nats): −Σ p ln p over the document's own
+    * token distribution — the standard degenerate-text signal (near-zero
+    * entropy = one token repeated; quality pipelines band on it beside
+    * [[repetitionStats]]). One explode and two keyed aggregations, both
+    * partial-aggregated map-side.
+    *
+    * @return (id, n_tokens, entropy)
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy(idCol, "token").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"),
+        round(
+          log(sum("c")) -
+            sum(col("c") * log(col("c"))) / sum("c"),
+          4).as("entropy"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive an
     * incremental pipeline runs between two corpus versions: classify
     * every id as `added` (new only), `removed` (old only), `changed`

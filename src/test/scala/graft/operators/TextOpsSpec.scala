@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge-case behavior of the round-4 text operators (the oracle entries
+  * cover the happy path on harness data; these pin the corners).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokensToIds codes in-vocab tokens by rank and OOV as -1, " +
+    "preserving position order") {
+    val d = Seq(
+      (1L, "b a a c"),
+      (2L, "a zz b")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1, zz=1 → vocab(2): a=0, b=1; c/zz OOV
+    val got = TextAnalysis.tokensToIds(d, vocabSize = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2), r.getLong(3)))
+    assert(got(0) === ((1L, Seq(1, 0, 0, -1), 4L, 1L)))
+    assert(got(1) === ((2L, Seq(0, -1, 1), 3L, 1L)))
+  }
+
+  test("unigramLogprob scores a doc of corpus-common tokens above one " +
+    "of rare tokens") {
+    val d = (0 until 50).map(i => (i.toLong, "the the the common words"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "zyx qwv jkl")).toDF("doc_id", "text"))
+    val scores = TextAnalysis.unigramLogprob(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > scores(99L))
+  }
+
+  test("tokenEntropy: single repeated token = 0; uniform tokens = ln k") {
+    val d = Seq(
+      (1L, "x x x x x x"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) === ((1L, 6L, 0.0)))
+    assert(got(1)._3 === math.rint(math.log(4) * 10000) / 10000)
+  }
+
+  test("corpusDiff classifies disjoint, edited, and identical snapshots") {
+    val v1 = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "bravo"), (3L, "charlie EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDiff(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("corpusDiff treats normalization-equal texts as unchanged " +
+    "(fingerprint semantics, not byte equality)") {
+    val v1 = Seq((1L, "Alpha  Bravo")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha bravo!")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDiff(v1, v2).collect()
+    assert(got.head.getString(1) === "unchanged")
+  }
+
+  test("validateCorpus counts dup ids, null and empty text, and bounds") {
+    val d = Seq(
+      (1L, "one two three"),
+      (1L, "dup id"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "   "),
+      (4L, "a")).toDF("doc_id", "text")
+    val r = TextAnalysis.validateCorpus(d).collect().head
+    assert(r.getLong(0) === 5L)       // n_rows
+    assert(r.getLong(1) === 4L)       // n_distinct_ids
+    assert(r.getLong(2) === 1L)       // n_dup_ids
+    assert(r.getLong(3) === 1L)       // n_null_text
+    assert(r.getLong(4) === 1L)       // n_empty_text
+    assert(r.getLong(6) === 3L)       // max_tokens
+  }
+
+  test("qualityTopFraction exact keeps ceil(frac*n) rows per group") {
+    val d = (0 until 30).map(i =>
+      (i.toLong, "clean text words here always " + ("9 " * (i % 10)),
+        if (i % 2 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.qualityTopFraction(d, "lang", 0.4)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("en" -> 6L, "de" -> 6L)) // ceil(15 * 0.4) = 6
+  }
+}
