@@ -53,6 +53,21 @@ object Packing {
         col("tok_start"))
   }
 
+  /** Materialize the packed corpus at rest, one directory per shard
+    * (`shard=N/`): the training dataloader reads shards independently and
+    * a shard's sequences are wholly contained in its directory — the
+    * at-rest twin of [[packChunked]], same story as
+    * `Similarity.writeBucketed` / `IvfIndex.writeClustered`. Documents
+    * are written with their (shard, seq_id, tok_start) assignment so the
+    * loader needs no recompute. */
+  def writeShards(docs: DataFrame, path: String, capacity: Int,
+      numShards: Int, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val assign = packChunked(docs, capacity, numShards, textCol, idCol)
+    docs.join(assign, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Greedy next-fit packing (no document spans a sequence): docs in id
     * order fill the current bin while they fit; a doc that would overflow
     * `capacity` closes the bin and opens the next; an oversize doc

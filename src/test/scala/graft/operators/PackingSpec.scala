@@ -96,4 +96,27 @@ class PackingSpec extends AnyFunSuite {
     assert(one === two)
     assert(one >= 0 && one < 97)
   }
+
+  test("writeShards lays out one directory per shard and a shard scan " +
+    "is partition-pruned to that directory's assignments") {
+    import spark.implicits._
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"alpha bravo tok$i charlie"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Packing.writeShards(docs, dir, capacity = 16, numShards = 4)
+    val back = spark.read.parquet(dir)
+    // every doc present exactly once, with its packChunked assignment
+    val expected = Packing.packChunked(docs, 16, 4)
+      .select("doc_id", "shard", "seq_id").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = back.select("doc_id", "shard", "seq_id").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    // shard filter prunes partitions at the scan
+    val one = back.filter(col("shard") === 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      plan.take(1200))
+  }
 }
