@@ -138,6 +138,20 @@ object SimilarityQueries {
         val books = PqIndex.train(emb, m = 8, k = 16, iters = 3)
         PqIndex.topK(emb, books, queryId = 0L, k = 10, refine = 20)
       },
+      None),
+
+    // ----- measured PQ recall vs brute force over 20 queries with the
+    // scanned candidate fraction alongside — the q44 discipline for the
+    // third ANN path. Random harness embeddings are the hard case for a
+    // coarse quantizer; the >= 0.9 target on clustered vectors (where
+    // ANN is used) is asserted in PqIndexSpec.
+    Q("q70b_pq_recall",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val books = PqIndex.train(emb, m = 8, k = 16, iters = 3)
+        PqIndex.adcRecall(emb, books, queryIds = 0L until 20L,
+          k = 10, refine = 20)
+      },
       None)
   )
 }

@@ -160,8 +160,12 @@ object PqIndex {
     * norms², computed driver-side and entered as literals — the
     * broadcast-side-table pattern), TakeOrdered top `n` — the full
     * corpus is never sorted. */
-  private def adcCandidates(codes: DataFrame, codebooks: Codebooks,
-      queryVec: Array[Double], n: Int, idCol: String): DataFrame = {
+  /** Approximate-cosine expression over a `codes` column for one query:
+    * m×k lookup tables (exact query-block · centroid dots and centroid
+    * norms², computed driver-side and entered as literals — the
+    * broadcast-side-table pattern), m array reads + a fold per row. */
+  private def adcScore(codebooks: Codebooks, queryVec: Array[Double])
+      : Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     require(queryVec.length == m * sub,
@@ -185,12 +189,16 @@ object PqIndex {
         typedLit(lutN2).cast("array<array<double>>"),
         (c, row) => element_at(row, c + 1)),
       lit(0.0), (acc, x) => acc + x)
+    approxDot / (sqrt(approxN2) * lit(qNorm))
+  }
+
+  private def adcCandidates(codes: DataFrame, codebooks: Codebooks,
+      queryVec: Array[Double], n: Int, idCol: String): DataFrame =
     codes
       .select(col(idCol),
-        (approxDot / (sqrt(approxN2) * lit(qNorm))).as("approx_score"))
+        adcScore(codebooks, queryVec).as("approx_score"))
       .orderBy(col("approx_score").desc, col(idCol))
       .limit(n)
-  }
 
   /** Exact cosine re-rank of a (small, broadcast) candidate id set. */
   private def rerank(emb: DataFrame, cands: DataFrame,
@@ -240,6 +248,73 @@ object PqIndex {
     val cands = adcCandidates(spark.read.parquet(path), codebooks, queryVec,
       k * refine, idCol)
     rerank(emb, cands, queryVec, k, vecCol, idCol)
+  }
+
+  /** Measured ADC recall vs brute force over a query-id panel, with the
+    * scanned candidate fraction alongside (recall without cost is
+    * meaningless — the q44 discipline). ONE code scan computes every
+    * query's approximate score (per-query LUT literals inside one
+    * exploded struct array); candidate cut and exact re-rank run as
+    * qid-partitioned window top-k.
+    *
+    * @return one row: (n_queries, k, refine, recall, cand_fraction)
+    */
+  def adcRecall(emb: DataFrame, codebooks: Codebooks, queryIds: Seq[Long],
+      k: Int, refine: Int = 10, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = queryIds.map(java.lang.Long.valueOf)
+    val qVecs = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val queries = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        Similarity.norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col(idCol))
+
+    val bfTop = emb
+      .select(col(idCol), col(vecCol), Similarity.norm(col(vecCol)).as("n"))
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        (Similarity.dot(col(vecCol), col("qvec")) / (col("n") * col("qn")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", idCol)
+
+    val scored = encode(emb, codebooks, vecCol, idCol)
+      .select(col(idCol), explode(array(qVecs.map { case (qid, qv) =>
+        struct(lit(qid).as("qid"), adcScore(codebooks, qv).as("score"))
+      }: _*)).as("s"))
+      .select(col(idCol), col("s.qid").as("qid"), col("s.score").as("score"))
+      .filter(col(idCol) =!= col("qid"))
+    val cands = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k * refine)
+      .select("qid", idCol)
+    val pqTop = cands
+      .join(emb.select(col(idCol), col(vecCol),
+        Similarity.norm(col(vecCol)).as("n")), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        (Similarity.dot(col(vecCol), col("qvec")) / (col("n") * col("qn")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", idCol)
+
+    val denom = bfTop.count()
+    val hits = bfTop.join(pqTop, Seq("qid", idCol), "left_semi").count()
+    val n = emb.count()
+    val sparkSession = emb.sparkSession
+    import sparkSession.implicits._
+    Seq((queryIds.size, k, refine,
+      if (denom == 0) 0.0 else math.rint(hits.toDouble / denom * 10000) / 10000,
+      math.rint(math.min(1.0, k.toDouble * refine / n) * 10000) / 10000))
+      .toDF("n_queries", "k", "refine", "recall", "cand_fraction")
   }
 
   /** Convenience: ADC top-k for an in-corpus query id (excluded from the

@@ -103,6 +103,17 @@ class PqIndexSpec extends AnyFunSuite {
       === inMem)
   }
 
+  test("adcRecall measures >= 0.9 on clustered vectors and reports the " +
+    "candidate fraction") {
+    val emb = clustered(4, 25)
+    val books = PqIndex.train(emb, m = 4, k = 8, iters = 5)
+    val r = PqIndex.adcRecall(emb, books, queryIds = Seq(3L, 30L, 60L, 90L),
+      k = 5, refine = 3).collect().head
+    assert(r.getInt(0) === 4)
+    assert(r.getDouble(3) >= 0.9, s"recall ${r.getDouble(3)}")
+    assert(r.getDouble(4) === 0.15) // 5*3 / 100 rows
+  }
+
   test("refine=1 still returns k exact-scored rows ordered by score") {
     val emb = clustered(2, 30)
     val books = PqIndex.train(emb, m = 4, k = 4, iters = 3)
