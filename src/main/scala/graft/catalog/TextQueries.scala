@@ -1153,16 +1153,25 @@ object TextQueries {
     // reshuffle-proof, replay-stable, engine-portable.
     Q("q71_training_pipeline",
       (s, d) => {
+        // Persisted: the scrubbed text feeds three separate actions
+        // (quality+fingerprint checkpoint, the LSH edge materialization,
+        // the final mix/split projection) — without the cache each one
+        // replays the three-regex scrub over the corpus. In production
+        // the scrubbed corpus is written once and read at rest.
         val scrubbed = documents(s, d).select(col("doc_id"),
-          TextAnalysis.scrubPii(col("text")).as("text"), col("lang"))
+            TextAnalysis.scrubPii(col("text")).as("text"), col("lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = Dedup.dedupCorpus(scrubbed, minQuality = 0.3,
           numHashes = 16, bands = 4, portable = true)
         val survivors = scrubbed.join(kept, Seq("doc_id"), "left_semi")
         val mixed = TextAnalysis.sampleByWeights(survivors, "lang",
           Map("en" -> 1.0, "de" -> 0.5), defaultWeight = 0.8)
-        mixed.select(col("doc_id"), col("lang"),
+        val out = mixed.select(col("doc_id"), col("lang"),
             TextAnalysis.hashSplit(col("doc_id"), 0.9).as("split"))
           .orderBy("doc_id")
+          .localCheckpoint()
+        scrubbed.unpersist()
+        out
       },
       Some(s"""
         WITH RECURSIVE scrub AS (
