@@ -245,6 +245,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(state.updated.map(_.toString).nonEmpty) // 5000s session parked
   }
 
+  test("the Column-algebra text operators compose unchanged on a stream " +
+    "(scrub -> quality -> langId as one stateless projection)") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "the quick brown fox and the lazy dog run through the field"),
+      (2L, "mail a.b@example.com 999 12 3456"),
+      (3L, "der hund und die katze ist ein tier heute"))
+    val batch = rows.toDF("doc_id", "text")
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("text"))
+        .withColumn("q",
+          org.apache.spark.sql.functions.round(
+            TextAnalysis.qualityScore(col("text")), 3))
+        .withColumn("lang", TextAnalysis.langId(col("text")).getField("lang"))
+    val expected = clean(batch).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = clean(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("clean_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3))).toSet
+      assert(got === expected)
+      // stateless: no state store operator in the streaming plan
+      assert(!q.lastProgress.stateOperators.iterator.hasNext ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streamStreamIntervalJoin matches the batch rangeJoin pair set") {
     // batch 2 (user 2) sits AFTER batch 1's max event time: with a 0 s
     // watermark delay, older rows in a later batch would be legitimately
