@@ -407,12 +407,13 @@ class ConceptAssembler(
         s"$badAuis atom ids resolve to more than one code in SAB $sab")
     }
     val relsGrouped = relsGroupedWithRoots
+    // Only the finishing-step fields enter the collected struct (see
+    // [[AtomRow]]); the grouping code rides the group key, not each atom.
     val atomsGrouped = atomsShared.groupBy(col("code"))
       .agg(collect_list(struct(
-        col("CUI").as("cui"), col("TS").as("ts"), col("STT").as("stt"),
+        col("CUI").as("cui"), col("STT").as("stt"),
         col("ISPREF").as("ispref"), col("AUI").as("aui"),
-        col("SCUI").as("scui"), col("TTY").as("tty"),
-        col("CODE").as("code"), col("STR").as("str"))).as("atoms"))
+        col("TTY").as("tty"), col("STR").as("str"))).as("atoms"))
     val tree =
       if (sab == "MSH") meshTree
       else spark.emptyDataFrame

@@ -7,12 +7,16 @@ package graft.model
   * fields, so one row = one fully-assembled concept.
   */
 
-/** One MRCONSO atom after SAB/LAT/SUPPRESS filtering, with the resolved
-  * grouping code (CODE or CUI depending on load mode, `umls2rdf.py:142-147`).
+/** One MRCONSO atom after SAB/LAT/SUPPRESS filtering — only the fields
+  * the finishing step reads (prefLabel selection keys ispref/stt/tty,
+  * canonical-order keys aui/cui, the label). The grouping code (CODE or
+  * CUI per load mode, `umls2rdf.py:142-147`) lives on [[AssembledRaw]]'s
+  * `code`, not per atom — carrying it per atom would shuffle the same
+  * string once per atom for nothing.
   */
 final case class AtomRow(
-    cui: String, ts: String, stt: String, ispref: String, aui: String,
-    scui: String, tty: String, code: String, str: String)
+    cui: String, stt: String, ispref: String, aui: String,
+    tty: String, str: String)
 
 /** One MRREL relation after AUI→code resolution (J3, `umls2rdf.py:699-727`):
   * `codeSource`/`codeTarget` are the resolved endpoint codes. */

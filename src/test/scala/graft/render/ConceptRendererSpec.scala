@@ -15,15 +15,17 @@ class ConceptRendererSpec extends AnyFunSuite {
 
   private val NS = "http://example.org/test"
 
-  // make_atom (tests/test_umls2rdf.py:9-18): code defaults to the CUI.
+  // make_atom (tests/test_umls2rdf.py:9-18); the grouping code rides
+  // AssembledRaw.code (defaulting to the CUI in cuis mode, as the
+  // reference's make_atom defaults code to the CUI).
   private def atom(cui: String, label: String, ispref: String = "",
       stt: String = "", tty: String = ""): AtomRow =
-    AtomRow(cui = cui, ts = "", stt = stt, ispref = ispref, aui = "",
-      scui = "", tty = tty, code = cui, str = label)
+    AtomRow(cui = cui, stt = stt, ispref = ispref, aui = "",
+      tty = tty, str = label)
 
-  private def codeAtom(cui: String, aui: String, code: String, label: String,
+  private def codeAtom(cui: String, aui: String, label: String,
       ispref: String = "", stt: String = "", tty: String = ""): AtomRow =
-    atom(cui, label, ispref, stt, tty).copy(aui = aui, code = code)
+    atom(cui, label, ispref, stt, tty).copy(aui = aui)
 
   // make_rel (tests/test_umls2rdf.py:28-34), cuis mode: endpoints are CUIs.
   private def rel(sourceCui: String, targetCui: String, rel: String,
@@ -35,7 +37,7 @@ class ConceptRendererSpec extends AnyFunSuite {
       atts: Seq[AttOut] = Nil, tuis: Seq[String] = Seq("T001"),
       isRoot: Boolean = false): UmlsConceptRow =
     ConceptAssembler.finish(
-      AssembledRaw(atoms.head.code, atoms, rels, Nil, atts, tuis, isRoot, Nil),
+      AssembledRaw(atoms.head.cui, atoms, rels, Nil, atts, tuis, isRoot, Nil),
       rankByTty = Map.empty, loadOnCuis = true)
 
   private def render(term: UmlsConceptRow, dedupe: Boolean,
@@ -49,7 +51,7 @@ class ConceptRendererSpec extends AnyFunSuite {
   test("dedupes duplicate literal triples in load_on_codes mode") {
     val term = ConceptAssembler.finish(
       AssembledRaw("CODE1",
-        Seq(codeAtom("C0001", "A001", "CODE1", "Preferred label", tty = "PT")),
+        Seq(codeAtom("C0001", "A001", "Preferred label", tty = "PT")),
         Nil, Nil,
         Seq(AttOut("TH", "NLM (1994)"), AttOut("TH", "NLM (1994)")),
         Seq("T001"), isRoot = false, Nil),
@@ -157,7 +159,7 @@ class ConceptRendererSpec extends AnyFunSuite {
   }
 
   test("MeSH tree parents render as subclass; CHD rels suppressed under a tree") {
-    val raw = AssembledRaw("D001", Seq(atom("C0001", "Lbl").copy(code = "D001")),
+    val raw = AssembledRaw("D001", Seq(atom("C0001", "Lbl")),
       Seq(RelOut("CHD", "", "D009", "D009", "D001")), Nil,
       Seq(AttOut("MN", "D01")), Seq("T001"), isRoot = false,
       treeParents = Seq("D002", "D000"))
