@@ -152,6 +152,23 @@ object SimilarityQueries {
         PqIndex.adcRecall(emb, books, queryIds = 0L until 20L,
           k = 10, refine = 20)
       },
+      None),
+
+    // ----- IVF-PQ: the canonical billion-scale composition — coarse
+    // quantizer prunes to nProbe lists, ADC scores only their compact
+    // codes, exact re-rank last. Rows-only (both trained structures are
+    // engine-internal); recall is asserted in PqIndexSpec.
+    Q("q70c_ivf_pq",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val centroids = IvfIndex.train(emb, k = 16, iters = 3)
+        val books = PqIndex.train(emb, m = 8, k = 16, iters = 3)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .collect()(0).getSeq[Double](0).toArray
+        PqIndex.ivfAdcTopK(emb.filter(col("vec_id") =!= 0L), centroids,
+          books, qVec, k = 10, nProbe = 4, refine = 20)
+      },
       None)
   )
 }

@@ -317,6 +317,31 @@ object PqIndex {
       .toDF("n_queries", "k", "refine", "recall", "cand_fraction")
   }
 
+  /** IVF-PQ search — the canonical billion-scale ANN composition
+    * (FAISS's default): the IVF coarse quantizer prunes the corpus to
+    * `nProbe` inverted lists, PQ/ADC scores only those lists' compact
+    * codes, and the best `refine · k` candidates are exact-re-ranked.
+    * Scan cost ≈ (nProbe/kCoarse) of the corpus, over m-int codes
+    * instead of raw vectors — the two reductions compose
+    * multiplicatively. At rest this runs over
+    * [[IvfIndex.writeClustered]]-partitioned codes, pruning at the
+    * scan. */
+  def ivfAdcTopK(emb: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Codebooks, queryVec: Array[Double], k: Int,
+      nProbe: Int, refine: Int = 10, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && refine >= 1 && nProbe > 0)
+    val probes = IvfIndex.probeClusters(queryVec, centroids, nProbe)
+    val probed = emb.join(
+      IvfIndex.assignments(emb, centroids, vecCol, idCol)
+        .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+        .select(idCol),
+      Seq(idCol), "left_semi")
+    val cands = adcCandidates(encode(probed, codebooks, vecCol, idCol),
+      codebooks, queryVec, k * refine, idCol)
+    rerank(emb, cands, queryVec, k, vecCol, idCol)
+  }
+
   /** Convenience: ADC top-k for an in-corpus query id (excluded from the
     * result, like [[Similarity.bruteForceTopK]]). */
   def topK(emb: DataFrame, codebooks: Codebooks, queryId: Long, k: Int,

@@ -114,6 +114,24 @@ class PqIndexSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 0.15) // 5*3 / 100 rows
   }
 
+  test("IVF-PQ composition recalls brute force while scanning only the " +
+    "probed lists' codes") {
+    val emb = clustered(4, 25)
+    val centroids = IvfIndex.train(emb, k = 4, iters = 5)
+    val books = PqIndex.train(emb, m = 4, k = 8, iters = 5)
+    val qVec = emb
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val exact = Similarity.bruteForceTopK(emb, queryId = 7L, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = PqIndex.ivfAdcTopK(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") =!= 7L),
+        centroids, books, qVec, k = 5, nProbe = 1, refine = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect got).size >= 4, s"overlap ${exact intersect got}")
+  }
+
   test("refine=1 still returns k exact-scored rows ordered by score") {
     val emb = clustered(2, 30)
     val books = PqIndex.train(emb, m = 4, k = 4, iters = 3)
