@@ -1382,7 +1382,95 @@ object TextQueries {
                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
         FROM pc
         GROUP BY 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- q77: corpus composition report (TextAnalysis
+    // .corpusComposition) — the per-(source, lang) dataset-card slice
+    // with corpus shares; totals via a broadcast 1-row aggregate, never
+    // a global window.
+    Q("q77_corpus_composition",
+      (s, d) =>
+        TextAnalysis.corpusComposition(documents(s, d))
+          .orderBy("source", "lang"),
+      Some("""
+        WITH s AS (
+          SELECT source, lang,
+                 len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+                   AS n_tok
+          FROM documents),
+        g AS (
+          SELECT source, lang, count(*)::BIGINT AS n_docs,
+                 sum(n_tok)::BIGINT AS total_tokens
+          FROM s GROUP BY 1, 2),
+        t AS (
+          SELECT sum(n_docs)::DOUBLE AS all_docs,
+                 sum(total_tokens)::DOUBLE AS all_tokens
+          FROM g)
+        SELECT source, lang, n_docs, total_tokens,
+               round(n_docs / all_docs, 4) AS doc_share,
+               round(total_tokens / all_tokens, 4) AS tok_share
+        FROM g, t
+        ORDER BY source, lang""")),
+
+    // ----- q78: the ONE-PASS quality sweep (TextAnalysis.qualitySignals)
+    // — every per-doc scalar filtering signal in a single narrow
+    // projection: the corpus's one pre-filter read at 100 TB.
+    Q("q78_quality_signals",
+      (s, d) =>
+        TextAnalysis.qualitySignals(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS a,
+                 list_filter(list_transform(string_split(text, '.'),
+                   x -> trim(x)), x -> len(x) > 0) AS sents
+          FROM documents),
+        sh AS (
+          SELECT *,
+            CASE WHEN len(a) < 2 THEN [array_to_string(a, ' ')]
+                 ELSE list_transform(generate_series(1, len(a)-1),
+                        i -> a[i] || ' ' || a[i+1]) END AS g2
+          FROM base),
+        scores AS (
+          SELECT doc_id,
+            length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|nicht)\b')) AS s_de,
+            length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS s_en,
+            length(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en)\b')) AS s_es,
+            length(regexp_extract_all(lower(text), '\b(le|la|les|et|des|un|est)\b')) AS s_fr,
+            length(regexp_extract_all(lower(text), '\b(de5|shi4|le5|zai4|wo3|you3|he2)\b')) AS s_zh
+          FROM base)
+        SELECT b.doc_id,
+               round(
+                 (length(regexp_extract_all(lower(b.text), '[a-z]'))
+                    / greatest(length(b.text), 1))
+                 * (CASE WHEN len(b.a) BETWEEN 5 AND 5000
+                    THEN 1.0 ELSE 0.5 END)
+                 - (length(regexp_extract_all(b.text, '[0-9]'))
+                    / greatest(length(b.text), 1)), 3) AS quality,
+               round(length(regexp_extract_all(lower(b.text), '[a-z]'))
+                 / greatest(length(b.text), 1), 3) AS alpha_ratio,
+               round(length(regexp_extract_all(b.text, '[0-9]'))
+                 / greatest(length(b.text), 1), 3) AS digit_ratio,
+               round(length(array_to_string(b.a, ''))
+                 / greatest(len(b.a), 1), 3) AS avg_tok_len,
+               len(b.a)::BIGINT AS n_tokens,
+               CASE
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS lang,
+               CASE WHEN len(b.sents) = 0 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(b.sents))
+                      / len(b.sents), 4) END AS dup_sent_frac,
+               CASE WHEN len(sh.g2) = 0 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(sh.g2))
+                      / len(sh.g2), 4) END AS dup_2gram_frac
+        FROM base b
+        JOIN sh USING (doc_id)
+        JOIN scores USING (doc_id)
+        ORDER BY b.doc_id"""))
   )
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */

@@ -590,6 +590,52 @@ object TextAnalysis {
       max(when(t.isNotNull, tokenCount(t).cast("long"))).as("max_tokens"))
   }
 
+  /** Corpus composition report — the dataset-card table per (source,
+    * language) slice: document count, token total, and each slice's
+    * share of corpus documents and tokens. One grouped aggregation; the
+    * corpus totals come from a broadcast 1-row aggregate, not a window
+    * (a global window would single-task the report at 100 TB).
+    *
+    * @return (source, lang, n_docs, total_tokens, doc_share, tok_share)
+    */
+  def corpusComposition(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val bySlice = docs
+      .select(col("source"), col("lang"),
+        tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+    val totals = bySlice.agg(
+      sum("n_docs").as("all_docs"), sum("total_tokens").as("all_tokens"))
+    bySlice.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("n_docs") / col("all_docs"), 4).as("doc_share"),
+        round(col("total_tokens") / col("all_tokens"), 4).as("tok_share"))
+  }
+
+  /** The one-pass quality sweep: every per-document scalar signal a
+    * filtering pipeline thresholds on — quality score, alpha/digit
+    * ratios, mean token length, language, within-doc repetition — in ONE
+    * narrow codegen'd projection. At 100 TB this is the single read the
+    * corpus gets before filtering decisions; signals that would need a
+    * shuffle (cross-doc span stats, token entropy) stay separate
+    * operators by design.
+    */
+  def qualitySignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      round(qualityScore(t), 3).as("quality"),
+      round(alphaRatio(t), 3).as("alpha_ratio"),
+      round(digitRatio(t), 3).as("digit_ratio"),
+      round(avgTokenLen(t), 3).as("avg_tok_len"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      langId(t).getField("lang").as("lang"),
+      dupFrac(sentences(t)).as("dup_sent_frac"),
+      dupFrac(shingles(t, 2)).as("dup_2gram_frac"))
+  }
+
   /** Per-document stats table: one narrow projection pass. */
   def docStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
