@@ -55,6 +55,24 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked windowed distinct-user counts on the sketch path:
+    * `approx_count_distinct` (HyperLogLog++) keeps per-window state at a
+    * constant sketch size instead of one entry per distinct user — the
+    * only way a distinct count stays bounded on an unbounded stream.
+    * Exact distinct per window is available in batch (q20's shape); the
+    * stream carries the sketch, same split as
+    * [[graft.operators.TextAnalysis.corpusStats]]. */
+  def windowedDistinctUsers(events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes", rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n_users"), col("n_events"))
+
   /** Gap-based sessionization with explicit keyed state — the streaming
     * twin of batch q19 (same 1800 s default gap, same epoch-second session
     * bounds). A session closes when a same-user event arrives more than

@@ -245,6 +245,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(state.updated.map(_.toString).nonEmpty) // 5000s session parked
   }
 
+  test("windowedDistinctUsers counts distinct users per window via the " +
+    "HLL sketch (exact at test cardinalities)") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.windowedDistinctUsers(input.toDF(),
+        "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wdu_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        ev(1, 10, 1, "click", 1.0), ev(2, 20, 2, "click", 1.0),
+        ev(3, 30, 1, "buy", 1.0),   // same user again, same window
+        ev(4, 400, 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wdu_out")
+        .select("n_users", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((2L, 3L), (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("the Column-algebra text operators compose unchanged on a stream " +
     "(scrub -> quality -> langId as one stateless projection)") {
     import graft.operators.TextAnalysis
