@@ -169,6 +169,23 @@ object SimilarityQueries {
         PqIndex.ivfAdcTopK(emb.filter(col("vec_id") =!= 0L), centroids,
           books, qVec, k = 10, nProbe = 4, refine = 20)
       },
+      None),
+
+    // ----- set-to-set k-NN join (Similarity.knnJoin): every 50th vector
+    // as the query batch against the rest — the retrieval join shape,
+    // LSH-banded candidates, exact scores, per-left window top-k.
+    // Rows-only (bucket assignment engine-internal); nearest-neighbor
+    // recovery is spec-asserted on clustered vectors.
+    Q("q79_knn_join",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        Similarity.knnJoin(queries, corpus, k = 5,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128),
+          dim = DIM)
+          .orderBy("left_id", "knn_rank")
+      },
       None)
   )
 }

@@ -215,6 +215,43 @@ object Similarity {
     * [[cosineNearDupPairs]] approximates. O(n²) pairs: correct tool for
     * small candidate sets (a bucket, a cluster, a sample), the oracle
     * anchor for the blocked form, and never the corpus-scale path. */
+  /** Set-to-set k-NN JOIN: for every left row, its top-`k` right rows by
+    * exact cosine among LSH-banded candidates — the retrieval join
+    * (query-batch → corpus alignment, dedup-against-reference-set) at
+    * corpus scale. Candidate pairs are bucket-local per band (cost
+    * Σ |bucketL|·|bucketR|, never |L|·|R|), every candidate is scored
+    * exactly once (norms precomputed per row), and the cut is a
+    * per-left-id window top-k (WindowGroupLimit — map-side top-k before
+    * the shuffle). Left rows sharing no bucket with any right row emit
+    * nothing; blocking recall is the measured tradeoff, spec-asserted on
+    * clustered vectors.
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, nBits: Int,
+      dim: Int, bands: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && bands > 0)
+    val candidates = (0 until bands).map { band =>
+      val lb = left.select(col(idCol).as("left_id"),
+        lshBucket(col(vecCol), nBits, dim, seed = 42L + band).as("bucket"))
+      val rb = right.select(col(idCol).as("right_id"),
+        lshBucket(col(vecCol), nBits, dim, seed = 42L + band).as("bucket"))
+      lb.join(rb, Seq("bucket")).select("left_id", "right_id")
+    }.reduce(_ union _).distinct()
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lvec"),
+      norm(col(vecCol)).as("ln"))
+    val r = right.select(col(idCol).as("right_id"), col(vecCol).as("rvec"),
+      norm(col(vecCol)).as("rn"))
+    val w = Window.partitionBy("left_id")
+      .orderBy(col("score").desc, col("right_id"))
+    candidates.join(l, "left_id").join(r, "right_id")
+      .select(col("left_id"), col("right_id"),
+        round(dot(col("lvec"), col("rvec")) / (col("ln") * col("rn")), 4)
+          .as("score"))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   def cosineNearDupPairsExact(emb: DataFrame, threshold: Double,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val withNorm = emb.select(col(idCol), col(vecCol),

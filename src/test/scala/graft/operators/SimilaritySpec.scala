@@ -107,4 +107,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.contains(0L)) // the query vector itself is its own best match
     assert(got.length === 5)
   }
+
+  test("knnJoin recovers each left row's true nearest right neighbor on " +
+    "clustered vectors, k-bounded per left id") {
+    val emb = clustered(4, 25)
+    val left = emb.filter(col("vec_id") % 5 === 0)
+    val right = emb.filter(col("vec_id") % 5 =!= 0)
+    val knn = Similarity.knnJoin(left, right, k = 3,
+      nBits = Similarity.nBitsFor(100, targetBucketSize = 32), dim = Dim)
+      .collect()
+    val byLeft = knn.groupBy(_.getLong(0))
+    assert(byLeft.values.forall(_.length <= 3))
+    // exact nearest right neighbor per left row (small test cross join)
+    val l = left.select(col("vec_id").as("lid"),
+      col("embedding").as("lv"))
+    val r = right.select(col("vec_id").as("rid"),
+      col("embedding").as("rv"))
+    val exact1 = l.crossJoin(r)
+      .select(col("lid"), col("rid"),
+        (Similarity.dot(col("lv"), col("rv")) /
+          (Similarity.norm(col("lv")) * Similarity.norm(col("rv"))))
+          .as("score"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lid")
+          .orderBy(col("score").desc, col("rid"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recovered = exact1.count { case (lid, rid) =>
+      byLeft.get(lid).exists(_.exists(_.getLong(1) == rid))
+    }
+    assert(recovered >= (exact1.size * 0.9).toInt,
+      s"$recovered of ${exact1.size} nearest neighbors recovered")
+  }
 }
