@@ -68,6 +68,60 @@ object SimilarityQueries {
       },
       None),
 
+    // ----- q42b: the SAME multi-probe ANN shape with PORTABLE md5-derived
+    // hyperplanes — the bucket assignment itself is value-checked: DuckDB
+    // re-derives the planes from md5 arithmetic, replays every sign
+    // decision with an order-identical sequential dot (list_dot_product ≡
+    // native DotProduct), probes the radius-1 neighborhood, and re-ranks
+    // exactly. The one family that was rows-only-by-necessity now has a
+    // cross-engine oracle at production shape (q42 keeps the seeded
+    // Gaussian planes as the default engine path).
+    Q("q42b_ann_lsh_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.lshTopK(emb, queryId = 0L, k = 10,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128),
+          dim = DIM, probeRadius = 1, portable = true)
+      },
+      Some(s"""
+        WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        bits AS (
+          SELECT least(24, greatest(4,
+            ceil(log2(greatest(1.0, cnt / 128.0)))))::INT AS nb
+          FROM n),
+        dims AS (
+          -- generate_series cannot take the lateral nb; enumerate the
+          -- 0..23 clamp superset and filter.
+          SELECT i.i AS i, j.j AS j,
+                 (('0x' || substr(md5(i.i::VARCHAR || '|' || j.j::VARCHAR),
+                    1, 8))::BIGINT / 2147483648.0) - 1.0 AS h
+          FROM bits, generate_series(0, 23) AS i(i),
+               generate_series(0, ${DIM - 1}) AS j(j)
+          WHERE i.i < nb),
+        planes AS (SELECT i, list(h ORDER BY j) AS hv FROM dims GROUP BY i),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (
+          SELECT vec_id,
+                 sum(CASE WHEN list_dot_product(v, hv) >= 0
+                     THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+          FROM vecs, planes GROUP BY vec_id),
+        q AS (SELECT s.bucket AS qb, v.v AS qv
+              FROM sig s JOIN vecs v USING (vec_id) WHERE s.vec_id = 0),
+        probes AS (
+          SELECT qb AS b FROM q
+          UNION
+          SELECT xor(qb, 1::BIGINT << g.i)
+          FROM q, bits, generate_series(0, 23) AS g(i)
+          WHERE g.i < nb),
+        cand AS (
+          SELECT s.vec_id FROM sig s
+          WHERE s.bucket IN (SELECT b FROM probes) AND s.vec_id != 0)
+        SELECT c.vec_id,
+               round(list_cosine_similarity(v.v, q.qv), 4) AS score
+        FROM cand c JOIN vecs v USING (vec_id), q
+        ORDER BY score DESC, vec_id
+        LIMIT 10""")),
+
     // ----- embedding-cosine near-duplicate pairs via LSH blocking —
     // rows-only (bucket assignment is engine-internal). Auto-sized nBits
     // keeps the per-bucket self-join sum-of-bucket², not corpus². NOTE:

@@ -69,11 +69,35 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
+  /** PORTABLE hyperplanes: component (i, j) = first 8 md5 hex digits of
+    * "i|j" scaled to [-1, 1) — uniform instead of Gaussian (any
+    * 0-symmetric component distribution gives unbiased sign hashing),
+    * and reproducible in any engine with md5 (`('0x' ||
+    * substr(md5(i || '|' || j), 1, 8))::BIGINT / 2^31 - 1` in DuckDB),
+    * which is what lets an external oracle replay the exact bucket
+    * assignment — see q42b. Both engines evaluate the dot sequentially
+    * in double (native DotProduct here, `list_dot_product` there), so
+    * the sign decisions match bit-for-bit. */
+  private[operators] def portableHyperplanes(nBits: Int, dim: Int)
+      : Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (i, j) =>
+      md.reset()
+      val hex = md.digest(s"$i|$j".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+  }
+
   /** Sign-bit signature of a vector under the fixed hyperplanes → int
     * bucket id in [0, 2^nBits). Distinct `seed`s give independent LSH
-    * functions (bands). */
-  def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(nBits, dim, seed)
+    * functions (bands); `portable = true` swaps in the md5-derived
+    * planes (seed ignored) so the assignment is oracle-reproducible. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L,
+      portable: Boolean = false): Column = {
+    val planes =
+      if (portable) portableHyperplanes(nBits, dim)
+      else hyperplanes(nBits, dim, seed)
     (0 until nBits).map { i =>
       val plane = typedLit(planes(i).toSeq)
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -102,9 +126,9 @@ object Similarity {
     * so the probe touches a handful of partitions, not the corpus. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int, dim: Int,
       probeRadius: Int = 2, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
     val bucketed = emb.withColumn("bucket",
-      lshBucket(col(vecCol), nBits, dim))
+      lshBucket(col(vecCol), nBits, dim, portable = portable))
     val masks = probeMasks(nBits, probeRadius)
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"),
