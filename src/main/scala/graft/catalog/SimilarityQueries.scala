@@ -139,6 +139,56 @@ object SimilarityQueries {
       },
       None),
 
+    // ----- q43c: the SAME banded blocking with portable per-band
+    // hyperplanes (md5('band|i|j') components) — DuckDB replays all four
+    // bands' bucket assignments and the exact score gate, so the
+    // blocked-pair MULTISET is value-checked, not just anchored by the
+    // exact q43b.
+    Q("q43c_neardup_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128),
+          dim = DIM, portable = true)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        bits AS (
+          SELECT least(24, greatest(4,
+            ceil(log2(greatest(1.0, cnt / 128.0)))))::INT AS nb
+          FROM n),
+        dims AS (
+          SELECT b.b AS band, i.i AS i, j.j AS j,
+                 (('0x' || substr(md5(b.b::VARCHAR || '|' || i.i::VARCHAR
+                    || '|' || j.j::VARCHAR), 1, 8))::BIGINT
+                    / 2147483648.0) - 1.0 AS h
+          FROM bits, generate_series(0, 3) AS b(b),
+               generate_series(0, 23) AS i(i),
+               generate_series(0, ${DIM - 1}) AS j(j)
+          WHERE i.i < nb),
+        planes AS (
+          SELECT band, i, list(h ORDER BY j) AS hv
+          FROM dims GROUP BY band, i),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (
+          SELECT vec_id, band,
+                 sum(CASE WHEN list_dot_product(v, hv) >= 0
+                     THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+          FROM vecs, planes GROUP BY vec_id, band),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id)
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(va.v, vb.v), 4) AS score
+        FROM pairs p
+        JOIN vecs va ON va.vec_id = p.id_a
+        JOIN vecs vb ON vb.vec_id = p.id_b
+        WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.2
+        ORDER BY id_a, id_b""")),
+
     // ----- exact all-pairs near-dup baseline — the oracle anchor for the
     // LSH-blocked q43 (whose bucket assignment is engine-internal).
     Q("q43b_neardup_exact",

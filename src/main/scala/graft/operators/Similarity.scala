@@ -78,12 +78,12 @@ object Similarity {
     * assignment — see q42b. Both engines evaluate the dot sequentially
     * in double (native DotProduct here, `list_dot_product` there), so
     * the sign decisions match bit-for-bit. */
-  private[operators] def portableHyperplanes(nBits: Int, dim: Int)
-      : Array[Array[Double]] = {
+  private[operators] def portableHyperplanes(nBits: Int, dim: Int,
+      salt: String = ""): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nBits, dim) { (i, j) =>
       md.reset()
-      val hex = md.digest(s"$i|$j".getBytes("UTF-8"))
+      val hex = md.digest(s"$salt$i|$j".getBytes("UTF-8"))
         .take(4).map(b => f"${b & 0xff}%02x").mkString
       java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
     }
@@ -92,11 +92,12 @@ object Similarity {
   /** Sign-bit signature of a vector under the fixed hyperplanes → int
     * bucket id in [0, 2^nBits). Distinct `seed`s give independent LSH
     * functions (bands); `portable = true` swaps in the md5-derived
-    * planes (seed ignored) so the assignment is oracle-reproducible. */
+    * planes (seed ignored; independent bands come from `portableSalt`,
+    * e.g. "1|" per band) so the assignment is oracle-reproducible. */
   def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L,
-      portable: Boolean = false): Column = {
+      portable: Boolean = false, portableSalt: String = ""): Column = {
     val planes =
-      if (portable) portableHyperplanes(nBits, dim)
+      if (portable) portableHyperplanes(nBits, dim, portableSalt)
       else hyperplanes(nBits, dim, seed)
     (0 until nBits).map { i =>
       val plane = typedLit(planes(i).toSeq)
@@ -211,10 +212,11 @@ object Similarity {
     * product regardless of how many bands found it. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, nBits: Int,
       dim: Int, bands: Int = 4, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
     val candidates = (0 until bands).map { band =>
       val bucketed = emb.select(col(idCol),
-        lshBucket(col(vecCol), nBits, dim, seed = 42L + band).as("bucket"))
+        lshBucket(col(vecCol), nBits, dim, seed = 42L + band,
+          portable = portable, portableSalt = s"$band|").as("bucket"))
       val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
       val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
       a.join(b, Seq("bucket"))
