@@ -290,6 +290,62 @@ object SimilarityQueries {
           dim = DIM)
           .orderBy("left_id", "knn_rank")
       },
-      None)
+      None),
+
+    // ----- q79b: the SAME k-NN join with portable per-band planes —
+    // DuckDB replays both sides' bucket assignments, the banded
+    // candidate union, exact scores, and the per-left window top-k.
+    Q("q79b_knn_join_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        Similarity.knnJoin(queries, corpus, k = 5,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128),
+          dim = DIM, portable = true)
+          .orderBy("left_id", "knn_rank")
+      },
+      Some(s"""
+        WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        bits AS (
+          SELECT least(24, greatest(4,
+            ceil(log2(greatest(1.0, cnt / 128.0)))))::INT AS nb
+          FROM n),
+        dims AS (
+          SELECT b.b AS band, i.i AS i, j.j AS j,
+                 (('0x' || substr(md5(b.b::VARCHAR || '|' || i.i::VARCHAR
+                    || '|' || j.j::VARCHAR), 1, 8))::BIGINT
+                    / 2147483648.0) - 1.0 AS h
+          FROM bits, generate_series(0, 3) AS b(b),
+               generate_series(0, 23) AS i(i),
+               generate_series(0, ${DIM - 1}) AS j(j)
+          WHERE i.i < nb),
+        planes AS (
+          SELECT band, i, list(h ORDER BY j) AS hv
+          FROM dims GROUP BY band, i),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (
+          SELECT vec_id, band,
+                 sum(CASE WHEN list_dot_product(v, hv) >= 0
+                     THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+          FROM vecs, planes GROUP BY vec_id, band),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+          FROM sig l JOIN sig r
+            ON l.band = r.band AND l.bucket = r.bucket
+          WHERE l.vec_id % 50 = 0 AND r.vec_id % 50 != 0),
+        scored AS (
+          SELECT c.left_id, c.right_id,
+                 round(list_cosine_similarity(vl.v, vr.v), 4) AS score
+          FROM cand c
+          JOIN vecs vl ON vl.vec_id = c.left_id
+          JOIN vecs vr ON vr.vec_id = c.right_id)
+        SELECT left_id, right_id, score, knn_rank FROM (
+          SELECT left_id, right_id, score,
+                 row_number() OVER (PARTITION BY left_id
+                   ORDER BY score DESC, right_id) AS knn_rank
+          FROM scored)
+        WHERE knn_rank <= 5
+        ORDER BY left_id, knn_rank"""))
   )
 }

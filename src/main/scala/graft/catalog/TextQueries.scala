@@ -799,7 +799,7 @@ object TextQueries {
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0
           GROUP BY 1, 2)
-        SELECT token, count(*) AS doc_freq, sum(tf) AS total_count
+        SELECT token, count(*) AS doc_freq, sum(tf)::BIGINT AS total_count
         FROM tf
         GROUP BY token
         ORDER BY total_count DESC, token LIMIT 100""")),
@@ -1004,7 +1004,7 @@ object TextQueries {
         dt AS (
           SELECT split, count(*) AS distinct_tokens FROM toks GROUP BY 1),
         agg AS (
-          SELECT split, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+          SELECT split, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
                  round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
                  round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens
           FROM perdoc GROUP BY 1)

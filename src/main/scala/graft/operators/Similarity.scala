@@ -254,14 +254,16 @@ object Similarity {
     */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, nBits: Int,
       dim: Int, bands: Int = 4, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && bands > 0)
     val candidates = (0 until bands).map { band =>
       val lb = left.select(col(idCol).as("left_id"),
-        lshBucket(col(vecCol), nBits, dim, seed = 42L + band).as("bucket"))
+        lshBucket(col(vecCol), nBits, dim, seed = 42L + band,
+          portable = portable, portableSalt = s"$band|").as("bucket"))
       val rb = right.select(col(idCol).as("right_id"),
-        lshBucket(col(vecCol), nBits, dim, seed = 42L + band).as("bucket"))
+        lshBucket(col(vecCol), nBits, dim, seed = 42L + band,
+          portable = portable, portableSalt = s"$band|").as("bucket"))
       lb.join(rb, Seq("bucket")).select("left_id", "right_id")
     }.reduce(_ union _).distinct()
     val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lvec"),
