@@ -139,6 +139,56 @@ object EventStreams {
       .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** SELF-MAINTAINING streaming ingestion dedup — the complete production
+    * loop: every micro-batch is deduped against the AT-REST corpus index
+    * ([[graft.operators.Dedup.dedupIndex]] rows: exact fingerprint + LSH
+    * band keys, ~50 bytes/doc) via
+    * [[graft.operators.Dedup.dedupIncremental]], surviving documents are
+    * appended to `outPath`, and THEIR index rows are appended to
+    * `indexPath` — so later batches dedup against everything already
+    * ingested. State lives at rest (the index), not in the stream: no
+    * watermark horizon limits how far back a duplicate can match, and a
+    * restart resumes from the checkpoint with the index intact.
+    * `foreachBatch` is the Spark idiom for this paired-sink shape.
+    *
+    * Returns the started query; caller stops it. */
+  def selfMaintainingIngest(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, numHashes: Int = 16,
+      bands: Int = 4, portable: Boolean = false, textCol: String = "text",
+      idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val bdf = batch.toDF()
+        val index =
+          if (new java.io.File(indexPath).exists())
+            spark.read.parquet(indexPath)
+          else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(idCol,
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("fp",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("band",
+                  org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("key",
+                  org.apache.spark.sql.types.StringType))))
+        val kept = graft.operators.Dedup.dedupIncremental(bdf, index,
+          numHashes, bands, portable, textCol, idCol)
+        val survivors = bdf.join(kept, Seq(idCol), "left_semi")
+          .localCheckpoint()
+        survivors.write.mode("append").parquet(outPath)
+        graft.operators.Dedup.dedupIndex(survivors, numHashes, bands,
+            portable, textCol, idCol)
+          .write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+
   /** Streaming as-of enrichment: each streamed event picks the latest
     * at-or-before row of a STATIC dimension series (prices, configs,
     * model versions) for its key. Delegates to

@@ -245,6 +245,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(state.updated.map(_.toString).nonEmpty) // 5000s session parked
   }
 
+  test("selfMaintainingIngest dedups each batch against the growing " +
+    "at-rest index and appends survivors + index rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val idx = s"$dir/index"; val out = s"$dir/docs"; val ck = s"$dir/ck"
+    val in = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.selfMaintainingIngest(
+      in.toDF().toDF("doc_id", "text"), idx, out, ck, portable = true)
+    try {
+      // batch 1: two novel docs + one in-batch exact dup
+      in.addData(
+        (1L, "alpha bravo charlie delta echo"),
+        (2L, "foxtrot golf hotel india juliet"),
+        (3L, "alpha bravo charlie delta echo")) // dup of 1 in-batch
+      q.processAllAvailable()
+      // batch 2: dup of an ALREADY-INGESTED doc + one novel doc
+      in.addData(
+        (10L, "alpha bravo charlie delta echo"), // exact dup of doc 1
+        (11L, "kilo lima mike november oscar"))
+      q.processAllAvailable()
+      val ingested = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ingested === Set(1L, 2L, 11L))
+      // the index holds exactly the survivors' rows (1 fp row + bands
+      // per doc via the (fp, band, key) projection)
+      val indexIds = spark.read.parquet(idx)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexIds === Set(1L, 2L, 11L))
+    } finally q.stop()
+  }
+
   test("windowedDistinctUsers counts distinct users per window via the " +
     "HLL sketch (exact at test cardinalities)") {
     val input = MemoryStream[Event](spark)
