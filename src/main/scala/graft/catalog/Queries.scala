@@ -652,7 +652,44 @@ object Queries {
                count(*) AS n
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY gid, l_returnflag, l_linestatus"""))
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // ----- Z-order (Morton) clustering values (Layout.withZValue) — the
+    // multi-dimensional at-rest locality layout. The min/max
+    // discretization and 16-bit interleave are pure deterministic
+    // arithmetic, so DuckDB replays every z-value; the file-locality
+    // benefit of writeZOrdered is spec-asserted (fewer files touched
+    // than an id-ordered layout for a box query).
+    Q("q80_zorder_values",
+      (s, d) =>
+        graft.operators.Layout.withZValue(
+          orders(s, d).select("o_orderkey", "o_totalprice", "o_custkey"),
+          "o_totalprice", "o_custkey")
+          .select(col("o_orderkey"), col("z"))
+          .orderBy("o_orderkey"),
+      Some("""
+        WITH b AS (
+          SELECT min(o_totalprice) AS mina, max(o_totalprice) AS maxa,
+                 min(o_custkey) AS minb, max(o_custkey) AS maxb
+          FROM orders),
+        s AS (
+          SELECT o_orderkey,
+            CASE WHEN (maxa - mina) <= 0 THEN 0
+                 ELSE least(greatest(floor(((o_totalprice - mina)
+                        / (maxa - mina)) * 65535)::BIGINT, 0), 65535)
+            END AS ai,
+            CASE WHEN ((maxb - minb)::DOUBLE) <= 0 THEN 0
+                 ELSE least(greatest(floor((((o_custkey - minb)::DOUBLE)
+                        / ((maxb - minb)::DOUBLE)) * 65535)::BIGINT, 0),
+                        65535)
+            END AS bi
+          FROM orders, b)
+        SELECT o_orderkey,
+               sum((((ai >> g.i) & 1) << (2 * g.i))
+                 + (((bi >> g.i) & 1) << (2 * g.i + 1)))::BIGINT AS z
+        FROM s, generate_series(0, 15) AS g(i)
+        GROUP BY 1
+        ORDER BY o_orderkey"""))
   )
 
   // ==========================================================================

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional at-rest clustering: Z-order (Morton) layout over two
+  * numeric columns, so range predicates on EITHER column prune most files
+  * — the lakehouse locality technique (Delta/Iceberg OPTIMIZE ZORDER) as
+  * plain Column algebra + `repartitionByRange`.
+  *
+  * Shape at 100 TB: discretization uses a broadcast 1-row min/max
+  * aggregate (never a rank window — a global window would single-task
+  * the corpus); the z-value is 2·bits bit operations per row inside
+  * whole-stage codegen; the write is one range repartition by z (the
+  * same shuffle an ORDER BY would pay) with files sorted within
+  * partitions, so every file covers a small z-range ⇒ a small rectangle
+  * in (a, b) space ⇒ parquet min/max stats prune on both columns.
+  */
+object Layout {
+
+  /** Interleave the low `bits` of `a` (even positions) and `b` (odd
+    * positions) into a Morton code. Inputs must already be in
+    * [0, 2^bits). */
+  def mortonInterleave(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1),
+        2 * i)
+      val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1),
+        2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Min/max scale `x` into [0, 2^bits − 1] given the corpus bounds. */
+  def scaleToBits(x: Column, minV: Column, maxV: Column,
+      bits: Int): Column = {
+    val span = (maxV - minV).cast("double")
+    val scaled = when(span <= 0.0, lit(0L))
+      .otherwise(floor((x - minV).cast("double") / span *
+        ((1L << bits) - 1)).cast("long"))
+    least(greatest(scaled, lit(0L)), lit((1L << bits) - 1))
+  }
+
+  /** (row ++ z) with z = Morton code of the min/max-discretized pair.
+    * The bounds come from one broadcast 1-row aggregate. */
+  def withZValue(df: DataFrame, colA: String, colB: String,
+      bits: Int = 16): DataFrame = {
+    val bounds = df.agg(
+      min(colA).as("min_a"), max(colA).as("max_a"),
+      min(colB).as("min_b"), max(colB).as("max_b"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("z",
+        mortonInterleave(
+          scaleToBits(col(colA), col("min_a"), col("max_a"), bits),
+          scaleToBits(col(colB), col("min_b"), col("max_b"), bits),
+          bits))
+      .drop("min_a", "max_a", "min_b", "max_b")
+  }
+
+  /** Write `df` Z-ordered on (colA, colB): range-repartitioned and
+    * sorted by z, so each output file covers a compact rectangle of the
+    * (a, b) space and parquet min/max stats prune range queries on
+    * either column. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int, bits: Int = 16): Unit =
+    withZValue(df, colA, colB, bits)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+}

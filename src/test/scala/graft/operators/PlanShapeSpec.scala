@@ -151,6 +151,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"kept ${approx.size} vs exact ${exact.size}")
   }
 
+  test("Z-order layout localizes a box query to fewer files than an " +
+    "id-ordered layout") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(5L)
+    val d = (0 until 4000).map { i =>
+      (i.toLong, rnd.nextDouble() * 1000.0, rnd.nextInt(1000).toLong)
+    }.toDF("id", "price", "cust")
+    val base = java.nio.file.Files.createTempDirectory("graft-z")
+    val zDir = s"$base/zorder"; val idDir = s"$base/byid"
+    Layout.writeZOrdered(d, zDir, "price", "cust", numFiles = 16)
+    d.repartitionByRange(16, col("id")).sortWithinPartitions("id")
+      .write.parquet(idDir)
+    // box query: a narrow range on BOTH dimensions
+    def filesTouched(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .count { f =>
+          spark.read.parquet(f.getAbsolutePath)
+            .filter(col("price").between(100.0, 200.0) &&
+              col("cust").between(100L, 200L))
+            .limit(1).count() > 0
+        }
+    val zTouched = filesTouched(zDir)
+    val idTouched = filesTouched(idDir)
+    // id order scatters the box across ~every file; z-order confines it
+    assert(zTouched < idTouched,
+      s"zorder touched $zTouched vs id-order $idTouched")
+    assert(zTouched <= 6, s"zorder touched $zTouched of 16 files")
+    // and the layout loses no rows
+    assert(spark.read.parquet(zDir).count() === 4000L)
+  }
+
   test("PQ ADC candidate selection is TakeOrdered over the code scan " +
     "and the re-rank joins a broadcast candidate set") {
     val rnd = new scala.util.Random(3L)
