@@ -689,7 +689,37 @@ object Queries {
                  + (((bi >> g.i) & 1) << (2 * g.i + 1)))::BIGINT AS z
         FROM s, generate_series(0, 15) AS g(i)
         GROUP BY 1
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ----- equal-width histogram (Layout.histogram) — dataset profiling:
+    // bucket bounds from a broadcast 1-row min/max, one
+    // partial-aggregated groupBy over nBuckets keys. Both engines run
+    // the identical IEEE discretization, so bucket assignment and bounds
+    // compare value-for-value.
+    Q("q81_histogram",
+      (s, d) =>
+        graft.operators.Layout.histogram(
+          lineitem(s, d).select("l_extendedprice"),
+          "l_extendedprice", nBuckets = 20)
+          .orderBy("bucket"),
+      Some("""
+        WITH b AS (
+          SELECT min(l_extendedprice) AS minv, max(l_extendedprice) AS maxv
+          FROM lineitem),
+        s AS (
+          SELECT CASE WHEN (maxv - minv) <= 0 THEN 0
+                      ELSE least(floor(((l_extendedprice - minv)
+                             / (maxv - minv)) * 20)::BIGINT, 19)
+                 END AS bucket,
+                 minv, (maxv - minv) / 20 AS w
+          FROM lineitem, b)
+        SELECT bucket,
+               round(min(minv + bucket * w), 4) AS lo,
+               round(min(minv + (bucket + 1) * w), 4) AS hi,
+               count(*)::BIGINT AS n
+        FROM s
+        GROUP BY bucket
+        ORDER BY bucket"""))
   )
 
   // ==========================================================================

@@ -58,6 +58,35 @@ object Layout {
       .drop("min_a", "max_a", "min_b", "max_b")
   }
 
+  /** Equal-width histogram of a numeric column — the dataset-profiling
+    * primitive (length/score/price distributions on a dataset card).
+    * Bucket bounds come from the same broadcast 1-row min/max aggregate
+    * as the Z-order discretization; counting is one partial-aggregated
+    * groupBy over `nBuckets` keys. The max value lands in the LAST
+    * bucket (half-open buckets, closed at the top end).
+    *
+    * @return (bucket, lo, hi, n) for non-empty buckets
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int)
+      : DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val bounds = df.agg(min(valueCol).as("min_v"), max(valueCol).as("max_v"))
+    val span = (col("max_v") - col("min_v")).cast("double")
+    val rawBucket = floor((col(valueCol) - col("min_v")).cast("double") /
+      span * nBuckets).cast("long")
+    val bucket = when(span <= 0.0, lit(0L))
+      .otherwise(least(rawBucket, lit(nBuckets - 1L)))
+    val width = span / nBuckets
+    df.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("min_v"), width.as("w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("min_v") + col("bucket") * col("w")), 4).as("lo"),
+        round(first(col("min_v") + (col("bucket") + 1) * col("w")), 4)
+          .as("hi"))
+      .select("bucket", "lo", "hi", "n")
+  }
+
   /** Write `df` Z-ordered on (colA, colB): range-repartitioned and
     * sorted by z, so each output file covers a compact rectangle of the
     * (a, b) space and parquet min/max stats prune range queries on
