@@ -719,7 +719,40 @@ object Queries {
                count(*)::BIGINT AS n
         FROM s
         GROUP BY bucket
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    // ----- retention cohort matrix: users grouped by first-seen week ×
+    // weeks they were active — the classic event-analytics rollup. Two
+    // keyed aggregations and one join; weeks compare as UTC epoch
+    // seconds (both engines truncate to Monday).
+    Q("q82_retention_cohorts",
+      (s, d) => {
+        val ev = events(s, d)
+        val weekly = ev.select(col("user_id"),
+            date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val firstWeek = weekly.groupBy("user_id")
+          .agg(min("wk").as("cohort"))
+        weekly.join(firstWeek, "user_id")
+          .groupBy("cohort", "wk")
+          .agg(count(lit(1)).as("n_users"))
+          .select(
+            unix_timestamp(col("cohort")).as("cohort_week"),
+            unix_timestamp(col("wk")).as("active_week"),
+            col("n_users"))
+          .orderBy("cohort_week", "active_week")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+          FROM events),
+        fw AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        SELECT epoch(cohort)::BIGINT AS cohort_week,
+               epoch(wk)::BIGINT AS active_week,
+               count(*)::BIGINT AS n_users
+        FROM w JOIN fw USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 
   // ==========================================================================
