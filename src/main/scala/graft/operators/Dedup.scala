@@ -556,10 +556,13 @@ object Dedup {
         .filter(length(col("token")) > 0)
         .select(col(idCol), xxhash64(col("token")).as("gh"))
 
-    // Persisted: the relation feeds the size probe, the bloom build, and
-    // the exact verification join in the returned plan. Left cached for
-    // the caller's execution (LRU-evicted; same convention as Multimodal).
-    val heldGrams = grams(heldOut).select("gh").distinct().persist()
+    // localCheckpoint, not persist: the relation feeds the size probe, the
+    // bloom build, and the exact verification join in the returned plan.
+    // The checkpoint materializes it once, truncates lineage, and its
+    // blocks are released when the frame is garbage-collected — unlike the
+    // r4 `persist()`, which was never released and accumulated across a
+    // 106-query bench session (same convention as the other dedup paths).
+    val heldGrams = grams(heldOut).select("gh").distinct().localCheckpoint()
     val nItems = math.max(1L, heldGrams.count())
     // Optimal sizing m = -n·ln(p)/ln(2)², capped at Spark's default
     // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (67108864 = 8 MB).

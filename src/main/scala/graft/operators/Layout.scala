@@ -43,19 +43,29 @@ object Layout {
   }
 
   /** (row ++ z) with z = Morton code of the min/max-discretized pair.
-    * The bounds come from one broadcast 1-row aggregate. */
+    * The bounds come from one broadcast 1-row aggregate. Working columns
+    * carry a `__graft_` prefix so an input that happens to contain
+    * `min_a`/`max_b`/… can't make the bounds join ambiguous; a
+    * pre-existing `z` column is rejected loudly rather than silently
+    * overwritten (and later dropped by [[writeZOrdered]]). */
   def withZValue(df: DataFrame, colA: String, colB: String,
       bits: Int = 16): DataFrame = {
+    require(!df.columns.contains("z"),
+      "input already has a 'z' column; withZValue would overwrite it — " +
+        "rename it first")
     val bounds = df.agg(
-      min(colA).as("min_a"), max(colA).as("max_a"),
-      min(colB).as("min_b"), max(colB).as("max_b"))
+      min(colA).as("__graft_min_a"), max(colA).as("__graft_max_a"),
+      min(colB).as("__graft_min_b"), max(colB).as("__graft_max_b"))
     df.crossJoin(broadcast(bounds))
       .withColumn("z",
         mortonInterleave(
-          scaleToBits(col(colA), col("min_a"), col("max_a"), bits),
-          scaleToBits(col(colB), col("min_b"), col("max_b"), bits),
+          scaleToBits(col(colA),
+            col("__graft_min_a"), col("__graft_max_a"), bits),
+          scaleToBits(col(colB),
+            col("__graft_min_b"), col("__graft_max_b"), bits),
           bits))
-      .drop("min_a", "max_a", "min_b", "max_b")
+      .drop("__graft_min_a", "__graft_max_a", "__graft_min_b",
+        "__graft_max_b")
   }
 
   /** Equal-width histogram of a numeric column — the dataset-profiling
@@ -70,20 +80,27 @@ object Layout {
   def histogram(df: DataFrame, valueCol: String, nBuckets: Int)
       : DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val bounds = df.agg(min(valueCol).as("min_v"), max(valueCol).as("max_v"))
-    val span = (col("max_v") - col("min_v")).cast("double")
-    val rawBucket = floor((col(valueCol) - col("min_v")).cast("double") /
-      span * nBuckets).cast("long")
+    // `__graft_`-prefixed working names: same collision hazard as
+    // withZValue — an input column named `min_v`/`max_v` would make the
+    // broadcast bounds join ambiguous.
+    val bounds = df.agg(min(valueCol).as("__graft_min_v"),
+      max(valueCol).as("__graft_max_v"))
+    val span = (col("__graft_max_v") - col("__graft_min_v")).cast("double")
+    val rawBucket =
+      floor((col(valueCol) - col("__graft_min_v")).cast("double") /
+        span * nBuckets).cast("long")
     val bucket = when(span <= 0.0, lit(0L))
       .otherwise(least(rawBucket, lit(nBuckets - 1L)))
     val width = span / nBuckets
     df.crossJoin(broadcast(bounds))
-      .select(bucket.as("bucket"), col("min_v"), width.as("w"))
+      .select(bucket.as("bucket"), col("__graft_min_v"),
+        width.as("__graft_w"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        round(first(col("min_v") + col("bucket") * col("w")), 4).as("lo"),
-        round(first(col("min_v") + (col("bucket") + 1) * col("w")), 4)
-          .as("hi"))
+        round(first(col("__graft_min_v") +
+          col("bucket") * col("__graft_w")), 4).as("lo"),
+        round(first(col("__graft_min_v") +
+          (col("bucket") + 1) * col("__graft_w")), 4).as("hi"))
       .select("bucket", "lo", "hi", "n")
   }
 

@@ -214,16 +214,25 @@ object Multimodal {
       dupThreshold: Double, idCol: String = "media_id",
       pairSource: PairSource = lshPairs()): DataFrame = {
     val nTokens = size(TextAnalysis.tokens(col("caption")))
-    // Persisted: the caption-passing set feeds the pair source's planning
-    // actions (row count + dim probe), the per-band bucket joins AND the
-    // final anti-join — separate ACTIONS, so ReusedExchange cannot share
-    // the scan across them; without the persist the media scan + token
-    // gate re-runs 3-4×. LRU-evicted under pressure; callers holding the
-    // result long-term can unpersist via the returned plan's children.
+    // Persisted for the pair-finding phase only: the caption-passing set
+    // feeds the pair source's planning actions (row count + dim probe) and
+    // the per-band bucket joins — separate ACTIONS, so ReusedExchange
+    // cannot share the scan across them; without the cache the media scan
+    // + token gate re-runs 3-4×. The drop-id set (tiny: ids only, no
+    // payload) is materialized via localCheckpoint, then the cache is
+    // RELEASED before returning — a long bench session must not
+    // accumulate payload-sized cached frames (the r4 driver bench showed
+    // exactly that pressure). The returned plan re-derives the token gate
+    // from `media` directly: one cheap narrow scan when the caller acts.
     val pass = media.filter(nTokens >= minCaptionTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = pairSource(pass, dupThreshold, idCol)
-    val drops = Dedup.nearDupDuplicates(pairs).select(col("id").as(idCol))
-    pass.join(drops, Seq(idCol), "left_anti")
+    val drops =
+      try {
+        val pairs = pairSource(pass, dupThreshold, idCol)
+        Dedup.nearDupDuplicates(pairs).select(col("id").as(idCol))
+          .localCheckpoint()
+      } finally pass.unpersist()
+    media.filter(nTokens >= minCaptionTokens)
+      .join(drops, Seq(idCol), "left_anti")
   }
 }

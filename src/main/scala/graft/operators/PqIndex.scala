@@ -36,8 +36,13 @@ object PqIndex {
   type Codebooks = Array[Array[Array[Double]]]
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    // Equal lengths are a hard precondition: silently truncating to the
+    // shorter vector (the old behavior) lets a ragged corpus train/encode
+    // on sliced sub-vectors and produce quietly wrong codebooks.
+    require(a.length == b.length,
+      s"vector dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0; var i = 0
-    while (i < a.length && i < b.length) {
+    while (i < a.length) {
       val d = a(i) - b(i); s += d * d; i += 1
     }
     s

@@ -151,6 +151,18 @@ object EventStreams {
     * restart resumes from the checkpoint with the index intact.
     * `foreachBatch` is the Spark idiom for this paired-sink shape.
     *
+    * The paired writes are IDEMPOTENT under checkpoint replay: each batch
+    * owns a deterministic `batch=<id>` partition directory in BOTH sinks
+    * and OVERWRITES it (never appends to the shared root), and the index
+    * read excludes the current batch's own partition — so a batch that
+    * died between the two writes re-runs to the identical result and
+    * overwrites its own directories, never duplicating documents in the
+    * output or self-shadowing in the index. Index existence is probed via
+    * the Hadoop `FileSystem` of the index URI (a `java.io.File` check only
+    * sees the driver's local disk — on HDFS/S3 it would be always-false
+    * and cross-batch dedup silently disabled), guarding the
+    * existing-but-empty case where schema inference would fail.
+    *
     * Returns the started query; caller stops it. */
   def selfMaintainingIngest(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, numHashes: Int = 16,
@@ -159,12 +171,39 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val bdf = batch.toDF()
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, indexPath, outPath, numHashes,
+          bands, portable, textCol, idCol)
+      }
+      .start()
+
+  /** One micro-batch of [[selfMaintainingIngest]], factored out so the
+    * replay-idempotency contract is directly testable: calling this twice
+    * with the same `batchId` (what checkpoint recovery does after a crash
+    * between the paired writes) leaves both sinks exactly as a single
+    * call would. */
+  private[streaming] def ingestBatch(bdf: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, numHashes: Int, bands: Int,
+      portable: Boolean, textCol: String, idCol: String): Unit = {
+        val spark = bdf.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        // Visible (non-`_`/`.`) children, i.e. at least one committed
+        // `batch=<id>` partition — an existing-but-empty directory must
+        // take the empty-index branch, not fail schema inference.
+        val hasIndex = fs.exists(hPath) && fs.listStatus(hPath).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
         val index =
-          if (new java.io.File(indexPath).exists())
+          if (hasIndex)
+            // Exclude this batch's own partition: present only on replay
+            // after a crash between the paired writes, where including it
+            // would mark every document a duplicate of itself and drop
+            // the whole batch from the output.
             spark.read.parquet(indexPath)
+              .filter(col("batch") =!= lit(batchId)).drop("batch")
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -181,13 +220,13 @@ object EventStreams {
           numHashes, bands, portable, textCol, idCol)
         val survivors = bdf.join(kept, Seq(idCol), "left_semi")
           .localCheckpoint()
-        survivors.write.mode("append").parquet(outPath)
+        survivors.write.mode("overwrite")
+          .parquet(s"$outPath/batch=$batchId")
         graft.operators.Dedup.dedupIndex(survivors, numHashes, bands,
             portable, textCol, idCol)
-          .write.mode("append").parquet(indexPath)
+          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
         ()
-      }
-      .start()
+  }
 
   /** Streaming as-of enrichment: each streamed event picks the latest
     * at-or-before row of a STATIC dimension series (prices, configs,

@@ -183,6 +183,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() === 4000L)
   }
 
+  test("withZValue tolerates input columns that collide with its working " +
+    "names and rejects a pre-existing z column loudly") {
+    // columns named like the old working names must NOT become ambiguous
+    val tricky = Seq((1.0, 2L, 99.0), (3.0, 4L, 98.0))
+      .toDF("price", "cust", "min_a")
+    val z = Layout.withZValue(tricky, "price", "cust")
+    assert(z.columns.toSeq === Seq("price", "cust", "min_a", "z"))
+    assert(z.count() === 2L)
+    // a user 'z' column would be silently overwritten then dropped by
+    // writeZOrdered — reject instead
+    val withZ = Seq((1.0, 2L, 7L)).toDF("price", "cust", "z")
+    val err = intercept[IllegalArgumentException] {
+      Layout.withZValue(withZ, "price", "cust")
+    }
+    assert(err.getMessage.contains("'z' column"))
+    // histogram shares the broadcast-bounds pattern: same tolerance
+    val h = Layout.histogram(
+      Seq((1.0, 5.0), (2.0, 6.0)).toDF("v", "min_v"), "v", 2)
+    assert(h.select("bucket", "n").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L), (1L, 1L)))
+  }
+
   test("PQ ADC candidate selection is TakeOrdered over the code scan " +
     "and the re-rank joins a broadcast candidate set") {
     val rnd = new scala.util.Random(3L)

@@ -275,6 +275,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestBatch replay (same batchId re-run after a crash between " +
+    "the paired writes) is idempotent: no duplicate docs, no self-shadow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay")
+    val idx = s"$dir/index"; val out = s"$dir/docs"
+    val b1 = Seq((1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet")).toDF("doc_id", "text")
+    EventStreams.ingestBatch(b1, 0L, idx, out, 16, 4, portable = true,
+      textCol = "text", idCol = "doc_id")
+    // Crash-replay of batch 0: checkpoint recovery re-delivers the same
+    // data with the same batchId. The index now already holds batch 0's
+    // own rows — they must be excluded, or every doc is a "duplicate" of
+    // itself and the batch vanishes from the output.
+    EventStreams.ingestBatch(b1, 0L, idx, out, 16, 4, portable = true,
+      textCol = "text", idCol = "doc_id")
+    val docs = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(docs === Seq(1L, 2L)) // each doc exactly once, not zero, not 2x
+    // a later batch still dedups against batch 0's index rows
+    val b2 = Seq((10L, "alpha bravo charlie delta echo"),
+      (11L, "kilo lima mike november oscar")).toDF("doc_id", "text")
+    EventStreams.ingestBatch(b2, 1L, idx, out, 16, 4, portable = true,
+      textCol = "text", idCol = "doc_id")
+    val all = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 11L))
+  }
+
   test("windowedDistinctUsers counts distinct users per window via the " +
     "HLL sketch (exact at test cardinalities)") {
     val input = MemoryStream[Event](spark)
