@@ -218,6 +218,81 @@ object SimilarityQueries {
       },
       None),
 
+    // ----- q44b: the SAME recall measurement with portable planes — the
+    // recall COMPUTATION itself (brute-force panel, bucket assignment,
+    // radius-2 probe set, per-query top-k intersection, probed fraction)
+    // is value-checked in DuckDB, closing the "recall metrics are
+    // rows-only" gap.
+    Q("q44b_ann_recall_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.annRecall(emb, queryIds = 0L until 20L, k = 10,
+          nBits = Similarity.nBitsFor(emb.count(), targetBucketSize = 128),
+          dim = DIM, portable = true)
+      },
+      Some(s"""
+        WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        bits AS (
+          SELECT least(24, greatest(4,
+            ceil(log2(greatest(1.0, cnt / 128.0)))))::INT AS nb
+          FROM n),
+        dims AS (
+          SELECT i.i AS i, j.j AS j,
+                 (('0x' || substr(md5(i.i::VARCHAR || '|' || j.j::VARCHAR),
+                    1, 8))::BIGINT / 2147483648.0) - 1.0 AS h
+          FROM bits, generate_series(0, 23) AS i(i),
+               generate_series(0, ${DIM - 1}) AS j(j)
+          WHERE i.i < nb),
+        planes AS (SELECT i, list(h ORDER BY j) AS hv FROM dims GROUP BY i),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (
+          SELECT vec_id,
+                 sum(CASE WHEN list_dot_product(v, hv) >= 0
+                     THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+          FROM vecs, planes GROUP BY vec_id),
+        qids AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 20),
+        bf AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                              e.vec_id) AS rn
+            FROM vecs e, qids q WHERE e.vec_id != q.qid) WHERE rn <= 10),
+        masks AS (
+          SELECT 0::BIGINT AS m FROM bits
+          UNION ALL
+          SELECT (1::BIGINT << i.i)
+          FROM bits, generate_series(0, 23) AS i(i) WHERE i.i < nb
+          UNION ALL
+          SELECT ((1::BIGINT << i.i) | (1::BIGINT << j.j))
+          FROM bits, generate_series(0, 23) AS i(i),
+               generate_series(0, 23) AS j(j)
+          WHERE i.i < j.j AND j.j < nb),
+        probes AS (
+          SELECT DISTINCT s.vec_id AS qid, xor(s.bucket, m.m) AS bucket
+          FROM sig s, masks m WHERE s.vec_id < 20),
+        cand AS (
+          SELECT DISTINCT p.qid, s.vec_id
+          FROM probes p JOIN sig s ON s.bucket = p.bucket
+          WHERE s.vec_id != p.qid),
+        lsh AS (
+          SELECT qid, vec_id FROM (
+            SELECT c.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY c.qid
+                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                              c.vec_id) AS rn
+            FROM cand c JOIN vecs e ON e.vec_id = c.vec_id
+            JOIN qids q ON q.qid = c.qid) WHERE rn <= 10),
+        agg AS (SELECT
+          (SELECT count(*) FROM bf JOIN lsh USING (qid, vec_id)) AS hits,
+          (SELECT count(*) FROM bf) AS denom,
+          (SELECT count(*) FROM masks) AS nmasks,
+          (SELECT nb FROM bits) AS nb)
+        SELECT 20 AS n_queries, 10 AS k, hits,
+               round(hits / greatest(denom, 1)::DOUBLE, 4) AS recall,
+               round(nmasks::DOUBLE / (1::BIGINT << nb), 4) AS probed_frac
+        FROM agg""")),
+
     // ----- IVF ANN — the second scale path (k-means coarse quantizer +
     // nProbe inverted-list probe; ~nProbe/k of the corpus scanned).
     // Centroids/assignments are engine-internal → rows-only; recall vs
@@ -229,6 +304,52 @@ object SimilarityQueries {
         IvfIndex.topK(emb, centroids, queryId = 0L, k = 10, nProbe = 4)
       },
       None),
+
+    // ----- q45b: the SAME IVF query path under FIXED portable centroids
+    // (md5-derived literals — no k-means, which is spec'd separately):
+    // DuckDB re-derives the 16 centroids, replays the argmin cluster
+    // assignment (identical -2·v·c + |c|² algebra, ties to the lower
+    // cluster), picks the query's 4 nearest lists, and exact-re-ranks the
+    // pruned candidates — the whole coarse-quantizer path value-checked.
+    Q("q45b_ann_ivf_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val centroids = IvfIndex.portableCentroids(k = 16, dim = DIM)
+        IvfIndex.topK(emb, centroids, queryId = 0L, k = 10, nProbe = 4)
+      },
+      Some(s"""
+        WITH cdims AS (
+          SELECT c.c AS c, j.j AS j,
+                 (('0x' || substr(md5('ivf|' || c.c::VARCHAR || '|' ||
+                    j.j::VARCHAR), 1, 8))::BIGINT / 2147483648.0) - 1.0 AS h
+          FROM generate_series(0, 15) AS c(c),
+               generate_series(0, ${DIM - 1}) AS j(j)),
+        cent AS (SELECT c, list(h ORDER BY j) AS cv FROM cdims GROUP BY c),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dists AS (
+          SELECT vec_id, c,
+                 -2.0 * list_dot_product(v, cv) + list_dot_product(cv, cv)
+                   AS d
+          FROM vecs, cent),
+        assign AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d, c) AS rn
+            FROM dists) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+        probes AS (
+          SELECT c FROM (
+            SELECT c, row_number() OVER (ORDER BY d, c) AS rn
+            FROM dists WHERE vec_id = 0) WHERE rn <= 4),
+        cand AS (
+          SELECT a.vec_id FROM assign a
+          WHERE a.cluster IN (SELECT c FROM probes) AND a.vec_id != 0)
+        SELECT c.vec_id,
+               round(list_cosine_similarity(v.v, q.qv), 4) AS score
+        FROM cand c JOIN vecs v USING (vec_id), q
+        ORDER BY score DESC, vec_id
+        LIMIT 10""")),
 
     // ----- PQ/ADC ANN — the third scale path, and the one that compresses
     // the scan: 8 sub-codebook codes per vector (32× smaller than the
@@ -274,6 +395,153 @@ object SimilarityQueries {
           books, qVec, k = 10, nProbe = 4, refine = 20)
       },
       None),
+
+    // ----- q70d: the SAME ADC query path under FIXED portable codebooks
+    // (md5-derived per-block literals — no k-means): DuckDB re-derives all
+    // 8×16 codebook entries, replays the per-block argmin encoding of
+    // every vector, builds the query's LUTs, cuts the top refine·k by
+    // approximate score, and exact-re-ranks — the whole
+    // product-quantization path value-checked.
+    Q("q70d_pq_adc_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val books = PqIndex.portableCodebooks(m = 8, k = 16, sub = DIM / 8)
+        PqIndex.topK(emb, books, queryId = 0L, k = 10, refine = 20)
+      },
+      Some(s"""
+        WITH bdims AS (
+          SELECT b.b AS b, c.c AS c, j.j AS j,
+                 (('0x' || substr(md5('pq|' || b.b::VARCHAR || '|' ||
+                    c.c::VARCHAR || '|' || j.j::VARCHAR), 1, 8))::BIGINT
+                    / 2147483648.0) - 1.0 AS h
+          FROM generate_series(0, 7) AS b(b), generate_series(0, 15) AS c(c),
+               generate_series(0, ${DIM / 8 - 1}) AS j(j)),
+        books AS (SELECT b, c, list(h ORDER BY j) AS cb
+                  FROM bdims GROUP BY b, c),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        subs AS (
+          SELECT vec_id, b.b AS b,
+                 v[b.b * ${DIM / 8} + 1 : b.b * ${DIM / 8} + ${DIM / 8}]
+                   AS sv
+          FROM vecs, generate_series(0, 7) AS b(b)),
+        codes AS (
+          SELECT vec_id, b, c AS code FROM (
+            SELECT s.vec_id, s.b, k.c,
+                   row_number() OVER (PARTITION BY s.vec_id, s.b
+                     ORDER BY -2.0 * list_dot_product(s.sv, k.cb)
+                              + list_dot_product(k.cb, k.cb), k.c) AS rn
+            FROM subs s JOIN books k ON k.b = s.b) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+        qsubs AS (
+          SELECT b.b AS b,
+                 qv[b.b * ${DIM / 8} + 1 : b.b * ${DIM / 8} + ${DIM / 8}]
+                   AS qs
+          FROM q, generate_series(0, 7) AS b(b)),
+        lut AS (
+          SELECT k.b, k.c,
+                 list_dot_product(q2.qs, k.cb) AS ld,
+                 list_dot_product(k.cb, k.cb) AS ln2
+          FROM books k JOIN qsubs q2 ON q2.b = k.b),
+        scored AS (
+          SELECT cd.vec_id, sum(l.ld) AS adot, sum(l.ln2) AS an2
+          FROM codes cd JOIN lut l ON l.b = cd.b AND l.c = cd.code
+          WHERE cd.vec_id != 0
+          GROUP BY cd.vec_id),
+        qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+        cands AS (
+          SELECT vec_id FROM (
+            SELECT s.vec_id,
+                   row_number() OVER (ORDER BY
+                     s.adot / (sqrt(s.an2) * qn.qnorm) DESC, s.vec_id) AS rn
+            FROM scored s, qn) WHERE rn <= 200)
+        SELECT c.vec_id,
+               round(list_cosine_similarity(v.v, q.qv), 4) AS score
+        FROM cands c JOIN vecs v USING (vec_id), q
+        ORDER BY score DESC, vec_id
+        LIMIT 10""")),
+
+    // ----- q70e: the PQ recall measurement under portable codebooks —
+    // brute-force panel, per-query ADC scores off ONE code relation,
+    // refine·k candidate cut, exact re-rank, hit intersection and the
+    // scanned-candidate fraction, all value-checked in DuckDB (the q44b
+    // discipline for the third ANN path).
+    Q("q70e_pq_recall_portable",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val books = PqIndex.portableCodebooks(m = 8, k = 16, sub = DIM / 8)
+        PqIndex.adcRecall(emb, books, queryIds = 0L until 20L,
+          k = 10, refine = 20)
+      },
+      Some(s"""
+        WITH bdims AS (
+          SELECT b.b AS b, c.c AS c, j.j AS j,
+                 (('0x' || substr(md5('pq|' || b.b::VARCHAR || '|' ||
+                    c.c::VARCHAR || '|' || j.j::VARCHAR), 1, 8))::BIGINT
+                    / 2147483648.0) - 1.0 AS h
+          FROM generate_series(0, 7) AS b(b), generate_series(0, 15) AS c(c),
+               generate_series(0, ${DIM / 8 - 1}) AS j(j)),
+        books AS (SELECT b, c, list(h ORDER BY j) AS cb
+                  FROM bdims GROUP BY b, c),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        subs AS (
+          SELECT vec_id, b.b AS b,
+                 v[b.b * ${DIM / 8} + 1 : b.b * ${DIM / 8} + ${DIM / 8}]
+                   AS sv
+          FROM vecs, generate_series(0, 7) AS b(b)),
+        codes AS (
+          SELECT vec_id, b, c AS code FROM (
+            SELECT s.vec_id, s.b, k.c,
+                   row_number() OVER (PARTITION BY s.vec_id, s.b
+                     ORDER BY -2.0 * list_dot_product(s.sv, k.cb)
+                              + list_dot_product(k.cb, k.cb), k.c) AS rn
+            FROM subs s JOIN books k ON k.b = s.b) WHERE rn = 1),
+        qids AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 20),
+        qsubs AS (
+          SELECT qid, b.b AS b,
+                 qv[b.b * ${DIM / 8} + 1 : b.b * ${DIM / 8} + ${DIM / 8}]
+                   AS qs
+          FROM qids, generate_series(0, 7) AS b(b)),
+        lut AS (
+          SELECT q2.qid, k.b, k.c,
+                 list_dot_product(q2.qs, k.cb) AS ld,
+                 list_dot_product(k.cb, k.cb) AS ln2
+          FROM books k JOIN qsubs q2 ON q2.b = k.b),
+        scored AS (
+          SELECT l.qid, cd.vec_id, sum(l.ld) AS adot, sum(l.ln2) AS an2
+          FROM codes cd JOIN lut l ON l.b = cd.b AND l.c = cd.code
+          WHERE cd.vec_id != l.qid
+          GROUP BY l.qid, cd.vec_id),
+        qnorms AS (SELECT qid, sqrt(list_dot_product(qv, qv)) AS qn
+                   FROM qids),
+        cands AS (
+          SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   row_number() OVER (PARTITION BY s.qid ORDER BY
+                     s.adot / (sqrt(s.an2) * n.qn) DESC, s.vec_id) AS rn
+            FROM scored s JOIN qnorms n USING (qid)) WHERE rn <= 200),
+        pq AS (
+          SELECT qid, vec_id FROM (
+            SELECT c.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY c.qid
+                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                              c.vec_id) AS rn
+            FROM cands c JOIN vecs e ON e.vec_id = c.vec_id
+            JOIN qids q USING (qid)) WHERE rn <= 10),
+        bf AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                              e.vec_id) AS rn
+            FROM vecs e, qids q WHERE e.vec_id != q.qid) WHERE rn <= 10),
+        agg AS (SELECT
+          (SELECT count(*) FROM bf JOIN pq USING (qid, vec_id)) AS hits,
+          (SELECT count(*) FROM bf) AS denom,
+          (SELECT count(*) FROM vecs) AS n)
+        SELECT 20 AS n_queries, 10 AS k, 20 AS refine,
+               round(hits / greatest(denom, 1)::DOUBLE, 4) AS recall,
+               round(least(1.0, 200.0 / n), 4) AS cand_fraction
+        FROM agg""")),
 
     // ----- set-to-set k-NN join (Similarity.knnJoin): every 50th vector
     // as the query batch against the rest — the retrieval join shape,

@@ -122,6 +122,18 @@ object IvfIndex {
     centroids
   }
 
+  /** PORTABLE fixed centroids — component (c, j) = the md5-derived unit
+    * value of "ivf|c|j" ([[Similarity.portableHyperplanes]] with an "ivf|"
+    * salt), reproducible in any engine with md5. These skip k-means
+    * entirely: they exist so the ENTIRE IVF query path — argmin cluster
+    * assignment, nProbe centroid selection, pruned-candidate re-rank —
+    * can be replayed value-for-value by an external oracle (q45b), the
+    * q42b discipline applied to the coarse quantizer. Training quality is
+    * orthogonal and spec'd separately ([[train]] determinism +
+    * IvfIndexSpec recall). */
+  def portableCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Similarity.portableHyperplanes(k, dim, "ivf|")
+
   /** The inverted file: (id, cluster) assignments under `centroids`. */
   def assignments(emb: DataFrame, centroids: Array[Array[Double]],
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =

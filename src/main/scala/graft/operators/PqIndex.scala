@@ -123,6 +123,15 @@ object PqIndex {
     }
   }
 
+  /** PORTABLE fixed codebooks — block b's entry (c, j) = the md5-derived
+    * unit value of "pq|b|c|j" ([[Similarity.portableHyperplanes]] with a
+    * per-block salt). Like [[IvfIndex.portableCentroids]], these skip
+    * k-means so the ENTIRE ADC path — per-block argmin encoding, LUT
+    * scores, candidate cut, exact re-rank — is replayable by an external
+    * oracle (q70d/q70e); codebook quality is spec'd separately. */
+  def portableCodebooks(m: Int, k: Int, sub: Int): Codebooks =
+    Array.tabulate(m)(b => Similarity.portableHyperplanes(k, sub, s"pq|$b|"))
+
   /** Argmin-code fold for one block. The sliced subvector is bound ONCE
     * as a lambda variable (HOF no-CSE — the [[TextAnalysis.shingles]]
     * lesson), so each centroid comparison is a dot product over an

@@ -152,7 +152,7 @@ object Similarity {
     * |queries| × n cosines on the exact side. */
   def annRecall(emb: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int,
       dim: Int, probeRadius: Int = 2, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ids = queryIds.map(java.lang.Long.valueOf)
     val queries = emb.filter(col(idCol).isin(ids: _*))
@@ -172,7 +172,8 @@ object Similarity {
       .select("qid", idCol)
 
     val bucketed = emb
-      .withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+      .withColumn("bucket",
+        lshBucket(col(vecCol), nBits, dim, portable = portable))
       .withColumn("nrm", norm(col(vecCol)))
     val masks = probeMasks(nBits, probeRadius)
     val qProbes = bucketed.filter(col(idCol).isin(ids: _*))
