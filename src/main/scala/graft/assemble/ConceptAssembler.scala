@@ -56,7 +56,8 @@ class ConceptAssembler(
     sab: String,
     loadOnCuis: Boolean = false,
     lang: String = "ENG",
-    limit: Option[Int] = None) {
+    limit: Option[Int] = None,
+    saltBuckets: Int = 1) {
 
   import spark.implicits._
 
@@ -394,6 +395,35 @@ class ConceptAssembler(
           .as("treeParents"))
   }
 
+  /** A1 per-code atom collection, optionally salted for skewed SABs.
+    *
+    * AQE splits skewed JOIN partitions but not skewed AGGREGATES, so a
+    * code holding a large share of a SAB's atoms (SURVEY §4 names the
+    * SNOMEDCT/LNC shape) funnels its whole `collect_list` fan-in through
+    * one reduce task. With `saltBuckets > 1` the collection runs in two
+    * stages: stage one groups by `(code, hash(AUI) % saltBuckets)` so the
+    * hot code's atoms build partial arrays on `saltBuckets` parallel
+    * tasks; stage two concatenates those pre-built arrays — the hot
+    * reducer now receives `saltBuckets` rows instead of one row per atom.
+    * Value-identical to the unsalted path because every consumer
+    * canonically re-sorts the atom array ([[conceptsColumns]] /
+    * [[ConceptAssembler.finish]]); equality is spec-pinned. */
+  private def groupCollectAtoms(a: DataFrame): DataFrame = {
+    val atomStruct = struct(
+      col("CUI").as("cui"), col("STT").as("stt"),
+      col("ISPREF").as("ispref"), col("AUI").as("aui"),
+      col("TTY").as("tty"), col("STR").as("str"))
+    if (saltBuckets <= 1)
+      a.groupBy(col("code")).agg(collect_list(atomStruct).as("atoms"))
+    else
+      a.withColumn("__graft_salt",
+          pmod(xxhash64(col("AUI")), lit(saltBuckets)))
+        .groupBy(col("code"), col("__graft_salt"))
+        .agg(collect_list(atomStruct).as("partial"))
+        .groupBy(col("code"))
+        .agg(flatten(collect_list(col("partial"))).as("atoms"))
+  }
+
   /** The grouped-and-joined shape BEFORE per-class finishing — exposed so
     * the sink can wrap finish+render in a per-term Try (S6 error
     * tolerance, `umls2rdf.py:764-771`). */
@@ -409,11 +439,7 @@ class ConceptAssembler(
     val relsGrouped = relsGroupedWithRoots
     // Only the finishing-step fields enter the collected struct (see
     // [[AtomRow]]); the grouping code rides the group key, not each atom.
-    val atomsGrouped = atomsShared.groupBy(col("code"))
-      .agg(collect_list(struct(
-        col("CUI").as("cui"), col("STT").as("stt"),
-        col("ISPREF").as("ispref"), col("AUI").as("aui"),
-        col("TTY").as("tty"), col("STR").as("str"))).as("atoms"))
+    val atomsGrouped = groupCollectAtoms(atomsShared)
     val tree =
       if (sab == "MSH") meshTree
       else spark.emptyDataFrame

@@ -322,6 +322,28 @@ object UmlsQueries {
             size(col("tuis")).as("n_tuis"))
           .orderBy("code")
       },
+      None),
+
+    // ----- q25t: the SAME assembly at the SAME volume but SKEWED — every
+    // 10th partkey collapses into one code, so ~10% of all atoms (and att
+    // rows) land on a single groupBy key (the SNOMEDCT/LNC shape SURVEY §4
+    // names as the 100× hazard; q25s's synthetic SAB is uniform). Runs
+    // with saltBuckets=8: the hot code's collect_list builds partial
+    // arrays on 8 parallel tasks and the final reducer concatenates 8
+    // pre-built arrays instead of receiving 60k atom rows. Salted ≡
+    // unsalted is spec-pinned; the two-stage plan shape is CI-asserted
+    // (PlanShapeSpec); the bench gate is ~1.5× of uniform q25s.
+    Q("q25t_assembly_skewed",
+      (s, d) => {
+        val asm = new ConceptAssembler(s, scaleSource(s, d, hotEvery = 10),
+          "BIG", saltBuckets = 8)
+        asm.conceptsColumns()
+          .select(col("code"), col("prefLabel"),
+            size(col("altLabels")).as("n_alt"), size(col("rels")).as("n_rels"),
+            size(col("atts")).as("n_atts"), size(col("cuis")).as("n_cuis"),
+            size(col("tuis")).as("n_tuis"))
+          .orderBy("code")
+      },
       None))
 
   /** UMLS-shaped tables projected from the harness lake (TESTDATA.md):
@@ -334,11 +356,19 @@ object UmlsQueries {
       : () => ConceptAssembler =
     () => new ConceptAssembler(s, scaleSource(s, dir), "BIG")
 
-  private def scaleSource(s: SparkSession, dir: String): UmlsSource = {
+  /** `hotEvery > 0` collapses every partkey divisible by it into the
+    * single code `X0` — a deliberately skewed SAB (hotEvery=10 → one code
+    * holds ~10% of all atoms and att rows) for the q25t skew evidence. */
+  private def scaleSource(s: SparkSession, dir: String,
+      hotEvery: Int = 0): UmlsSource = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val ord = s.read.parquet(s"$dir/orders.parquet")
     val part = s.read.parquet(s"$dir/part.parquet")
     val e = lit("")
+    def codeOf(partkey: org.apache.spark.sql.Column) =
+      if (hotEvery <= 0) concat(lit("X"), partkey)
+      else when(pmod(partkey, lit(hotEvery)) === 0, lit("X0"))
+        .otherwise(concat(lit("X"), partkey))
     val atoms = li.select(
       concat(lit("C"), col("l_orderkey")).as("CUI"), lit("ENG").as("LAT"),
       lit("P").as("TS"), e.as("LUI"), lit("PF").as("STT"), e.as("SUI"),
@@ -347,7 +377,7 @@ object UmlsQueries {
         .as("AUI"),
       e.as("SAUI"), e.as("SCUI"), e.as("SDUI"), lit("BIG").as("SAB"),
       when(col("l_linenumber") === 1, "PT").otherwise("SY").as("TTY"),
-      concat(lit("X"), col("l_partkey")).as("CODE"),
+      codeOf(col("l_partkey")).as("CODE"),
       concat(lit("part "), col("l_partkey"), lit(" order "),
         col("l_orderkey"), lit(" line "), col("l_linenumber")).as("STR"),
       lit("0").as("SRL"), lit("N").as("SUPPRESS"), e.as("CVF"))

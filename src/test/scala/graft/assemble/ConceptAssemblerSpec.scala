@@ -47,14 +47,12 @@ class ConceptAssemblerSpec extends AnyFunSuite {
     new ConceptAssembler(spark, src, "TEST")
   }
 
-  test("columnar finishing equals the typed path in every fixture mode") {
+  // Flatten with per-array sorts: collect_list element order is
+  // execution-dependent on BOTH paths, and finish() deliberately leaves
+  // rels/atts/defs in collection order (the renderer sorts them).
+  private def flat(df: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
-    import graft.sources.UmlsSource
-    // Flatten with per-array sorts: collect_list element order is
-    // execution-dependent on BOTH paths, and finish() deliberately leaves
-    // rels/atts/defs in collection order (the renderer sorts them).
-    def flat(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("code"), col("prefLabel"),
+    df.select(col("code"), col("prefLabel"),
         array_join(col("altLabels"), "|").as("alt"),
         array_join(array_sort(col("defs")), "|").as("defs"),
         array_join(col("cuis"), "|").as("cuis"),
@@ -69,6 +67,10 @@ class ConceptAssemblerSpec extends AnyFunSuite {
         col("isRoot"),
         array_join(col("treeParents"), "|").as("parents"))
         .orderBy("code").collect().map(_.toSeq).toSeq
+  }
+
+  test("columnar finishing equals the typed path in every fixture mode") {
+    import graft.sources.UmlsSource
     val fixtureDir = "/root/repo/fixtures/umls"
     val modes = Seq(
       // codes mode with MRRANK (A7 argmax + tie-break)
@@ -170,6 +172,33 @@ class ConceptAssemblerSpec extends AnyFunSuite {
       .collect().map(t => t.code -> t.isRoot).toMap
     assert(terms("A00") === true) // patched root
     assert(terms("ICD") === false)
+  }
+
+  test("salted atom collection is value-identical to the unsalted path " +
+    "and plans the two-stage aggregate") {
+    import graft.sources.UmlsSource
+    val fixtureDir = "/root/repo/fixtures/umls"
+    val plain = new ConceptAssembler(spark,
+      UmlsSource.parquet(spark, fixtureDir), "FIX")
+    val salted = new ConceptAssembler(spark,
+      UmlsSource.parquet(spark, fixtureDir), "FIX", saltBuckets = 4)
+    assert(flat(salted.conceptsColumns()) === flat(plain.conceptsColumns()))
+    assert(flat(salted.concepts().toDF()) === flat(plain.concepts().toDF()))
+    // The skew mitigation is real in the physical plan: stage one groups
+    // by (code, __graft_salt), stage two concatenates partial arrays.
+    val saltedPlan = salted.conceptsColumns()
+      .queryExecution.executedPlan.toString
+    // stage one: aggregate keyed by (code, salt)
+    assert("keys=\\[code#\\d+, __graft_salt#\\d+L?\\]".r
+      .findFirstIn(saltedPlan).isDefined, saltedPlan.take(800))
+    // stage two: the final per-code aggregate consumes the PARTIAL arrays
+    // (the flatten is a result expression, invisible in toString)
+    assert(saltedPlan.contains("collect_list(partial#"), saltedPlan.take(800))
+    // and the default path is untouched — no salt column anywhere
+    val plainPlan = plain.conceptsColumns()
+      .queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("__graft_salt"))
+    plain.unpersistShared(); salted.unpersistShared()
   }
 
   test("O5 row limit bounds the MRCONSO scan") {
