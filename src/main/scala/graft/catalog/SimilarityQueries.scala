@@ -351,6 +351,50 @@ object SimilarityQueries {
         ORDER BY score DESC, vec_id
         LIMIT 10""")),
 
+    // ----- q85: SemDedup (cluster-blocked semantic dedup, arXiv:
+    // 2303.09540) under the SAME portable centroids — DuckDB replays the
+    // coarse assignment, every within-cluster pair cosine, the ≥ tau drop
+    // decision, and the surviving set. tau=0.35 drops 73 of 500 at
+    // sf0.01 (calibrated: max pairwise cosine in the synthetic embeddings
+    // is ~0.51; the nearest pair to the boundary sits 2.4e-4 away, so
+    // both engines agree bit-for-bit on every decision).
+    Q("q85_semantic_dedup",
+      (s, d) => {
+        val centroids = IvfIndex.portableCentroids(k = 16, dim = DIM)
+        IvfIndex.semanticDedup(embeddings(s, d), centroids, tau = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH cdims AS (
+          SELECT c.c AS c, j.j AS j,
+                 (('0x' || substr(md5('ivf|' || c.c::VARCHAR || '|' ||
+                    j.j::VARCHAR), 1, 8))::BIGINT / 2147483648.0) - 1.0 AS h
+          FROM generate_series(0, 15) AS c(c),
+               generate_series(0, ${DIM - 1}) AS j(j)),
+        cent AS (SELECT c, list(h ORDER BY j) AS cv FROM cdims GROUP BY c),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dists AS (
+          SELECT vec_id, c,
+                 -2.0 * list_dot_product(v, cv) + list_dot_product(cv, cv)
+                   AS d
+          FROM vecs, cent),
+        assign AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d, c) AS rn
+            FROM dists) WHERE rn = 1),
+        av AS (SELECT a.vec_id, a.cluster, v.v
+               FROM assign a JOIN vecs v USING (vec_id)),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM av a JOIN av b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        SELECT vec_id, cluster FROM assign
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        ORDER BY vec_id""")),
+
     // ----- PQ/ADC ANN — the third scale path, and the one that compresses
     // the scan: 8 sub-codebook codes per vector (32× smaller than the
     // raw 64-dim floats), approximate scores via an m×k lookup table,

@@ -1479,8 +1479,101 @@ object TextQueries {
         FROM base b
         JOIN sh USING (doc_id)
         JOIN scores USING (doc_id)
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ----- q83: token-budget corpus selection
+    // (TextAnalysis.tokenBudgetSelect) — the best-quality subset whose
+    // token total fits the budget. The ENGINE runs it without a global
+    // window (per-quality-level totals -> broadcast boundary -> keyed
+    // window over the ONE boundary level); the oracle states the spec
+    // directly as a global running sum — agreement proves the two-phase
+    // decomposition exact.
+    Q("q83_token_budget",
+      (s, d) =>
+        TextAnalysis.tokenBudgetSelect(documents(s, d), tokenBudget = 15000)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, $qualitySql AS q,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, q, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored)
+        SELECT doc_id, q, n_tokens FROM c WHERE cum <= 15000
+        ORDER BY doc_id""")),
+
+    // ----- q84: quality-aware canonical keeper per near-dup component
+    // (Dedup.canonicalKeepers) — each LSH component keeps its BEST member
+    // (quality desc, id), not its min id. Components replayed by the q37
+    // recursive CTE; the argmax, member count and best quality all
+    // value-checked.
+    Q("q84_canonical_keeper",
+      (s, d) =>
+        Dedup.canonicalKeepers(
+          Dedup.lshCandidatePairs(documents(s, d), numHashes = 16,
+            bands = 4, portable = true),
+          documents(s, d).select(col("doc_id").as("id"),
+            round(TextAnalysis.qualityScore(col("text")), 3).as("q")))
+          .orderBy("component"),
+      Some(s"""
+        WITH RECURSIVE $minhashCtes,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(root) AS component FROM r GROUP BY id),
+        qual AS (SELECT doc_id AS id, $qualitySql AS q FROM documents),
+        sel AS (
+          SELECT component, id, q,
+                 row_number() OVER (PARTITION BY component
+                   ORDER BY q DESC, id) AS rn,
+                 count(*) OVER (PARTITION BY component) AS n_members,
+                 max(q) OVER (PARTITION BY component) AS best_q
+          FROM comp JOIN qual USING (id))
+        SELECT component, id AS keeper, n_members, best_q
+        FROM sel WHERE rn = 1
+        ORDER BY component""")),
+
+    // ----- q86: quality-ranked per-source document cap
+    // (TextAnalysis.capPerGroup) — "domain caps": each source contributes
+    // at most its k best docs. Rank order (quality desc, doc_id) is
+    // total, so the kept set is value-checkable.
+    Q("q86_source_cap",
+      (s, d) =>
+        TextAnalysis.capPerGroup(documents(s, d), "source", k = 20)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY $qualitySql DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= 20
+        ORDER BY doc_id"""))
   )
+
+  /** The composite quality score as DuckDB SQL — shared by every oracle
+    * that ranks or gates on quality (must match
+    * `TextAnalysis.qualityScore` + round(_, 3) exactly). */
+  private val qualitySql: String = """round(
+                 (length(regexp_extract_all(lower(text), '[a-z]'))
+                    / greatest(length(text), 1))
+                 * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                           BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                 - (length(regexp_extract_all(text, '[0-9]'))
+                    / greatest(length(text), 1)), 3)"""
 
   /** Query string for q57 — terms chosen to span high/low doc frequency. */
   private val bm25Query = "spark join window vector"

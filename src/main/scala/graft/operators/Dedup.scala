@@ -354,6 +354,34 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id"), col("component").as("keeper"))
 
+  /** Quality-aware canonical representative per near-dup component:
+    * instead of the min-id keeper, each cluster keeps its BEST member —
+    * argmax by (quality desc, id asc), a total order, so the choice is
+    * deterministic and portable. This is the curation form of near-dup
+    * dedup: when a boilerplate page was crawled five times, keep the
+    * longest/cleanest capture, not the lowest id.
+    *
+    * `quality` is any (id, q) relation — typically
+    * `round(TextAnalysis.qualityScore(text), 3)`.
+    *
+    * Scale: [[nearDupComponents]]' label propagation plus ONE extra
+    * groupBy(component) — the argmax is a struct `max`, partial-aggregated
+    * map-side; no window, no join back to the corpus.
+    *
+    * @return (component, keeper, n_members, best_q) */
+  def canonicalKeepers(pairs: DataFrame, quality: DataFrame,
+      idCol: String = "id", qCol: String = "q"): DataFrame =
+    nearDupComponents(pairs)
+      .join(quality.select(col(idCol).as("id"), col(qCol).as("__q")),
+        Seq("id"))
+      .groupBy("component")
+      .agg(
+        // struct max: highest q, then (via negated id) lowest id
+        max(struct(col("__q").as("q"), (-col("id")).as("nid"),
+          col("id").as("kid"))).getField("kid").as("keeper"),
+        count(lit(1)).as("n_members"),
+        max(col("__q")).as("best_q"))
+
   // --- end-to-end corpus dedup ---------------------------------------------
 
   /** The full training-corpus cleaning pipeline in one dataflow — the use

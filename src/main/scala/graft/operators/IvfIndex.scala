@@ -41,8 +41,10 @@ object IvfIndex {
   }
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"vector dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0; var i = 0
-    while (i < a.length && i < b.length) {
+    while (i < a.length) {
       val d = a(i) - b(i); s += d * d; i += 1
     }
     s
@@ -139,6 +141,41 @@ object IvfIndex {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     emb.select(col(idCol),
       assignCol(col(vecCol), centroids).getField("cluster").as("cluster"))
+
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): drop all-but-one of any embedding pair whose
+    * cosine ≥ `tau`, with candidate pairs generated ONLY within a coarse
+    * k-means cluster — the clusters bound the quadratic term, the same
+    * role LSH bands play for MinHash. Keeper is the lower id (a total
+    * order; deterministic and portable).
+    *
+    * Scale: one assignment pass (codegen'd argmin over broadcast-literal
+    * centroids), then a cluster-keyed self-join — per-cluster work is
+    * |cluster|², never |corpus|²; k grows with the corpus (the
+    * [[Similarity.nBitsFor]] sizing story) to hold cluster sizes flat.
+    * With [[portableCentroids]] the whole decision — assignment, pair
+    * cosines, drop set — replays in an external oracle (q85).
+    *
+    * @return surviving (idCol, cluster) rows */
+  def semanticDedup(emb: DataFrame, centroids: Array[Array[Double]],
+      tau: Double, vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    val assigned = emb.select(col(idCol), col(vecCol))
+      .withColumn("cluster",
+        assignCol(col(vecCol), centroids).getField("cluster"))
+      .withColumn("nrm", Similarity.norm(col(vecCol)))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
 
   /** nProbe nearest centroid ids to a query vector (driver-side; k is
     * small by construction). */

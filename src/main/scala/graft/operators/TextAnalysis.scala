@@ -251,6 +251,78 @@ object TextAnalysis {
       .drop("rk")
   }
 
+  /** Quality-ranked per-group document cap — "domain caps": bound any one
+    * source/domain's contribution to the mix by keeping only its `k`
+    * BEST documents (vs [[stratifiedSample]]'s hash-random quota). Rank
+    * order is (quality desc, id) — a total order, so the kept set is
+    * deterministic and portable.
+    *
+    * Scale: same `WindowGroupLimit` shape as [[stratifiedSample]] — each
+    * map task keeps `k` rows per group before the shuffle, so one
+    * overrepresented domain costs O(k) map-side heap, never a full-group
+    * sort. */
+  def capPerGroup(docs: DataFrame, groupCol: String, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(round(qualityScore(col(textCol)), 3).desc, col(idCol))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Token-budget corpus selection: the highest-quality subset whose
+    * total token count fits `tokenBudget` — "give me the best N-token
+    * training mix" — equivalent to walking docs in (quality desc, id)
+    * order and keeping while the running token sum stays within budget.
+    *
+    * The NAIVE plan is a global window (cumulative sum over a corpus-wide
+    * order) — one task holds the corpus. This runs it in two phases with
+    * no global window:
+    *   1. aggregate total tokens PER QUALITY LEVEL (quality rounds to 3
+    *      decimals in [-1, 1], so ≤ ~2001 levels — a bounded driver-side
+    *      side-structure, same contract as a broadcast dim); the driver
+    *      walks the descending levels to find the BOUNDARY level where
+    *      the budget crosses;
+    *   2. rows above the boundary pass with a plain filter (no shuffle
+    *      beyond the one aggregate); only the boundary LEVEL — one
+    *      quality value, not the corpus — resolves its members with a
+    *      keyed window's running sum.
+    *
+    * @return (idCol, q, n_tokens) of the kept documents */
+  def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol),
+      round(qualityScore(col(textCol)), 3).as("q"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val levels = scored.groupBy("q").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary: Option[(Double, Long)] = None // (level, tokens before it)
+    for ((q, t) <- levels if boundary.isEmpty) {
+      if (cum + t <= tokenBudget) cum += t
+      else boundary = Some((q, cum))
+    }
+    boundary match {
+      case None => scored // the whole corpus fits the budget
+      case Some((bq, before)) =>
+        // The keyed window touches ONLY the boundary level's rows — one
+        // quality value, not the corpus.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q").orderBy(idCol)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val atBoundary = scored.filter(col("q") === bq)
+          .withColumn("__cum_in", sum("n_tokens").over(w))
+          .filter((lit(before) + col("__cum_in")) <= tokenBudget)
+          .drop("__cum_in")
+        scored.filter(col("q") > bq).union(atBoundary)
+    }
+  }
+
   /** Per-group top-`k` token frequencies — the vocabulary slice of a
     * dataset card (most frequent tokens per language/source), and the
     * standard first look at a new corpus slice.

@@ -47,29 +47,56 @@ object UmlsSource {
       spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** MySQL split predicate (the reference's DB, `umls2rdf.py:149-151`):
+    * `crc32(<key>) % n = i` — near-uniform slices off the string key. */
+  def crc32Split(key: String, n: Int, i: Int): String =
+    s"crc32($key) % $n = $i"
+
+  /** ANSI-only alternative: range predicates from `cuts.length + 1`
+    * sorted cut points — complete and disjoint for any non-null key,
+    * valid in every SQL dialect, and index-RANGE-scan friendly where a
+    * hash-of-key predicate forces a full scan. Cut points come from the
+    * key's known distribution (UMLS CUIs are dense `C<7 digits>`). */
+  def rangeSplit(cuts: Seq[String]): (String, Int, Int) => String =
+    (key, n, i) => {
+      require(n == cuts.length + 1,
+        s"rangeSplit needs ${cuts.length + 1} partitions, got $n")
+      if (n == 1) s"$key IS NOT NULL"
+      else if (i == 0) s"$key < '${cuts.head}'"
+      else if (i == n - 1) s"$key >= '${cuts.last}'"
+      else s"$key >= '${cuts(i - 1)}' AND $key < '${cuts(i)}'"
+    }
+
   /** JDBC source (replaces S1/S2 pagination with genuinely partitioned
     * reads — the reference's LIMIT/OFFSET loop re-scans the table per
     * page, O(n²) server-side).
     *
     * UMLS keys are strings, so numeric partitionColumn bounds don't
     * apply; instead the fat tables split into `numPartitions` disjoint
-    * server-side predicates on `crc32(<key>) % n` (each partition is one
-    * indexed-scan-friendly slice, executed concurrently). Small metadata
-    * tables (MRRANK/MRSAB/MRDOC/MRSTY) read in one partition. */
+    * server-side predicates on a dialect hash of the key — each
+    * partition is one indexed-scan-friendly slice, executed
+    * concurrently; the predicate set MUST be complete and disjoint
+    * (every row matches exactly one), which the integration spec
+    * asserts. Small metadata tables (MRRANK/MRSAB/MRDOC/MRSTY) read in
+    * one partition. `split` defaults to MySQL's crc32
+    * ([[crc32Split]]); pass [[rangeSplit]] (or a dialect hash) for other
+    * engines. */
   def jdbc(spark: SparkSession, url: String, props: java.util.Properties,
-      numPartitions: Int = 8): UmlsSource = new UmlsSource {
-    private val splitKey = Map(
-      "MRCONSO" -> "CUI", "MRREL" -> "CUI2", "MRDEF" -> "CUI",
-      "MRSAT" -> "CUI")
-    def table(name: String): DataFrame =
-      splitKey.get(name.toUpperCase) match {
-        case Some(key) if numPartitions > 1 =>
-          val predicates = (0 until numPartitions)
-            .map(i => s"crc32($key) % $numPartitions = $i").toArray
-          spark.read.jdbc(url, name, predicates, props)
-        case _ => spark.read.jdbc(url, name, props)
-      }
-  }
+      numPartitions: Int = 8,
+      split: (String, Int, Int) => String = crc32Split): UmlsSource =
+    new UmlsSource {
+      private val splitKey = Map(
+        "MRCONSO" -> "CUI", "MRREL" -> "CUI2", "MRDEF" -> "CUI",
+        "MRSAT" -> "CUI")
+      def table(name: String): DataFrame =
+        splitKey.get(name.toUpperCase) match {
+          case Some(key) if numPartitions > 1 =>
+            val predicates = (0 until numPartitions)
+              .map(i => split(key, numPartitions, i)).toArray
+            spark.read.jdbc(url, name, predicates, props)
+          case _ => spark.read.jdbc(url, name, props)
+        }
+    }
 
   /** In-memory fixture source for tests: supply DataFrames per table. */
   def fixed(tables: Map[String, DataFrame]): UmlsSource = new UmlsSource {

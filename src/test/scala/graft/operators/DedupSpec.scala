@@ -217,4 +217,18 @@ class DedupSpec extends AnyFunSuite {
     assert(one === many)
     assert(one.values.toSet === Set(1L, 2L))
   }
+
+  test("canonicalKeepers picks each component's (quality desc, id) argmax") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.9),   // tie 2-vs-3 -> lower id 2
+      (10L, 0.5), (11L, 0.5))            // tie -> 10
+      .toDF("id", "q")
+    val got = Dedup.canonicalKeepers(pairs, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 3L, 0.9),    // component 1 = {1,2,3}: keeper 2, best 0.9
+      (10L, 10L, 2L, 0.5))) // component 10 = {10,11}: keeper 10
+  }
 }

@@ -110,4 +110,26 @@ class IvfIndexSpec extends AnyFunSuite {
       .distinct().collect().map(_.getInt(0)).toSet
     assert(a === Set(0, 1, 2))
   }
+
+  test("semanticDedup drops the higher id of every within-cluster pair " +
+    "at cosine >= tau and keeps everything else") {
+    // hand-built 2-dim geometry: centroids on the axes, cosines chosen to
+    // straddle tau = 0.9 on both sides
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // cluster 0
+      (1L, Seq(0.99f, 0.141f)), // cluster 0, cos(0,1)=0.99 -> dropped by 0
+      (2L, Seq(0.6f, 0.8f)),    // cluster 1
+      (3L, Seq(0.0f, 1.0f)),    // cluster 1, cos(2,3)=0.8 -> both survive
+      (4L, Seq(0.05f, 1.0f)))   // cluster 1, cos(3,4)=0.9988 -> dropped
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(v => Row(v._1, v._2)), 2),
+      schema)
+    val got = IvfIndex.semanticDedup(emb, centroids, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 2L -> 1, 3L -> 1))
+  }
 }

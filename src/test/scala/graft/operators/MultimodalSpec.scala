@@ -40,6 +40,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(4L).phash !== byId(6L).phash)
   }
 
+  test("decode stubs reproduce independently-computed golden vectors " +
+    "(values pinned outside the JVM; a real decoder replaces exactly " +
+    "these functions)") {
+    // Expected values computed by an independent Python implementation
+    // of the documented contracts (mean byte value; 64-block aHash),
+    // NOT by running the stubs — a silent change to either stub's
+    // arithmetic fails here even though it stays deterministic.
+    val ramp256 = Array.tabulate(256)(i => i.toByte)
+    val const7 = Array.fill(100)(7.toByte)
+    val one255 = Array(255.toByte)
+    val lcg300 = Array.tabulate(300)(i => ((i * 37 + 11) % 256).toByte)
+    val golden = Seq[(Array[Byte], Double, Long)](
+      (ramp256, 127.5, -4294967296L), // bits 32..63: upper ramp half
+      (const7, 7.0, 0L),              // flat payload: no bit above mean
+      (Array.emptyByteArray, 0.0, 0L),
+      (one255, 255.0, 1L),            // only block 0 has data
+      (lcg300, 127.246667, -6509015766999421614L))
+    for (((bytes, luma, ph), i) <- golden.zipWithIndex) {
+      assert(math.abs(Multimodal.decodeStub(bytes) - luma) < 1e-6,
+        s"vector $i mean_luma")
+      assert(Multimodal.phashStub(bytes) === ph, s"vector $i phash")
+    }
+    // resize golden: 100 bytes into a 2x2x3 budget strides exactly these
+    val src = Array.tabulate(100)(_.toByte)
+    assert(Multimodal.resizeStub(src, 10, 10, 2, 2).toSeq ===
+      Seq(0, 8, 16, 25, 33, 41, 50, 58, 66, 75, 83, 91).map(_.toByte))
+    // and the whole distributed boundary carries the same values
+    import spark.implicits._
+    val df = Seq((0L, "img", 16, 16, ramp256), (1L, "img", 16, 16, lcg300))
+      .toDF("media_id", "kind", "width", "height", "bytes")
+    val feats = Multimodal.decodeFeatures(df.repartition(2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(0L).phash === -4294967296L)
+    assert(feats(1L).phash === -6509015766999421614L)
+    assert(math.abs(feats(1L).mean_luma - 127.246667) < 1e-6)
+  }
+
   test("resized meets the target byte budget and keeps ids") {
     val out = Multimodal.resized(media, dstW = 4, dstH = 4).collect()
     assert(out.length === 12)

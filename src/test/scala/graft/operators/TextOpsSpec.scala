@@ -90,4 +90,53 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept === Map("en" -> 6L, "de" -> 6L)) // ceil(15 * 0.4) = 6
   }
+
+  test("tokenBudgetSelect keeps exactly the greedy (quality desc, id) " +
+    "prefix, cutting INSIDE the boundary quality level") {
+    // three quality tiers; the mid tier has several equal-quality docs so
+    // the budget boundary lands inside one level and must cut by doc_id
+    val d = ((0 until 4).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon zeta")) ++ // high q
+      (10 until 16).map(i =>
+        (i.toLong, "alpha beta 9 gamma delta 8 epsilon")) ++  // mid q
+      (20 until 24).map(i =>
+        (i.toLong, "7 8 9 10 11 12")))                        // low q
+      .toDF("doc_id", "text")
+    val scored = d.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 3).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // brute-force spec: walk (q desc, id) keeping while the sum fits
+    def expected(budget: Long): Set[Long] = {
+      var cum = 0L
+      scored.sortBy(t => (-t._2, t._1)).takeWhile { case (_, _, n) =>
+        cum += n; cum <= budget
+      }.map(_._1).toSet
+    }
+    for (budget <- Seq(10L, 40L, 55L, 1000L)) {
+      val got = TextAnalysis.tokenBudgetSelect(d, budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected(budget), s"budget $budget")
+    }
+    // scale shape: the only window is keyed by the boundary level
+    val plan = TextAnalysis.tokenBudgetSelect(d, 40L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"), plan.take(600))
+  }
+
+  test("capPerGroup keeps each group's k best docs, ties to the lower id") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "a"),  // clean -> best in a
+      (2L, "alpha beta 9 gamma 8 delta", "a"),
+      (3L, "alpha beta 9 gamma 8 delta", "a"),      // tie with 2 -> loses
+      (4L, "9 8 7 6 5 4", "b"),
+      (5L, "alpha beta gamma delta epsilon", "b"))
+      .toDF("doc_id", "text", "source")
+    val top1 = TextAnalysis.capPerGroup(d, "source", k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top1 === Set(1L, 5L))
+    val top2 = TextAnalysis.capPerGroup(d, "source", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 2L, 4L, 5L)) // tie 2-vs-3 resolves to id 2
+  }
 }
