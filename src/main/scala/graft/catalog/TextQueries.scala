@@ -1561,8 +1561,82 @@ object TextQueries {
                  row_number() OVER (PARTITION BY source
                    ORDER BY $qualitySql DESC, doc_id) AS rn
           FROM documents) WHERE rn <= 20
+        ORDER BY doc_id""")),
+
+    // ----- q87: DSIR importance selection (TextAnalysis.importanceSelect,
+    // arXiv:2302.03169) — pool docs scored by avg ln p_tgt(w) - ln
+    // p_src(w) under Laplace-smoothed unigram LMs (target = the 'en'
+    // slice), hard top-100 by (weight desc, id). Both LMs, the smoothing
+    // constants, the per-doc average and the cut are all value-checked.
+    Q("q87_importance_select",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextAnalysis.importanceSelect(docs,
+            docs.filter(col("lang") === "en"), k = 100)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $dsirWeightCtes
+        SELECT doc_id, n_tokens, weight FROM (
+          SELECT * FROM w ORDER BY weight DESC, doc_id LIMIT 100)
+        ORDER BY doc_id""")),
+
+    // ----- q87b: the paper's Gumbel-top-k RESAMPLING form of q87 — noise
+    // is md5-derived from (salt, doc_id), so the sampled set is exactly
+    // replayable: DuckDB draws the identical uniforms, the identical
+    // Gumbels, and makes the identical k cut.
+    Q("q87b_importance_gumbel",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextAnalysis.importanceSelect(docs,
+            docs.filter(col("lang") === "en"), k = 100,
+            temperature = 0.5, salt = "dsir")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $dsirWeightCtes,
+        keyed AS (
+          SELECT doc_id, n_tokens, weight,
+                 round(weight / 0.5 - ln(-ln(
+                   (('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 8))
+                      ::BIGINT + 0.5) / 4294967296.0)), 6) AS gkey
+          FROM w)
+        SELECT doc_id, n_tokens, weight FROM (
+          SELECT * FROM keyed ORDER BY gkey DESC, doc_id LIMIT 100)
         ORDER BY doc_id"""))
   )
+
+  /** The DSIR per-document importance weights as DuckDB CTEs (ends at
+    * `w(doc_id, n_tokens, weight)`) — must match
+    * `TextAnalysis.importanceSelect`'s weight computation exactly:
+    * Laplace-smoothed unigram LMs over the UNION vocabulary, target =
+    * the `lang = 'en'` slice, pool = all documents. */
+  private val dsirWeightCtes: String = """ptoks AS (
+          SELECT doc_id, u.token AS token
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        ttoks AS (
+          SELECT u.token AS token
+          FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents WHERE lang = 'en'), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        csrc AS (SELECT token, count(*) AS cs FROM ptoks GROUP BY 1),
+        ctgt AS (SELECT token, count(*) AS ct FROM ttoks GROUP BY 1),
+        vocab AS (
+          SELECT token, coalesce(cs, 0) AS cs, coalesce(ct, 0) AS ct
+          FROM csrc FULL OUTER JOIN ctgt USING (token)),
+        consts AS (
+          SELECT count(*)::DOUBLE AS v, sum(cs)::DOUBLE AS ts,
+                 sum(ct)::DOUBLE AS tt
+          FROM vocab),
+        w AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 round(avg(ln((ct + 1) / (tt + v)) - ln((cs + 1) / (ts + v))),
+                   6) AS weight
+          FROM ptoks JOIN vocab USING (token), consts
+          GROUP BY 1)"""
 
   /** The composite quality score as DuckDB SQL — shared by every oracle
     * that ranks or gates on quality (must match

@@ -464,6 +464,66 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every pool document by how much more
+    * likely its tokens are under a TARGET-domain unigram LM than under
+    * the pool's own — `avg_w [ln p_tgt(w) − ln p_src(w)]` — and keep the
+    * `k` best. Laplace smoothing over the UNION vocabulary keeps both
+    * models finite on tokens the other side never saw, so the ratio is
+    * total on the pool. Selection order (weight desc, id) is total —
+    * deterministic and portable (q87); pass `temperature > 0` for the
+    * paper's Gumbel-top-k RESAMPLING instead of hard top-k — the Gumbel
+    * noise is md5-derived from (salt, id), so even the sampled variant
+    * replays value-for-value in an external engine (q87b).
+    *
+    * Shape at 100 TB: two token counts (partial-aggregated), one
+    * full-outer vocab join keyed by token, a 1-row constants broadcast,
+    * one keyed join back to the pool token stream, one groupBy(doc), and
+    * a TakeOrdered top-k — no global window, no driver-side corpus. The
+    * target corpus is typically tiny (a quality slice) but is never
+    * collected, so it may be arbitrarily large.
+    *
+    * @return (idCol, n_tokens, weight) of the `k` selected documents */
+  def importanceSelect(pool: DataFrame, target: DataFrame, k: Int,
+      temperature: Double = 0.0, salt: String = "dsir",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(temperature >= 0.0, "temperature must be >= 0")
+    def toks(df: DataFrame) = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val ptoks = toks(pool)
+    val cs = ptoks.groupBy("token").agg(count(lit(1)).as("cs"))
+    val ct = toks(target).groupBy("token").agg(count(lit(1)).as("ct"))
+    val vocab = cs.join(ct, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("cs"), lit(0L)).as("cs"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    // |V|, Σcs, Σct: one 1-row aggregate, broadcast like any tiny dim.
+    val consts = vocab.agg(count(lit(1)).as("v"), sum("cs").as("ts"),
+      sum("ct").as("tt"))
+    val weights = ptoks.join(vocab, Seq("token"))
+      .crossJoin(broadcast(consts))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(
+          log((col("ct") + 1).cast("double") / (col("tt") + col("v"))) -
+          log((col("cs") + 1).cast("double") / (col("ts") + col("v")))), 6)
+          .as("weight"))
+    val key =
+      if (temperature == 0.0) col("weight")
+      else {
+        // Portable Gumbel(0,1): u = (first-8-hex of md5 + 0.5) / 2^32 is
+        // uniform in (0,1) and bit-identical across engines; g = −ln(−ln u).
+        val u = (conv(substring(md5(concat(lit(salt + "|"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") +
+          lit(0.5)) / lit(4294967296.0)
+        round(col("weight") / lit(temperature) - log(-log(u)), 6)
+      }
+    weights.withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol)).limit(k)
+      .drop("__key")
+  }
+
   /** CORPUS-level duplicated-span statistics per document: the fraction of
     * each doc's word `n`-gram positions whose n-gram also appears in at
     * least one OTHER document (the signal behind exact-substring dedup à la

@@ -124,6 +124,55 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition()"), plan.take(600))
   }
 
+  test("importanceSelect scores pool docs by the smoothed target/source " +
+    "log-ratio and cuts at k (weight desc, id)") {
+    val pool = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "der hund ist nicht da heute"),
+      (3L, "the dog ran to the park"),
+      (4L, "el gato y el perro aqui"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "the cat and the dog"),
+      (101L, "the mat and the park"))
+      .toDF("doc_id", "text")
+    // independent reference: plain Scala maps over the same formula
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").toSeq
+    val poolDocs = Map(1L -> "the cat sat on the mat",
+      2L -> "der hund ist nicht da heute", 3L -> "the dog ran to the park",
+      4L -> "el gato y el perro aqui")
+    val cs = poolDocs.values.flatMap(toks).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val ct = Seq("the cat and the dog", "the mat and the park")
+      .flatMap(toks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocabV = (cs.keySet ++ ct.keySet).size.toDouble
+    val (ts, tt) = (cs.values.sum.toDouble, ct.values.sum.toDouble)
+    val expected = poolDocs.map { case (id, text) =>
+      val ws = toks(text).map(w =>
+        math.log((ct.getOrElse(w, 0L) + 1) / (tt + vocabV)) -
+        math.log((cs.getOrElse(w, 0L) + 1) / (ts + vocabV)))
+      id -> BigDecimal(ws.sum / ws.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.importanceSelect(pool, target, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expected)
+    // the English-like docs dominate the k=2 cut
+    val top2 = TextAnalysis.importanceSelect(pool, target, k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 3L))
+    // Gumbel resampling: deterministic under a fixed salt (two runs
+    // identical), size-k, and a different salt may pick differently but
+    // still deterministically
+    def gumbel(salt: String) =
+      TextAnalysis.importanceSelect(pool, target, k = 2,
+        temperature = 0.5, salt = salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gumbel("dsir") === gumbel("dsir"))
+    assert(gumbel("dsir").size === 2)
+    assert(gumbel("other-salt") === gumbel("other-salt"))
+  }
+
   test("capPerGroup keeps each group's k best docs, ties to the lower id") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon", "a"),  // clean -> best in a
