@@ -56,7 +56,13 @@ final case class PipelineConfig(
       * embarrassingly parallel per ontology (independent inputs, one file
       * each); >1 lets Spark schedule the per-SAB jobs concurrently and
       * keep a cluster saturated while small SABs finish. */
-    parallelism: Int = 1)
+    parallelism: Int = 1,
+    /** Scan each fat table ONCE for the whole manifest
+      * ([[graft.sources.UmlsSource.sharedScan]]) instead of once per SAB
+      * — the win for many-small-SAB manifests, where N lake scans
+      * dominate the per-SAB assembly work. Output bytes are identical
+      * either way (spec-asserted). */
+    sharedScan: Boolean = false)
 
 /** The run-once export pipeline (`umls2rdf.py:828-896` +
   * `run_umls_pipeline.py`): validate source → semantic types → one
@@ -73,6 +79,13 @@ final class UmlsPipeline(
 
   /** Step names executed (not skipped) this run — exposed for resume tests. */
   val executed: mutable.Buffer[String] = mutable.Buffer.empty
+
+  /** The source the export steps read through: the manifest-wide
+    * shared-scan cache when enabled, else the raw source. The R2 probe
+    * stays on the raw source — it validates the lake, not the cache. */
+  private val effSource: UmlsSource =
+    if (config.sharedScan) UmlsSource.sharedScan(source, jobs.map(_.sab))
+    else source
 
   private val state = {
     validateConfig()
@@ -121,12 +134,19 @@ final class UmlsPipeline(
       require(f.exists() && f.length() > 0, s"missing/empty output ${r.path}")
     }
 
-  def run(): Seq[WriteReport] = {
+  def run(): Seq[WriteReport] =
+    try runSteps()
+    finally effSource match {
+      case s: UmlsSource.SharedScanSource => s.release()
+      case _ => ()
+    }
+
+  private def runSteps(): Seq[WriteReport] = {
     step("validate_source")(validateSource())
 
     // Semantic-types prelude (`umls2rdf.py:844-852`): standalone file with
     // roots; rootless variant appended to each ontology file.
-    val mrsty = source.table("MRSTY")
+    val mrsty = effSource.table("MRSTY")
     val styUrl = config.exportConf.baseUri + "STY/"
     val styFile = s"${config.outputDir}/umls_semantictypes.ttl"
     step("semantic_types") {
@@ -140,12 +160,12 @@ final class UmlsPipeline(
       else ""
 
     // MRDOC pivot, shared across ontologies (`umls2rdf.py:853-864`).
-    val docs = PropertyDocs.collectMap(source.table("MRDOC"))
+    val docs = PropertyDocs.collectMap(effSource.table("MRDOC"))
 
     def exportOne(job: OntologyJob): WriteReport = {
       val outFile = s"${config.outputDir}/${job.outFile}"
       step(s"ontology:${job.sab}") {
-        OntologyWriter.write(spark, source, job, config.exportConf, outFile,
+        OntologyWriter.write(spark, effSource, job, config.exportConf, outFile,
           docs, semTypes)
       }.getOrElse(WriteReport(job.sab, outFile, 0, 0, 0, 0, 0,
         skipped = true, resumed = true)) // already produced in a previous run

@@ -98,6 +98,55 @@ object UmlsSource {
         }
     }
 
+  /** Shared-scan source for many-small-SAB manifests: each FAT table
+    * (MRCONSO/MRREL/MRDEF/MRSAT) is scanned ONCE, filtered to the union
+    * of the manifest's SABs, and persisted; the N per-SAB export jobs
+    * then filter the cached frame instead of issuing N lake scans — with
+    * a 20-SAB manifest the biggest tables are read once, not 20×, and
+    * the per-job `SAB === x` predicates run against in-memory columnar
+    * batches. MRCONSO/MRREL keep "SRC" (root detection reads the
+    * `V-<sab>` atoms, `umls2rdf.py:612-614`) and "MSH" (tree-mode
+    * edges) alongside the manifest SABs; every per-job predicate is a
+    * strict subset of the union filter, so job inputs — and therefore
+    * exported bytes — are identical to the direct source
+    * (spec-asserted). Small metadata tables pass through uncached.
+    *
+    * MEMORY_AND_DISK: the union of SAB-pruned fat tables can exceed
+    * executor memory at full-UMLS scale; spilled partitions still beat
+    * re-scanning the lake. Call [[SharedScanSource.release]] after the
+    * run. */
+  def sharedScan(inner: UmlsSource, sabs: Seq[String]): SharedScanSource =
+    new SharedScanSource(inner, sabs)
+
+  final class SharedScanSource private[sources] (inner: UmlsSource,
+      sabs: Seq[String]) extends UmlsSource {
+    private val manifest = sabs.distinct
+    private val withAux = (manifest ++ Seq("SRC", "MSH")).distinct
+    private val fatSabs = Map(
+      "MRCONSO" -> withAux, "MRREL" -> withAux,
+      "MRDEF" -> manifest, "MRSAT" -> manifest)
+    // Parallel per-SAB jobs resolve tables concurrently; computeIfAbsent
+    // guarantees one persist per table.
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    def table(name: String): DataFrame = {
+      val key = name.toUpperCase
+      fatSabs.get(key) match {
+        case Some(keep) =>
+          cache.computeIfAbsent(key, _ =>
+            inner.table(name).filter(col("SAB").isin(keep: _*))
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK))
+        case None => inner.table(name)
+      }
+    }
+    /** Unpersist every cached table (idempotent). */
+    def release(): Unit = {
+      cache.values().forEach { df => df.unpersist(); () }
+      cache.clear()
+    }
+  }
+
   /** In-memory fixture source for tests: supply DataFrames per table. */
   def fixed(tables: Map[String, DataFrame]): UmlsSource = new UmlsSource {
     def table(name: String): DataFrame = tables.getOrElse(name,

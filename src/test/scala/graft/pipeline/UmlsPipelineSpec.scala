@@ -53,6 +53,47 @@ class UmlsPipelineSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$out/SABB.ttl")))
   }
 
+  test("sharedScan export is byte-identical to the direct run and reads " +
+    "each fat table a job-count-independent number of times") {
+    import graft.sources.UmlsSource
+    import scala.collection.mutable
+    def countingSource(counts: mutable.Map[String, Int]): UmlsSource = {
+      val inner = TestSpark.fixedSource(fixture)
+      new UmlsSource {
+        def table(name: String) = {
+          counts.synchronized { counts(name) = counts.getOrElse(name, 0) + 1 }
+          inner.table(name)
+        }
+      }
+    }
+    def run(sabs: Seq[String], shared: Boolean,
+        counts: mutable.Map[String, Int]): String = {
+      val out = Files.createTempDirectory("pipe-shared-out").toString
+      val work = Files.createTempDirectory("pipe-shared-work").toString
+      new UmlsPipeline(spark, countingSource(counts),
+        sabs.map(s => OntologyJob(s, None, s"$s.ttl", loadOnCuis = false)),
+        PipelineConfig(out, work, UmlsExportConfig(umlsVersion = "2025AB"),
+          parallelism = 2, sharedScan = shared)).run()
+      out
+    }
+    val direct = run(Seq("SABA", "SABB"), shared = false,
+      mutable.Map.empty)
+    val one = mutable.Map.empty[String, Int]
+    run(Seq("SABA"), shared = true, one)
+    val two = mutable.Map.empty[String, Int]
+    val sharedOut = run(Seq("SABA", "SABB"), shared = true, two)
+    // bytes identical: the union filter is a superset of every job's own
+    for (f <- Seq("SABA.ttl", "SABB.ttl", "umls_semantictypes.ttl"))
+      assert(Files.readAllBytes(Paths.get(s"$direct/$f")).toSeq ===
+        Files.readAllBytes(Paths.get(s"$sharedOut/$f")).toSeq, f)
+    // the point of the cache: doubling the manifest does NOT grow the
+    // number of inner-source reads of any fat table (validate-probe reads
+    // are job-count-independent too, so totals match exactly)
+    for (t <- Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT"))
+      assert(two.getOrElse(t, 0) === one.getOrElse(t, 0),
+        s"$t scan count grew with the manifest: $one vs $two")
+  }
+
   test("a completed run resumes as a no-op") {
     val out = Files.createTempDirectory("pipe-out").toString
     val work = Files.createTempDirectory("pipe-work").toString
