@@ -1603,7 +1603,62 @@ object TextQueries {
           FROM w)
         SELECT doc_id, n_tokens, weight FROM (
           SELECT * FROM keyed ORDER BY gkey DESC, doc_id LIMIT 100)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- q88: mC4/XLM-R language-temperature resampling
+    // (TextAnalysis.temperatureSample, arXiv:1910.10683 §3.4.3) — per-lang
+    // keep rate (n_l/n_min)^(alpha-1), keep decision md5-uniform(temp|id)
+    // < rate. Counts, tempered rates, and every individual keep decision
+    // replay value-for-value in DuckDB.
+    Q("q88_temperature_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextAnalysis.temperatureSample(docs, "lang", alpha = 0.5)
+          .select("doc_id", "lang", "keep_rate")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        r AS (
+          SELECT lang, round(pow(n / (SELECT min(n) FROM c), -0.5), 6)
+                   AS keep_rate
+          FROM c)
+        SELECT doc_id, lang, keep_rate
+        FROM documents JOIN r USING (lang)
+        WHERE (('0x' || substr(md5('temp|' || doc_id::VARCHAR), 1, 8))
+                 ::BIGINT + 0.5) / 4294967296.0 < keep_rate
+        ORDER BY doc_id""")),
+
+    // ----- q89: CCNet perplexity tiers (TextAnalysis.perplexityBuckets,
+    // arXiv:1911.00359 §4.3) — each doc scored under its own language's
+    // MLE unigram LM, each language ntile(3)'d into head/middle/tail by
+    // (avg_logprob desc, doc_id). LM counts, per-doc averages, and the
+    // tier assignment are all value-checked.
+    Q("q89_perplexity_buckets",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextAnalysis.perplexityBuckets(docs, nBuckets = 3)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, u.token AS token
+          FROM (SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        c AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        t AS (SELECT lang, sum(cnt)::DOUBLE AS total FROM c GROUP BY 1),
+        scored AS (
+          SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+                 round(avg(ln(cnt / total)), 6) AS avg_logprob
+          FROM toks JOIN c USING (lang, token) JOIN t USING (lang)
+          GROUP BY 1, 2)
+        SELECT doc_id, lang, n_tokens, avg_logprob,
+               ntile(3) OVER (PARTITION BY lang
+                 ORDER BY avg_logprob DESC, doc_id) AS bucket
+        FROM scored ORDER BY doc_id"""))
   )
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at

@@ -524,6 +524,77 @@ object TextAnalysis {
       .drop("__key")
   }
 
+  /** mC4/XLM-R-style language-temperature resampling (arXiv:1910.10683
+    * §3.4.3, arXiv:1911.02116 §3): downsample over-represented groups so
+    * the kept corpus's group shares follow `p_g^alpha` instead of the raw
+    * `p_g`. Per-group keep rate `r_g = (n_g / n_min)^(alpha-1)` — the
+    * no-upsampling normalization: the SMALLEST group keeps everything,
+    * every larger group is thinned toward the tempered share. Keep
+    * decisions are a pure function of (salt, id) — md5-uniform < r_g —
+    * so the sample is reshuffle-proof, reproducible, and replayable
+    * value-for-value in an external engine (q88).
+    *
+    * Shape at 100 TB: one tiny groupBy(group) count, a 1-row min
+    * broadcast over it, one broadcast join of the per-group rate back to
+    * the corpus, and a map-side filter — the corpus itself never
+    * shuffles.
+    *
+    * @return the kept docs + their group's `keep_rate` */
+  def temperatureSample(docs: DataFrame, groupCol: String, alpha: Double,
+      salt: String = "temp", idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
+      .select(col(groupCol),
+        round(pow(col("__n").cast("double") / col("__nmin"),
+          lit(alpha - 1.0)), 6).as("keep_rate"))
+    // Portable uniform in (0,1): first-8-hex of md5, bit-identical across
+    // engines (same trick as importanceSelect's Gumbel noise).
+    val u = (conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    docs.join(broadcast(rates), Seq(groupCol)).filter(u < col("keep_rate"))
+  }
+
+  /** CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3): score each
+    * document under ITS OWN language's unigram LM (MLE — every token is in
+    * its own model, so no smoothing is needed) and split each language
+    * into `nBuckets` equal tiers by `ntile` — bucket 1 = "head" (lowest
+    * perplexity, i.e. highest avg token log-prob), bucket `nBuckets` =
+    * "tail". The (avg_logprob desc, id) ordering is total, so tier
+    * assignment is deterministic and portable (q89).
+    *
+    * Shape at 100 TB: per-(lang, token) counts are partial-aggregated;
+    * the per-lang totals broadcast; the only sort is the per-language
+    * ntile window — partitioned by language, never global. For a corpus
+    * where one language dominates, replace the window with broadcast
+    * thresholds from `approx_percentile` over avg_logprob (same joins, no
+    * sort) — the window form is the exact, value-checkable contract.
+    *
+    * @return (idCol, langCol, n_tokens, avg_logprob, bucket) */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(langCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(langCol, "token")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(langCol).agg(sum("cnt").as("total"))
+    toks.join(counts, Seq(langCol, "token"))
+      .join(broadcast(totals), Seq(langCol))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 6)
+          .as("avg_logprob"))
+      .withColumn("bucket", ntile(nBuckets).over(
+        w.partitionBy(langCol)
+          .orderBy(col("avg_logprob").desc, col(idCol))))
+  }
+
   /** CORPUS-level duplicated-span statistics per document: the fraction of
     * each doc's word `n`-gram positions whose n-gram also appears in at
     * least one OTHER document (the signal behind exact-substring dedup à la

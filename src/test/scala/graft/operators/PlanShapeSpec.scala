@@ -113,6 +113,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureSample joins the per-group rates by broadcast — the " +
+    "corpus side is a map-side filter, never a shuffle") {
+    val p = plan(TextAnalysis.temperatureSample(docs(100), "lang", 0.5))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("perplexityBuckets broadcasts the per-lang totals and its only " +
+    "window is partitioned by language (never global)") {
+    val p = plan(TextAnalysis.perplexityBuckets(docs(100)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("windowspecdefinition()"), p.take(800))
+  }
+
   test("topTokensByGroup plans as WindowGroupLimit over partial-aggregated " +
     "counts (per-task top-k per group, no full-group sort)") {
     val p = plan(TextAnalysis.topTokensByGroup(docs(100), "lang", 10))

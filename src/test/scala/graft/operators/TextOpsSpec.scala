@@ -173,6 +173,57 @@ class TextOpsSpec extends AnyFunSuite {
     assert(gumbel("other-salt") === gumbel("other-salt"))
   }
 
+  test("temperatureSample thins each group at (n_g/n_min)^(alpha-1) with " +
+    "hash-exact keep decisions") {
+    val docs = ((1L to 8L).map(i => (i, "big")) ++
+      Seq((9L, "small"), (10L, "small"))).toDF("doc_id", "lang")
+    // independent replay of the keep rule: md5-uniform(temp|id) < rate
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"temp|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    // alpha=0.5: r_big = (8/2)^(-0.5) = 0.5 (rounded 6), r_small = 1.0
+    val rBig = BigDecimal(math.pow(4.0, -0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (1L to 8L).filter(u(_) < rBig).toSet ++ Set(9L, 10L)
+    val got = TextAnalysis.temperatureSample(docs, "lang", alpha = 0.5)
+      .select("doc_id", "keep_rate").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expected)
+    assert(got.filterKeys(_ <= 8L).values.toSet === Set(rBig))
+    assert(got(9L) === 1.0 && got(10L) === 1.0)
+    // alpha=1 is a no-op: every group keeps rate 1
+    assert(TextAnalysis.temperatureSample(docs, "lang", alpha = 1.0)
+      .count() === 10L)
+  }
+
+  test("perplexityBuckets tiers each language by its own unigram LM, " +
+    "head = lowest perplexity, ties to the lower id") {
+    val docs = Seq(
+      (1L, "the the the", "en"),      // all common    -> head
+      (2L, "the the rare1", "en"),    // mixed         -> middle
+      (3L, "rare2 rare3 zzz", "en"),  // all singleton -> tail
+      (4L, "der der", "de"),
+      (5L, "der der", "de"))          // tie with 4 -> later tier
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(docs, nBuckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // en LM: the=5, rare1/rare2/rare3/zzz=1 each, total=9
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, r6(math.log(5.0 / 9)), 1)))
+    assert(got(2L) ===
+      ((3L, r6((2 * math.log(5.0 / 9) + math.log(1.0 / 9)) / 3), 2)))
+    assert(got(3L) === ((3L, r6(math.log(1.0 / 9)), 3)))
+    // de: two identical docs, scored under de's own LM (der=4/4), the
+    // doc_id tie-break puts 4 in the earlier tier
+    assert(got(4L) === ((2L, 0.0, 1)))
+    assert(got(5L) === ((2L, 0.0, 2)))
+  }
+
   test("capPerGroup keeps each group's k best docs, ties to the lower id") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon", "a"),  // clean -> best in a
