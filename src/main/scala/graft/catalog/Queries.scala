@@ -521,6 +521,28 @@ object Queries {
         GROUP BY s_name
         ORDER BY s_name""")),
 
+    // ----- Bloom-pruned semi-join (SkewJoin.bloomSemiJoin): lineitem
+    // against the urgent orders — the dim fits an 8 MB sketch, not a
+    // broadcast hash table, so the sketch prunes the fact map-side and
+    // the exact verify join sees only survivors. Bloom has no false
+    // negatives and the verify removes false positives, so the oracle is
+    // the PLAIN semi-join: the sketch must not change results.
+    Q("q91_bloom_semijoin",
+      (s, d) => {
+        val urgent = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.SkewJoin.bloomSemiJoin(
+          lineitem(s, d), urgent, "l_orderkey", "o_orderkey")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // ----- as-of join (TemporalJoin.asofJoin): every click enriched with
     // the user's latest at-or-before error — the union-and-window form
     // (one keyed shuffle, NO join node; naive SQL would be a nested-loop

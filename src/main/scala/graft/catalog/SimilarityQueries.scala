@@ -658,6 +658,76 @@ object SimilarityQueries {
                    ORDER BY score DESC, right_id) AS knn_rank
           FROM scored)
         WHERE knn_rank <= 5
-        ORDER BY left_id, knn_rank"""))
+        ORDER BY left_id, knn_rank""")),
+
+    // ----- q90: Johnson–Lindenstrauss random projection
+    // (Similarity.randomProject, Achlioptas 2003) — 64 floats → 8 doubles
+    // under the portable ±1/√8 sign matrix (sign = parity of the first
+    // md5 byte of "jl|j|i"). Every projected component is value-checked:
+    // DuckDB re-derives the matrix from md5 arithmetic and replays each
+    // sequential dot.
+    Q("q90_random_projection",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.randomProject(emb, outDim = 8, dim = DIM)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT j.j AS j, i.i AS i,
+                 (CASE WHEN ('0x' || substr(md5('jl|' || j.j::VARCHAR ||
+                    '|' || i.i::VARCHAR), 1, 2))::INT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) / sqrt(8.0) AS s
+          FROM generate_series(0, 7) AS j(j),
+               generate_series(0, ${DIM - 1}) AS i(i)),
+        mrows AS (SELECT j, list(s ORDER BY i) AS sv FROM m GROUP BY j),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT vec_id, j, round(list_dot_product(v, sv), 6) AS pj
+          FROM vecs, mrows)
+        SELECT vec_id, list(pj ORDER BY j) AS proj
+        FROM p GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ----- q90b: reduced-dimension ANN over the q90 projection
+    // (Similarity.reducedRerankTopK) — candidates by reduced-space inner
+    // product (50 of 500), exact full-dim cosine re-rank to top-10. The
+    // whole composition (projection, candidate cut, re-rank) replays
+    // value-for-value.
+    Q("q90b_ann_reduced_rerank",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.reducedRerankTopK(emb, queryId = 7L, k = 10,
+          candK = 50, outDim = 8, dim = DIM)
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT j.j AS j, i.i AS i,
+                 (CASE WHEN ('0x' || substr(md5('jl|' || j.j::VARCHAR ||
+                    '|' || i.i::VARCHAR), 1, 2))::INT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) / sqrt(8.0) AS s
+          FROM generate_series(0, 7) AS j(j),
+               generate_series(0, ${DIM - 1}) AS i(i)),
+        mrows AS (SELECT j, list(s ORDER BY i) AS sv FROM m GROUP BY j),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT vec_id, j, round(list_dot_product(v, sv), 6) AS pj
+          FROM vecs, mrows),
+        proj AS (SELECT vec_id, list(pj ORDER BY j) AS pv
+                 FROM p GROUP BY vec_id),
+        q AS (SELECT pv AS qp FROM proj WHERE vec_id = 7),
+        cand AS (
+          SELECT vec_id FROM (
+            SELECT pr.vec_id,
+                   round(list_dot_product(pr.pv, q.qp), 6) AS rscore
+            FROM proj pr, q WHERE pr.vec_id != 7
+            ORDER BY rscore DESC, vec_id LIMIT 50)),
+        qv AS (SELECT v AS qvec FROM vecs WHERE vec_id = 7)
+        SELECT vec_id, cos FROM (
+          SELECT e.vec_id,
+                 round(list_dot_product(e.v, qv.qvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(qv.qvec, qv.qvec))), 6) AS cos
+          FROM vecs e JOIN cand USING (vec_id), qv
+          ORDER BY cos DESC, vec_id LIMIT 10)"""))
   )
 }

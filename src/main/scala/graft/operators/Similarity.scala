@@ -297,6 +297,79 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  // --- Random projection (JL) ---------------------------------------------
+
+  /** PORTABLE ±1/√outDim sign matrix for Johnson–Lindenstrauss projection:
+    * the sign of entry (j, i) is the parity of the first md5 byte of
+    * "salt|j|i" — reproducible in any engine with md5 (`('0x' ||
+    * substr(md5(...), 1, 2))::INT % 2` in DuckDB). ±1 entries suffice for
+    * the JL guarantee (Achlioptas 2003, "Database-friendly random
+    * projections"); the 1/√outDim scale makes the projection an unbiased
+    * inner-product estimator. */
+  private[operators] def portableSigns(outDim: Int, dim: Int,
+      salt: String = "jl"): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, dim) { (j, i) =>
+      md.reset()
+      val b = md.digest(s"$salt|$j|$i".getBytes("UTF-8"))(0) & 0xff
+      if (b % 2 == 0) s else -s
+    }
+  }
+
+  /** Johnson–Lindenstrauss projection of the embedding column to `outDim`
+    * doubles: component j = ⟨vec, R_j⟩ with the portable sign matrix
+    * [[portableSigns]], each component rounded to 6 so downstream
+    * reduced-space scores are engine-portable (q90). Pairwise inner
+    * products are preserved within ±ε for outDim = O(ln n / ε²).
+    *
+    * Shape at 100 TB: the matrix is a driver literal baked into codegen —
+    * one narrow map pass over the corpus, no shuffle, and the projected
+    * table is dim/outDim× smaller than the source (64 floats → 8 doubles
+    * here), which is the point: candidate scans read the skinny table. */
+  def randomProject(emb: DataFrame, outDim: Int, dim: Int,
+      salt: String = "jl", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val m = portableSigns(outDim, dim, salt)
+    emb.select(col(idCol), array((0 until outDim).map { j =>
+      round(dot(col(vecCol), typedLit(m(j).toSeq)), 6)
+    }: _*).as("proj"))
+  }
+
+  /** Reduced-dimension ANN: project the corpus with [[randomProject]],
+    * take the `candK` best candidates by reduced-space inner product
+    * (a TakeOrdered over the skinny table), then re-rank ONLY those
+    * candidates with the exact full-dimension cosine and cut at `k`.
+    * Candidate and final orderings are total ((score desc, id) on
+    * 6-rounded scores), and the projection is portable, so the whole
+    * composition — projection, candidate cut, exact re-rank — replays
+    * value-for-value in an external engine (q90b).
+    *
+    * Shape at 100 TB: the full-width table is touched only by the final
+    * `candK`-row broadcast semi-join; everything corpus-sized runs over
+    * the projected table. */
+  def reducedRerankTopK(emb: DataFrame, queryId: Long, k: Int, candK: Int,
+      outDim: Int, dim: Int, salt: String = "jl",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(candK >= k, "candK must be >= k")
+    val proj = randomProject(emb, outDim, dim, salt, vecCol, idCol)
+    val qp = proj.filter(col(idCol) === queryId)
+      .select(col("proj").as("qproj"))
+    val cands = proj.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qp))
+      .select(col(idCol), round(dot(col("proj"), col("qproj")), 6)
+        .as("rscore"))
+      .orderBy(col("rscore").desc, col(idCol)).limit(candK)
+      .select(col(idCol))
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    emb.join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(qv))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+  }
+
   // --- Physical bucketing (the at-rest layout for the 100 TB path) --------
 
   /** Materialize the corpus partitioned BY LSH bucket. A probe then reads

@@ -33,4 +33,49 @@ object SkewJoin {
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bloom-pruned semi-join for a huge fact against a dim that is too
+    * big to broadcast as a hash table but fits an 8 MB sketch: build a
+    * Bloom filter over the right side's keys (one aggregate, collected as
+    * bytes), bake it into the left scan as a map-side `might_contain`
+    * filter, then verify the survivors with the real semi-join. Bloom
+    * filters have no false negatives and the verify join removes the
+    * false positives, so the result EQUALS a plain semi-join (q91's
+    * oracle states exactly that) — the sketch only changes how many left
+    * rows reach the exchange: with a 1%-selective dim and fpp=0.01, ~2%
+    * of the fact shuffles instead of 100%. This is the manual form of
+    * Spark's runtime bloom-join rewrite, for when the optimizer can't
+    * inject it (non-equi pre-filters, reused subplans, streaming sides).
+    *
+    * Keys are hashed with xxhash64 before the sketch on BOTH sides, so
+    * any key type works; a 64-bit hash collision can only admit an extra
+    * row into the verify join, never drop one — exactness is unaffected.
+    */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+
+    // localCheckpoint: feeds the count probe, the sketch build, and the
+    // verify join; materialized once, lineage cut, blocks GC-released.
+    val rightKeys = right.select(col(rightKey).as("__rk")).distinct()
+      .localCheckpoint()
+    val nItems = math.max(1L, rightKeys.count())
+    val numBits = math.min(67108864L, math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val bloomAgg = GraftSqlShims.columnOf(
+      new BloomFilterAggregate(
+        GraftSqlShims.expressionOf(xxhash64(col("__rk"))),
+        Literal(nItems), Literal(numBits)).toAggregateExpression())
+    val bloomBytes =
+      rightKeys.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = GraftSqlShims.columnOf(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftSqlShims.expressionOf(xxhash64(col(leftKey)))))
+    left.filter(mightContain)
+      .join(rightKeys, col(leftKey) === col("__rk"), "left_semi")
+  }
 }

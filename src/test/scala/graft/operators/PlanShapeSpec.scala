@@ -128,6 +128,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition()"), p.take(800))
   }
 
+  test("randomProject is a pure projection over the scan — no shuffle, " +
+    "the JL matrix is a codegen literal") {
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(i * 0.01f).toSeq)).toDF("vec_id", "embedding")
+    val p = plan(Similarity.randomProject(emb, outDim = 4, dim = 16))
+    assert(!p.contains("Exchange"), p.take(600))
+  }
+
+  test("reducedRerankTopK touches the full-width table only through a " +
+    "broadcast candidate join and cuts with TakeOrdered") {
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(i * 0.01f).toSeq)).toDF("vec_id", "embedding")
+    val p = plan(Similarity.reducedRerankTopK(emb, queryId = 1L, k = 3,
+      candK = 10, outDim = 4, dim = 16))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrdered"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("topTokensByGroup plans as WindowGroupLimit over partial-aggregated " +
     "counts (per-task top-k per group, no full-group sort)") {
     val p = plan(TextAnalysis.topTokensByGroup(docs(100), "lang", 10))

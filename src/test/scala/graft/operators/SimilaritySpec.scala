@@ -139,4 +139,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recovered >= (exact1.size * 0.9).toInt,
       s"$recovered of ${exact1.size} nearest neighbors recovered")
   }
+
+  test("randomProject matches an independent replay of the portable " +
+    "sign projection") {
+    val emb = clustered(nClusters = 2, per = 5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = 1.0 / math.sqrt(4.0)
+    def sign(j: Int, i: Int): Double = {
+      md.reset()
+      if ((md.digest(s"jl|$j|$i".getBytes("UTF-8"))(0) & 0xff) % 2 == 0) s
+      else -s
+    }
+    val expected = emb.collect().map { r =>
+      val v = r.getSeq[Float](1)
+      r.getLong(0) -> (0 until 4).map { j =>
+        val d = (0 until Dim).map(i => v(i).toDouble * sign(j, i)).sum
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = Similarity.randomProject(emb, outDim = 4, dim = Dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .toMap
+    assert(got === expected)
+  }
+
+  test("reducedRerankTopK equals brute force when the candidate pool " +
+    "covers the corpus; near-complete recall at candK << n") {
+    val emb = clustered(nClusters = 4, per = 30) // n = 120
+    // independent exact reference at the operator's own 6-decimal
+    // rounding (bruteForceTopK rounds to 4, which flips id ties at the
+    // top-k boundary)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val q = all.find(_._1 == 3L).get._2
+    def dotd(a: Seq[Double], b: Seq[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val exact = all.filter(_._1 != 3L).map { case (id, v) =>
+      val c = BigDecimal(dotd(v, q) /
+          (math.sqrt(dotd(v, v)) * math.sqrt(dotd(q, q))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, c)
+    }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val covered = Similarity.reducedRerankTopK(emb, queryId = 3L, k = 5,
+      candK = 119, outDim = 8, dim = Dim)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(covered === exact)
+    // 8 reduced dims over a 4-cluster geometry: the true top-5 live in
+    // the query's cluster and survive a 20-candidate cut
+    val reduced = Similarity.reducedRerankTopK(emb, queryId = 3L, k = 5,
+      candK = 20, outDim = 8, dim = Dim)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact intersect reduced).size >= 4,
+      s"only ${(exact intersect reduced).size} of $exact in $reduced")
+  }
 }
