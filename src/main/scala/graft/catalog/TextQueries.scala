@@ -1658,7 +1658,49 @@ object TextQueries {
         SELECT doc_id, lang, n_tokens, avg_logprob,
                ntile(3) OVER (PARTITION BY lang
                  ORDER BY avg_logprob DESC, doc_id) AS bucket
-        FROM scored ORDER BY doc_id"""))
+        FROM scored ORDER BY doc_id""")),
+
+    // ----- q92: two-table fuzzy join (Dedup.fuzzyJoin) — the even-id
+    // docs matched against the odd-id docs by content: MinHash-band
+    // candidates (each side signed independently), exact shingle-Jaccard
+    // gate at 0.5. Signatures are per-doc, so the oracle derives ONE
+    // band relation over all docs and applies the side predicates in the
+    // pair join; the gate filters the UNROUNDED ratio in both engines.
+    Q("q92_fuzzy_join",
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.fuzzyJoin(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          threshold = 0.5, portable = true)
+          .select(col("left_id"), col("right_id"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("left_id", "right_id")
+      },
+      Some(s"""
+        WITH $minhashCtes,
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+        inter AS (
+          SELECT p.left_id, p.right_id, count(*) AS inter
+          FROM pairs p
+          JOIN toks2 ta ON ta.doc_id = p.left_id
+          JOIN toks2 tb ON tb.doc_id = p.right_id AND tb.th = ta.th
+          GROUP BY 1, 2)
+        SELECT left_id, right_id, round(jac, 4) AS jaccard FROM (
+          SELECT p.left_id, p.right_id,
+                 coalesce(i.inter, 0) /
+                   (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jac
+          FROM pairs p
+          LEFT JOIN inter i ON i.left_id = p.left_id
+                           AND i.right_id = p.right_id
+          JOIN sizes sa ON sa.doc_id = p.left_id
+          JOIN sizes sb ON sb.doc_id = p.right_id)
+        WHERE jac >= 0.5
+        ORDER BY left_id, right_id"""))
   )
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at

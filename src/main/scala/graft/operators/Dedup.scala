@@ -764,4 +764,66 @@ object Dedup {
         (col("inter") /
           (col("sz") + col("q_sz") - col("inter"))).as("jaccard"))
   }
+
+  /** Two-TABLE fuzzy text join (the entity-resolution shape: match a new
+    * feed against a reference corpus by content, not keys): candidate
+    * (left, right) pairs come from shared MinHash band keys — each side
+    * signed independently, joined per band bucket — and survive only if
+    * exact shingle Jaccard ≥ `threshold` (the [[pairJaccard]] precision
+    * gate, generalized to two sides whose id spaces may collide).
+    *
+    * Shape at 100 TB: both signature passes are per-doc groupBys; the
+    * candidate join is band-bucket-local (cost Σ |bucketL|·|bucketR|,
+    * never |L|×|R|); shingle relations are semi-joined down to candidate
+    * ids BEFORE the explode; the verify is one (pair, shingle) equi-join.
+    * Same machinery as [[verifiedNearDupPairs]], so the portable path is
+    * DuckDB-replayable end to end (q92).
+    *
+    * @return (left_id, right_id, jaccard) for pairs ≥ threshold */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    def bk(df: DataFrame, out: String) =
+      lshBands(minhashSignature(df, numHashes, textCol, idCol, portable),
+        bands, rows, idCol)
+        .select(col("band"), col("key"), col(idCol).as(out))
+    // Candidate pairs are referenced by both semi-joins, the intersection
+    // probe, and the final join — checkpoint cuts the LSH plan replay.
+    val p = bk(left, "left_id").join(bk(right, "right_id"),
+        Seq("band", "key"))
+      .select("left_id", "right_id").distinct()
+      .localCheckpoint()
+    def toks(df: DataFrame, side: String, out: String) = {
+      val cand = df.join(p.select(col(side).as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      val sh =
+        if (portable)
+          cand.select(col(idCol),
+              explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
+            .filter(length(col("token")) > 0)
+            .select(col(idCol), md5(col("token")).as("sh"))
+            .distinct()
+        else docShingleFeatures(cand, textCol, idCol)
+          .withColumnRenamed("feature", "sh")
+      sh.withColumnRenamed(idCol, out)
+    }
+    val tl = toks(left, "left_id", "left_id")
+    val tr = toks(right, "right_id", "right_id")
+    val szL = tl.groupBy("left_id").agg(count(lit(1)).as("sz_l"))
+    val szR = tr.groupBy("right_id").agg(count(lit(1)).as("sz_r"))
+    val inter = p.join(tl, Seq("left_id"))
+      .join(tr, Seq("right_id", "sh"))
+      .groupBy("left_id", "right_id").agg(count(lit(1)).as("inter"))
+    p.join(inter, Seq("left_id", "right_id"), "left")
+      .join(szL, Seq("left_id")).join(szR, Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (coalesce(col("inter"), lit(0L)) /
+          (col("sz_l") + col("sz_r") - coalesce(col("inter"), lit(0L))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -27,6 +27,41 @@ class DedupSpec extends AnyFunSuite {
     assert(drops === Set(11L -> 10L, 12L -> 10L, 21L -> 20L))
   }
 
+  test("fuzzyJoin matches near-identical docs across two tables and " +
+    "keeps colliding id spaces separate") {
+    // id 1 appears on BOTH sides with different text — a fuzzy join that
+    // mixed the two shingle relations would corrupt both rows' sizes
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "completely unrelated content on the left side here"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // = L2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),    // = L1
+      (9L, "nothing shared with anything at all whatsoever"))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val got = Dedup.fuzzyJoin(left, right, threshold = 0.9,
+        portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(t => (t._1, t._2)).toSet === Set(1L -> 2L, 2L -> 1L),
+        s"portable=$portable: ${got.mkString(",")}")
+      assert(got.forall(_._3 === 1.0), got.mkString(","))
+    }
+    // sub-identical match passes a lower gate: replace one word
+    val right2 = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta IOTA"))
+      .toDF("doc_id", "text")
+    val fuzzy = Dedup.fuzzyJoin(left, right2, threshold = 0.3,
+      portable = true).collect()
+    assert(fuzzy.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set(1L -> 5L))
+    val strict = Dedup.fuzzyJoin(left, right2, threshold = 0.99,
+      portable = true)
+    assert(strict.count() === 0L)
+  }
+
   test("decontaminate drops exactly the docs sharing a 3-gram with the " +
     "held-out set, on both hash paths") {
     val train = Seq(
