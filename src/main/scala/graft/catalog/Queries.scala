@@ -774,7 +774,84 @@ object Queries {
                count(*)::BIGINT AS n_users
         FROM w JOIN fw USING (user_id)
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ----- exact grouped percentiles: per-event-type latency-style
+    // quantiles of `value`. Spark's exact `percentile` and DuckDB's
+    // `quantile_cont` both use the SQL-standard (n-1)·p linear
+    // interpolation, so values match to the rounding. One
+    // partial-aggregated groupBy; at volumes where exact sort-based
+    // percentile is too heavy, q63b's approx_percentile sketch path is
+    // the documented twin.
+    Q("q93_group_percentiles",
+      (s, d) => {
+        val ev = events(s, d)
+        ev.groupBy("event_type")
+          .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
+            .as("pcts"))
+          .select(col("event_type"),
+            round(element_at(col("pcts"), 1), 6).as("p25"),
+            round(element_at(col("pcts"), 2), 6).as("p50"),
+            round(element_at(col("pcts"), 3), 6).as("p90"),
+            round(element_at(col("pcts"), 4), 6).as("p99"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.50), 6) AS p50,
+               round(quantile_cont(value, 0.90), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ----- strict-order funnel: view → click → purchase, each stage's
+    // timestamp strictly after the previous stage's FIRST completion.
+    // Three keyed min-aggregations chained by equi-joins on user — no
+    // window, no ordering of the raw stream; each stage's input is
+    // filtered map-side before its shuffle.
+    Q("q94_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+        def stage(tpe: String) = ev
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"))
+        val s1 = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = stage("click").join(s1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = stage("purchase").join(s2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val counts = Seq(
+          ("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+        counts.map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), col("n_users"))
+        }.reduce(_ union _).orderBy("stage")
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY 1)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM s1
+          UNION ALL
+          SELECT '2_click', count(*)::BIGINT FROM s2
+          UNION ALL
+          SELECT '3_purchase', count(*)::BIGINT FROM s3)
+        ORDER BY stage"""))
   )
 
   // ==========================================================================

@@ -728,6 +728,70 @@ object SimilarityQueries {
                    (sqrt(list_dot_product(e.v, e.v)) *
                     sqrt(list_dot_product(qv.qvec, qv.qvec))), 6) AS cos
           FROM vecs e JOIN cand USING (vec_id), qv
-          ORDER BY cos DESC, vec_id LIMIT 10)"""))
+          ORDER BY cos DESC, vec_id LIMIT 10)""")),
+
+    // ----- q90c: measured recall of the reduced-dimension re-rank over a
+    // 20-query panel — projection, candidate ranks, exact re-rank, brute
+    // force and the hit count all replay in DuckDB (the q44b/q70e
+    // discipline for the fourth ANN path).
+    Q("q90c_reduced_recall",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.reducedRerankRecall(emb, queryIds = 0L until 20L,
+          k = 10, candK = 50, outDim = 8, dim = DIM)
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT j.j AS j, i.i AS i,
+                 (CASE WHEN ('0x' || substr(md5('jl|' || j.j::VARCHAR ||
+                    '|' || i.i::VARCHAR), 1, 2))::INT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) / sqrt(8.0) AS s
+          FROM generate_series(0, 7) AS j(j),
+               generate_series(0, ${DIM - 1}) AS i(i)),
+        mrows AS (SELECT j, list(s ORDER BY i) AS sv FROM m GROUP BY j),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT vec_id, j, round(list_dot_product(v, sv), 6) AS pj
+          FROM vecs, mrows),
+        proj AS (SELECT vec_id, list(pj ORDER BY j) AS pv
+                 FROM p GROUP BY vec_id),
+        qids AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 20),
+        qproj AS (SELECT vec_id AS qid, pv AS qp FROM proj
+                  WHERE vec_id < 20),
+        cands AS (
+          SELECT qid, vec_id FROM (
+            SELECT qp.qid, pr.vec_id,
+                   row_number() OVER (PARTITION BY qp.qid
+                     ORDER BY round(list_dot_product(pr.pv, qp.qp), 6) DESC,
+                              pr.vec_id) AS rn
+            FROM proj pr, qproj qp WHERE pr.vec_id != qp.qid)
+          WHERE rn <= 50),
+        rr AS (
+          SELECT qid, vec_id FROM (
+            SELECT c.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY c.qid
+                     ORDER BY list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                       c.vec_id) AS rn
+            FROM cands c JOIN vecs e ON e.vec_id = c.vec_id
+            JOIN qids q USING (qid)) WHERE rn <= 10),
+        bf AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                       e.vec_id) AS rn
+            FROM vecs e, qids q WHERE e.vec_id != q.qid) WHERE rn <= 10),
+        agg AS (SELECT
+          (SELECT count(*) FROM bf JOIN rr USING (qid, vec_id)) AS hits,
+          (SELECT count(*) FROM bf) AS denom,
+          (SELECT count(*) FROM vecs) AS n)
+        SELECT 20 AS n_queries, 10 AS k, 50 AS cand_k,
+               round(hits / greatest(denom, 1)::DOUBLE, 4) AS recall,
+               round(least(1.0, 50.0 / n), 4) AS cand_fraction
+        FROM agg"""))
   )
 }

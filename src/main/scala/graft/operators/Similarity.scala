@@ -370,6 +370,62 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol)).limit(k)
   }
 
+  /** Measured recall of [[reducedRerankTopK]] over a query panel: for
+    * each query, the reduced-space candidate cut + exact re-rank top-k is
+    * intersected with the true brute-force top-k. With the portable sign
+    * matrix the ENTIRE measurement — projection, candidate ranks, both
+    * re-ranks, the hit count — replays in an external engine (q90c), the
+    * same discipline as the LSH (q44b) and PQ (q70e) recall metrics.
+    * Brute force is the documented exact baseline; at corpus scale the
+    * panel runs over a sample, never all queries.
+    *
+    * @return 1 row: (n_queries, k, cand_k, recall, cand_fraction) */
+  def reducedRerankRecall(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      candK: Int, outDim: Int, dim: Int, salt: String = "jl",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = queryIds.map(java.lang.Long.valueOf)
+    val proj = randomProject(emb, outDim, dim, salt, vecCol, idCol)
+      .localCheckpoint() // feeds both the query and the corpus side
+    val queries = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qn"))
+    val qProj = proj.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("qid"), col("proj").as("qproj"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col(idCol))
+    val withNorm = emb.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("n"))
+    def exactTo(cands: DataFrame) = cands
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        (dot(col(vecCol), col("qvec")) / (col("n") * col("qn")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", idCol)
+    val bfTop = exactTo(withNorm
+      .crossJoin(broadcast(queries.select("qid")))
+      .filter(col(idCol) =!= col("qid")))
+    val cands = proj.crossJoin(broadcast(qProj))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dot(col("proj"), col("qproj")), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= candK)
+      .select("qid", idCol)
+    val rrTop = exactTo(cands.join(withNorm, Seq(idCol)))
+    val denom = bfTop.count()
+    val hits = bfTop.join(rrTop, Seq("qid", idCol), "left_semi").count()
+    val n = emb.count()
+    val sparkSession = emb.sparkSession
+    import sparkSession.implicits._
+    Seq((queryIds.size, k, candK,
+      if (denom == 0) 0.0
+      else math.rint(hits.toDouble / denom * 10000) / 10000,
+      math.rint(math.min(1.0, candK.toDouble / n) * 10000) / 10000))
+      .toDF("n_queries", "k", "cand_k", "recall", "cand_fraction")
+  }
+
   // --- Physical bucketing (the at-rest layout for the 100 TB path) --------
 
   /** Materialize the corpus partitioned BY LSH bucket. A probe then reads
