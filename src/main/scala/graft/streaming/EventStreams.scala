@@ -279,6 +279,62 @@ object EventStreams {
       .drop("__rk", "__rt")
   }
 
+  /** One funnel progression report (current deepest stage: 0 = nothing,
+    * 1 = viewed, 2 = clicked after first view, 3 = purchased after first
+    * qualifying click — matching batch q94's strict-order decision). */
+  final case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Per-user funnel accumulator: the first view ts, and every
+    * click/purchase ts seen (epoch micros). Clicks and purchases must be
+    * RETAINED, not min-folded: a later-arriving EARLIER view can newly
+    * qualify a click that was previously below t1, so the decision is
+    * replayed from the full set on every update. */
+  private[streaming] final case class FunnelState(
+      minView: Option[Long], clicks: Seq[Long], purchases: Seq[Long])
+
+  /** Streaming strict-order funnel (batch q94's streaming twin): per-user
+    * state via `mapGroupsWithState`, one (user, stage) row re-emitted on
+    * every update (Update output mode — downstream keeps the latest row
+    * per user). The stage decision is recomputed from the accumulated
+    * state each time, so out-of-order arrival ACROSS micro-batches gives
+    * the same final answer as the batch operator on the same events
+    * (spec-pinned). State is bounded by the user's own click/purchase
+    * counts — funnel analyses run on bounded campaign windows; for an
+    * unbounded feed, bound the state with a session-style event-time
+    * timeout like [[sessionize]]'s. */
+  def streamingFunnel(events: Dataset[Event]): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFunnel _)
+  }
+
+  private[streaming] def updateFunnel(userId: Long, evs: Iterator[Event],
+      state: GroupState[FunnelState]): FunnelOut = {
+    val prev = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+    var minView = prev.minView
+    var clicks = prev.clicks
+    var purchases = prev.purchases
+    evs.foreach { e =>
+      val t = epochMicros(e.ts)
+      e.event_type match {
+        case "view"     => if (minView.forall(t < _)) minView = Some(t)
+        case "click"    => clicks = clicks :+ t
+        case "purchase" => purchases = purchases :+ t
+        case _          => ()
+      }
+    }
+    state.update(FunnelState(minView, clicks, purchases))
+    val t2 = minView.flatMap(v => clicks.filter(_ > v).minOption)
+    val t3 = t2.flatMap(c => purchases.filter(_ > c).minOption)
+    val stage =
+      if (t3.isDefined) 3
+      else if (t2.isDefined) 2
+      else if (minView.isDefined) 1
+      else 0
+    FunnelOut(userId, stage)
+  }
+
   /** Per-key state transition: fold this batch's events (event-time order)
     * into the open session; emit sessions closed by a gap; park the open
     * session in state with a timeout at `last + gap`. */

@@ -399,6 +399,34 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("streamingFunnel matches the batch strict-order decision under " +
+    "cross-batch out-of-order arrival") {
+    val input = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.streamingFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    // the memory sink APPENDS each batch's update rows: snapshot per
+    // batch and compare the cumulative emission sets
+    def emitted() = spark.table("funnel_out").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    try {
+      // batch 1: user 1's click+purchase arrive BEFORE its view
+      input.addData(
+        ev(1, 100, 1, "click", 0), ev(2, 200, 1, "purchase", 0),
+        ev(3, 50, 2, "view", 0), ev(4, 60, 2, "purchase", 0))
+      q.processAllAvailable()
+      assert(emitted().toSet === Set(1L -> 0, 2L -> 1))
+      // batch 2: user 1's view lands EARLIER than the batch-1 click —
+      // the retained clicks/purchases must now complete the funnel.
+      // User 2 gets a click AFTER its purchase: stays at stage 2 (the
+      // purchase at 60 does not follow the click at 70).
+      input.addData(ev(5, 10, 1, "view", 0), ev(6, 70, 2, "click", 0))
+      q.processAllAvailable()
+      assert(emitted().toSet ===
+        Set(1L -> 0, 2L -> 1, 1L -> 3, 2L -> 2))
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState stub for direct state-function tests. */
