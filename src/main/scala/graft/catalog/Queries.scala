@@ -851,7 +851,30 @@ object Queries {
           SELECT '2_click', count(*)::BIGINT FROM s2
           UNION ALL
           SELECT '3_purchase', count(*)::BIGINT FROM s3)
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ----- one-pass column profiler (Layout.profile): the dataset-card
+    // summary — null counts, exact distinct cardinality and value range
+    // for five orders columns, computed in ONE aggregate row and
+    // unpivoted. The approximate=true HLL form is the 100 TB twin
+    // (q63b discipline).
+    Q("q95_profile",
+      (s, d) => {
+        graft.operators.Layout.profile(orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_orderdate"))
+          .orderBy("column")
+      },
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate").map { c =>
+        s"""SELECT '$c' AS "column",
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               min($c)::VARCHAR AS min_value,
+               max($c)::VARCHAR AS max_value
+           FROM orders"""
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY \"column\"")))
   )
 
   // ==========================================================================

@@ -104,6 +104,40 @@ object Layout {
       .select("bucket", "lo", "hi", "n")
   }
 
+  /** One-pass column profiler — the dataset-card summary (null counts,
+    * distinct cardinality, value range per column): ONE aggregate row
+    * computes every column's stats in a single scan, then unpivots to a
+    * row per column. min/max are rendered as strings so heterogeneous
+    * column types stack in one relation.
+    *
+    * `approximate = true` swaps exact `count(DISTINCT)` (whose multi-
+    * column form costs an Expand ∝ #columns) for HLL++ sketches — the
+    * 100 TB configuration: the whole profile is then one narrow
+    * partial-aggregated pass. Exact mode is the value-checkable contract
+    * (q95).
+    *
+    * @return (column, n_nulls, n_distinct, min_value, max_value) */
+  def profile(df: DataFrame, cols: Seq[String],
+      approximate: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        (if (approximate) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    row.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_value"),
+          col(s"__max_$c").as("max_value"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Write `df` Z-ordered on (colA, colB): range-repartitioned and
     * sorted by z, so each output file covers a compact rectangle of the
     * (a, b) space and parquet min/max stats prune range queries on

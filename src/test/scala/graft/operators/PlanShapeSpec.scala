@@ -128,6 +128,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition()"), p.take(800))
   }
 
+  test("profile computes every column's stats in one aggregate pass; " +
+    "nulls, distincts and ranges are exact; approx mode has no Expand") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, "b"), (null, "c"), (5L, null))
+      .toDF("k", "s")
+    val got = Layout.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(got("k") === ((1L, 4L, "1", "5")))
+    assert(got("s") === ((1L, 3L, "a", "c")))
+    // exact multi-column distinct costs an Expand; the approximate (HLL)
+    // form must not
+    val pApprox = plan(Layout.profile(df, Seq("k", "s"),
+      approximate = true))
+    assert(!pApprox.contains("Expand"), pApprox.take(600))
+    val approx = Layout.profile(df, Seq("k", "s"), approximate = true)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx("k") === 4L && approx("s") === 3L) // HLL exact when tiny
+  }
+
   test("randomProject is a pure projection over the scan — no shuffle, " +
     "the JL matrix is a codegen literal") {
     val emb = (0 until 50).map(i =>
