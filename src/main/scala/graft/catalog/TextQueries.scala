@@ -1700,7 +1700,72 @@ object TextQueries {
           JOIN sizes sa ON sa.doc_id = p.left_id
           JOIN sizes sb ON sb.doc_id = p.right_id)
         WHERE jac >= 0.5
-        ORDER BY left_id, right_id"""))
+        ORDER BY left_id, right_id""")),
+
+    // ----- q96: end-to-end CURATION pipeline as one composition —
+    // language-temperature resampling (q88) → per-language perplexity
+    // tiers trained on the SAMPLED pool, tail dropped (q89) → global
+    // token-budget cut by quality (q83). Every stage is portable, so the
+    // final selected set — sampling decisions, the LM the tiers came
+    // from, tier cuts, the running-sum budget boundary — replays
+    // value-for-value in DuckDB. The training-data analog of q71's
+    // dedup pipeline, over the round-5 curation operators.
+    Q("q96_curation_pipeline",
+      (s, d) => {
+        val docs = documents(s, d)
+        val sampled = TextAnalysis.temperatureSample(docs, "lang",
+          alpha = 0.5).drop("keep_rate")
+        val tiers = TextAnalysis.perplexityBuckets(sampled, nBuckets = 3)
+        val kept = sampled.join(
+          tiers.filter(col("bucket") <= 2).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        TextAnalysis.tokenBudgetSelect(kept, tokenBudget = 5000)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        r AS (
+          SELECT lang, round(pow(n / (SELECT min(n) FROM c), -0.5), 6)
+                   AS keep_rate
+          FROM c),
+        samp AS (
+          SELECT d.* FROM documents d JOIN r USING (lang)
+          WHERE (('0x' || substr(md5('temp|' || doc_id::VARCHAR), 1, 8))
+                   ::BIGINT + 0.5) / 4294967296.0 < keep_rate),
+        ptoks AS (
+          SELECT doc_id, lang, u.token AS token
+          FROM (SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM samp), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        lc AS (SELECT lang, token, count(*) AS cnt
+               FROM ptoks GROUP BY 1, 2),
+        lt AS (SELECT lang, sum(cnt)::DOUBLE AS total FROM lc GROUP BY 1),
+        lm AS (
+          SELECT doc_id, lang, round(avg(ln(cnt / total)), 6)
+                   AS avg_logprob
+          FROM ptoks JOIN lc USING (lang, token) JOIN lt USING (lang)
+          GROUP BY 1, 2),
+        tiers AS (
+          SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+                   ORDER BY avg_logprob DESC, doc_id) AS bucket
+          FROM lm),
+        kept AS (
+          SELECT s.* FROM samp s JOIN tiers t USING (doc_id)
+          WHERE t.bucket <= 2),
+        scored AS (
+          SELECT doc_id, $qualitySql AS q,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tokens
+          FROM kept),
+        cum AS (
+          SELECT doc_id, q, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored)
+        SELECT doc_id, q, n_tokens FROM cum WHERE cum <= 5000
+        ORDER BY doc_id"""))
   )
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
