@@ -874,7 +874,43 @@ object Queries {
                max($c)::VARCHAR AS max_value
            FROM orders"""
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-        "\n) ORDER BY \"column\"")))
+        "\n) ORDER BY \"column\""))),
+
+    // ----- distribution drift monitor (Layout.driftScore): the doc_id%3
+    // slice as the "new batch" vs the rest as reference, language mix,
+    // additive smoothing 0.5 over the union of groups. Counts, smoothed
+    // shares and every KL term value-checked; sum(kl_term) is the alarm
+    // number.
+    Q("q97_drift_score",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.operators.Layout.driftScore(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0), "lang")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, count(*) AS n_cur FROM documents
+          WHERE doc_id % 3 = 0 GROUP BY 1),
+        r AS (
+          SELECT lang, count(*) AS n_ref FROM documents
+          WHERE doc_id % 3 != 0 GROUP BY 1),
+        j AS (
+          SELECT lang, coalesce(n_cur, 0) AS n_cur,
+                 coalesce(n_ref, 0) AS n_ref
+          FROM c FULL OUTER JOIN r USING (lang)),
+        t AS (SELECT sum(n_cur)::DOUBLE AS tc, sum(n_ref)::DOUBLE AS tr,
+                     count(*)::DOUBLE AS g
+              FROM j)
+        SELECT lang, n_cur, n_ref,
+               round((n_cur + 0.5) / (tc + g * 0.5), 6) AS p_cur,
+               round((n_ref + 0.5) / (tr + g * 0.5), 6) AS p_ref,
+               round(((n_cur + 0.5) / (tc + g * 0.5)) *
+                 ln(((n_cur + 0.5) / (tc + g * 0.5)) /
+                    ((n_ref + 0.5) / (tr + g * 0.5))), 6) AS kl_term
+        FROM j, t
+        ORDER BY lang"""))
   )
 
   // ==========================================================================

@@ -138,6 +138,40 @@ object Layout {
       .select("p.*")
   }
 
+  /** Distribution drift between a CURRENT corpus slice and a REFERENCE
+    * corpus over a categorical column (the language/source-mix monitor a
+    * production ingestion pipeline alarms on): per-group counts on both
+    * sides, additive-smoothed shares over the UNION of groups (a group
+    * present on one side only stays finite), and the per-group
+    * contribution `p·ln(p/q)` to KL(current ‖ reference) in nats — sum
+    * the column for the total divergence.
+    *
+    * Shape at 100 TB: one tiny groupBy per side, a full-outer join over
+    * #groups rows, a 1-row totals broadcast — nothing corpus-sized
+    * survives the first aggregates (q97).
+    *
+    * @return (groupCol, n_cur, n_ref, p_cur, p_ref, kl_term) */
+  def driftScore(current: DataFrame, reference: DataFrame,
+      groupCol: String, smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0.0, "smoothing must be positive")
+    val c = current.groupBy(groupCol).agg(count(lit(1)).as("n_cur"))
+    val r = reference.groupBy(groupCol).agg(count(lit(1)).as("n_ref"))
+    val joined = c.join(r, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val tot = joined.agg(sum("n_cur").as("__tc"), sum("n_ref").as("__tr"),
+      count(lit(1)).as("__g"))
+    val p = (col("n_cur") + lit(smoothing)) /
+      (col("__tc") + col("__g") * lit(smoothing))
+    val q = (col("n_ref") + lit(smoothing)) /
+      (col("__tr") + col("__g") * lit(smoothing))
+    joined.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_cur"), col("n_ref"),
+        round(p, 6).as("p_cur"), round(q, 6).as("p_ref"),
+        round(p * log(p / q), 6).as("kl_term"))
+  }
+
   /** Write `df` Z-ordered on (colA, colB): range-repartitioned and
     * sorted by z, so each output file covers a compact rectangle of the
     * (a, b) space and parquet min/max stats prune range queries on

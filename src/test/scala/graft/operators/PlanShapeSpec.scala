@@ -149,6 +149,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(approx("k") === 4L && approx("s") === 3L) // HLL exact when tiny
   }
 
+  test("driftScore: identical mixes give ~zero KL, a group missing from " +
+    "the reference stays finite, and terms match a hand computation") {
+    val cur = Seq.fill(30)("en").map(Tuple1(_))
+      .++(Seq.fill(10)("de").map(Tuple1(_))).toDF("lang")
+    val ref = Seq.fill(60)("en").map(Tuple1(_))
+      .++(Seq.fill(20)("de").map(Tuple1(_))).toDF("lang")
+    // identical CORPORA (not merely proportional mixes: smoothing shifts
+    // different-sized corpora differently) give exactly-zero terms
+    val same = Layout.driftScore(ref, ref, "lang").collect()
+      .map(r => math.abs(r.getDouble(5))).sum
+    assert(same === 0.0, s"identical corpora drifted: $same")
+    // 'fr' exists only in current: smoothing keeps q > 0, term finite
+    val cur2 = cur.union(Seq.fill(5)("fr").map(Tuple1(_)).toDF("lang"))
+    val got = Layout.driftScore(cur2, ref, "lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(5))).toMap
+    assert(got("fr")._1 === 5L && got("fr")._2 === 0L)
+    val pFr = (5 + 0.5) / (45 + 3 * 0.5)
+    val qFr = 0.5 / (80 + 3 * 0.5)
+    val expected = BigDecimal(pFr * math.log(pFr / qFr))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("fr")._3 === expected)
+  }
+
   test("randomProject is a pure projection over the scan — no shuffle, " +
     "the JL matrix is a codegen literal") {
     val emb = (0 until 50).map(i =>
