@@ -15,7 +15,11 @@ import graft.sources.{ConfManifest, UmlsSource}
   * Usage:
   *   runMain graft.UmlsExportMain <sourceDir> <umls.conf> <outDir> <umlsVersion>
   *       [--strict] [--only-current] [--no-dedupe] [--parallel N]
-  *       [--distributed-write] [--master local[*]]
+  *       [--distributed-write] [--shared-scan] [--master local[*]]
+  *
+  * `--shared-scan` reads each fat table once for the whole manifest
+  * ([[graft.sources.UmlsSource.sharedScan]]) — the win for
+  * many-small-SAB manifests; output bytes are identical either way.
   *
   * `sourceDir` may hold RRF pipe-delimited files (`MRCONSO.RRF`, …) or
   * parquet mirrors (`MRCONSO.parquet`, …) — detected by extension. The
@@ -65,7 +69,8 @@ object UmlsExportMain {
           processOnlyCurrentVersion = flags.contains("--only-current"),
           strict = flags.contains("--strict"),
           distributedWrite = flags.contains("--distributed-write")),
-        parallelism = parallel)
+        parallelism = parallel,
+        sharedScan = flags.contains("--shared-scan"))
       val reports = new UmlsPipeline(spark, source, jobs, config).run()
       reports.foreach { r =>
         val status = if (r.skipped) "skipped (done in a previous run)"
