@@ -1546,6 +1546,20 @@ object TextQueries {
         FROM sel WHERE rn = 1
         ORDER BY component""")),
 
+    // ----- q84b: the SAME canonical-keeper decision over the xxhash64
+    // production pairs — the 100 TB configuration (q35b discipline:
+    // engine-internal hashes → rows-only; the decision logic itself is
+    // value-checked by the portable q84 twin).
+    Q("q84b_canonical_keeper_fast",
+      (s, d) =>
+        Dedup.canonicalKeepers(
+          Dedup.lshCandidatePairs(documents(s, d), numHashes = 16,
+            bands = 4),
+          documents(s, d).select(col("doc_id").as("id"),
+            round(TextAnalysis.qualityScore(col("text")), 3).as("q")))
+          .orderBy("component"),
+      None),
+
     // ----- q86: quality-ranked per-source document cap
     // (TextAnalysis.capPerGroup) — "domain caps": each source contributes
     // at most its k best docs. Rank order (quality desc, doc_id) is
@@ -1701,6 +1715,23 @@ object TextQueries {
           JOIN sizes sb ON sb.doc_id = p.right_id)
         WHERE jac >= 0.5
         ORDER BY left_id, right_id""")),
+
+    // ----- q92b: the SAME fuzzy join on the xxhash64 production path —
+    // rows-only (engine-internal hashes; the join logic is value-checked
+    // by portable q92, and the spec pins both hash paths to the same
+    // match set on its fixture).
+    Q("q92b_fuzzy_join_fast",
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.fuzzyJoin(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          threshold = 0.5)
+          .select(col("left_id"), col("right_id"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("left_id", "right_id")
+      },
+      None),
 
     // ----- q96: end-to-end CURATION pipeline as one composition —
     // language-temperature resampling (q88) → per-language perplexity
