@@ -7,11 +7,26 @@ import org.apache.spark.sql.SparkSession
   * (`{"metric":"total","value":…,"queries":{…worst 5…}}`) — the harness
   * keeps only a 2,000-char stdout tail, and a 106-entry per-query map
   * (~4 KB) truncated mid-line has never parsed. The full per-query map is
-  * written to `BENCH_DETAIL_r05.json` (override via
+  * written to `BENCH_DETAIL_r06.json` (override via
   * `SPARK_GRAFT_BENCH_DETAIL`) and committed. Per-query progress goes to
   * stderr so the driver's stdout parse stays clean.
+  *
+  * Host-contention observability: every run records the 1-minute system
+  * load average (before and after), `availableProcessors`, and a
+  * per-query wall-clock start timestamp + load sample in the detail JSON.
+  * Two rounds in a row the driver's shared-host bench ran 4–8× slower
+  * than an idle-machine re-run at identical config; these fields make a
+  * contended run self-diagnosing (load ≫ cores ⇒ inflated wall times).
   */
 object Bench {
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+
+  /** Locale-stable float format: f"" interpolators use the JVM default
+    * locale, which under e.g. de_DE emits comma decimals and breaks the
+    * JSON. */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,6 +39,9 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nProc = osBean.getAvailableProcessors
+    val loadStart = osBean.getSystemLoadAverage
+    val wallStart = java.time.Instant.now().toString
     // Warm up JVM/codegen/parquet-reader paths so the first timed query
     // isn't charged for JIT + class loading.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -33,7 +51,9 @@ object Bench {
     // Drain via queryExecution.toRdd.count() — a plain df.count() lets
     // Catalyst prune unreferenced columns, so projection-only queries would
     // be timed without executing their expressions.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startedAt = System.currentTimeMillis()
+      val loadAt = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       val n =
         try fn(spark, sfDir).queryExecution.toRdd.count()
@@ -42,23 +62,42 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)")
-      name -> sec
+      (name, sec, startedAt, loadAt)
     }
     def jsonMap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
+    val loadEnd = osBean.getSystemLoadAverage
     val total = results.map(_._2).sum
+    val times = results.map { case (k, v, _, _) => k -> v }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL_r05.json")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      "BENCH_DETAIL_r06.json")
+    // Per-query diagnostics: epoch-ms start + the load average sampled
+    // right before the query began.
+    val perQuery = results.map { case (k, _, startedAt, loadAt) =>
+      "\"" + k + "\":{\"start_ms\":" + startedAt +
+        ",\"load\":" + f3(loadAt) + "}"
+    }.mkString("{", ",", "}")
+    val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +
+      s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
+      s""""wall_start":"$wallStart"}"""
+    // Entries timed in their production (xxhash64) configuration while
+    // Verify checks the portable-oracle form — see Q.benchRun.
+    val overridden = graft.catalog.Queries.benchOverridden
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n":${results.size},"queries":${jsonMap(times)},""" +
+      s""""bench_config_overrides":$overridden,""" +
+      s""""query_meta":$perQuery,$host,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Stdout line stays well under the harness's 2,000-char tail: total,
-    // query count, the 5 slowest, and a pointer to the committed detail.
-    val worst = results.sortBy(-_._2).take(5)
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n":${results.size},"queries":${jsonMap(worst)},""" +
+    // query count, load context, the 5 slowest, and a pointer to the
+    // committed detail.
+    val worst = times.sortBy(-_._2).take(5)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n":${results.size},"load_avg":${f3(loadEnd)},"cpus":$nProc,""" +
+      s""""queries":${jsonMap(worst)},""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }

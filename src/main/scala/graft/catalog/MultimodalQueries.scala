@@ -142,10 +142,16 @@ object MultimodalQueries {
         WHERE media_id NOT IN (SELECT id FROM drops)
         ORDER BY media_id""")),
 
-    // ----- q52: the decode boundary — per-partition feature extraction
-    // (n_bytes is checkable; mean_luma/phash come from the engine-internal
-    // decode stub, so the driver records a rows-only check; determinism is
-    // pinned by MultimodalSpec).
+    // ----- q52: the decode boundary — per-partition feature extraction.
+    // The decode/phash STUBS are pure deterministic byte arithmetic
+    // (mean byte value; 64 block means thresholded on their average), so
+    // DuckDB replays them value-for-value by unnesting hex(bytes) into
+    // per-byte rows (the q36b discipline, applied to binary payloads).
+    // The byte-unnest series bound (4095) covers payloads ≤ 4 KiB —
+    // fixture payloads are 768 B; DuckDB's generate_series cannot take a
+    // correlated/subquery bound. Bit 63 is mapped through two's
+    // complement so the 64-bit phash lands in a signed BIGINT exactly as
+    // Spark's LongType does.
     Q("q52_media_decode",
       (s, _) =>
         Multimodal.decodeFeatures(
@@ -154,17 +160,71 @@ object MultimodalQueries {
           .select(col("media_id"), col("kind"), col("n_bytes"),
             round(col("mean_luma"), 4).as("mean_luma"), col("phash"))
           .orderBy("media_id"),
-      None),
+      Some(s"""
+        $phashCtes
+        SELECT m.media_id, m.kind, m.n AS n_bytes, luma.mean_luma, ph.phash
+        FROM m JOIN luma USING (media_id) JOIN ph USING (media_id)
+        ORDER BY media_id""")),
 
     // ----- q55: perceptual near-dup pairs — decode-once phash, then the
     // generic 16-bit-chunk pigeonhole blocking (Dedup.hammingNearDupPairs)
-    // over 8-byte signatures. Rows-only (phash comes from the
-    // engine-internal decode stub); the planted byte-dup pairs (0,1) and
-    // (2,3) are asserted present by MultimodalSpec.
+    // over 8-byte signatures. The oracle re-derives every phash from the
+    // payload bytes (q52's CTEs) and takes hamming ≤ 2 pairs all-pairs —
+    // exact on the 12-row fixture; the Spark side is the blocked
+    // production shape, which at maxDist ≤ 3 has guaranteed recall, so
+    // the two must agree row-for-row.
     Q("q55_phash_neardup",
       (s, _) =>
         Multimodal.phashNearDupPairs(
           s.read.parquet(s"$FixtureDir/media.parquet"), maxDist = 2)
           .orderBy("id_a", "id_b"),
-      None))
+      Some(s"""
+        $phashCtes
+        SELECT a.media_id AS id_a, b.media_id AS id_b
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        ORDER BY id_a, id_b""")))
+
+  /** Shared oracle CTEs replaying [[Multimodal.decodeStub]] /
+    * [[Multimodal.phashStub]] in DuckDB: hex(bytes) → per-byte values →
+    * mean luma + 64 block means → thresholded 64-bit hash (signed via
+    * two's complement on bit 63). */
+  private def phashCtes: String = s"""
+        WITH m AS (
+          SELECT media_id, kind, hex(bytes) AS hx,
+                 octet_length(bytes)::BIGINT AS n
+          FROM $media),
+        b AS (
+          SELECT media_id, i.i AS i,
+                 ('0x' || substr(hx, (2*i.i + 1)::INT, 2))::INT AS v
+          FROM m, generate_series(0, 4095) AS i(i)
+          WHERE i.i < m.n),
+        luma AS (
+          SELECT media_id, round(sum(v)::DOUBLE / count(*), 4) AS mean_luma
+          FROM b GROUP BY media_id),
+        blk AS (SELECT media_id, greatest(n // 64, 1) AS block FROM m),
+        bsum AS (
+          SELECT b.media_id, (b.i // k.block)::INT AS bi,
+                 sum(v)::DOUBLE / count(*) AS mean
+          FROM b JOIN blk k USING (media_id)
+          WHERE b.i // k.block < 64
+          GROUP BY b.media_id, b.i // k.block),
+        gridkeys AS (
+          SELECT m.media_id, g.i::INT AS bi
+          FROM m, generate_series(0, 63) AS g(i)),
+        grid AS (
+          SELECT gk.media_id, gk.bi, coalesce(bs.mean, 0.0) AS mean
+          FROM gridkeys gk
+          LEFT JOIN bsum bs
+            ON bs.media_id = gk.media_id AND bs.bi = gk.bi),
+        avgs AS (SELECT media_id, sum(mean) / 64 AS avg
+                 FROM grid GROUP BY media_id),
+        ph AS (
+          SELECT grid.media_id,
+                 (sum(CASE WHEN bi < 63 AND mean > avg
+                      THEN (1::BIGINT << bi) ELSE 0 END)
+                  + sum(CASE WHEN bi = 63 AND mean > avg
+                        THEN (-9223372036854775807 - 1) ELSE 0 END))::BIGINT
+                   AS phash
+          FROM grid JOIN avgs USING (media_id) GROUP BY grid.media_id)"""
 }

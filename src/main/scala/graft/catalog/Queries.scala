@@ -7,11 +7,19 @@ import org.apache.spark.sql.functions._
 /** One catalog entry: a Spark query over the harness tables plus (usually)
   * an equivalent DuckDB SQL oracle. Names and output column names MUST match
   * between the two — the driver sorts columns by name before hashing.
+  *
+  * `benchRun`, when set, is the configuration the BENCHMARK times instead
+  * of `run` — used where the oracle-checked `run` deliberately carries
+  * portable-md5 plumbing (or a bounded corpus) that exists only so DuckDB
+  * can replay the values. The benched number should always be the
+  * production (xxhash64, full-volume) configuration; Verify keeps using
+  * `run`.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    benchRun: Option[(SparkSession, String) => DataFrame] = None)
 
 /** The operator catalog. Each query exercises one operator family from
   * SURVEY.md §2, re-expressed over the TPC-H-ish harness tables
@@ -36,6 +44,16 @@ object Queries {
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
+
+  /** What the benchmark times: `benchRun` (the production configuration)
+    * where present, `run` otherwise. */
+  def benchByName: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.benchRun.getOrElse(q.run)).toMap
+
+  /** Names whose benched configuration differs from the verified one —
+    * recorded in the bench detail JSON for transparency. */
+  def benchOverridden: Seq[String] =
+    all.filter(_.benchRun.isDefined).map(_.name)
 
   def oracles: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -665,12 +665,15 @@ object SimilarityQueries {
     // under the portable ±1/√8 sign matrix (sign = parity of the first
     // md5 byte of "jl|j|i"). Every projected component is value-checked:
     // DuckDB re-derives the matrix from md5 arithmetic and replays each
-    // sequential dot.
+    // sequential dot. Emitted as exploded scalar rows (vec_id, j, proj_j)
+    // — one row per projected component — because the harness checker
+    // hashes scalar columns, not arrays.
     Q("q90_random_projection",
       (s, d) => {
         val emb = embeddings(s, d)
         Similarity.randomProject(emb, outDim = 8, dim = DIM)
-          .orderBy("vec_id")
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj_j")))
+          .orderBy("vec_id", "j")
       },
       Some(s"""
         WITH m AS (
@@ -685,8 +688,8 @@ object SimilarityQueries {
         p AS (
           SELECT vec_id, j, round(list_dot_product(v, sv), 6) AS pj
           FROM vecs, mrows)
-        SELECT vec_id, list(pj ORDER BY j) AS proj
-        FROM p GROUP BY vec_id ORDER BY vec_id""")),
+        SELECT vec_id, j::INT AS j, pj AS proj_j
+        FROM p ORDER BY vec_id, j""")),
 
     // ----- q90b: reduced-dimension ANN over the q90 projection
     // (Similarity.reducedRerankTopK) — candidates by reduced-space inner

@@ -12,6 +12,47 @@ import graft.operators.{Dedup, Packing, TextAnalysis}
 object TextQueries {
   import Tables._
 
+  /** The production incremental-dedup configuration (xxhash64 signatures,
+    * full corpus volume) — q53b's run, and the configuration q53's BENCH
+    * number times (the portable-md5 q53 form exists for the DuckDB
+    * oracle, bounded so Verify stays cheap). */
+  private def incrementalDedupProd(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val corpus = documents(s, d)
+    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+    val off = math.pow(10, maxId.toString.length.toDouble).toLong
+    def entering(mod: Int, offset: Long) =
+      corpus.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zq"),
+              col("doc_id") % 10)).as("text"))
+    val novel = corpus.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 3 * off).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("nva"), col("doc_id")),
+          concat(lit("nvb"), col("doc_id")),
+          concat(lit("nvc"), col("doc_id")),
+          concat(lit("nvd"), col("doc_id"))).as("text"))
+    val novelTwin = corpus
+      .filter(col("doc_id") % 7 === 3 && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 4 * off).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("nva"), col("doc_id")),
+          concat(lit("nvb"), col("doc_id")),
+          concat(lit("nvc"), col("doc_id")),
+          concat(lit("nvd"), col("doc_id")),
+          lit("zx")).as("text"))
+    val batch = entering(3, off).unionByName(entering(15, 2 * off))
+      .unionByName(novel).unionByName(novelTwin)
+    val index = Dedup.dedupIndex(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = Dedup.dedupIncremental(batch, index).orderBy("doc_id")
+    index.unpersist()
+    kept
+  }
+
   def all: Seq[Q] = Seq(
 
     // ----- token counting + doc stats (one codegen'd projection pass).
@@ -231,7 +272,13 @@ object TextQueries {
         Dedup.dedupCorpus(documents(s, d), minQuality = 0.3,
           numHashes = 16, bands = 4, portable = true)
           .orderBy("doc_id"),
-      Some(s"""
+      // Bench times the production xxhash64 configuration (q38b's form);
+      // the portable-md5 run above exists for the DuckDB oracle.
+      benchRun = Some((s, d) =>
+        Dedup.dedupCorpus(documents(s, d), minQuality = 0.3,
+          numHashes = 16, bands = 4, portable = false)
+          .orderBy("doc_id")),
+      oracle = Some(s"""
         WITH RECURSIVE qgate AS (
           SELECT doc_id, text FROM documents
           WHERE round(
@@ -368,7 +415,7 @@ object TextQueries {
                     THEN 'train' ELSE 'valid' END AS split
         FROM documents
         ORDER BY doc_id"""))
-  ) ++ packing ++ repetition
+  ) ++ packing ++ repetition ++ sketchChunk
 
   /** Deterministic md5 shard key, DuckDB side (Packing.hashShard). */
   private def shardSql(n: Int): String =
@@ -594,7 +641,8 @@ object TextQueries {
         index.unpersist()
         kept
       },
-      Some(s"""
+      benchRun = Some(incrementalDedupProd),
+      oracle = Some(s"""
         WITH RECURSIVE base AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 1000),
         off AS (
@@ -677,42 +725,7 @@ object TextQueries {
     // identical composition to q53 with xxhash64 signatures (8-byte band
     // keys, no md5). Rows-only (no DuckDB xxhash64); the composition is
     // value-verified by q53.
-    Q("q53b_dedup_incremental_fast",
-      (s, d) => {
-        val corpus = documents(s, d)
-        val maxId = corpus.agg(max("doc_id")).head().getLong(0)
-        val off = math.pow(10, maxId.toString.length.toDouble).toLong
-        def entering(mod: Int, offset: Long) =
-          corpus.filter(col("doc_id") % mod === 0)
-            .select((col("doc_id") + offset).as("doc_id"),
-              when(col("doc_id") % 2 === 0, col("text"))
-                .otherwise(concat(col("text"), lit(" zq"),
-                  col("doc_id") % 10)).as("text"))
-        val novel = corpus.filter(col("doc_id") % 7 === 3)
-          .select((col("doc_id") + 3 * off).as("doc_id"),
-            concat_ws(" ",
-              concat(lit("nva"), col("doc_id")),
-              concat(lit("nvb"), col("doc_id")),
-              concat(lit("nvc"), col("doc_id")),
-              concat(lit("nvd"), col("doc_id"))).as("text"))
-        val novelTwin = corpus
-          .filter(col("doc_id") % 7 === 3 && col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 4 * off).as("doc_id"),
-            concat_ws(" ",
-              concat(lit("nva"), col("doc_id")),
-              concat(lit("nvb"), col("doc_id")),
-              concat(lit("nvc"), col("doc_id")),
-              concat(lit("nvd"), col("doc_id")),
-              lit("zx")).as("text"))
-        val batch = entering(3, off).unionByName(entering(15, 2 * off))
-          .unionByName(novel).unionByName(novelTwin)
-        val index = Dedup.dedupIndex(corpus)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kept = Dedup.dedupIncremental(batch, index).orderBy("doc_id")
-        index.unpersist()
-        kept
-      },
-      None),
+    Q("q53b_dedup_incremental_fast", incrementalDedupProd, None),
 
     // ----- q54: deterministic weighted corpus mixing — per-language keep
     // fractions decided by a salted md5 of the id (reshuffle-proof; the
@@ -1798,6 +1811,178 @@ object TextQueries {
         SELECT doc_id, q, n_tokens FROM cum WHERE cum <= 5000
         ORDER BY doc_id"""))
   )
+
+  /** Round-6 additions: sketching, collocations, content-defined
+    * chunking, and tf-idf near-dup — all with portable oracles. */
+  private def sketchChunk: Seq[Q] = Seq(
+
+    // ----- q98: count-min sketch frequency estimates
+    // (TextAnalysis.cmsSketch/cmsEstimate) — the at-rest frequency
+    // artifact for 100 TB corpora: depth×width counters instead of a
+    // vocabulary-sized table. Portable md5 bucket hashes, so DuckDB
+    // replays the SKETCH CELLS and the min-over-rows estimates
+    // value-for-value for the exact top-10 token panel; the CMS
+    // overcount-only guarantee (est ≥ true) is implicit in the compare.
+    Q("q98_cms_heavy_hitters",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val sketch = TextAnalysis.cmsSketch(docsDf, width = 256, depth = 4)
+        val toks = docsDf
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) > 0)
+        val panel = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+          .orderBy(col("n_true").desc, col("token")).limit(10)
+        panel.join(
+            TextAnalysis.cmsEstimate(sketch, panel.select("token"),
+              width = 256, depth = 4), "token")
+          .select(col("token"), col("n_true"), col("est"))
+          .orderBy("token")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT u.token
+          FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0),
+        counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        panel AS (SELECT token, n FROM counts
+                  ORDER BY n DESC, token LIMIT 10),
+        cells AS (
+          SELECT j.j AS j,
+                 (('0x' || substr(md5('cms' || j.j::VARCHAR || '|' || token),
+                    1, 8))::BIGINT % 256) AS bucket,
+                 count(*) AS c
+          FROM toks, generate_series(0, 3) AS j(j)
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT p.token, j.j AS j,
+                 (('0x' || substr(md5('cms' || j.j::VARCHAR || '|' || p.token),
+                    1, 8))::BIGINT % 256) AS bucket
+          FROM panel p, generate_series(0, 3) AS j(j)),
+        est AS (
+          SELECT pr.token, min(coalesce(c.c, 0)) AS est
+          FROM probes pr
+          LEFT JOIN cells c ON c.j = pr.j AND c.bucket = pr.bucket
+          GROUP BY pr.token)
+        SELECT p.token, p.n AS n_true, e.est
+        FROM panel p JOIN est e USING (token)
+        ORDER BY token""")),
+
+    // ----- q99: tf-idf cosine near-dup pairs (TextSearch
+    // .tfidfNearDupPairs) — the embedding-free complement to
+    // MinHash-Jaccard; maxDf=200 is the posting-length bound (probed:
+    // the sf0.01 cosine distribution under it is 300 dup pairs at ~1.0
+    // and NOTHING in (0, 0.9) — threshold 0.6 sits in a wide empty gap,
+    // so the unrounded filter can't flip across engines).
+    Q("q99_tfidf_neardup",
+      (s, d) => {
+        import graft.operators.TextSearch
+        TextSearch.tfidfNearDupPairs(documents(s, d), threshold = 0.6,
+            maxDf = 200)
+          .select(col("id_a"), col("id_b"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, u.token, count(*) AS tf
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(a) AS u(token)
+          WHERE length(u.token) > 0
+          GROUP BY 1, 2),
+        dfs AS (SELECT token, count(*) AS df FROM tf
+                GROUP BY token HAVING count(*) <= 200),
+        n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        wts AS (
+          SELECT tf.doc_id, tf.token, tf.tf * ln(nd / df) AS w
+          FROM tf JOIN dfs USING (token), n),
+        norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm
+                  FROM wts GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+          FROM wts a JOIN wts b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(dot / (na.nrm * nb.nrm), 4) AS cos
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.6
+        ORDER BY id_a, id_b""")),
+
+    // ----- q100: PMI bigram collocations (TextAnalysis.pmiBigrams) —
+    // corpus-exploration / boilerplate-phrase detection. All counts are
+    // exact integers; pmi = ln of their ratio is division+log (no
+    // order-dependent summation), so round(6) is engine-stable.
+    Q("q100_pmi_bigrams",
+      (s, d) =>
+        TextAnalysis.pmiBigrams(documents(s, d), minCount = 5)
+          .orderBy("tok_a", "tok_b"),
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, unnest(a) AS token,
+                 unnest(generate_series(1, len(a))) AS pos
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents)),
+        p2 AS (SELECT * FROM pos WHERE length(token) > 0),
+        bi AS (
+          SELECT token AS tok_a,
+                 lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS tok_b
+          FROM p2),
+        bc AS (SELECT tok_a, tok_b, count(*) AS n_ab
+               FROM bi WHERE tok_b IS NOT NULL GROUP BY 1, 2),
+        uni AS (SELECT token, count(*) AS n FROM p2 GROUP BY token),
+        tot AS (
+          SELECT (SELECT sum(n_ab)::DOUBLE FROM bc) AS t_bi,
+                 (SELECT sum(n)::DOUBLE FROM uni) AS u_uni)
+        SELECT bc.tok_a, bc.tok_b, bc.n_ab,
+               round(ln((bc.n_ab / t_bi) /
+                 ((ua.n / u_uni) * (ub.n / u_uni))), 6) AS pmi
+        FROM bc
+        JOIN uni ua ON ua.token = bc.tok_a
+        JOIN uni ub ON ub.token = bc.tok_b, tot
+        WHERE bc.n_ab >= 5
+        ORDER BY tok_a, tok_b""")),
+
+    // ----- q101: cross-document shared chunks over content-defined
+    // chunking (TextAnalysis.cdcChunks/sharedChunks) — the
+    // partial-duplicate report whole-doc dedup cannot see. Boundaries
+    // and fingerprints are portable md5, so DuckDB replays the exact
+    // chunking and the shared-fp decision.
+    Q("q101_cdc_shared_chunks",
+      (s, d) =>
+        TextAnalysis.sharedChunks(
+          TextAnalysis.cdcChunks(documents(s, d), modulus = 8))
+          .orderBy("chunk_fp"),
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, unnest(a) AS token,
+                 unnest(generate_series(1, len(a))) AS pos
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents)),
+        p2 AS (SELECT * FROM pos WHERE length(token) > 0),
+        flagged AS (
+          SELECT doc_id, pos, token,
+                 CASE WHEN ('0x' || substr(md5('cdc|' || token), 1, 8))::BIGINT
+                        % 8 = 0 THEN 1 ELSE 0 END AS bnd
+          FROM p2),
+        chunked AS (
+          SELECT doc_id, pos, token,
+                 sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+          FROM flagged),
+        chunks AS (
+          SELECT doc_id, chunk_id, count(*) AS n_tokens,
+                 md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_fp
+          FROM chunked GROUP BY doc_id, chunk_id)
+        SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM chunks GROUP BY chunk_fp
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY chunk_fp""")))
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match

@@ -359,7 +359,7 @@ object UmlsQueries {
   /** `hotEvery > 0` collapses every partkey divisible by it into the
     * single code `X0` — a deliberately skewed SAB (hotEvery=10 → one code
     * holds ~10% of all atoms and att rows) for the q25t skew evidence. */
-  private def scaleSource(s: SparkSession, dir: String,
+  private[graft] def scaleSource(s: SparkSession, dir: String,
       hotEvery: Int = 0): UmlsSource = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val ord = s.read.parquet(s"$dir/orders.parquet")

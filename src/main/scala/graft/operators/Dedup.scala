@@ -307,7 +307,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     // An empty graph (common for an already-clean batch) skips the
     // propagation loop entirely.
     if (edges.isEmpty) {
@@ -318,7 +318,7 @@ object Dedup {
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -330,7 +330,7 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .transform(Materialize.cut)
       val changed = next.join(labels.withColumnRenamed("component", "old"),
         Seq("id"))
         .filter(col("component") =!= col("old")).count()
@@ -361,12 +361,17 @@ object Dedup {
     * dedup: when a boilerplate page was crawled five times, keep the
     * longest/cleanest capture, not the lowest id.
     *
-    * `quality` is any (id, q) relation — typically
-    * `round(TextAnalysis.qualityScore(text), 3)`.
+    * `quality` is any (id, q) relation with NUMERIC q — typically
+    * `round(TextAnalysis.qualityScore(text), 3)`; the id may be any
+    * orderable type (long, string, …).
     *
     * Scale: [[nearDupComponents]]' label propagation plus ONE extra
-    * groupBy(component) — the argmax is a struct `max`, partial-aggregated
-    * map-side; no window, no join back to the corpus.
+    * groupBy(component) — the argmax is a `min_by` over a (−q, id)
+    * struct (lexicographic struct ordering = quality desc, id asc),
+    * partial-aggregated map-side; no window, no join back to the corpus.
+    * Negating q instead of the id keeps the tiebreak correct for
+    * non-numeric ids (negating a string id would silently yield NULL and
+    * an undefined keeper).
     *
     * @return (component, keeper, n_members, best_q) */
   def canonicalKeepers(pairs: DataFrame, quality: DataFrame,
@@ -376,9 +381,8 @@ object Dedup {
         Seq("id"))
       .groupBy("component")
       .agg(
-        // struct max: highest q, then (via negated id) lowest id
-        max(struct(col("__q").as("q"), (-col("id")).as("nid"),
-          col("id").as("kid"))).getField("kid").as("keeper"),
+        min_by(col("id"),
+          struct((-col("__q")).as("nq"), col("id").as("i"))).as("keeper"),
         count(lit(1)).as("n_members"),
         max(col("__q")).as("best_q"))
 
@@ -414,7 +418,7 @@ object Dedup {
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(idCol).as(idCol))
       .select(idCol)
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val survivors = docs.join(survivorIds, Seq(idCol), "left_semi")
     // Near-dup decision over the exact-dedup survivors; with a
     // `jaccardThreshold` the candidates pass the exact-Jaccard precision
@@ -430,7 +434,7 @@ object Dedup {
       .select(col("id").as(idCol))
     // The returned frame is materialized and lineage-cut: callers can
     // re-consume it freely without replaying the pipeline.
-    survivorIds.join(drops, Seq(idCol), "left_anti").localCheckpoint()
+    survivorIds.join(drops, Seq(idCol), "left_anti").transform(Materialize.cut)
   }
 
   // --- incremental dedup against an at-rest index --------------------------
@@ -488,7 +492,7 @@ object Dedup {
     val survivors1 = batch
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(dupOfCorpus, Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .transform(Materialize.cut)
     // The batch band keys feed three separate consumers across separate
     // ACTIONS (corpus-key probe, survivor filter, in-batch pair join →
     // component rounds): localCheckpoint computes the batch
@@ -498,7 +502,7 @@ object Dedup {
     val bk = lshBands(
       minhashSignature(survivors1, numHashes, textCol, idCol, portable),
       bands, numHashes / bands, idCol)
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val nearCorpus = bk
       .join(index.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(idCol).distinct()
@@ -507,7 +511,7 @@ object Dedup {
     // (ids only, a few bytes per surviving batch row).
     val s2ids = survivors1.select(idCol)
       .join(nearCorpus, Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val bk2 = bk.join(s2ids, Seq(idCol), "left_semi")
     val a = bk2.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = bk2.select(col("band"), col("key"), col(idCol).as("id_b"))
@@ -517,7 +521,7 @@ object Dedup {
     val drops = nearDupDuplicates(pairs).select(col("id").as(idCol))
     // The returned frame is materialized and lineage-cut: callers can
     // re-consume it freely without replaying the composition.
-    s2ids.join(drops, Seq(idCol), "left_anti").localCheckpoint()
+    s2ids.join(drops, Seq(idCol), "left_anti").transform(Materialize.cut)
   }
 
   // --- benchmark decontamination -----------------------------------------
@@ -590,7 +594,7 @@ object Dedup {
     // blocks are released when the frame is garbage-collected — unlike the
     // r4 `persist()`, which was never released and accumulated across a
     // 106-query bench session (same convention as the other dedup paths).
-    val heldGrams = grams(heldOut).select("gh").distinct().localCheckpoint()
+    val heldGrams = grams(heldOut).select("gh").distinct().transform(Materialize.cut)
     val nItems = math.max(1L, heldGrams.count())
     // Optimal sizing m = -n·ln(p)/ln(2)², capped at Spark's default
     // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (67108864 = 8 MB).
@@ -634,7 +638,7 @@ object Dedup {
     // arrives as the whole LSH candidate-generation plan — without a
     // lineage cut each reference replays minhash + banding + the bucket
     // join. Pairs are LSH-bounded (sum of bucket²), two longs per row.
-    val p = pairs.localCheckpoint()
+    val p = pairs.transform(Materialize.cut)
     val candIds = p.select(col("id_a").as(idCol))
       .union(p.select(col("id_b").as(idCol))).distinct()
     val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
@@ -796,7 +800,7 @@ object Dedup {
     val p = bk(left, "left_id").join(bk(right, "right_id"),
         Seq("band", "key"))
       .select("left_id", "right_id").distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     def toks(df: DataFrame, side: String, out: String) = {
       val cand = df.join(p.select(col(side).as(idCol)).distinct(),
         Seq(idCol), "left_semi")

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialize-and-cut-lineage for intermediate frames that feed several
+  * downstream ACTIONS (dedup survivor ids, LSH band keys, candidate sets):
+  * without the cut each action replays the upstream pipeline, and even a
+  * cached plan is re-analyzed/stringified per action.
+  *
+  * Default strategy is `localCheckpoint()`: blocks are materialized once
+  * on the computing executors and released when the frame is
+  * garbage-collected (unlike a bare `persist()`, which leaks across a
+  * long session — the round-4 bench regression). THE TRADE-OFF, explicit:
+  * localCheckpoint blocks are NOT replicated and the truncated lineage
+  * cannot be recomputed — losing an executor that holds a block (dynamic
+  * allocation scale-in, spot/preemptible nodes) permanently fails every
+  * plan built on the frame instead of recovering. Fine for local[n] and
+  * static on-heap clusters; NOT fine for elastic ones.
+  *
+  * For elastic clusters set `spark.graft.checkpoint.reliable=true` AND a
+  * `sparkContext.setCheckpointDir(...)` (HDFS/S3): [[cut]] then uses
+  * reliable `checkpoint()`, writing blocks to the fault-tolerant store so
+  * executor loss costs a re-read, not the job. The knob is read per call,
+  * so a pipeline can flip it around its expensive stages only.
+  */
+object Materialize {
+
+  private val ReliableKey = "spark.graft.checkpoint.reliable"
+
+  /** Materialize `df` eagerly and truncate its lineage — reliable
+    * `checkpoint()` when `spark.graft.checkpoint.reliable=true` (requires
+    * a checkpoint dir), `localCheckpoint()` otherwise. See the class doc
+    * for the executor-loss trade-off. */
+  def cut(df: DataFrame): DataFrame = {
+    val reliable =
+      df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)
+    if (reliable) {
+      require(
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires sparkContext.setCheckpointDir " +
+          "(an HDFS/S3 path on clusters)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+}

@@ -230,7 +230,7 @@ object Multimodal {
       try {
         val pairs = pairSource(pass, dupThreshold, idCol)
         Dedup.nearDupDuplicates(pairs).select(col("id").as(idCol))
-          .localCheckpoint()
+          .transform(Materialize.cut)
       } finally pass.unpersist()
     media.filter(nTokens >= minCaptionTokens)
       .join(drops, Seq(idCol), "left_anti")

@@ -386,7 +386,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val ids = queryIds.map(java.lang.Long.valueOf)
     val proj = randomProject(emb, outDim, dim, salt, vecCol, idCol)
-      .localCheckpoint() // feeds both the query and the corpus side
+      .transform(Materialize.cut) // feeds both the query and the corpus side
     val queries = emb.filter(col(idCol).isin(ids: _*))
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qn"))

@@ -62,7 +62,7 @@ object SkewJoin {
     // localCheckpoint: feeds the count probe, the sketch build, and the
     // verify join; materialized once, lineage cut, blocks GC-released.
     val rightKeys = right.select(col(rightKey).as("__rk")).distinct()
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val nItems = math.max(1L, rightKeys.count())
     val numBits = math.min(67108864L, math.max(64L,
       math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))

@@ -286,9 +286,14 @@ object TextAnalysis {
     *      walks the descending levels to find the BOUNDARY level where
     *      the budget crosses;
     *   2. rows above the boundary pass with a plain filter (no shuffle
-    *      beyond the one aggregate); only the boundary LEVEL — one
-    *      quality value, not the corpus — resolves its members with a
-    *      keyed window's running sum.
+    *      beyond the one aggregate); the boundary LEVEL is then cut the
+    *      same way AGAIN along the id axis — per-id-range-bucket token
+    *      sums (≤ ~2001 buckets, second bounded driver walk), so the only
+    *      running-sum window in the plan partitions by ONE id bucket of
+    *      the boundary level (~|level|/2000 rows), never a whole level.
+    *      This keeps the degenerate corpus — every document at the same
+    *      quality, where the boundary level IS the corpus — off the
+    *      single-task window path.
     *
     * @return (idCol, q, n_tokens) of the kept documents */
   def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long,
@@ -308,18 +313,54 @@ object TextAnalysis {
     boundary match {
       case None => scored // the whole corpus fits the budget
       case Some((bq, before)) =>
-        // The keyed window touches ONLY the boundary level's rows — one
-        // quality value, not the corpus.
+        resolveBoundaryLevel(scored, bq, tokenBudget - before, idCol)
+    }
+  }
+
+  /** Resolve the budget cut INSIDE the boundary quality level: walk its
+    * documents in id order, keep while the running token sum stays within
+    * `remaining`. Distributed shape: bucket the level by id range into
+    * ≤ ~2001 monotone buckets, aggregate per-bucket token sums (bounded
+    * driver walk, the same contract as the quality-level walk), keep
+    * whole buckets before the boundary bucket with a filter, and run the
+    * running-sum window over the boundary BUCKET only. */
+  private def resolveBoundaryLevel(scored: DataFrame, bq: Double,
+      remaining: Long, idCol: String): DataFrame = {
+    val level = scored.filter(col("q") === bq)
+    val bounds = level.agg(min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).head()
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / 2000L + 1L)
+    // floor((id - lo) / width) is monotone in id, so walking buckets in
+    // order then ids within a bucket IS the id-order walk.
+    val bucketed = level.withColumn("__b",
+      ((col(idCol).cast("long") - lo) / width).cast("long"))
+    val bucketSums = bucketed.groupBy("__b").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var cum = 0L
+    var bBucket: Option[(Long, Long)] = None // (bucket, tokens before it)
+    for ((b, t) <- bucketSums if bBucket.isEmpty) {
+      if (cum + t <= remaining) cum += t
+      else bBucket = Some((b, cum))
+    }
+    val outCols = scored.columns.map(col).toIndexedSeq
+    bBucket match {
+      case None => // the whole level fits (callers exclude this, but safe)
+        scored.filter(col("q") > bq).union(level.select(outCols: _*))
+      case Some((bb, beforeBucket)) =>
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q").orderBy(idCol)
+          .partitionBy("__b").orderBy(idCol)
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
             .currentRow)
-        val atBoundary = scored.filter(col("q") === bq)
+        val atBucket = bucketed.filter(col("__b") === bb)
           .withColumn("__cum_in", sum("n_tokens").over(w))
-          .filter((lit(before) + col("__cum_in")) <= tokenBudget)
-          .drop("__cum_in")
-        scored.filter(col("q") > bq).union(atBoundary)
+          .filter((lit(beforeBucket) + col("__cum_in")) <= remaining)
+          .select(outCols: _*)
+        scored.filter(col("q") > bq)
+          .union(bucketed.filter(col("__b") < bb).select(outCols: _*))
+          .union(atBucket)
     }
   }
 
@@ -850,4 +891,149 @@ object TextAnalysis {
       round(avgTokenLen(t), 3).as("avg_tok_len"),
       round(alphaRatio(t), 3).as("alpha_ratio"))
   }
+
+  // --- count-min sketch ----------------------------------------------------
+
+  /** PORTABLE count-min hash: row `j`'s bucket for a token is the first
+    * 8 md5 hex chars of `"cms<j>|<token>"` mod `width` — reproducible in
+    * any engine with md5 (the q35/q36 discipline applied to sketching). */
+  private def cmsBucket(j: Int, token: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$j|"), token)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-min sketch of the corpus token stream: `depth × width` counter
+    * cells, `(j, bucket, c)` rows. The sketch is the AT-REST artifact —
+    * built once per corpus (or merged per shard: cells are additive), it
+    * answers frequency queries for ARBITRARY tokens later without
+    * re-scanning text; estimates only ever overcount (by ≤ εN with
+    * ε = e/width at confidence 1 − e^−depth).
+    *
+    * Shape at 100 TB: one explode → one groupBy over (depth × width)
+    * keys, map-side combined — shuffle volume is the CELL count
+    * (constant), not the token count. Merging shard sketches is a
+    * second tiny groupBy over the same keys. */
+  def cmsSketch(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    val toks = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("j"), cmsBucket(j, col("token"), width).as("bucket"))
+    }
+    toks.select(explode(array(cells: _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Count-min frequency estimates for a panel of query tokens against a
+    * [[cmsSketch]]: est(token) = min over rows j of cell(j, bucket_j).
+    * The panel is tiny next to the sketch, so both sides of the probe
+    * join broadcast; missing cells read 0. `width`/`depth` must match
+    * the sketch's build parameters. */
+  def cmsEstimate(sketch: DataFrame, queryTokens: DataFrame,
+      width: Int = 1024, depth: Int = 4,
+      tokenCol: String = "token"): DataFrame = {
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        cmsBucket(j, col(tokenCol), width).as("bucket"))
+    }
+    queryTokens.select(col(tokenCol), explode(array(cells: _*)).as("jb"))
+      .select(col(tokenCol), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(tokenCol)
+      .agg(min("c").as("est"))
+  }
+
+  // --- collocations (PMI) --------------------------------------------------
+
+  /** Bigram collocations by pointwise mutual information:
+    * pmi(a,b) = ln( (c_ab / T) / ((c_a / U) · (c_b / U)) ) with c_ab the
+    * adjacent-bigram count (T bigrams total) and c_a the unigram count
+    * (U tokens total) — the standard corpus-exploration view of which
+    * token pairs co-occur far above chance (dataset-card material, and a
+    * boilerplate detector: contract/template phrases light up).
+    *
+    * Shape at 100 TB: bigrams come from a per-DOCUMENT window (key =
+    * doc id, never global); counts are two map-side-combined groupBys;
+    * the unigram table joins in twice by token. Only bigrams with
+    * `c_ab ≥ minCount` survive to the join, bounding the output.
+    *
+    * @return (tok_a, tok_b, n_ab, pmi round 6) */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pos = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val bi = pos
+      .withColumn("next", lead(col("token"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("token").as("tok_a"), col("next").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = pos.groupBy("token").agg(count(lit(1)).as("n"))
+    val totals = bi.agg(sum("n_ab").cast("double").as("t_bi"))
+      .crossJoin(uni.agg(sum("n").cast("double").as("u_uni")))
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("token").as("tok_a"), col("n").as("n_a")), "tok_a")
+      .join(uni.select(col("token").as("tok_b"), col("n").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab") / col("t_bi")) /
+          ((col("n_a") / col("u_uni")) * (col("n_b") / col("u_uni")))), 6)
+          .as("pmi"))
+  }
+
+  // --- content-defined chunking --------------------------------------------
+
+  /** Content-defined chunking over the token stream: a token is a chunk
+    * BOUNDARY when its portable hash (first 8 md5 hex chars) ≡ 0 mod
+    * `modulus` — boundaries move with content, not offsets, so an
+    * insertion near a document's head shifts ONE chunk, not every chunk
+    * after it (the rsync/CDC property fixed-size chunking lacks).
+    * A boundary token starts a new chunk; expected chunk length is
+    * `modulus` tokens.
+    *
+    * Shape at 100 TB: one posexplode, one per-DOCUMENT window (key = doc
+    * id — document-bounded, never global), one groupBy (doc, chunk).
+    *
+    * @return (idCol, chunk_id, n_tokens, chunk_fp) — chunk_fp = md5 of
+    *   the space-joined chunk tokens */
+  def cdcChunks(docs: DataFrame, modulus: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(modulus > 0, "modulus must be positive")
+    val pos = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val boundary = (pmod(conv(substring(md5(concat(lit("cdc|"),
+      col("token"))), 1, 8), 16, 10).cast("long"),
+      lit(modulus.toLong)) === 0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    pos.withColumn("chunk_id", sum(boundary).over(w))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", sort_array(collect_list(struct(col("pos"),
+          col("token")))).getField("token"))).as("chunk_fp"))
+  }
+
+  /** Cross-document SHARED chunks over [[cdcChunks]]: chunk fingerprints
+    * appearing in ≥ `minDocs` distinct documents — the partial-duplicate
+    * report exact whole-doc dedup cannot see (license headers, navigation
+    * boilerplate, templated passages shared across otherwise-distinct
+    * pages). One groupBy over the chunk relation.
+    *
+    * @return (chunk_fp, n_docs, n_occurrences) */
+  def sharedChunks(chunks: DataFrame, minDocs: Int = 2,
+      idCol: String = "doc_id"): DataFrame =
+    chunks.groupBy("chunk_fp")
+      .agg(countDistinct(idCol).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
 }

@@ -157,4 +157,51 @@ object TextSearch {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  // --- tf-idf cosine near-duplicates ---------------------------------------
+
+  /** Text near-duplicate pairs by TF-IDF COSINE — the embedding-free
+    * complement to MinHash-Jaccard: Jaccard sees shared shingles, tf-idf
+    * cosine sees shared RARE vocabulary, catching paraphrased or
+    * reordered near-dups whose shingle sets diverge. Weight
+    * w(d, t) = tf · ln(N/df); cosine over the sparse vectors via the
+    * inverted index: pairs meet only through shared tokens.
+    *
+    * `maxDf` is the scale lever: tokens appearing in more than `maxDf`
+    * documents (stopwords and template glue — precisely the tokens whose
+    * idf ≈ 0 contributes nothing) are dropped BEFORE the pair join, so
+    * posting-list lengths — and the per-token pair fan-out, the quadratic
+    * hazard — are bounded by maxDf, never by corpus frequency. Weights
+    * and norms use the post-cut vocabulary on both sides, so the measure
+    * stays a true cosine.
+    *
+    * @return (id_a, id_b, cos round 6) for pairs with cosine ≥ threshold
+    *   (gated on the unrounded value) */
+  def tfidfNearDupPairs(docs: DataFrame, threshold: Double,
+      maxDf: Long = 1000, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = termFreqs(docs, textCol, idCol)
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val weighted = tf.join(dfs, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+    val norms = weighted.groupBy(idCol)
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = weighted.select(col("token"), col(idCol).as("id_a"),
+      col("w").as("wa"))
+    val b = weighted.select(col("token"), col(idCol).as("id_b"),
+      col("w").as("wb"))
+    a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col(idCol).as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+  }
 }

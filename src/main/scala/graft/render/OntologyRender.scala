@@ -45,7 +45,15 @@ object OntologyRender {
 
   /** `UmlsAttribute.toRDF` (`umls2rdf.py:511-532`): property-type
     * classification (C9 — raises on unknown dockey) + label prettify (C8).
-    * Label is NOT escaped (reference behavior); the comment is. */
+    * DELIBERATE deviation: the reference emits the label UNESCAPED
+    * (`umls2rdf.py:528` interpolates it raw) and relies on the
+    * downstream `rapper -c` pass to reject the corrupted file when an
+    * MRDOC EXPL contains a quote — so on such input the reference
+    * produces NO valid output at all. We escape the label like the
+    * comment (caught by the randomized TurtleWellformedSpec): byte-equal
+    * on every input the reference can actually export (real MRDOC labels
+    * contain no quotes/backslashes — the goldens are unchanged), valid
+    * Turtle on the inputs where the reference corrupts its file. */
   def property(uri: String, att: String, dockey: String, desc: String)
       : String = {
     val typ =
@@ -54,7 +62,7 @@ object OntologyRender {
       else throw new IllegalStateException("Unknown DOCKEY" + dockey)
     val label = prettyLabel(att, desc)
     s"""<$uri> a owl:$typ ;
-	rdfs:label \"\"\"$label\"\"\";
+	rdfs:label \"\"\"${escape(label)}\"\"\";
 	rdfs:comment \"\"\"${escape(desc)}\"\"\" .
 
 """
@@ -67,7 +75,7 @@ object OntologyRender {
       typ: String): String = {
     val subject = if (uri.startsWith("http")) s"<$uri>" else uri
     s"""$subject a owl:$typ ;
-    	rdfs:label \"\"\"$label\"\"\";
+    	rdfs:label \"\"\"${escape(label)}\"\"\";
     	rdfs:comment \"\"\"${escape(desc)}\"\"\" .
 
 """

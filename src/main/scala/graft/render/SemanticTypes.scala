@@ -56,9 +56,17 @@ object SemanticTypes {
 
     val out = Seq.newBuilder[String]
     ns.foreach { case (tui, _, sty) =>
+      // DELIBERATE deviation (same rationale as OntologyRender.property):
+      // the reference interpolates STY raw (`umls2rdf.py:180-184`) and
+      // leaves corruption to the downstream rapper pass; real STY names
+      // are letters/spaces so the goldens are byte-identical, but a
+      // quote/newline in a label must not inject syntax
+      // (TurtleWellformedSpec). turtleString = escape + long-quote form
+      // for newline-bearing values.
       out += s"""<$styUrl$tui> a owl:Class ;
 	skos:notation "$tui"^^xsd:string ;
-	skos:prefLabel "$sty"@en .
+	skos:prefLabel ${graft.functions.TurtleFunctions.turtleString(sty,
+        lang = Some("en"))} .
 """
     }
     ns.foreach { case (tui, _, _) =>

@@ -163,6 +163,18 @@ object EventStreams {
     * and cross-batch dedup silently disabled), guarding the
     * existing-but-empty case where schema inference would fail.
     *
+    * OUTPUT SCHEMA NOTE: because each batch owns a `batch=<id>` partition
+    * directory, readers of `outPath` (and `indexPath`) see an extra
+    * `batch` long partition column alongside the document (resp. index)
+    * columns; drop it if undesired. LEGACY LAYOUTS: earlier revisions
+    * appended flat files directly under both roots. Resuming over such a
+    * directory is REFUSED with a clear error (see [[ingestBatch]]) —
+    * mixing root-level files with `batch=` partition directories breaks
+    * Spark partition discovery, and the legacy index has no `batch`
+    * column to exclude on replay. Migrate by moving the legacy files into
+    * a synthetic `batch=-1/` subdirectory (they then read as one
+    * committed partition) or by recreating both directories.
+    *
     * Returns the started query; caller stops it. */
   def selfMaintainingIngest(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, numHashes: Int = 16,
@@ -187,8 +199,29 @@ object EventStreams {
       indexPath: String, outPath: String, numHashes: Int, bands: Int,
       portable: Boolean, textCol: String, idCol: String): Unit = {
         val spark = bdf.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
+        // Refuse to write `batch=<id>` partition directories over a
+        // LEGACY flat-file layout (pre-partitioned revisions appended
+        // files directly under the roots): the mix breaks partition
+        // discovery for every later read, and the legacy index rows have
+        // no `batch` column to exclude on replay. Failing the first
+        // micro-batch with a migration hint beats silently corrupting
+        // both sinks.
+        for (root <- Seq(indexPath, outPath)) {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val pfs = p.getFileSystem(conf)
+          val legacy = pfs.exists(p) && pfs.listStatus(p).exists { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          require(!legacy,
+            s"$root holds a legacy flat-file layout (data files at the " +
+              "directory root). selfMaintainingIngest writes batch=<id> " +
+              "partition directories; move the existing files into a " +
+              "batch=-1/ subdirectory or recreate the directory.")
+        }
         val hPath = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val fs = hPath.getFileSystem(conf)
         // Visible (non-`_`/`.`) children, i.e. at least one committed
         // `batch=<id>` partition — an existing-but-empty directory must
         // take the empty-index branch, not fail schema inference.
@@ -197,14 +230,18 @@ object EventStreams {
           !n.startsWith("_") && !n.startsWith(".")
         }
         val index =
-          if (hasIndex)
+          if (hasIndex) {
             // Exclude this batch's own partition: present only on replay
             // after a crash between the paired writes, where including it
             // would mark every document a duplicate of itself and drop
-            // the whole batch from the output.
-            spark.read.parquet(indexPath)
-              .filter(col("batch") =!= lit(batchId)).drop("batch")
-          else
+            // the whole batch from the output. A `batch=-1` migration
+            // partition (or any layout lacking the column — defensive;
+            // the legacy guard above should have fired) is used as-is.
+            val raw = spark.read.parquet(indexPath)
+            if (raw.columns.contains("batch"))
+              raw.filter(col("batch") =!= lit(batchId)).drop("batch")
+            else raw
+          } else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
@@ -219,7 +256,7 @@ object EventStreams {
         val kept = graft.operators.Dedup.dedupIncremental(bdf, index,
           numHashes, bands, portable, textCol, idCol)
         val survivors = bdf.join(kept, Seq(idCol), "left_semi")
-          .localCheckpoint()
+          .transform(graft.operators.Materialize.cut)
         survivors.write.mode("overwrite")
           .parquet(s"$outPath/batch=$batchId")
         graft.operators.Dedup.dedupIndex(survivors, numHashes, bands,

@@ -266,4 +266,18 @@ class DedupSpec extends AnyFunSuite {
       (1L, 2L, 3L, 0.9),    // component 1 = {1,2,3}: keeper 2, best 0.9
       (10L, 10L, 2L, 0.5))) // component 10 = {10,11}: keeper 10
   }
+
+  test("canonicalKeepers tiebreak holds for STRING ids (quality desc, id asc)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val quality = Seq(
+      ("a", 0.1), ("b", 0.9), ("c", 0.9),  // tie b-vs-c -> lexic. lower "b"
+      ("x", 0.5), ("y", 0.5))              // tie -> "x"
+      .toDF("id", "q")
+    val got = Dedup.canonicalKeepers(pairs, quality).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", "b", 3L, 0.9),
+      ("x", "x", 2L, 0.5)))
+  }
 }

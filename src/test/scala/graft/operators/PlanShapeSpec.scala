@@ -297,4 +297,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("cmsSketch is one aggregation over (depth x width) cells — no " +
+    "join, no window; shuffle volume is the cell count") {
+    val p = plan(TextAnalysis.cmsSketch(docs(200), width = 64, depth = 4))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(800))
+  }
+
+  test("cmsEstimate broadcasts the sketch into the probe join") {
+    val sk = TextAnalysis.cmsSketch(docs(200), width = 64, depth = 4)
+    val p = plan(TextAnalysis.cmsEstimate(sk,
+      Seq("alpha", "echo").toDF("token"), width = 64, depth = 4))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("pmiBigrams' only window is keyed by the document id (never " +
+    "global) and the totals join in by broadcast") {
+    val p = plan(TextAnalysis.pmiBigrams(docs(100), minCount = 2))
+    assert(!p.contains("windowspecdefinition()"), p.take(800))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("cdcChunks' only window is keyed by the document id") {
+    val p = plan(TextAnalysis.cdcChunks(docs(100), modulus = 4))
+    assert(!p.contains("windowspecdefinition()"), p.take(800))
+    assert(p.contains("doc_id"), p.take(800))
+  }
+
+  test("tfidfNearDupPairs broadcasts the 1-row corpus count and meets " +
+    "pairs only through the token join") {
+    val p = plan(TextSearch.tfidfNearDupPairs(docs(100), threshold = 0.5,
+      maxDf = 50))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
 }

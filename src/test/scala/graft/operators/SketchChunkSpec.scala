@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-6 operators: count-min sketch, PMI collocations,
+  * content-defined chunking, tf-idf near-dup pairs. */
+class SketchChunkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the mat"),
+    (3L, "a completely different sentence here"),
+    (4L, "the cat sat on the mat"), // exact dup of 1
+    (5L, "the cat sat on the red mat"))
+    .toDF("doc_id", "text")
+
+  // --- count-min sketch ----------------------------------------------------
+
+  test("cmsEstimate never undercounts, and is exact when the sketch is " +
+    "wide enough to be collision-free") {
+    val truth = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // narrow sketch: collisions expected, but est >= true always
+    val narrow = TextAnalysis.cmsSketch(docs, width = 4, depth = 2)
+    val estN = TextAnalysis.cmsEstimate(narrow, truth.select("token"),
+      width = 4, depth = 2)
+    val joinedN = truth.join(estN, "token").collect()
+    assert(joinedN.nonEmpty)
+    joinedN.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"),
+        s"undercount for ${r.getAs[String]("token")}")
+    }
+    // wide sketch over a tiny vocabulary: no collisions -> exact
+    val wide = TextAnalysis.cmsSketch(docs, width = 4096, depth = 4)
+    val estW = TextAnalysis.cmsEstimate(wide, truth.select("token"),
+      width = 4096, depth = 4)
+    truth.join(estW, "token").collect().foreach { r =>
+      assert(r.getAs[Long]("est") === r.getAs[Long]("n"),
+        s"collision in 4096-wide sketch for ${r.getAs[String]("token")}")
+    }
+  }
+
+  test("cms sketches MERGE additively: sketch(a union b) = cellwise sum") {
+    val a = docs.filter($"doc_id" <= 2)
+    val b = docs.filter($"doc_id" > 2)
+    val whole = TextAnalysis.cmsSketch(docs, width = 64, depth = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = TextAnalysis.cmsSketch(a, width = 64, depth = 2)
+      .unionByName(TextAnalysis.cmsSketch(b, width = 64, depth = 2))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole === merged)
+  }
+
+  // --- PMI ------------------------------------------------------------------
+
+  test("pmiBigrams matches a hand-computed reference") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b),(b,c)
+    // counts: (a,b)=3, (b,a)=1, (b,c)=1; T=5
+    // unigrams: a=3, b=3, c=1; U=7
+    val got = TextAnalysis.pmiBigrams(d, minCount = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def pmi(nab: Long, na: Long, nb: Long): Double =
+      BigDecimal(math.log((nab / 5.0) / ((na / 7.0) * (nb / 7.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", "b")) === ((3L, pmi(3, 3, 3))))
+    assert(got(("b", "a")) === ((1L, pmi(1, 3, 3))))
+    assert(got(("b", "c")) === ((1L, pmi(1, 3, 1))))
+    // minCount gates low-frequency pairs
+    val gated = TextAnalysis.pmiBigrams(d, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gated.toSeq === Seq(("a", "b")))
+  }
+
+  // --- content-defined chunking --------------------------------------------
+
+  private val longDoc = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
+
+  test("cdcChunks partitions the token stream: chunk sizes sum to the " +
+    "token count and every non-initial chunk starts at a boundary token") {
+    val d = Seq((1L, longDoc)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(d, modulus = 4)
+      .orderBy("chunk_id").collect()
+    assert(chunks.map(_.getAs[Long]("n_tokens")).sum === 120L)
+    assert(chunks.length > 1, "modulus 4 over 120 tokens must cut chunks")
+    // chunk ids are the cumulative boundary count: consecutive from the
+    // first id with no gaps
+    val ids = chunks.map(_.getAs[Long]("chunk_id"))
+    assert(ids.toSeq === (ids.head to ids.last))
+  }
+
+  test("cdc chunking is shift-resistant: a head insertion changes O(1) " +
+    "chunks, fixed-size chunking would shift them all") {
+    val d1 = Seq((1L, longDoc)).toDF("doc_id", "text")
+    val d2 = Seq((1L, "zzz " + longDoc)).toDF("doc_id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame): Set[String] =
+      TextAnalysis.cdcChunks(d, modulus = 4).collect()
+        .map(_.getAs[String]("chunk_fp")).toSet
+    val (f1, f2) = (fps(d1), fps(d2))
+    // all chunks after the first boundary are byte-identical
+    assert((f1 intersect f2).size >= f1.size - 2,
+      s"only ${(f1 intersect f2).size} of ${f1.size} chunks survived a " +
+        "head insertion")
+  }
+
+  test("sharedChunks surfaces a passage planted in two documents") {
+    val shared = (1 to 40).map(i => s"s${i % 13}").mkString(" ")
+    val d = Seq(
+      (1L, "intro one two three " + shared),
+      (2L, shared + " outro four five"),
+      (3L, "completely unrelated text stream"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sharedChunks(
+      TextAnalysis.cdcChunks(d, modulus = 4)).collect()
+    assert(got.nonEmpty, "planted shared passage produced no shared chunk")
+    got.foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
+  }
+
+  // --- tf-idf near-dup ------------------------------------------------------
+
+  test("tfidfNearDupPairs: exact dups score 1, unrelated docs never pair, " +
+    "and maxDf removes stopword-only overlap") {
+    val pairs = TextSearch.tfidfNearDupPairs(docs, threshold = 0.5,
+      maxDf = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 4L)) - 1.0) < 1e-9) // exact dup pair
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc paired")
+    // with maxDf = 1 every token in more than one doc is cut: doc 1 and
+    // its exact dup 4 share no surviving token -> no pairs at all
+    val cut = TextSearch.tfidfNearDupPairs(docs, threshold = 0.1,
+      maxDf = 1).collect()
+    assert(cut.isEmpty)
+  }
+}

@@ -124,6 +124,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition()"), plan.take(600))
   }
 
+  test("tokenBudgetSelect survives a CONSTANT-quality corpus: the " +
+    "boundary level is cut by id-range buckets, not one global window") {
+    // every doc identical text => one quality level = the whole corpus;
+    // sparse ids exercise the id-range bucketing
+    val d = (0 until 200).map(i => (i.toLong * 37, "alpha beta gamma 9 ok"))
+      .toDF("doc_id", "text")
+    val perDoc = TextAnalysis.tokenCount(lit("alpha beta gamma 9 ok"))
+    val n = d.sparkSession.range(1).select(perDoc.cast("long")).head().getLong(0)
+    // budget for exactly 37 docs plus part of the 38th: greedy id-order
+    // walk must keep ids 0*37 .. 36*37
+    val budget = n * 37 + n / 2
+    val got = TextAnalysis.tokenBudgetSelect(d, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (0 until 37).map(_.toLong * 37).toSet)
+    // the plan's running-sum window partitions by the id bucket column,
+    // never by the (constant) quality column alone
+    val plan = TextAnalysis.tokenBudgetSelect(d, budget)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__b") || !plan.contains("windowspecdefinition"),
+      plan.take(800))
+  }
+
   test("importanceSelect scores pool docs by the smoothed target/source " +
     "log-ratio and cuts at k (weight desc, id)") {
     val pool = Seq(
