@@ -1982,7 +1982,130 @@ object TextQueries {
                count(*) AS n_occurrences
         FROM chunks GROUP BY chunk_fp
         HAVING count(DISTINCT doc_id) >= 2
-        ORDER BY chunk_fp""")))
+        ORDER BY chunk_fp""")),
+
+    // ----- q102: n-gram novelty vs a reference corpus
+    // (TextAnalysis.noveltyScore) — the continuous form of
+    // decontamination: what fraction of each pool doc's distinct
+    // 3-grams is NOT in the reference (docs with doc_id % 5 = 0).
+    // Portable md5 gram hashes; every count and ratio replays.
+    Q("q102_novelty_score",
+      (s, d) => {
+        val all = documents(s, d)
+        TextAnalysis.noveltyScore(
+          all.filter(col("doc_id") % 5 =!= 0),
+          all.filter(col("doc_id") % 5 === 0),
+          portable = true)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${shingleCtesFrom("documents")},
+        refg AS (
+          SELECT DISTINCT th FROM toks2 WHERE doc_id % 5 = 0),
+        pool AS (
+          SELECT t.doc_id, t.th,
+                 CASE WHEN r.th IS NULL THEN 0 ELSE 1 END AS seen
+          FROM toks2 t LEFT JOIN refg r ON r.th = t.th
+          WHERE t.doc_id % 5 != 0)
+        SELECT doc_id, count(*) AS n_grams,
+               sum(seen)::BIGINT AS n_seen,
+               round(1.0 - sum(seen)::DOUBLE / count(*), 6) AS novelty
+        FROM pool GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- q103: MinHash estimator quality on the LSH candidates
+    // (Dedup.minhashEstimateVsExact) — the sketch-error analog of the
+    // ANN recall metrics: per candidate pair, the signature-agreement
+    // Jaccard estimate vs the exact shingle Jaccard and |error|.
+    // Portable md5 signatures: DuckDB re-derives all 16 hash components,
+    // the banding, every agreement count and every exact Jaccard.
+    Q("q103_minhash_error",
+      (s, d) =>
+        graft.operators.Dedup.minhashEstimateVsExact(documents(s, d),
+          numHashes = 16, bands = 4, portable = true)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH ${minhashCtesFrom("documents")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+                 (${(0 until 16).map(i =>
+                    s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+                   .mkString(" + ")}) / 16.0 AS est
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c
+          JOIN toks2 ta ON ta.doc_id = c.id_a
+          JOIN toks2 tb ON tb.doc_id = c.id_b AND tb.th = ta.th
+          GROUP BY 1, 2),
+        j AS (
+          SELECT c.id_a, c.id_b, a.est,
+                 coalesce(i.i, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jac
+          FROM cand c
+          JOIN agree a ON a.id_a = c.id_a AND a.id_b = c.id_b
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, round(est, 6) AS est_jaccard,
+               round(jac, 6) AS jaccard,
+               round(abs(est - jac), 6) AS abs_err
+        FROM j ORDER BY id_a, id_b""")),
+
+    // ----- q104: cross-source duplicate overlap matrix
+    // (Dedup.sourceOverlapMatrix) over a corpus with planted
+    // cross-posting (every 10th doc mirrored under source 'mirror') —
+    // the dataset-card view of which feeds re-crawl each other. Only
+    // 128-bit fingerprints shuffle.
+    Q("q104_source_overlap",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "text", "source")
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+              lit("mirror").as("source")))
+        graft.operators.Dedup.sourceOverlapMatrix(corpus)
+          .orderBy("src_a", "src_b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, 'mirror'
+          FROM documents WHERE doc_id % 10 = 0),
+        fps AS (
+          SELECT DISTINCT source AS src,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+          FROM corpus)
+        SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp
+        WHERE a.src <= b.src
+        GROUP BY 1, 2
+        ORDER BY src_a, src_b""")),
+
+    // ----- q105: per-source quantile-normalized quality
+    // (TextAnalysis.qualityQuantileNormalize) — source-fair quality
+    // ranks; the window is keyed by source (total order (q, doc_id)
+    // makes percent_rank deterministic on both engines).
+    Q("q105_quality_quantile_norm",
+      (s, d) =>
+        TextAnalysis.qualityQuantileNormalize(documents(s, d), "source")
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, source, q,
+               round(percent_rank() OVER (PARTITION BY source
+                 ORDER BY q, doc_id), 6) AS q_rank
+        FROM (SELECT doc_id, source, $qualitySql AS q FROM documents)
+        ORDER BY doc_id""")))
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match

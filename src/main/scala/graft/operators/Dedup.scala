@@ -675,6 +675,67 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Measured MinHash ESTIMATOR quality over the LSH candidate pairs:
+    * for each candidate, the sketch's Jaccard estimate (fraction of
+    * agreeing signature components — the unbiased MinHash estimator)
+    * next to the exact shingle Jaccard, with the absolute error. The
+    * sketch-error analog of the ANN recall metrics (q44/q70b/q90c):
+    * before trusting `numHashes` at corpus scale, measure what the
+    * sketch actually resolves on real candidates.
+    *
+    * Scale: candidate-bounded — signatures join per pair (two hash
+    * lookups), exact Jaccard comes from the candidate-restricted
+    * [[pairJaccard]]; nothing corpus² anywhere.
+    *
+    * @return (id_a, id_b, est_jaccard, jaccard, abs_err), rounded 6 */
+  def minhashEstimateVsExact(docs: DataFrame, numHashes: Int = 16,
+      bands: Int = 4, textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    val sig = minhashSignature(docs, numHashes, textCol, idCol, portable)
+    val cand = lshCandidatePairs(docs, numHashes, bands, textCol, idCol,
+      portable)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val renameA = sig.columns.foldLeft(sig)((d, c) =>
+      if (c == idCol) d.withColumnRenamed(c, "id_a")
+      else d.withColumnRenamed(c, s"a_$c"))
+    val renameB = sig.columns.foldLeft(sig)((d, c) =>
+      if (c == idCol) d.withColumnRenamed(c, "id_b")
+      else d.withColumnRenamed(c, s"b_$c"))
+    val est = cand.join(renameA, "id_a").join(renameB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / numHashes).as("est_raw"))
+    pairJaccard(cand, docs, textCol, idCol, portable)
+      .join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est_raw"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(abs(col("est_raw") - col("jaccard")), 6).as("abs_err"))
+  }
+
+  /** Cross-SOURCE exact-duplicate overlap matrix: for every source pair,
+    * how many distinct content fingerprints appear in both — the
+    * dataset-card view of which feeds re-crawl each other (and the
+    * pre-dedup estimate of what cross-source dedup will remove). The
+    * diagonal (src_a = src_b) counts each source's distinct fingerprints.
+    *
+    * Scale: payload never shuffles — one distinct over (source, fp= md5),
+    * one fp-keyed self-join bounded by per-fp source counts (a fp in k
+    * sources contributes k² cells, and k ≤ #sources).
+    *
+    * @return (src_a, src_b, n_shared) with src_a ≤ src_b */
+  def sourceOverlapMatrix(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val fps = docs.select(col(srcCol).as("src"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    fps.select(col("src").as("src_a"), col("fp"))
+      .join(fps.select(col("src").as("src_b"), col("fp")), Seq("fp"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** LSH candidate pairs FILTERED by exact shingle Jaccard ≥ `threshold` —
     * the verified near-dup pair source. Candidates come from
     * [[lshCandidatePairs]] (recall); the [[pairJaccard]] gate supplies the

@@ -1023,6 +1023,63 @@ object TextAnalysis {
           col("token")))).getField("token"))).as("chunk_fp"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of a document's distinct word n-grams NOT present in the
+    * reference — the continuous form of decontamination (novelty 0 = the
+    * doc is entirely built from reference n-grams; 1 = entirely new).
+    * Used to score incoming crawls against the at-rest corpus, to rank
+    * "how much new text does this source actually add".
+    *
+    * Shape at 100 TB: the reference gram set is distinct-hashed and the
+    * probe is one gram-keyed semi-join-style LEFT join; per-doc counts
+    * partial-aggregate. `portable` md5 vs xxhash64 — same discipline as
+    * [[graft.operators.Dedup.decontaminate]] (a hash collision can only
+    * under-count novelty by one gram).
+    *
+    * @return (idCol, n_grams, n_seen, novelty round 6) */
+  def noveltyScore(docs: DataFrame, ref: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = {
+      val g = df.select(cols :+
+          explode(shingles(col(textCol), n)).as("token"): _*)
+        .filter(length(col("token")) > 0)
+      val hashed =
+        if (portable) g.withColumn("gh", md5(col("token")))
+        else g.withColumn("gh", xxhash64(col("token")))
+      hashed.drop("token").distinct()
+    }
+    val refGrams = grams(ref).withColumn("__seen", lit(1))
+    grams(docs, col(idCol))
+      .join(refGrams, Seq("gh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0))).as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** Per-group QUANTILE-NORMALIZED quality: each document's quality
+    * mapped to its percent rank WITHIN its group (source/language) — the
+    * source-fair form of quality filtering: a global threshold on raw
+    * quality lets a clean source crowd out a noisy one entirely; a
+    * threshold on the normalized rank keeps the best X% of EACH source.
+    * Total order (quality, id) inside each group makes ranks
+    * deterministic.
+    *
+    * Shape at 100 TB: one window keyed by the group column — the
+    * partition is a source, never the corpus.
+    *
+    * @return (idCol, group, q, q_rank round 6) */
+  def qualityQuantileNormalize(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("q"), col(idCol))
+    docs.select(col(idCol), col(groupCol),
+        round(qualityScore(col(textCol)), 3).as("q"))
+      .withColumn("q_rank", round(percent_rank().over(w), 6))
+  }
+
   /** Cross-document SHARED chunks over [[cdcChunks]]: chunk fingerprints
     * appearing in ≥ `minDocs` distinct documents — the partial-duplicate
     * report exact whole-doc dedup cannot see (license headers, navigation

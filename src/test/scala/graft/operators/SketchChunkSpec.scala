@@ -125,6 +125,95 @@ class SketchChunkSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
   }
 
+  // --- minhash estimator error ---------------------------------------------
+
+  test("minhashEstimateVsExact: identical docs estimate 1.0 with zero " +
+    "error; estimates stay in [0,1] and pair with the exact Jaccard") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "one two three four five six seven yes no maybe"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashEstimateVsExact(d, numHashes = 16, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (est12, jac12, err12) = rows((1L, 2L))
+    assert(est12 === 1.0 && jac12 === 1.0 && err12 === 0.0)
+    rows.values.foreach { case (e, j, err) =>
+      assert(e >= 0.0 && e <= 1.0 && j >= 0.0 && j <= 1.0)
+      assert(math.abs(err - math.abs(e - j)) < 1e-6)
+    }
+  }
+
+  // --- source overlap matrix -----------------------------------------------
+
+  test("sourceOverlapMatrix counts shared fingerprints per source pair, " +
+    "diagonal = per-source distinct fingerprints") {
+    val d = Seq(
+      (1L, "shared doc text", "a"),
+      (2L, "shared doc text", "b"),   // a-b overlap
+      (3L, "only in a", "a"),
+      (4L, "only in b", "b"),
+      (5L, "Shared DOC text!", "c"))  // normalizes to the shared fp
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("a", "b")) === 1L)
+    assert(got(("a", "c")) === 1L)
+    assert(got(("b", "c")) === 1L)
+    assert(got(("a", "a")) === 2L) // shared + only-in-a
+    assert(got(("b", "b")) === 2L)
+    assert(got(("c", "c")) === 1L)
+  }
+
+  // --- novelty --------------------------------------------------------------
+
+  test("noveltyScore: a doc built from reference n-grams scores 0, a " +
+    "fully new doc scores 1, a half-overlapping doc lands between") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta"),          // all 3-grams in ref
+      (2L, "qq ww ee rr tt yy"),               // none in ref
+      (3L, "alpha beta gamma qq ww ee"))       // mixed
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(pool, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L)._3 === 0.0)
+    assert(got(2L)._3 === 1.0)
+    val (n3, s3, nov3) = got(3L)
+    assert(s3 > 0 && s3 < n3 && nov3 > 0.0 && nov3 < 1.0)
+    // portable and fast paths agree on the decisions
+    val p = TextAnalysis.noveltyScore(pool, ref, portable = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p === got.map { case (k, v) => k -> v._3 })
+  }
+
+  // --- quantile-normalized quality -----------------------------------------
+
+  test("qualityQuantileNormalize ranks within each group: worst doc 0, " +
+    "best doc 1, groups independent") {
+    val d = Seq(
+      (1L, "good clean readable text here always fine", "a"),
+      (2L, "9 8 7 6 5", "a"),
+      (3L, "also good clean readable text content here", "a"),
+      (4L, "good clean readable text here always fine", "b"),
+      (5L, "1 2 3", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityQuantileNormalize(d, "source")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    // per group: min rank 0.0, max rank 1.0
+    for (g <- Seq("a", "b")) {
+      val ranks = got.collect { case (_, (`g`, rk)) => rk }.toSeq.sorted
+      assert(ranks.head === 0.0 && ranks.last === 1.0, s"group $g: $ranks")
+    }
+    assert(got(2L)._2 === 0.0) // digit junk ranks worst in group a
+    assert(got(5L)._2 === 0.0)
+  }
+
   // --- tf-idf near-dup ------------------------------------------------------
 
   test("tfidfNearDupPairs: exact dups score 1, unrelated docs never pair, " +
