@@ -795,6 +795,34 @@ object SimilarityQueries {
         SELECT 20 AS n_queries, 10 AS k, 50 AS cand_k,
                round(hits / greatest(denom, 1)::DOUBLE, 4) AS recall,
                round(least(1.0, 50.0 / n), 4) AS cand_fraction
-        FROM agg"""))
+        FROM agg""")),
+
+    // ----- q107: embedding centroid drift between two snapshots
+    // (Similarity.embeddingDrift) — the embedding-space analog of the
+    // q97 categorical drift monitor: per-dimension means of the
+    // even-id vs odd-id snapshot and their |difference|. One
+    // posexplode + dim-keyed aggregate per side; snapshots never join
+    // row-to-row. round(6) of a ~250-value mean is engine-stable
+    // (accumulation error ~1e-14 << 5e-7).
+    Q("q107_embedding_drift",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.embeddingDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+          .orderBy("j")
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                 unnest(generate_series(0, 63)) AS j
+          FROM embeddings),
+        ma AS (SELECT j, avg(v) AS m FROM ex WHERE vec_id % 2 = 0 GROUP BY j),
+        mb AS (SELECT j, avg(v) AS m FROM ex WHERE vec_id % 2 = 1 GROUP BY j)
+        SELECT ma.j AS j, round(ma.m, 6) AS mean_a,
+               round(mb.m, 6) AS mean_b,
+               round(abs(ma.m - mb.m), 6) AS drift
+        FROM ma JOIN mb ON ma.j = mb.j
+        ORDER BY ma.j"""))
   )
 }

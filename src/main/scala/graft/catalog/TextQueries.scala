@@ -2024,7 +2024,11 @@ object TextQueries {
         graft.operators.Dedup.minhashEstimateVsExact(documents(s, d),
           numHashes = 16, bands = 4, portable = true)
           .orderBy("id_a", "id_b"),
-      Some(s"""
+      benchRun = Some((s, d) =>
+        graft.operators.Dedup.minhashEstimateVsExact(documents(s, d),
+          numHashes = 16, bands = 4, portable = false)
+          .orderBy("id_a", "id_b")),
+      oracle = Some(s"""
         WITH ${minhashCtesFrom("documents")},
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2105,7 +2109,77 @@ object TextQueries {
                round(percent_rank() OVER (PARTITION BY source
                  ORDER BY q, doc_id), 6) AS q_rank
         FROM (SELECT doc_id, source, $qualitySql AS q FROM documents)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ----- q106: asymmetric containment pairs (Dedup.containmentPairs)
+    // over a corpus with planted PARTIAL inclusions — every 20th doc's
+    // first half re-enters as a new doc, whose shingle set is a strict
+    // subset of its source's: Jaccard ≈ 0.5 (symmetric dedup keeps it)
+    // but containment = 1.0 (this operator catches it). Containments
+    // are exact rationals, so the 0.8 gate cannot flip across engines.
+    Q("q106_containment_pairs",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "text")
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"),
+              array_join(slice(toksArr, lit(1), (size(toksArr) / 2).cast("int")), " ")
+                .as("text")))
+        graft.operators.Dedup.containmentPairs(corpus, threshold = 0.8,
+            portable = true)
+          .orderBy("id_a", "id_b")
+      },
+      benchRun = Some((s, d) => {
+        val base = documents(s, d).select("doc_id", "text")
+        val toksArr = TextAnalysis.tokens(col("text"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"),
+              array_join(slice(toksArr, lit(1), (size(toksArr) / 2).cast("int")), " ")
+                .as("text")))
+        graft.operators.Dedup.containmentPairs(corpus, threshold = 0.8,
+            portable = false)
+          .orderBy("id_a", "id_b")
+      }),
+      oracle = Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 500000,
+                 array_to_string(a[1:len(a)//2], ' ')
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM documents)
+          WHERE doc_id % 20 = 0),
+        ${minhashCtesFrom("corpus")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c
+          JOIN toks2 ta ON ta.doc_id = c.id_a
+          JOIN toks2 tb ON tb.doc_id = c.id_b AND tb.th = ta.th
+          GROUP BY 1, 2),
+        sel AS (
+          SELECT c.id_a, c.id_b,
+                 coalesce(i.i, 0)::DOUBLE / sa.sz AS ca,
+                 coalesce(i.i, 0)::DOUBLE / sb.sz AS cb,
+                 coalesce(i.i, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jac
+          FROM cand c
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, round(ca, 6) AS containment_a,
+               round(cb, 6) AS containment_b, round(jac, 6) AS jaccard
+        FROM sel
+        WHERE greatest(ca, cb) >= 0.8
+        ORDER BY id_a, id_b""")))
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match

@@ -675,6 +675,61 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** ASYMMETRIC near-duplicate (containment) pairs over the LSH
+    * candidates: containment of A in B = |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| — the measure Jaccard misses: a document QUOTED
+    * WHOLESALE inside a larger one has Jaccard ≈ |A|/|B| (small) but
+    * containment ≈ 1. Used to catch partial-inclusion dups (quoted
+    * articles, concatenated pages) that symmetric dedup keeps.
+    *
+    * Candidates come from MinHash banding, so recall is bounded by band
+    * collision at the pair's JACCARD — reliable for near-dups, partial
+    * for low-Jaccard containment (document the limit; a dedicated
+    * containment sketch would be the next step). Cost: candidate-bounded,
+    * same shape as [[pairJaccard]].
+    *
+    * @return (id_a, id_b, containment_a, containment_b, jaccard) for
+    *   candidates with max(containment) ≥ threshold (gated unrounded,
+    *   emitted rounded 6) */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 16, bands: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    val cand = lshCandidatePairs(docs, numHashes, bands, textCol, idCol,
+      portable)
+    val p = cand.transform(Materialize.cut)
+    val candIds = p.select(col("id_a").as(idCol))
+      .union(p.select(col("id_b").as(idCol))).distinct()
+    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    val toks =
+      if (portable)
+        candDocs.select(col(idCol),
+            explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
+          .filter(length(col("token")) > 0)
+          .select(col(idCol), md5(col("token")).as("sh"))
+          .distinct()
+      else docShingleFeatures(candDocs, textCol, idCol)
+        .withColumnRenamed("feature", "sh")
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = p
+      .join(toks.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val i = coalesce(col("inter"), lit(0L))
+    p
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("__ca", i / col("sz_a"))
+      .withColumn("__cb", i / col("sz_b"))
+      .filter(greatest(col("__ca"), col("__cb")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__ca"), 6).as("containment_a"),
+        round(col("__cb"), 6).as("containment_b"),
+        round(i / (col("sz_a") + col("sz_b") - i), 6).as("jaccard"))
+  }
+
   /** Measured MinHash ESTIMATOR quality over the LSH candidate pairs:
     * for each candidate, the sketch's Jaccard estimate (fraction of
     * agreeing signature components — the unbiased MinHash estimator)

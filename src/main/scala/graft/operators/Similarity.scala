@@ -459,4 +459,28 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-dimension CENTROID DRIFT between two embedding snapshots — the
+    * embedding-space analog of [[graft.operators.Layout.driftScore]]:
+    * when the embedding model (or the corpus under it) shifts, the
+    * per-dimension means move first. Monitors re-embedding jobs and
+    * ingest distribution shift without touching pairwise distances.
+    *
+    * Shape at 100 TB: one posexplode + one groupBy(dimension) per side —
+    * `dim` groups total, partial-aggregated map-side; the snapshots
+    * never join row-to-row.
+    *
+    * @return (j, mean_a, mean_b, drift) per dimension, rounded 6 —
+    *   drift = |mean_a − mean_b| */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    def means(df: DataFrame, tag: String) =
+      df.select(posexplode(col(vecCol)).as(Seq("j", "v")))
+        .groupBy("j").agg(avg(col("v").cast("double")).as(s"__m$tag"))
+    means(a, "a").join(means(b, "b"), Seq("j"))
+      .select(col("j"),
+        round(col("__ma"), 6).as("mean_a"),
+        round(col("__mb"), 6).as("mean_b"),
+        round(abs(col("__ma") - col("__mb")), 6).as("drift"))
+  }
 }

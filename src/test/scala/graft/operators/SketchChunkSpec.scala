@@ -5,8 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
+private object TextAnalysisSpecHelpers {
+  def collectDrift(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+    df.collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+}
+
 /** Round-6 operators: count-min sketch, PMI collocations,
-  * content-defined chunking, tf-idf near-dup pairs. */
+  * content-defined chunking, tf-idf near-dup pairs, containment,
+  * embedding drift. */
 class SketchChunkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
@@ -212,6 +218,43 @@ class SketchChunkSpec extends AnyFunSuite {
     }
     assert(got(2L)._2 === 0.0) // digit junk ranks worst in group a
     assert(got(5L)._2 === 0.0)
+  }
+
+  // --- containment ----------------------------------------------------------
+
+  test("containmentPairs finds asymmetric inclusion: a strict-prefix doc " +
+    "has containment 1.0 while Jaccard stays below 1") {
+    val full = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val prefix = (1 to 29).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, prefix), (2L, full),
+      (3L, "entirely unrelated content stream here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (ca, cb, jac) = got((1L, 2L))
+    assert(ca === 1.0, "prefix doc fully contained")
+    assert(cb < 1.0 && jac < 1.0)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  // --- embedding drift -------------------------------------------------------
+
+  test("embeddingDrift: identical snapshots drift 0; a shifted dimension " +
+    "surfaces exactly there") {
+    val rnd = new scala.util.Random(11L)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val a = vecs.toDF("vec_id", "embedding")
+    val same = TextAnalysisSpecHelpers.collectDrift(
+      Similarity.embeddingDrift(a, a))
+    same.values.foreach(dr => assert(dr === 0.0))
+    val shifted = vecs.map { case (id, v) =>
+      (id, v.updated(2, v(2) + 0.5f)) }.toDF("vec_id", "embedding")
+    val moved = TextAnalysisSpecHelpers.collectDrift(
+      Similarity.embeddingDrift(a, shifted))
+    assert(math.abs(moved(2) - 0.5) < 1e-4)
+    for (j <- Seq(0, 1, 3)) assert(moved(j) < 1e-4)
   }
 
   // --- tf-idf near-dup ------------------------------------------------------
