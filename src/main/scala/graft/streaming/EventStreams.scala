@@ -265,6 +265,63 @@ object EventStreams {
         ()
   }
 
+  /** Streaming NOVELTY gate: pass only streamed documents whose n-gram
+    * novelty against an AT-REST reference corpus (the already-ingested
+    * data, a benchmark set, yesterday's snapshot) is at least
+    * `minNovelty` — the streaming form of
+    * [[graft.operators.TextAnalysis.noveltyScore]], for admitting only
+    * documents that actually add new text.
+    *
+    * STATELESS by construction, so it is append-mode safe with no
+    * watermark or state store: the reference's gram set is folded
+    * batch-side into a Bloom filter (≤ 8 MB regardless of corpus size)
+    * embedded as a plan literal, and each streamed row scores itself
+    * with IN-ROW array algebra — `filter(grams, g → might_contain(h(g)))`
+    * — no explode, no per-gram shuffle, no aggregation on the stream.
+    * Bloom false positives can only UNDER-count novelty (rate `fpp`), so
+    * the gate errs toward dropping near-reference docs — the right
+    * direction for a contamination/redundancy guard; gramless documents
+    * score novelty 0 and are dropped.
+    *
+    * @return the stream with a `novelty` column, filtered to
+    *   novelty ≥ minNovelty */
+  def streamingNoveltyGate(stream: DataFrame, ref: DataFrame,
+      minNovelty: Double, n: Int = 3, fpp: Double = 0.01,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import graft.operators.TextAnalysis
+    require(minNovelty >= 0.0 && minNovelty <= 1.0,
+      "minNovelty must be in [0, 1]")
+    val refGrams = ref.select(
+        explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val nItems = math.max(1L, refGrams.count())
+    val numBits = math.min(67108864L, math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val bloomBytes = refGrams.agg(GraftSqlShims.columnOf(
+        new BloomFilterAggregate(GraftSqlShims.expressionOf(col("gh")),
+          Literal(nItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    def seen(g: org.apache.spark.sql.Column) =
+      GraftSqlShims.columnOf(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftSqlShims.expressionOf(xxhash64(g))))
+    val grams = array_distinct(
+      filter(TextAnalysis.shingles(col(textCol), n), g => length(g) > 0))
+    val nG = size(grams)
+    val nSeen = size(filter(grams, g => seen(g)))
+    stream
+      .withColumn("novelty",
+        when(nG > 0, round(lit(1.0) - nSeen.cast("double") / nG, 6))
+          .otherwise(lit(0.0)))
+      .filter(col("novelty") >= minNovelty)
+  }
+
   /** Streaming as-of enrichment: each streamed event picks the latest
     * at-or-before row of a STATIC dimension series (prices, configs,
     * model versions) for its key. Delegates to

@@ -90,6 +90,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNoveltyGate passes novel docs, drops reference-built " +
+    "ones, stateless append mode; decisions match the batch noveltyScore") {
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val novel = "qq ww ee rr tt yy uu ii"
+    val fromRef = "alpha beta gamma delta epsilon"      // all grams in ref
+    val mixed = "alpha beta gamma qq ww ee rr tt yy uu" // mostly new
+    // batch ground truth on the same fixture
+    val batchNov = graft.operators.TextAnalysis.noveltyScore(
+        Seq((1L, novel), (2L, fromRef), (3L, mixed)).toDF("doc_id", "text"),
+        ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(batchNov(1L) === 1.0 && batchNov(2L) === 0.0)
+
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = EventStreams.streamingNoveltyGate(
+      input.toDF().toDF("doc_id", "ts", "text"), ref, minNovelty = 0.5)
+      .writeStream.format("memory").queryName("novelty_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, new Timestamp(1000 * 1000), novel),
+        (2L, new Timestamp(1010 * 1000), fromRef),
+        (3L, new Timestamp(1020 * 1000), mixed),
+        (4L, new Timestamp(1030 * 1000), ""))   // gramless -> novelty 0
+      q.processAllAvailable()
+      val out = spark.table("novelty_out")
+        .select("doc_id", "novelty").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // the gate keeps exactly the docs whose exact batch novelty >= 0.5
+      // (Bloom FPs could only lower a score; margins here are wide)
+      assert(out.keySet === batchNov.filter(_._2 >= 0.5).keys.toSet)
+      assert(out(1L) === 1.0)
+      assert(math.abs(out(3L) - batchNov(3L)) < 0.15)
+    } finally q.stop()
+  }
+
   test("streamingNearDupDedup drops same-signature content; " +
     "rowSimhash64 is value-identical to the batch simhash64") {
     // value equivalence first (the streaming signature must equal the
