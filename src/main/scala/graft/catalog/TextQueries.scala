@@ -2179,7 +2179,53 @@ object TextQueries {
                round(cb, 6) AS containment_b, round(jac, 6) AS jaccard
         FROM sel
         WHERE greatest(ca, cb) >= 0.8
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b""")),
+
+    // ----- q108: corpus-level resemblance (Dedup.corpusResemblance) —
+    // MinHash union-signature estimate vs exact Jaccard between the
+    // even-id and odd-id halves' shingle sets; no per-document pairing
+    // anywhere. Portable md5 signature components, so DuckDB replays the
+    // signatures, the agreement count, the exact set Jaccard and the
+    // measured sketch error.
+    Q("q108_corpus_resemblance",
+      (s, d) => {
+        val all = documents(s, d)
+        graft.operators.Dedup.corpusResemblance(
+          all.filter(col("doc_id") % 2 === 0),
+          all.filter(col("doc_id") % 2 === 1),
+          portable = true)
+      },
+      benchRun = Some((s, d) => {
+        val all = documents(s, d)
+        graft.operators.Dedup.corpusResemblance(
+          all.filter(col("doc_id") % 2 === 0),
+          all.filter(col("doc_id") % 2 === 1),
+          portable = false)
+      }),
+      oracle = Some(s"""
+        WITH ${shingleCtesFrom("documents")},
+        ga AS (SELECT DISTINCT th FROM toks2 WHERE doc_id % 2 = 0),
+        gb AS (SELECT DISTINCT th FROM toks2 WHERE doc_id % 2 = 1),
+        sa AS (SELECT ${(0 until 16).map(i =>
+          s"min(md5('$i' || '|' || th)) AS ah$i").mkString(", ")}
+               FROM ga),
+        sb AS (SELECT ${(0 until 16).map(i =>
+          s"min(md5('$i' || '|' || th)) AS bh$i").mkString(", ")}
+               FROM gb),
+        sizes AS (
+          SELECT (SELECT count(*) FROM ga) AS na,
+                 (SELECT count(*) FROM gb) AS nb,
+                 (SELECT count(*) FROM ga JOIN gb USING (th)) AS i)
+        SELECT na AS n_grams_a, nb AS n_grams_b,
+               round(i::DOUBLE / (na + nb - i), 6) AS jaccard,
+               round((${(0 until 16).map(i =>
+                 s"CASE WHEN ah$i = bh$i THEN 1 ELSE 0 END")
+                 .mkString(" + ")}) / 16.0, 6) AS est_jaccard,
+               round(abs((${(0 until 16).map(i =>
+                 s"CASE WHEN ah$i = bh$i THEN 1 ELSE 0 END")
+                 .mkString(" + ")}) / 16.0
+                 - i::DOUBLE / (na + nb - i)), 6) AS abs_err
+        FROM sizes, sa, sb""")))
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match

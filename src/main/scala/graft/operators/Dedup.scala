@@ -769,6 +769,63 @@ object Dedup {
         round(abs(col("est_raw") - col("jaccard")), 6).as("abs_err"))
   }
 
+  /** CORPUS-LEVEL resemblance: the MinHash-estimated and exact Jaccard
+    * between two corpora's UNION shingle sets — "how much does corpus B
+    * overlap corpus A" answered without any per-document pairing: each
+    * corpus folds to one `numHashes`-component union signature (min over
+    * every gram, a 1-row global aggregate with map-side partial mins),
+    * and the estimate is the agreement fraction between the two
+    * signatures. The exact set Jaccard is computed alongside so the
+    * sketch error is measurable (the q103 discipline at corpus
+    * granularity). Planning tool for merges/dedup sizing: at 100 TB the
+    * signature costs one narrow pass + a 16-value exchange, and
+    * signatures of corpora at rest can be stored and compared for free.
+    *
+    * @return 1 row: (n_grams_a, n_grams_b, jaccard, est_jaccard,
+    *   abs_err), rounded 6 */
+  def corpusResemblance(a: DataFrame, b: DataFrame, numHashes: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    def gramSet(df: DataFrame): DataFrame =
+      if (portable)
+        df.select(explode(TextAnalysis.shingles(col(textCol), 3))
+            .as("token"))
+          .filter(length(col("token")) > 0)
+          .select(md5(col("token")).as("th")).distinct()
+      else
+        df.select(explode(TextAnalysis.shingles(col(textCol), 3))
+            .as("token"))
+          .filter(length(col("token")) > 0)
+          .select(xxhash64(col("token")).as("th")).distinct()
+    def sig(g: DataFrame, prefix: String): DataFrame = {
+      val aggs = (0 until numHashes).map { i =>
+        if (portable)
+          min(md5(concat(lit(s"$i|"), col("th")))).as(s"${prefix}h$i")
+        else
+          min(xxhash64(lit(i), col("th"))).as(s"${prefix}h$i")
+      }
+      g.agg(aggs.head, aggs.tail: _*)
+    }
+    val (ga, gb) = (gramSet(a).transform(Materialize.cut),
+      gramSet(b).transform(Materialize.cut))
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"ah$i") === col(s"bh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sizes = ga.agg(count(lit(1)).as("n_grams_a"))
+      .crossJoin(gb.agg(count(lit(1)).as("n_grams_b")))
+      .crossJoin(ga.join(gb, Seq("th"), "left_semi")
+        .agg(count(lit(1)).as("__inter")))
+    sizes
+      .crossJoin(sig(ga, "a").crossJoin(sig(gb, "b")))
+      .select(col("n_grams_a"), col("n_grams_b"),
+        round(col("__inter") / (col("n_grams_a") + col("n_grams_b")
+          - col("__inter")), 6).as("jaccard"),
+        round(agree.cast("double") / numHashes, 6).as("est_jaccard"),
+        round(abs(agree.cast("double") / numHashes
+          - col("__inter") / (col("n_grams_a") + col("n_grams_b")
+            - col("__inter"))), 6).as("abs_err"))
+  }
+
   /** Cross-SOURCE exact-duplicate overlap matrix: for every source pair,
     * how many distinct content fingerprints appear in both — the
     * dataset-card view of which feeds re-crawl each other (and the

@@ -329,6 +329,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("doc_id"), p.take(800))
   }
 
+  test("streamingNoveltyGate is STATELESS row algebra: the gated plan " +
+    "has no exchange, no aggregate, no state store requirement") {
+    val ref = docs(20)
+    val p = plan(graft.streaming.EventStreams.streamingNoveltyGate(
+      docs(50), ref, minNovelty = 0.5))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Aggregate"), p.take(800))
+    assert(!p.contains("StateStore"), p.take(800))
+  }
+
   test("tfidfNearDupPairs broadcasts the 1-row corpus count and meets " +
     "pairs only through the token join") {
     val p = plan(TextSearch.tfidfNearDupPairs(docs(100), threshold = 0.5,

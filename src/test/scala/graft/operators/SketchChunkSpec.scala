@@ -238,6 +238,29 @@ class SketchChunkSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  // --- corpus resemblance ----------------------------------------------------
+
+  test("corpusResemblance: identical corpora score exact and estimated " +
+    "Jaccard 1 with zero error; disjoint corpora score 0") {
+    val a = Seq((1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven")).toDF("doc_id", "text")
+    val b = Seq((3L, "alpha beta gamma delta epsilon"),
+      (4L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    def row(x: org.apache.spark.sql.DataFrame) = {
+      val r = x.head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    }
+    val same = row(Dedup.corpusResemblance(a, a))
+    assert(same._3 === 1.0 && same._4 === 1.0 && same._5 === 0.0)
+    val disj = row(Dedup.corpusResemblance(a, b))
+    assert(disj._3 === 0.0 && disj._4 === 0.0 && disj._5 === 0.0)
+    // portable and fast paths agree on the EXACT side (estimates use
+    // different hash families and may differ within sketch error)
+    val p = row(Dedup.corpusResemblance(a, b, portable = true))
+    assert(p._1 === disj._1 && p._2 === disj._2 && p._3 === disj._3)
+  }
+
   // --- embedding drift -------------------------------------------------------
 
   test("embeddingDrift: identical snapshots drift 0; a shifted dimension " +
