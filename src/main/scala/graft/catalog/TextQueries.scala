@@ -2225,7 +2225,92 @@ object TextQueries {
                  s"CASE WHEN ah$i = bh$i THEN 1 ELSE 0 END")
                  .mkString(" + ")}) / 16.0
                  - i::DOUBLE / (na + nb - i)), 6) AS abs_err
-        FROM sizes, sa, sb""")))
+        FROM sizes, sa, sb""")),
+
+    // ----- q109: quality-vs-duplication calibration — per fixed-width
+    // quality bucket (floor(q·10), keyed, never a global ntile window):
+    // doc count, exact-dup count and rate, average tokens. The
+    // dataset-card question "are low-quality docs the duplicated ones?"
+    // answered as one composition of oracle-checked operators
+    // (qualityScore + exactDuplicates). All counts exact; avg of
+    // sub-2^53 integer sums is order-independent in double.
+    Q("q109_quality_dup_calibration",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val scored = docsDf.select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 3).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val dups = graft.operators.Dedup.exactDuplicates(docsDf)
+          .select(col("doc_id")).withColumn("__dup", lit(1))
+        scored.join(dups, Seq("doc_id"), "left")
+          .withColumn("bucket", floor(col("q") * 10).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dups"),
+            round(sum(coalesce(col("__dup"), lit(0)))
+              / count(lit(1)), 6).as("dup_rate"),
+            round(avg("n_tokens"), 4).as("avg_tokens"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, $qualitySql AS q,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT
+                   AS n_tokens
+          FROM documents),
+        fps AS (
+          SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        keepers AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp),
+        flags AS (
+          SELECT f.doc_id,
+                 CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END AS isdup
+          FROM fps f JOIN keepers k ON k.fp = f.fp)
+        SELECT floor(s.q * 10)::INT AS bucket,
+               count(*) AS n_docs,
+               sum(fl.isdup)::BIGINT AS n_dups,
+               round(sum(fl.isdup)::DOUBLE / count(*), 6) AS dup_rate,
+               round(avg(s.n_tokens), 4) AS avg_tokens
+        FROM scored s JOIN flags fl ON fl.doc_id = s.doc_id
+        GROUP BY 1
+        ORDER BY bucket""")),
+
+    // ----- q110: shard-skew report — per md5-hash shard: doc and token
+    // counts, plus each shard's token load relative to the mean
+    // (Packing.hashShard is the layout q46/q47 pack into). The pre-write
+    // check that a shard count won't produce straggler files; all exact
+    // integers and exact-rational ratios.
+    Q("q110_shard_skew",
+      (s, d) => {
+        val nShards = 16
+        val docsDf = documents(s, d)
+        val perShard = docsDf.select(
+            Packing.hashShard(col("doc_id"), nShards).as("shard"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("shard_tokens"))
+        val total = perShard.agg(
+          sum("shard_tokens").cast("double").as("__tot"))
+        perShard.crossJoin(broadcast(total))
+          .select(col("shard"), col("n_docs"), col("shard_tokens"),
+            round(col("shard_tokens") * nShards / col("__tot"), 6)
+              .as("load_vs_mean"))
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH per AS (
+          SELECT ${shardSql(16)} AS shard,
+                 count(*) AS n_docs,
+                 sum(length(regexp_split_to_array(trim(lower(text)),
+                   '\\s+')))::BIGINT AS shard_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT sum(shard_tokens)::DOUBLE AS t FROM per)
+        SELECT shard, n_docs, shard_tokens,
+               round(shard_tokens * 16 / t, 6) AS load_vs_mean
+        FROM per, tot
+        ORDER BY shard""")))
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match
