@@ -21,6 +21,25 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
+  /** Total stop-the-world GC milliseconds since JVM start, summed across
+    * collectors. A per-query delta ≈ wall time is direct evidence of heap
+    * thrash (distinct from host contention, which load average catches). */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** JVM process CPU nanoseconds (-1 if the platform bean is absent).
+    * The per-query ratio cpu_sec/wall_sec is the decisive contention
+    * metric: ≈ cores busy ⇒ the query genuinely computed that long;
+    * ≪ 1 core ⇒ the process was starved by OTHER load on the host, and
+    * the wall time says nothing about the engine. */
+  private def cpuNanos: Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+    case _ => -1L
+  }
+
   /** Locale-stable float format: f"" interpolators use the JVM default
     * locale, which under e.g. de_DE emits comma decimals and breaks the
     * JSON. */
@@ -51,9 +70,17 @@ object Bench {
     // Drain via queryExecution.toRdd.count() — a plain df.count() lets
     // Catalyst prune unreferenced columns, so projection-only queries would
     // be timed without executing their expressions.
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter for diagnosis runs: comma-separated query
+    // names (exact match). Production driver runs leave this unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val startedAt = System.currentTimeMillis()
       val loadAt = osBean.getSystemLoadAverage
+      val gc0 = gcMillis
+      val cpu0 = cpuNanos
       val t0 = System.nanoTime()
       val n =
         try fn(spark, sfDir).queryExecution.toRdd.count()
@@ -61,25 +88,36 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)")
-      (name, sec, startedAt, loadAt)
+      val gcSec = (gcMillis - gc0) / 1e3
+      val cpuSec = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s  " +
+        f"(cpu $cpuSec%.1f s, gc $gcSec%.1f s, $n rows)")
+      (name, sec, startedAt, loadAt, gcSec, cpuSec)
     }
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
     val total = results.map(_._2).sum
-    val times = results.map { case (k, v, _, _) => k -> v }
+    val times = results.map { case (k, v, _, _, _, _) => k -> v }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL_r06.json")
-    // Per-query diagnostics: epoch-ms start + the load average sampled
-    // right before the query began.
-    val perQuery = results.map { case (k, _, startedAt, loadAt) =>
-      "\"" + k + "\":{\"start_ms\":" + startedAt +
-        ",\"load\":" + f3(loadAt) + "}"
+      "BENCH_DETAIL_r07.json")
+    // Per-query diagnostics: epoch-ms start, the load average sampled
+    // right before the query began, stop-the-world GC seconds inside the
+    // query (gc ≈ wall ⇒ heap thrash), and process CPU seconds (cpu/wall
+    // ≪ 1 core ⇒ the process was starved by other host load and the wall
+    // time is not an engine number).
+    val perQuery = results.map {
+      case (k, _, startedAt, loadAt, gcSec, cpuSec) =>
+        "\"" + k + "\":{\"start_ms\":" + startedAt +
+          ",\"load\":" + f3(loadAt) + ",\"gc_sec\":" + f3(gcSec) +
+          ",\"cpu_sec\":" + f3(cpuSec) + "}"
     }.mkString("{", ",", "}")
+    val heapMax = Runtime.getRuntime.maxMemory()
     val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +
       s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
+      s""""heap_max_mb":${heapMax / (1024 * 1024)},""" +
+      s""""gc_total_sec":${f3(gcMillis / 1e3)},""" +
       s""""wall_start":"$wallStart"}"""
     // Entries timed in their production (xxhash64) configuration while
     // Verify checks the portable-oracle form — see Q.benchRun.

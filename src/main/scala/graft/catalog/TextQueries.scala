@@ -13,9 +13,9 @@ object TextQueries {
   import Tables._
 
   /** The production incremental-dedup configuration (xxhash64 signatures,
-    * full corpus volume) — q53b's run, and the configuration q53's BENCH
-    * number times (the portable-md5 q53 form exists for the DuckDB
-    * oracle, bounded so Verify stays cheap). */
+    * full corpus volume) — q53b's run, the ONE timed instance of this
+    * config (the portable-md5 q53 form exists for the DuckDB oracle,
+    * bounded so Verify stays cheap, and times itself). */
   private def incrementalDedupProd(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
@@ -641,7 +641,10 @@ object TextQueries {
         index.unpersist()
         kept
       },
-      benchRun = Some(incrementalDedupProd),
+      // No benchRun override: q53b already times the production config —
+      // pointing q53's bench at the same function double-counted it in
+      // the reported total. q53's bench number is its own (portable,
+      // bounded) form.
       oracle = Some(s"""
         WITH RECURSIVE base AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 1000),
@@ -1879,8 +1882,11 @@ object TextQueries {
         import graft.operators.TextSearch
         TextSearch.tfidfNearDupPairs(documents(s, d), threshold = 0.6,
             maxDf = 200)
+          // round the RAW cosine once to 4 — the same single rounding the
+          // oracle applies (re-rounding the 6-decimal `cos` could diverge
+          // at a x.xxxx49999… boundary)
           .select(col("id_a"), col("id_b"),
-            round(col("cos"), 4).as("cos"))
+            round(col("cos_raw"), 4).as("cos"))
           .orderBy("id_a", "id_b")
       },
       Some("""

@@ -327,14 +327,37 @@ object TextAnalysis {
   private def resolveBoundaryLevel(scored: DataFrame, bq: Double,
       remaining: Long, idCol: String): DataFrame = {
     val level = scored.filter(col("q") === bq)
-    val bounds = level.agg(min(col(idCol).cast("long")).as("lo"),
-      max(col(idCol).cast("long")).as("hi")).head()
+    // try_cast, not cast: under ANSI mode a plain cast THROWS on the
+    // first non-numeric id instead of signalling the fallback path.
+    val idNum = expr(s"try_cast(`$idCol` as bigint)")
+    val bounds = level.agg(min(idNum).as("lo"), max(idNum).as("hi"),
+      count(lit(1)).as("n"),
+      count(idNum).as("n_numeric")).head()
+    if (bounds.isNullAt(0) || bounds.getLong(3) != bounds.getLong(2)) {
+      // Non-numeric ids (the long cast nulled some out): range-bucketing
+      // has no numeric axis, so cut the level with ONE running-sum window
+      // over its id order. Any orderable id type works; the cost is a
+      // single-task window over one quality LEVEL (not the corpus), the
+      // pre-bucketing shape.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(idCol)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val kept = level.withColumn("__cum_in", sum("n_tokens").over(w))
+        .filter(col("__cum_in") <= remaining)
+        .select(scored.columns.map(col).toIndexedSeq: _*)
+      return scored.filter(col("q") > bq).union(kept)
+    }
     val lo = bounds.getLong(0)
     val width = math.max(1L, (bounds.getLong(1) - lo) / 2000L + 1L)
-    // floor((id - lo) / width) is monotone in id, so walking buckets in
-    // order then ids within a bucket IS the id-order walk.
+    // floor((id - lo) div width) is monotone in id, so walking buckets in
+    // order then ids within a bucket IS the id-order walk. `div` keeps the
+    // arithmetic integral end-to-end — Column `/` is DOUBLE division,
+    // whose 53-bit mantissa would misassign buckets for id spreads beyond
+    // 2^53.
     val bucketed = level.withColumn("__b",
-      ((col(idCol).cast("long") - lo) / width).cast("long"))
+      expr(s"(try_cast(`$idCol` as bigint) - ${lo}L) div ${width}L"))
     val bucketSums = bucketed.groupBy("__b").agg(sum("n_tokens").as("toks"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)

@@ -202,6 +202,10 @@ object TextSearch {
       .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nb")), "id_b")
       .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
       .filter(col("cos_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+      // cos_raw stays exposed so consumers choosing a coarser precision
+      // round the RAW value once — re-rounding the 6-decimal `cos` to
+      // fewer digits can flip at a rounding boundary vs a single round.
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"),
+        col("cos_raw"))
   }
 }

@@ -23,6 +23,24 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Every `Window` exec node in the plan must partition by `key`. A
+    * keyed node prints `Window [exprs], [partSpec], [orderSpec]`; a
+    * GLOBAL window omits the partition bracket entirely (`Window
+    * [exprs], [orderSpec]`) — so a node without the three-bracket tail,
+    * or whose partition bracket misses the key, fails. Asserts at least
+    * one Window exists so the check can never pass vacuously. */
+  private def assertWindowsKeyedBy(p: String, key: String): Unit = {
+    val nodes = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(nodes.nonEmpty, s"no Window node found — window-shape " +
+      s"assertion would be vacuous:\n${p.take(800)}")
+    val tail = "\\], \\[([^\\]]+)\\], \\[[^\\]]*\\]\\s*$".r
+    nodes.foreach { n =>
+      val part = tail.findFirstMatchIn(n).map(_.group(1))
+      assert(part.exists(_.contains(key)),
+        s"Window node not partitioned by $key (global or wrong key): $n")
+    }
+  }
+
   test("stratifiedSample plans as WindowGroupLimit (map-side top-N per " +
     "group, not a full-group sort)") {
     val p = plan(TextAnalysis.stratifiedSample(docs(100), "lang", 5))
@@ -35,9 +53,16 @@ class PlanShapeSpec extends AnyFunSuite {
         Packing.packChunked(docs(100), 64, 8),
         TextAnalysis.stratifiedSample(docs(100), "lang", 5))) {
       val p = plan(df)
-      // every Window/Sort over a window must carry a partition key
-      assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
-        p.take(600))
+      // every Window node must carry a partition bracket — a global
+      // window prints only `Window [exprs], [orderSpec]` (no partition
+      // list), the shape that collapses the corpus into one task
+      p.linesIterator.filter(_.contains("Window [")).foreach { n =>
+        val keyed = "\\], \\[[^\\]]+\\], \\[[^\\]]*\\]\\s*$".r
+          .findFirstIn(n).isDefined
+        val orderOnlyTail = "\\], \\[[^\\]]*(ASC|DESC)[^\\]]*\\]\\s*$".r
+        assert(keyed || orderOnlyTail.findFirstIn(n).isEmpty,
+          s"unpartitioned (global) Window: $n")
+      }
       assert(!"Sort \\[[^\\]]*\\], true".r.findAllIn(p).exists(_ =>
           p.contains("SinglePartition")), p.take(600))
     }
@@ -318,15 +343,14 @@ class PlanShapeSpec extends AnyFunSuite {
   test("pmiBigrams' only window is keyed by the document id (never " +
     "global) and the totals join in by broadcast") {
     val p = plan(TextAnalysis.pmiBigrams(docs(100), minCount = 2))
-    assert(!p.contains("windowspecdefinition()"), p.take(800))
+    assertWindowsKeyedBy(p, "doc_id")
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
   test("cdcChunks' only window is keyed by the document id") {
     val p = plan(TextAnalysis.cdcChunks(docs(100), modulus = 4))
-    assert(!p.contains("windowspecdefinition()"), p.take(800))
-    assert(p.contains("doc_id"), p.take(800))
+    assertWindowsKeyedBy(p, "doc_id")
   }
 
   test("streamingNoveltyGate is STATELESS row algebra: the gated plan " +

@@ -118,10 +118,61 @@ class TextOpsSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got === expected(budget), s"budget $budget")
     }
-    // scale shape: the only window is keyed by the boundary level
-    val plan = TextAnalysis.tokenBudgetSelect(d, 40L)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("windowspecdefinition()"), plan.take(600))
+    // scale shape: every window in the plan is keyed (a global window
+    // prints `Window [exprs], [orderSpec]` with no partition bracket)
+    assertNoGlobalWindow(TextAnalysis.tokenBudgetSelect(d, 40L)
+      .queryExecution.executedPlan.toString)
+  }
+
+  /** Fails on any `Window` exec node without a partition bracket — the
+    * keyed form prints `Window [exprs], [partSpec], [orderSpec]`, the
+    * global form only `Window [exprs], [orderSpec]`. */
+  private def assertNoGlobalWindow(plan: String): Unit =
+    plan.linesIterator.filter(_.contains("Window [")).foreach { n =>
+      val keyed = "\\], \\[[^\\]]+\\], \\[[^\\]]*\\]\\s*$".r
+        .findFirstIn(n).isDefined
+      assert(keyed, s"unpartitioned (global) Window: $n")
+    }
+
+  test("tokenBudgetSelect handles NON-NUMERIC document ids: the boundary " +
+    "level is cut by a level-local window instead of NPEing on the cast") {
+    // string ids; two quality tiers; budget lands inside the low tier
+    val d = ((0 until 4).map(i =>
+        (f"doc$i%03d", "alpha beta gamma delta epsilon zeta")) ++
+      (10 until 18).map(i =>
+        (f"doc$i%03d", "alpha beta 9 gamma delta 8 epsilon")))
+      .toDF("doc_id", "text")
+    val scored = d.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 3).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def expected(budget: Long): Set[String] = {
+      var cum = 0L
+      scored.sortBy(t => (-t._2, t._1)).takeWhile { case (_, _, n) =>
+        cum += n; cum <= budget
+      }.map(_._1).toSet
+    }
+    for (budget <- Seq(15L, 40L, 60L, 1000L)) {
+      val got = TextAnalysis.tokenBudgetSelect(d, budget)
+        .select("doc_id").collect().map(_.getString(0)).toSet
+      assert(got === expected(budget), s"budget $budget")
+    }
+  }
+
+  test("tokenBudgetSelect id-range bucketing stays INTEGRAL for id " +
+    "spreads beyond 2^53 (double division would misassign buckets)") {
+    // one quality level, ids spanning nearly the full long range — the
+    // old floating-point bucket arithmetic loses low bits at this spread
+    val ids = Seq(0L, 1L, 2L, (1L << 53) + 7L, (1L << 60) + 5L,
+      Long.MaxValue - 2L)
+    val d = ids.map(i => (i, "alpha beta gamma 9 ok")).toDF("doc_id", "text")
+    val n = d.sparkSession.range(1)
+      .select(TextAnalysis.tokenCount(lit("alpha beta gamma 9 ok"))
+        .cast("long")).head().getLong(0)
+    // budget for exactly 3 docs plus part of the 4th: id-order greedy
+    val got = TextAnalysis.tokenBudgetSelect(d, n * 3 + n / 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(0L, 1L, 2L))
   }
 
   test("tokenBudgetSelect survives a CONSTANT-quality corpus: the " +
@@ -138,12 +189,11 @@ class TextOpsSpec extends AnyFunSuite {
     val got = TextAnalysis.tokenBudgetSelect(d, budget)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === (0 until 37).map(_.toLong * 37).toSet)
-    // the plan's running-sum window partitions by the id bucket column,
-    // never by the (constant) quality column alone
+    // the plan's running-sum window partitions by the id bucket column
     val plan = TextAnalysis.tokenBudgetSelect(d, budget)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("__b") || !plan.contains("windowspecdefinition"),
-      plan.take(800))
+    assert(plan.contains("__b"), plan.take(800))
+    assertNoGlobalWindow(plan)
   }
 
   test("importanceSelect scores pool docs by the smoothed target/source " +
