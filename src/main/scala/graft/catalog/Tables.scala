@@ -21,15 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (integer DIV — a double division would lose precision on
-    * ~1.7e18 ns epochs). DuckDB's µs timestamps truncate identically. */
+  /** `events.ts` has shipped as two physical types across harness data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long and integer-DIV to µs; a double division
+    * would lose precision on ~1.7e18 ns epochs) and plain TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
+    * Normalise both to a session-TZ TIMESTAMP: both mains pin the session
+    * to UTC, so the NTZ cast is value-preserving and DuckDB's naive µs
+    * timestamps compare equal. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
