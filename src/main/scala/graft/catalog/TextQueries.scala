@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Packing, TextAnalysis}
+import graft.operators.{Dedup, Packing, TextAnalysis, WebText}
 
 /** Oracle-checked catalog entries for the text-analysis / dedup operators
   * (graft.operators.TextAnalysis, graft.operators.Dedup) over `documents`.
@@ -2316,7 +2316,307 @@ object TextQueries {
         SELECT shard, n_docs, shard_tokens,
                round(shard_tokens * 16 / t, 6) AS load_vs_mean
         FROM per, tot
-        ORDER BY shard""")))
+        ORDER BY shard""")),
+
+    // ----- q111: HTML/markup stripping (WebText.markupStats) — the first
+    // stage of a crawled-corpus pipeline: comment/script/style blocks
+    // removed (their content is code, not prose), tags stripped to spaces,
+    // entities decoded &amp;-last, whitespace squeezed; plus tag/entity
+    // counts and the markup fraction (chrome-heavy-page signal). The
+    // harness documents are plain text, so the markup is synthesized
+    // deterministically on both engines.
+    Q("q111_html_strip",
+      (s, d) => {
+        val synth = documents(s, d).select(col("doc_id"),
+          concat(
+            lit("<html><!-- note "), col("doc_id").cast("string"),
+            lit(" --><head><style>.x{color:red}</style></head><body><h1>"),
+            col("source"),
+            lit("</h1><p>"), substring(col("text"), 1, 60),
+            lit(" &amp; &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>"),
+            lit("<script>var a = 1 < 2;</script></body></html>")).as("html"))
+        WebText.markupStats(synth).orderBy("doc_id")
+      },
+      Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 '<html><!-- note ' || doc_id ||
+                 ' --><head><style>.x{color:red}</style></head><body><h1>' ||
+                 source || '</h1><p>' || substr(text, 1, 60) ||
+                 ' &amp; &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>' ||
+                 '<script>var a = 1 < 2;</script></body></html>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id, html,
+                 trim(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     html,
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '<[^>]+>', ' ', 'g'),
+                     '&nbsp;', ' ', 'g'),
+                     '&quot;', '"', 'g'),
+                     '&#39;', chr(39), 'g'),
+                     '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                     '&amp;', '&', 'g'),
+                   '\s+', ' ', 'g')) AS text_clean
+          FROM synth)
+        SELECT doc_id, text_clean,
+               len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+               len(regexp_extract_all(html, '&[a-zA-Z]+;|&#[0-9]+;'))::BIGINT
+                 AS n_entities,
+               round(1 - length(text_clean)::DOUBLE /
+                 greatest(length(html), 1), 4) AS markup_frac
+        FROM stripped
+        ORDER BY doc_id""")),
+
+    // ----- q112: URL canonicalization (WebText.canonicalizeUrl) — scheme/
+    // host lowercased, www. and default ports dropped, fragment and
+    // tracking params dropped, surviving params SORTED, trailing slash
+    // normalized. Variants 0 and 1 of the synthesized URLs differ in case,
+    // www, port, param order, and tracking noise but MUST collide after
+    // canonicalization — that collision is the operator's purpose.
+    Q("q112_url_canonical",
+      (s, d) => {
+        val synth = documents(s, d).select(col("doc_id"), synthUrl.as("url"))
+        synth.select(col("doc_id"),
+            WebText.canonicalizeUrl(col("url")).as("url_canon"))
+          .withColumn("host", WebText.urlHost(col("url_canon")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $urlCanonCtes
+        SELECT doc_id, url_canon,
+               regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                 AS host
+        FROM canon
+        ORDER BY doc_id""")),
+
+    // ----- q113: host-level corpus report (WebText.hostStats) — crawl
+    // pipelines block/keep whole HOSTS, not single pages: per canonical
+    // host, document count, distinct canonical URLs (n_docs > n_urls ⇒
+    // URL-level duplicates), the dup factor, and mean quality. One hash
+    // aggregation on the host key; canonicalization is map-side.
+    Q("q113_host_stats",
+      (s, d) => {
+        val synth = documents(s, d).select(col("doc_id"), synthUrl.as("url"),
+          ((col("doc_id") % 7).cast("double") / 6.0).as("quality"))
+        WebText.hostStats(synth).orderBy("host")
+      },
+      Some(s"""
+        WITH $urlCanonCtes
+        SELECT regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                 AS host,
+               count(*) AS n_docs,
+               count(DISTINCT url_canon) AS n_urls,
+               round(count(*)::DOUBLE / count(DISTINCT url_canon), 4)
+                 AS dup_factor,
+               round(avg((doc_id % 7) / 6.0), 4) AS avg_quality
+        FROM canon
+        GROUP BY 1
+        ORDER BY host""")),
+
+    // ----- q114: cross-document paragraph dedup, KEEP-FIRST semantics
+    // (TextAnalysis.paragraphDedupKeepFirst — the CCNet/RefinedWeb
+    // paragraph stage): each paragraph survives only at its first
+    // (doc_id, pos) occurrence corpus-wide; docs are rebuilt from the
+    // survivors. Distinct from q60's boilerplate removal, which deletes
+    // EVERY occurrence of a frequent line. Verified on md5 fingerprints;
+    // the bench times the production xxhash64 election (identical output,
+    // 8-byte shuffle keys).
+    Q("q114_paragraph_dedup",
+      (s, d) =>
+        TextAnalysis.paragraphDedupKeepFirst(synthParagraphs(s, d),
+            portable = true)
+          .orderBy("doc_id"),
+      Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 'shared para alpha' || chr(10) ||
+                 'group ' || (doc_id % 5) || ' para' || chr(10) ||
+                 'u' || doc_id || ' ' || substr(text, 1, 40) AS text
+          FROM documents),
+        l AS (
+          SELECT doc_id, i.i AS pos, ls[i.i] AS para
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+               unnest(generate_series(1, len(ls))) AS i(i)
+          WHERE length(trim(ls[i.i])) > 0),
+        ranked AS (
+          SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY trim(para)
+                   ORDER BY doc_id, pos) AS rn
+          FROM l),
+        kept AS (
+          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_kept,
+                 count(*) AS n_kept
+          FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        np AS (SELECT doc_id, count(*) AS n_paras FROM l GROUP BY doc_id)
+        SELECT s.doc_id,
+               coalesce(k.text_kept, '') AS text_kept,
+               coalesce(np.n_paras, 0)::BIGINT AS n_paras,
+               (coalesce(np.n_paras, 0) - coalesce(k.n_kept, 0))::BIGINT
+                 AS n_removed
+        FROM synth s
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN np USING (doc_id)
+        ORDER BY doc_id"""),
+      benchRun = Some((s, d) =>
+        TextAnalysis.paragraphDedupKeepFirst(synthParagraphs(s, d),
+            portable = false)
+          .orderBy("doc_id"))),
+
+    // ----- q115: bigram-LM document scoring with add-k smoothing
+    // (TextAnalysis.bigramLogprob) — mean ln P(w_i | w_{i-1}) against
+    // corpus counts, P(b|a) = (c(a,b)+k)/(c(a)+k·V): the context-aware
+    // step up from q73's unigram score and a cheap neural-perplexity
+    // stand-in (predictable template text scores high, corrupted text
+    // low). Docs with < 2 tokens have no bigram positions and drop out
+    // on both engines.
+    Q("q115_bigram_logprob",
+      (s, d) =>
+        TextAnalysis.bigramLogprob(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, u.i - 1 AS pos, a[u.i] AS w
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents), unnest(generate_series(1, len(a))) AS u(i)
+          WHERE length(a[u.i]) > 0),
+        bi AS (
+          SELECT doc_id, w AS w1,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks),
+        bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+        uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi2 GROUP BY 1, 2),
+        v AS (SELECT count(*)::DOUBLE AS v FROM uni)
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logprob
+        FROM bi2 JOIN bc USING (w1, w2) JOIN uni USING (w1), v
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----- q116: Unicode-script composition (TextAnalysis.scriptMix) —
+    // per-doc fraction of Latin / Han / Cyrillic / digit / other
+    // characters: the wrong-script contamination gate stopword-based
+    // lang-ID can't see. The harness text is ASCII, so script content is
+    // synthesized: zh docs get Han, every 13th doc gets Cyrillic "spam",
+    // every 10th gets digits. Spark spells the classes \p{IsHan}, RE2
+    // (DuckDB) \p{Han} — same class, each engine's own spelling.
+    Q("q116_script_mix",
+      (s, d) => {
+        val synth = documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("lang") === "zh", lit(" 中文样本文本")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" спам текст"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 10 === 0, lit(" 4212")).otherwise(lit("")))
+            .as("text"))
+        TextAnalysis.scriptMix(synth).orderBy("doc_id")
+      },
+      Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN lang = 'zh' THEN ' 中文样本文本' ELSE '' END ||
+                 CASE WHEN doc_id % 13 = 0 THEN ' спам текст' ELSE '' END ||
+                 CASE WHEN doc_id % 10 = 0 THEN ' 4212' ELSE '' END AS text
+          FROM documents),
+        t AS (SELECT doc_id, regexp_replace(text, '\s+', '', 'g') AS t
+              FROM synth)
+        SELECT doc_id,
+               length(t)::BIGINT AS n_chars,
+               round(len(regexp_extract_all(t, '\p{Latin}'))::DOUBLE /
+                 greatest(length(t), 1), 4) AS latin_frac,
+               round(len(regexp_extract_all(t, '\p{Han}'))::DOUBLE /
+                 greatest(length(t), 1), 4) AS han_frac,
+               round(len(regexp_extract_all(t, '\p{Cyrillic}'))::DOUBLE /
+                 greatest(length(t), 1), 4) AS cyrillic_frac,
+               round(len(regexp_extract_all(t, '[0-9]'))::DOUBLE /
+                 greatest(length(t), 1), 4) AS digit_frac,
+               round(1 - len(regexp_extract_all(t,
+                   '\p{Latin}|\p{Han}|\p{Cyrillic}|[0-9]'))::DOUBLE /
+                 greatest(length(t), 1), 4) AS other_frac
+        FROM t
+        ORDER BY doc_id""")))
+
+  /** Deterministic synthetic URL per document for the WebText queries —
+    * four variants exercising the canonicalization rules: 0 = uppercase
+    * scheme/host + www + default port + trailing slash + tracking param +
+    * fragment + shuffled params; 1 = the same logical URL already mostly
+    * clean (MUST collide with 0 after canonicalization); 2 = http with
+    * default port and only tracking params; 3 = bare root path. */
+  private def synthUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Docs/"),
+        (col("doc_id") % 50).cast("string"), lit("/?b=2&utm_source=x&a=1#frag")))
+    .when(col("doc_id") % 4 === 1,
+      concat(lit("https://"), col("source"), lit(".example.com/Docs/"),
+        (col("doc_id") % 50).cast("string"), lit("?a=1&b=2")))
+    .when(col("doc_id") % 4 === 2,
+      concat(lit("http://www."), col("source"),
+        lit(".example.com:80/index.html?gclid=zz&ref=r")))
+    .otherwise(concat(lit("https://"), col("source"), lit(".example.com/")))
+
+  /** The synthetic URLs + their canonical form as DuckDB CTEs (ends at
+    * `canon(doc_id, url_canon)`) — must match
+    * [[graft.operators.WebText.canonicalizeUrl]] rule for rule. */
+  private val urlCanonCtes: String = """synth AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+                     || (doc_id % 50) || '/?b=2&utm_source=x&a=1#frag'
+                   WHEN 1 THEN 'https://' || source || '.example.com/Docs/'
+                     || (doc_id % 50) || '?a=1&b=2'
+                   WHEN 2 THEN 'http://www.' || source
+                     || '.example.com:80/index.html?gclid=zz&ref=r'
+                   ELSE 'https://' || source || '.example.com/'
+                 END AS url
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+                   '://www\.', '://'), ':(80|443)$', '') AS head,
+                 regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                 regexp_extract(url, '\?([^#]*)', 1) AS rawq
+          FROM synth),
+        withq AS (
+          SELECT doc_id, head, rawpath,
+                 array_to_string(list_sort(list_filter(
+                   string_split(rawq, '&'),
+                   p -> length(p) > 0 AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS qstr
+          FROM parts),
+        canon AS (
+          SELECT doc_id,
+                 head ||
+                 CASE WHEN regexp_matches(rawpath, '^.+/$')
+                      THEN regexp_replace(rawpath, '/$', '')
+                      ELSE rawpath END ||
+                 CASE WHEN qstr != '' THEN '?' || qstr ELSE '' END AS url_canon
+          FROM withq)"""
+
+  /** Multi-line synthetic corpus for the paragraph-dedup queries: a
+    * corpus-wide shared paragraph, a per-(id%5) group paragraph, and one
+    * unique paragraph per doc — keep-first must retain the shared/group
+    * paragraphs exactly once (at the smallest doc_id) and every unique
+    * paragraph. */
+  private def synthParagraphs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d).select(col("doc_id"),
+      concat_ws("\n",
+        lit("shared para alpha"),
+        concat_ws(" ", lit("group"), (col("doc_id") % 5), lit("para")),
+        concat(lit("u"), col("doc_id").cast("string"), lit(" "),
+          substring(col("text"), 1, 40))).as("text"))
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match

@@ -1116,4 +1116,121 @@ object TextAnalysis {
       .agg(countDistinct(idCol).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Cross-document paragraph dedup with KEEP-FIRST semantics (the
+    * CCNet/RefinedWeb paragraph stage): every paragraph keeps only its
+    * FIRST occurrence corpus-wide — first by (doc_id, position) — and all
+    * later occurrences are removed; each doc is rebuilt from its surviving
+    * paragraphs in original order. Differs from [[removeBoilerplateLines]]
+    * (which deletes EVERY occurrence of a frequent line): keep-first
+    * preserves exactly one copy of shared content, so corpus-wide
+    * information is kept while duplication is eliminated.
+    *
+    * Shape at 100 TB: paragraphs shuffle ONCE on an 8-byte/32-byte
+    * fingerprint to elect the (min doc_id, min pos) winner, then an
+    * equi-join back and one groupBy(doc) rebuild. Text itself never
+    * shuffles in the election — only fingerprints and positions.
+    *
+    * @param portable md5 fingerprints (DuckDB-replayable) vs xxhash64
+    *                 (8-byte keys, the production path)
+    * @return (idCol, text_kept, n_paras, n_removed) */
+  def paragraphDedupKeepFirst(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("pkey",
+        if (portable) md5(trim(col("para"))) else xxhash64(trim(col("para"))))
+    // winner election: one aggregation on the fingerprint; min(struct)
+    // gives the lexicographically-first (doc_id, pos) holder.
+    val winners = paras
+      .groupBy("pkey")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("pkey"), col("w")(idCol).as("w_id"), col("w.pos").as("w_pos"))
+    val kept = paras.join(winners, "pkey")
+      .filter(col(idCol) === col("w_id") && col("pos") === col("w_pos"))
+    docs.select(col(idCol), col(textCol)).join(
+        kept.groupBy(idCol)
+          .agg(
+            array_join(array_sort(collect_list(struct(col("pos"), col("para"))))
+              .getField("para"), "\n").as("text_kept"),
+            count(lit(1)).as("n_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        size(filter(split(col(textCol), "\n"), p => length(trim(p)) > 0))
+          .cast("long").as("n_paras"),
+        (size(filter(split(col(textCol), "\n"), p => length(trim(p)) > 0)) -
+          coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /** Bigram language-model document scoring with add-k smoothing: mean
+    * ln P(w_i | w_{i-1}) over each document's bigram positions, where
+    * P(b|a) = (c(a,b) + k) / (c(a) + k·V) against corpus-wide counts —
+    * the next step up from [[unigramLogprob]]'s context-free score and a
+    * cheap stand-in for neural-perplexity filtering: template/spam text
+    * scores high (predictable bigrams), natural prose scores mid, shuffled
+    * or corrupted text scores low.
+    *
+    * Shape at 100 TB: bigram occurrences join the bigram-count and
+    * unigram-count relations on their keys (two shuffled equi-joins whose
+    * build sides are count tables ≪ corpus); V and the corpus totals are
+    * 1-row broadcasts. No driver state, no windows.
+    *
+    * @return (idCol, n_bigrams, avg_logprob round 4) */
+  def bigramLogprob(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Double = 0.5): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val bigrams = toks
+      .withColumn("nxt", lead(col("w"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), col("w").as("w1"), col("nxt").as("w2"))
+    val uniCnt = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val biCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = broadcast(uniCnt.agg(count(lit(1)).as("v")))
+    bigrams
+      .join(biCnt, Seq("w1", "w2"))
+      .join(uniCnt, Seq("w1"))
+      .crossJoin(vocab)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + k) / (col("c1") + col("v") * k))), 4)
+          .as("avg_logprob"))
+  }
+
+  /** Unicode-script composition per document: the fraction of non-space
+    * characters in Latin, Han, Cyrillic, digits, and other — the script
+    * gate that catches wrong-script contamination (e.g. CJK spam inside an
+    * `en` shard) that stopword-based [[langId]] cannot see. Pure scalar
+    * regex — one codegen'd map pass, no shuffle.
+    *
+    * Spark spells script classes `\p{IsHan}`; RE2 (DuckDB) spells them
+    * `\p{Han}` — the oracle uses its own spelling of the same class.
+    *
+    * @return (idCol, n_chars, latin_frac, han_frac, cyrillic_frac,
+    *         digit_frac, other_frac — all round 4) */
+  def scriptMix(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = regexp_replace(col(textCol), "\\s+", "")
+    def frac(pattern: String): Column =
+      round(size(regexp_extract_all(t, lit(pattern), lit(0))).cast("double") /
+        greatest(length(t), lit(1)).cast("double"), 4)
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      frac("\\p{IsLatin}").as("latin_frac"),
+      frac("\\p{IsHan}").as("han_frac"),
+      frac("\\p{IsCyrillic}").as("cyrillic_frac"),
+      frac("[0-9]").as("digit_frac"),
+      round(lit(1) -
+        (size(regexp_extract_all(t, lit("\\p{IsLatin}|\\p{IsHan}|\\p{IsCyrillic}|[0-9]"), lit(0)))
+          .cast("double") / greatest(length(t), lit(1)).cast("double")), 4)
+        .as("other_frac"))
+  }
 }

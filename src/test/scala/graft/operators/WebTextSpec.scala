@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge-case behavior of the round-8 web-text / paragraph / LM / script
+  * operators (the oracle entries q111–q116 cover the happy path on
+  * harness data; these pin the corners).
+  */
+class WebTextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- stripMarkup --------------------------------------------------------
+
+  test("stripMarkup removes script/style CONTENT, strips tags, decodes " +
+    "entities amp-last, squeezes whitespace") {
+    val d = Seq((1L,
+      "<html><!-- hidden --><style>p{}</style><body>" +
+        "<p>A &amp;&nbsp;B</p>\n<script>var x = '<p>not text</p>';</script>" +
+        "<p>C &amp;lt;escaped&amp;gt;</p></body></html>"))
+      .toDF("doc_id", "html")
+    val got = WebText.markupStats(d).collect()(0)
+    // script body (including its fake tags) must vanish; &amp;lt; must
+    // decode to the literal "&lt;" (ONE decode pass), not to "<".
+    assert(got.getAs[String]("text_clean") === "A & B C &lt;escaped&gt;")
+  }
+
+  test("stripMarkup survives two script blocks without swallowing the " +
+    "text between them (non-greedy block match)") {
+    val d = Seq((1L,
+      "<script>a</script><p>keep me</p><script>b</script>"))
+      .toDF("doc_id", "html")
+    val got = WebText.markupStats(d).collect()(0)
+    assert(got.getAs[String]("text_clean") === "keep me")
+  }
+
+  test("markupStats counts tags and entities; markup_frac is 0 for " +
+    "markup-free text") {
+    val d = Seq(
+      (1L, "<a href=x>y</a> &quot;z&quot; &#39;w&#39;"),
+      (2L, "plain text")).toDF("doc_id", "html")
+    val got = WebText.markupStats(d).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_tags") === 2L)
+    assert(got(0).getAs[Long]("n_entities") === 4L)
+    assert(got(1).getAs[Long]("n_tags") === 0L)
+    assert(got(1).getAs[Double]("markup_frac") === 0.0)
+  }
+
+  // --- canonicalizeUrl ----------------------------------------------------
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("url")
+      .select(WebText.canonicalizeUrl(col("url")).as("c"))
+      .collect()(0).getString(0)
+
+  test("canonicalizeUrl collapses case/www/port/param-order/tracking/" +
+    "fragment variants of the same URL to one form") {
+    val expected = "https://ex.com/Docs/3?a=1&b=2"
+    assert(canon("HTTPS://WWW.Ex.COM:443/Docs/3/?b=2&utm_source=x&a=1#f")
+      === expected)
+    assert(canon("https://ex.com/Docs/3?a=1&b=2") === expected)
+  }
+
+  test("canonicalizeUrl preserves path case, root slash, and non-default " +
+    "ports") {
+    assert(canon("http://Ex.com:8080/A/b") === "http://ex.com:8080/A/b")
+    assert(canon("https://ex.com/") === "https://ex.com/")
+    // all-tracking query drops entirely (no dangling '?')
+    assert(canon("http://www.ex.com:80/p?gclid=1&fbclid=2&ref=r")
+      === "http://ex.com/p")
+  }
+
+  test("hostStats counts URL-level duplicates per host") {
+    val d = Seq(
+      (1L, "https://a.com/x?b=2&a=1", 1.0),
+      (2L, "https://WWW.A.com/x?a=1&b=2", 0.0), // same canonical URL
+      (3L, "https://a.com/y", 1.0),
+      (4L, "https://b.com/z", 0.5)).toDF("doc_id", "url", "quality")
+    val got = WebText.hostStats(d).orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("dup_factor")))
+    assert(got(0) === (("a.com", 3L, 2L, 1.5)))
+    assert(got(1) === (("b.com", 1L, 1L, 1.0)))
+  }
+
+  // --- paragraphDedupKeepFirst -------------------------------------------
+
+  test("paragraphDedupKeepFirst keeps the first (doc_id, pos) occurrence " +
+    "corpus-wide and rebuilds docs in order") {
+    val d = Seq(
+      (1L, "shared\nunique one"),
+      (2L, "shared\nunique two\nshared"), // 2nd+3rd copies of 'shared' drop
+      (3L, "unique three")).toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val got = TextAnalysis
+        .paragraphDedupKeepFirst(d, portable = portable)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(got(0) === ((1L, "shared\nunique one", 2L, 0L)))
+      assert(got(1) === ((2L, "unique two", 3L, 2L)))
+      assert(got(2) === ((3L, "unique three", 1L, 0L)))
+    }
+  }
+
+  test("paragraphDedupKeepFirst: a doc whose every paragraph is a " +
+    "duplicate survives with empty text, not a dropped row") {
+    val d = Seq(
+      (1L, "only para"),
+      (2L, "only para")).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedupKeepFirst(d, portable = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got(0) === ((1L, "only para", 0L)))
+    assert(got(1) === ((2L, "", 1L)))
+  }
+
+  test("paragraphDedupKeepFirst ignores blank/whitespace paragraphs") {
+    val d = Seq((1L, "a\n\n  \nb")).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedupKeepFirst(d, portable = true)
+      .collect()(0)
+    assert(got.getAs[String]("text_kept") === "a\nb")
+    assert(got.getAs[Long]("n_paras") === 2L)
+  }
+
+  // --- bigramLogprob ------------------------------------------------------
+
+  test("bigramLogprob scores a doc made of the corpus's dominant bigram " +
+    "above one of unique bigrams, and drops single-token docs") {
+    val common = (0 until 20).map(i => (i.toLong, "to be to be to be"))
+    val d = (common :+ ((90L, "zz qq ww")) :+ ((99L, "solo")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogprob(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) > got(90L))
+    assert(!got.contains(99L)) // no bigram positions → no row
+  }
+
+  test("bigramLogprob: deterministic value on a hand-computable corpus") {
+    // corpus: one doc "a b" → c(a,b)=1, c(a)=1, V=2 (tokens a,b)
+    // P(b|a) = (1+0.5)/(1+0.5*2) = 0.75 → avg ln = ln(0.75)
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogprob(d).collect()(0)
+    assert(got.getLong(1) === 1L)
+    assert(got.getDouble(2) === math.rint(math.log(0.75) * 10000) / 10000)
+  }
+
+  // --- scriptMix ----------------------------------------------------------
+
+  test("scriptMix partitions characters into Latin/Han/Cyrillic/digit/" +
+    "other with whitespace excluded") {
+    val d = Seq(
+      (1L, "abc 中文 дом 12 !"),   // 3 latin, 2 han, 3 cyr, 2 digit, 1 other
+      (2L, "only latin words")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(d).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_chars") === 11L)
+    assert(r1.getAs[Double]("latin_frac") === math.rint(3.0 / 11 * 10000) / 10000)
+    assert(r1.getAs[Double]("han_frac") === math.rint(2.0 / 11 * 10000) / 10000)
+    assert(r1.getAs[Double]("cyrillic_frac") === math.rint(3.0 / 11 * 10000) / 10000)
+    assert(r1.getAs[Double]("digit_frac") === math.rint(2.0 / 11 * 10000) / 10000)
+    assert(r1.getAs[Double]("other_frac") === math.rint(1.0 / 11 * 10000) / 10000)
+    assert(got(1).getAs[Double]("latin_frac") === 1.0)
+    assert(got(1).getAs[Double]("other_frac") === 0.0)
+  }
+}
