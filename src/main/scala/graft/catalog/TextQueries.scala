@@ -2543,6 +2543,38 @@ object TextQueries {
                    '\p{Latin}|\p{Han}|\p{Cyrillic}|[0-9]'))::DOUBLE /
                  greatest(length(t), 1), 4) AS other_frac
         FROM t
+        ORDER BY doc_id""")),
+
+    // ----- q117: robust length-outlier gate (TextAnalysis
+    // .lengthOutlierTrim) — modified z-score 0.6745·(n−med)/MAD per
+    // source: the length filter that is NOT dragged by its own outliers
+    // (mean/stddev is). Spark's exact `percentile` and DuckDB's
+    // `quantile_cont` share the (n−1)·p interpolation (q93 precedent).
+    // MAD = 0 keeps the whole group.
+    Q("q117_length_outliers",
+      (s, d) =>
+        TextAnalysis.lengthOutlierTrim(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        WITH n AS (
+          SELECT doc_id, source,
+                 len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+                   AS n_tokens
+          FROM documents),
+        m AS (
+          SELECT source, quantile_cont(n_tokens, 0.5) AS med
+          FROM n GROUP BY 1),
+        dm AS (SELECT n.*, med FROM n JOIN m USING (source)),
+        md AS (
+          SELECT source, quantile_cont(abs(n_tokens - med), 0.5) AS mad
+          FROM dm GROUP BY 1)
+        SELECT doc_id, source, n_tokens,
+               round(CASE WHEN mad > 0
+                          THEN 0.6745 * (n_tokens - med) / mad
+                          ELSE 0 END, 4) AS z,
+               abs(CASE WHEN mad > 0
+                        THEN 0.6745 * (n_tokens - med) / mad
+                        ELSE 0 END) <= 3.5 AS keep
+        FROM dm JOIN md USING (source)
         ORDER BY doc_id""")))
 
   /** Deterministic synthetic URL per document for the WebText queries —

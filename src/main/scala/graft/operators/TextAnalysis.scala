@@ -1117,6 +1117,39 @@ object TextAnalysis {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Robust per-group document-length outlier gate (median/MAD): each
+    * document's token count gets a modified z-score 0.6745·(n−med)/MAD
+    * against ITS group's median and median-absolute-deviation, and docs
+    * beyond `zMax` are flagged for dropping — the robust form of length
+    * filtering (mean/stddev thresholds are themselves dragged by the very
+    * outliers they should catch; median/MAD are not). A degenerate group
+    * (MAD = 0, i.e. over half the group at the median) keeps everything
+    * rather than keeping only the exact-median docs.
+    *
+    * Shape at 100 TB: two grouped EXACT percentile aggregations (group
+    * cardinality = sources, small) broadcast back into the corpus scan —
+    * the corpus itself shuffles only on the group key for the two
+    * aggregations; no window, no global sort.
+    *
+    * @return (idCol, group, n_tokens, z round 4, keep) */
+  def lengthOutlierTrim(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      zMax: Double = 3.5): DataFrame = {
+    val n = docs.select(col(idCol), col(groupCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val med = n.groupBy(groupCol)
+      .agg(expr("percentile(n_tokens, 0.5D)").as("med"))
+    val withMed = n.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(groupCol)
+      .agg(expr("percentile(abs(n_tokens - med), 0.5D)").as("mad"))
+    val z = when(col("mad") > 0,
+      lit(0.6745) * (col("n_tokens") - col("med")) / col("mad"))
+      .otherwise(lit(0.0))
+    withMed.join(broadcast(mad), groupCol)
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        round(z, 4).as("z"), (abs(z) <= zMax).as("keep"))
+  }
+
   /** Cross-document paragraph dedup with KEEP-FIRST semantics (the
     * CCNet/RefinedWeb paragraph stage): every paragraph keeps only its
     * FIRST occurrence corpus-wide — first by (doc_id, position) — and all

@@ -371,4 +371,38 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastNestedLoopJoin"), p.take(1000))
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
+
+  test("markupStats, canonicalizeUrl, and scriptMix are shuffle-free " +
+    "scalar passes (no Exchange, no Aggregate, no Window)") {
+    val urls = (0 until 50).map(i => (i.toLong, s"https://www.h$i.com/p?a=1"))
+      .toDF("doc_id", "url")
+    for (df <- Seq(
+        WebText.markupStats(docs(50).withColumnRenamed("text", "html")),
+        urls.select(WebText.canonicalizeUrl(col("url")).as("c")),
+        TextAnalysis.scriptMix(docs(50)))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p.take(800))
+      assert(!p.contains("Aggregate"), p.take(800))
+      assert(!p.contains("Window"), p.take(800))
+    }
+  }
+
+  test("paragraphDedupKeepFirst elects winners through hash aggregation " +
+    "on the fingerprint — no window over paragraphs, no cartesian") {
+    val multi = docs(100).select(col("doc_id"),
+      concat_ws("\n", lit("shared"), col("text")).as("text"))
+    val p = plan(TextAnalysis.paragraphDedupKeepFirst(multi))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("bigramLogprob's only window is keyed by the document id and the " +
+    "vocab scalar joins in by broadcast") {
+    val p = plan(TextAnalysis.bigramLogprob(docs(100)))
+    assertWindowsKeyedBy(p, "doc_id")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
 }

@@ -147,6 +147,31 @@ class WebTextSpec extends AnyFunSuite {
     assert(got.getDouble(2) === math.rint(math.log(0.75) * 10000) / 10000)
   }
 
+  // --- lengthOutlierTrim --------------------------------------------------
+
+  test("lengthOutlierTrim flags the length outlier within its group and " +
+    "keeps the body of the distribution") {
+    // src A: lengths 3,4,5,4,3 + one 400-token monster; src B untouched
+    val a = Seq("a b c", "a b c d", "a b c d e", "a b c d", "a b c")
+      .zipWithIndex.map { case (t, i) => (i.toLong, "A", t) }
+    val monster = (50L, "A", (0 until 400).map(i => s"t$i").mkString(" "))
+    val b = Seq((60L, "B", "x y"), (61L, "B", "x y z"))
+    val d = (a :+ monster) ++ b
+    val got = TextAnalysis
+      .lengthOutlierTrim(d.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(50L) === false)
+    assert((a.map(_._1) ++ b.map(_._1)).forall(id => got(id)))
+  }
+
+  test("lengthOutlierTrim: a zero-MAD group keeps everything with z = 0") {
+    val d = Seq((1L, "A", "x y"), (2L, "A", "p q"), (3L, "A", "r s"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lengthOutlierTrim(d)
+      .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    assert(got.forall(_ === ((0.0, true))))
+  }
+
   // --- scriptMix ----------------------------------------------------------
 
   test("scriptMix partitions characters into Latin/Han/Cyrillic/digit/" +
