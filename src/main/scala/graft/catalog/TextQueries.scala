@@ -2575,6 +2575,26 @@ object TextQueries {
                         THEN 0.6745 * (n_tokens - med) / mad
                         ELSE 0 END) <= 3.5 AS keep
         FROM dm JOIN md USING (source)
+        ORDER BY doc_id""")),
+
+    // ----- q118: JSONL source (sources/DocSource) — the LLM-corpus
+    // interchange format read with an EXPLICIT schema (no inference
+    // pass), line-splittable parallel scan, PERMISSIVE corrupt-line
+    // tolerance. The committed fixture exercises unicode, JSON escapes,
+    // missing fields (→ NULL), extra fields (ignored), and one corrupt
+    // line (dropped on both engines: Spark via the _corrupt column,
+    // DuckDB via ignore_errors' all-NULL row).
+    Q("q118_jsonl_source",
+      (s, _) =>
+        graft.sources.DocSource.jsonlDocs(s,
+          "/root/repo/fixtures/jsonl/documents.jsonl").orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, text, lang, source
+        FROM read_json('/root/repo/fixtures/jsonl/documents.jsonl',
+          format='newline_delimited', ignore_errors=true,
+          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                   'lang': 'VARCHAR', 'source': 'VARCHAR'})
+        WHERE doc_id IS NOT NULL
         ORDER BY doc_id""")))
 
   /** Deterministic synthetic URL per document for the WebText queries —
