@@ -2595,6 +2595,24 @@ object TextQueries {
           columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
                    'lang': 'VARCHAR', 'source': 'VARCHAR'})
         WHERE doc_id IS NOT NULL
+        ORDER BY doc_id""")),
+
+    // ----- q119: CSV source (sources/DocSource.csvDocs) — RFC-4180
+    // reads (header, quoted commas, doubled-quote escapes) with an
+    // explicit schema, checked against DuckDB's read_csv over the same
+    // committed fixture. Empty unquoted fields are NULL on both engines;
+    // trailing whitespace survives.
+    Q("q119_csv_source",
+      (s, _) =>
+        graft.sources.DocSource.csvDocs(s,
+          "/root/repo/fixtures/jsonl/documents.csv").orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, text, lang, source
+        FROM read_csv('/root/repo/fixtures/jsonl/documents.csv',
+          header=true,
+          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                   'lang': 'VARCHAR', 'source': 'VARCHAR'})
+        WHERE doc_id IS NOT NULL
         ORDER BY doc_id""")))
 
   /** Deterministic synthetic URL per document for the WebText queries —

@@ -47,6 +47,32 @@ object DocSource {
       .filter(col("_corrupt").isNull && col("doc_id").isNotNull)
       .drop("_corrupt")
 
+  /** Read CSV in RFC-4180 form (header, quoted fields, doubled-quote
+    * escapes) with an explicit schema. `escape = "` makes Spark's parser
+    * treat `""` inside a quoted field as a literal quote — the RFC form
+    * DuckDB and every spreadsheet writer emit (Spark's default escape is
+    * backslash, a convention CSV corpora do not follow). Line-splittable
+    * (`multiLine` stays false): embedded newlines inside quotes are NOT
+    * supported — that trade keeps a 100 TB read parallel on block
+    * boundaries instead of one task per file. Malformed lines surface in
+    * `_corrupt` like [[jsonl]]. */
+  def csv(spark: SparkSession, path: String,
+      schema: StructType = documentSchema): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", StringType))
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
+  /** The valid rows of a CSV read, in the document-corpus shape. */
+  def csvDocs(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path)
+      .filter(col("_corrupt").isNull && col("doc_id").isNotNull)
+      .drop("_corrupt")
+
   /** One-row read report: valid/corrupt line counts — the load-time
     * health probe (S3 spirit: umls2rdf.py's row-count validation).
     *

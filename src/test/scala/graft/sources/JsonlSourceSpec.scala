@@ -38,4 +38,18 @@ class JsonlSourceSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("FileScan json"), p.take(500))
   }
+
+  test("csvDocs parses RFC-4180: quoted commas, doubled-quote escapes, " +
+    "unicode, empty-as-null, preserved trailing spaces") {
+    val rows = DocSource.csvDocs(spark,
+        "/root/repo/fixtures/jsonl/documents.csv")
+      .orderBy("doc_id").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length === 7)
+    assert(byId(1L).getString(1) === "the quick, brown fox")
+    assert(byId(3L).getString(1) === "she said \"hi\" twice")
+    assert(byId(4L).getString(1) === "中文样本文本")
+    assert(byId(5L).isNullAt(1)) // empty unquoted field → NULL
+    assert(byId(7L).getString(1) === "trailing spaces  ")
+  }
 }
