@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StringType
+
+import graft.sources.DocSource
+
+/** Streaming JSONL corpus ingestion: tail a growing directory of crawl
+  * shards (the way corpus deliveries actually land — a new .jsonl file
+  * per upstream dump) and maintain a parquet corpus plus a quarantine of
+  * malformed lines.
+  *
+  * Scale/exactly-once design, same contract as
+  * [[EventStreams.selfMaintainingIngest]]:
+  *   - the file source checkpoints WHICH files are consumed — a restart
+  *     never re-reads a processed shard;
+  *   - each micro-batch writes `batch=<id>` partitions with DYNAMIC
+  *     partition overwrite, so checkpoint replay after a crash between
+  *     writes overwrites the half-written partition instead of
+  *     duplicating it (idempotent by construction, directly testable via
+  *     [[ingestBatch]]);
+  *   - corrupt lines land in the quarantine AS RAW TEXT for offline
+  *     inspection — a crawl shard with a truncated line must not kill
+  *     the pipeline (S6 spirit: umls2rdf.py's per-term error tolerance).
+  */
+object DocStreams {
+
+  final case class IngestReport(batchId: Long, nValid: Long, nCorrupt: Long)
+
+  /** The streaming read: explicit schema (a streaming source cannot
+    * infer), PERMISSIVE corrupt capture, bounded files per trigger so one
+    * giant backlog drains in controlled increments. */
+  def jsonlTail(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(DocSource.documentSchema.add("_corrupt", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("multiLine", "false")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Start the ingest: valid rows → `outPath` (batch-partitioned
+    * parquet), corrupt raw lines → `quarantinePath`. Caller stops the
+    * returned query. */
+  def jsonlIngest(docs: DataFrame, outPath: String, quarantinePath: String,
+      checkpoint: String,
+      onBatch: IngestReport => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          ingestBatch(batch.toDF(), batchId, outPath, quarantinePath, onBatch)
+      }
+      .start()
+
+  /** One micro-batch, factored out so the replay contract is directly
+    * testable: running the same `batchId` twice (checkpoint recovery
+    * after a crash between the paired writes) leaves both sinks exactly
+    * as a single run would. */
+  private[streaming] def ingestBatch(bdf: DataFrame, batchId: Long,
+      outPath: String, quarantinePath: String,
+      onBatch: IngestReport => Unit): Unit = {
+    val spark = bdf.sparkSession
+    val cached = bdf.cache()
+    try {
+      val valid = cached
+        .filter(col("_corrupt").isNull && col("doc_id").isNotNull)
+        .drop("_corrupt")
+      val corrupt = cached.filter(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw_line"))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        valid.withColumn("batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch").parquet(outPath)
+        val nCorrupt = corrupt.count()
+        if (nCorrupt > 0)
+          corrupt.withColumn("batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch")
+            .parquet(quarantinePath)
+        onBatch(IngestReport(batchId, valid.count(), nCorrupt))
+      } finally {
+        prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      }
+    } finally cached.unpersist()
+  }
+}

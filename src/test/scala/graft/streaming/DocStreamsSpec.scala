@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming JSONL ingest: directory tailing, corrupt-line quarantine,
+  * incremental file pickup, and replay idempotency.
+  */
+class DocStreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def writeShard(dir: Path, name: String, lines: String*): Unit =
+    Files.write(dir.resolve(name),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  test("jsonlIngest tails a directory: valid rows land batch-partitioned, " +
+    "corrupt lines quarantine, new shards arrive incrementally") {
+    val root = Files.createTempDirectory("graft-docstream")
+    val in = Files.createDirectory(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val quarantine = root.resolve("bad").toString
+    val cp = root.resolve("cp").toString
+    writeShard(in, "shard0.jsonl",
+      """{"doc_id": 1, "text": "one", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "two", "lang": "en", "source": "web"}""")
+    writeShard(in, "shard1.jsonl",
+      """{"doc_id": 3, "text": "three", "lang": "de", "source": "wiki"}""",
+      """{broken json line""")
+    val reports = scala.collection.mutable.ArrayBuffer[DocStreams.IngestReport]()
+    val q = DocStreams.jsonlIngest(
+      DocStreams.jsonlTail(spark, in.toString),
+      out, quarantine, cp, r => reports.synchronized { reports += r })
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 3L))
+      assert(got.columns.contains("batch")) // partition column visible
+      assert(spark.read.parquet(quarantine).count() === 1L)
+      assert(reports.map(_.nValid).sum === 3L)
+      assert(reports.map(_.nCorrupt).sum === 1L)
+
+      // a shard that lands AFTER the first drain is picked up alone —
+      // the checkpoint prevents any re-read of shard0/shard1
+      writeShard(in, "shard2.jsonl",
+        """{"doc_id": 4, "text": "four", "lang": "es", "source": "web"}""")
+      q.processAllAvailable()
+      assert(spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("ingestBatch replay with the same batchId is idempotent for both " +
+    "sinks (crash between the paired writes)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-docstream-replay")
+    val out = root.resolve("out").toString
+    val quarantine = root.resolve("bad").toString
+    val b = Seq(
+      (Some(1L), Some("alpha"), Some("en"), Some("web"), None: Option[String]),
+      (None, None, None, None, Some("{junk")))
+      .toDF("doc_id", "text", "lang", "source", "_corrupt")
+    DocStreams.ingestBatch(b, 0L, out, quarantine, _ => ())
+    DocStreams.ingestBatch(b, 0L, out, quarantine, _ => ()) // replay
+    assert(spark.read.parquet(out).count() === 1L)
+    assert(spark.read.parquet(quarantine).count() === 1L)
+  }
+}
