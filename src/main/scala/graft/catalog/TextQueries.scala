@@ -2613,7 +2613,23 @@ object TextQueries {
           columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
                    'lang': 'VARCHAR', 'source': 'VARCHAR'})
         WHERE doc_id IS NOT NULL
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
+    // crawl-curation drop signal for low-authority spam hosts. Edge list
+    // synthesized from documents (source host → doc_id-derived host,
+    // self-loops removed, parallel edges = weight); 5 damped iterations,
+    // fixed count so DuckDB replays them as unrolled CTEs. Each Spark
+    // round is one host-keyed join + groupBy with a localCheckpoint
+    // lineage cut.
+    Q("q120_pagerank",
+      (s, d) => {
+        val edges = documents(s, d).select(col("source").as("src"),
+            concat(lit("src"), ((col("doc_id") * 7 + 3) % 20)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.WebGraph.pageRank(edges, iters = 5).orderBy("node")
+      },
+      Some(pageRankOracle(5))))
 
   /** Deterministic synthetic URL per document for the WebText queries —
     * four variants exercising the canonicalization rules: 0 = uppercase
@@ -2687,6 +2703,42 @@ object TextQueries {
         concat_ws(" ", lit("group"), (col("doc_id") % 5), lit("para")),
         concat(lit("u"), col("doc_id").cast("string"), lit(" "),
           substring(col("text"), 1, 40))).as("text"))
+
+  /** The q120 oracle: PageRank with the iterations UNROLLED as CTE pairs
+    * (cK = incoming contributions, rK = damped update) — recursive CTEs
+    * cannot aggregate in the recursive term, and a fixed unroll is
+    * exactly what the fixed-iteration operator computes. Must match
+    * [[graft.operators.WebGraph.pageRank]] step for step. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+          SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+          FROM edges e
+          JOIN r${k - 1} r ON e.src = r.node
+          JOIN outdeg o ON o.src = e.src
+          GROUP BY 1),
+        r$k AS (
+          SELECT nd.node, 0.15 / consts.n + 0.85 * coalesce(c$k.c, 0) AS rank
+          FROM nodes nd LEFT JOIN c$k USING (node), consts)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH edges AS (
+          SELECT source AS src, 'src' || ((doc_id * 7 + 3) % 20) AS dst
+          FROM documents
+          WHERE source != 'src' || ((doc_id * 7 + 3) % 20)),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges)),
+        consts AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        outdeg AS (
+          SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, consts),
+        $steps
+        SELECT node, round(rank, 6) AS rank
+        FROM r$iters
+        ORDER BY node"""
+  }
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at
     * `w(doc_id, n_tokens, weight)`) — must match

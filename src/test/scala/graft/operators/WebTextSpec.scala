@@ -172,6 +172,39 @@ class WebTextSpec extends AnyFunSuite {
     assert(got.forall(_ === ((0.0, true))))
   }
 
+  // --- pageRank -----------------------------------------------------------
+
+  test("pageRank: a symmetric cycle keeps uniform ranks at every " +
+    "iteration") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val got = WebGraph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val third = math.rint(1.0 / 3 * 1e6) / 1e6
+    assert(got === Map("A" -> third, "B" -> third, "C" -> third))
+  }
+
+  test("pageRank: one damped iteration matches the hand computation, " +
+    "dangling mass leaks") {
+    // A→B, A→C, B→C; N=3, d=0.85, r0=1/3 each
+    // c(B)=1/6, c(C)=1/6+1/3=1/2; r1(A)=0.05, r1(B)=0.05+0.85/6,
+    // r1(C)=0.05+0.85/2 (C dangling: its mass goes nowhere)
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("src", "dst")
+    val got = WebGraph.pageRank(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("A") === 0.05)
+    assert(got("B") === math.rint((0.05 + 0.85 / 6) * 1e6) / 1e6)
+    assert(got("C") === 0.475)
+  }
+
+  test("pageRank: parallel edges carry weight") {
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "C")).toDF("src", "dst")
+    val got = WebGraph.pageRank(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // outdeg(A)=3: B gets 2/3 of A's rank, C gets 1/3
+    assert(got("B") === math.rint((0.05 + 0.85 * (2.0 / 9)) * 1e6) / 1e6)
+    assert(got("C") === math.rint((0.05 + 0.85 * (1.0 / 9)) * 1e6) / 1e6)
+  }
+
   // --- scriptMix ----------------------------------------------------------
 
   test("scriptMix partitions characters into Latin/Han/Cyrillic/digit/" +
