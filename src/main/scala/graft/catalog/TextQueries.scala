@@ -2625,11 +2625,39 @@ object TextQueries {
     Q("q120_pagerank",
       (s, d) => {
         val edges = documents(s, d).select(col("source").as("src"),
-            concat(lit("src"), ((col("doc_id") * 7 + 3) % 20)).as("dst"))
+            concat(lit("src"),
+              ((col("doc_id") * col("doc_id") + 1) % 13)).as("dst"))
           .filter(col("src") =!= col("dst"))
         graft.operators.WebGraph.pageRank(edges, iters = 5).orderBy("node")
       },
-      Some(pageRankOracle(5))))
+      Some(pageRankOracle(5))),
+
+    // ----- q121: IPF / raking mixture weights (TextAnalysis
+    // .ipfMixWeights) — per-(source × lang) cell weights driving BOTH
+    // marginals toward uniform at once (q54's sampleByWeights fits one
+    // marginal; real corpus mixes must hit language and source targets
+    // simultaneously). One corpus aggregation, then three alternating
+    // fits on the broadcast-scale cell table, unrolled in DuckDB.
+    Q("q121_ipf_mix_weights",
+      (s, d) =>
+        TextAnalysis.ipfMixWeights(documents(s, d))
+          .orderBy("source", "lang"),
+      Some(ipfOracle(3))),
+
+    // ----- q122: HITS hubs/authorities (WebGraph.hits) — the
+    // complementary pair to q120's PageRank for link-spam filtering
+    // (bought in-links inflate authority but not hubness). Same
+    // synthesized host graph; 3 L1-normalized iterations unrolled in
+    // DuckDB.
+    Q("q122_hits",
+      (s, d) => {
+        val edges = documents(s, d).select(col("source").as("src"),
+            concat(lit("src"),
+              ((col("doc_id") * col("doc_id") + 1) % 13)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.WebGraph.hits(edges, iters = 3).orderBy("node")
+      },
+      Some(hitsOracle(3))))
 
   /** Deterministic synthetic URL per document for the WebText queries —
     * four variants exercising the canonicalization rules: 0 = uppercase
@@ -2723,9 +2751,9 @@ object TextQueries {
     }.mkString(",\n        ")
     s"""
         WITH edges AS (
-          SELECT source AS src, 'src' || ((doc_id * 7 + 3) % 20) AS dst
+          SELECT source AS src, 'src' || ((doc_id * doc_id + 1) % 13) AS dst
           FROM documents
-          WHERE source != 'src' || ((doc_id * 7 + 3) % 20)),
+          WHERE source != 'src' || ((doc_id * doc_id + 1) % 13)),
         nodes AS (
           SELECT DISTINCT node FROM (
             SELECT src AS node FROM edges
@@ -2738,6 +2766,91 @@ object TextQueries {
         SELECT node, round(rank, 6) AS rank
         FROM r$iters
         ORDER BY node"""
+  }
+
+  /** The q122 oracle: HITS with the iterations UNROLLED (arK/afK/aK =
+    * authority raw/filled/normalized of round K; hrK/hfK/hK = the hub
+    * half-step) — must match [[graft.operators.WebGraph.hits]] step for
+    * step, L1 normalization included. */
+  private def hitsOracle(iters: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // each unrolled level references the previous one several times —
+    // inlining re-evaluates the whole chain per reference (3^iters
+    // blowup, observed as a checker hang at 3 iterations). Materializing
+    // each half-step makes the unroll linear, matching what Spark's
+    // localCheckpoint does on the other side.
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+          SELECT e.dst AS node, sum(h.hub) AS a
+          FROM edges e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+        af$k AS MATERIALIZED (
+          SELECT nd.node, coalesce(ar$k.a, 0) AS a
+          FROM nodes nd LEFT JOIN ar$k USING (node)),
+        as$k AS MATERIALIZED (SELECT sum(a) AS s FROM af$k),
+        a$k AS MATERIALIZED (
+          SELECT node, CASE WHEN s > 0 THEN a / s ELSE 0 END AS authority
+          FROM af$k, as$k),
+        hr$k AS MATERIALIZED (
+          SELECT e.src AS node, sum(a.authority) AS hh
+          FROM edges e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+        hf$k AS MATERIALIZED (
+          SELECT nd.node, coalesce(hr$k.hh, 0) AS hh
+          FROM nodes nd LEFT JOIN hr$k USING (node)),
+        hs$k AS MATERIALIZED (SELECT sum(hh) AS s FROM hf$k),
+        h$k AS MATERIALIZED (
+          SELECT node, CASE WHEN s > 0 THEN hh / s ELSE 0 END AS hub
+          FROM hf$k, hs$k)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH edges AS (
+          SELECT source AS src, 'src' || ((doc_id * doc_id + 1) % 13) AS dst
+          FROM documents
+          WHERE source != 'src' || ((doc_id * doc_id + 1) % 13)),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges)),
+        consts AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        h0 AS (SELECT node, 1.0 / n AS hub FROM nodes, consts),
+        $steps
+        SELECT h.node, round(h.hub, 6) AS hub,
+               round(a.authority, 6) AS authority
+        FROM h$iters h JOIN a$iters a USING (node)
+        ORDER BY node"""
+  }
+
+  /** The q121 oracle: IPF with the alternating source/lang fits UNROLLED
+    * (waK = after the source fit of round K, wK = after the lang fit) —
+    * must match [[graft.operators.TextAnalysis.ipfMixWeights]] step for
+    * step. */
+  private def ipfOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (SELECT source, sum(w * n) AS ms FROM w${k - 1} GROUP BY 1),
+        wa$k AS (
+          SELECT w.source, w.lang, w.n,
+                 w.w * (consts.total / consts.ns) / s.ms AS w
+          FROM w${k - 1} w JOIN s$k s USING (source), consts),
+        l$k AS (SELECT lang, sum(w * n) AS ml FROM wa$k GROUP BY 1),
+        w$k AS (
+          SELECT w.source, w.lang, w.n,
+                 w.w * (consts.total / consts.nl) / l.ml AS w
+          FROM wa$k w JOIN l$k l USING (lang), consts)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH cells AS (
+          SELECT source, lang, count(*)::DOUBLE AS n
+          FROM documents GROUP BY 1, 2),
+        consts AS (
+          SELECT count(DISTINCT source)::DOUBLE AS ns,
+                 count(DISTINCT lang)::DOUBLE AS nl,
+                 sum(n) AS total
+          FROM cells),
+        w0 AS (SELECT source, lang, n, 1.0 AS w FROM cells),
+        $steps
+        SELECT source, lang, n::BIGINT AS n_docs, round(w, 6) AS weight,
+               round(w * n, 4) AS eff_docs
+        FROM w$iters
+        ORDER BY source, lang"""
   }
 
   /** The DSIR per-document importance weights as DuckDB CTEs (ends at

@@ -1117,6 +1117,51 @@ object TextAnalysis {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Iterative-proportional-fitting (raking) mixture weights over the
+    * (source × lang) contingency table: per-cell sampling weights such
+    * that the weighted corpus marginals approach UNIFORM source shares
+    * and UNIFORM lang shares simultaneously — the two-constraint form of
+    * corpus mixing ([[sampleByWeights]] fits one marginal; real mixes
+    * must hit language AND source targets at once). Fixed `iters`
+    * alternating fits (source then lang), the deterministic form an
+    * oracle replays unrolled.
+    *
+    * Shape at 100 TB: ONE corpus aggregation builds the cell table
+    * (|sources|·|langs| rows); every iteration then runs on cells only —
+    * broadcast-scale relations, zero further corpus passes. Apply the
+    * result by joining `weight` back on (source, lang).
+    *
+    * @return (source, lang, n_docs, weight round 6, eff_docs round 4) */
+  def ipfMixWeights(docs: DataFrame, sourceCol: String = "source",
+      langCol: String = "lang", iters: Int = 3): DataFrame = {
+    val cells = docs.groupBy(sourceCol, langCol)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nS = cells.select(sourceCol).distinct().count().toDouble
+    val nL = cells.select(langCol).distinct().count().toDouble
+    val total = cells.agg(sum("n")).head().getLong(0).toDouble
+    var w = cells.withColumn("w", lit(1.0))
+    for (_ <- 0 until iters) {
+      val bySrc = w.groupBy(sourceCol)
+        .agg(sum(col("w") * col("n")).as("ms"))
+      w = w.join(bySrc, sourceCol)
+        .withColumn("w", col("w") * lit(total / nS) / col("ms"))
+        .drop("ms")
+      val byLang = w.groupBy(langCol)
+        .agg(sum(col("w") * col("n")).as("ml"))
+      // lineage cut per round: the cell table is tiny, but without it the
+      // alternating join/agg plan doubles every iteration and analysis
+      // time explodes (same hazard pageRank cuts)
+      w = w.join(byLang, langCol)
+        .withColumn("w", col("w") * lit(total / nL) / col("ml"))
+        .drop("ml")
+        .localCheckpoint()
+    }
+    w.select(col(sourceCol), col(langCol), col("n").as("n_docs"),
+      round(col("w"), 6).as("weight"),
+      round(col("w") * col("n"), 4).as("eff_docs"))
+  }
+
   /** Robust per-group document-length outlier gate (median/MAD): each
     * document's token count gets a modified z-score 0.6745·(n−med)/MAD
     * against ITS group's median and median-absolute-deviation, and docs

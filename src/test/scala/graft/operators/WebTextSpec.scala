@@ -172,6 +172,44 @@ class WebTextSpec extends AnyFunSuite {
     assert(got.forall(_ === ((0.0, true))))
   }
 
+  // --- ipfMixWeights ------------------------------------------------------
+
+  test("ipfMixWeights drives BOTH marginals toward uniform on a skewed " +
+    "(source x lang) table") {
+    // heavily skewed: srcA/en dominates
+    val d = (
+      (0 until 80).map(i => (i.toLong, "A", "en")) ++
+      (0 until 10).map(i => (100L + i, "A", "de")) ++
+      (0 until 5).map(i => (200L + i, "B", "en")) ++
+      (0 until 5).map(i => (300L + i, "B", "de")))
+      .toDF("doc_id", "source", "lang")
+    val w = TextAnalysis.ipfMixWeights(d, iters = 8)
+    val eff = w.select(col("source"), col("lang"), col("eff_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val bySrc = eff.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val byLang = eff.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    // 100 docs, 2 sources, 2 langs → each marginal should be ~50
+    assert(math.abs(bySrc("A") - 50.0) < 0.5, bySrc.toString)
+    assert(math.abs(bySrc("B") - 50.0) < 0.5, bySrc.toString)
+    assert(math.abs(byLang("en") - 50.0) < 0.5, byLang.toString)
+    assert(math.abs(byLang("de") - 50.0) < 0.5, byLang.toString)
+    // the over-represented cell is down-weighted, the rare cells up
+    val weights = w.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(weights(("A", "en")) < 1.0)
+    assert(weights(("B", "de")) > 1.0)
+  }
+
+  test("ipfMixWeights on an already-balanced table is a no-op (all " +
+    "weights 1)") {
+    val d = (for (s <- Seq("A", "B"); l <- Seq("en", "de"); i <- 0 until 5)
+      yield (s"$s$l$i".hashCode.toLong, s, l)).toDF("doc_id", "source", "lang")
+    val got = TextAnalysis.ipfMixWeights(d, iters = 3)
+      .collect().map(_.getDouble(3))
+    assert(got.forall(_ === 1.0))
+  }
+
   // --- pageRank -----------------------------------------------------------
 
   test("pageRank: a symmetric cycle keeps uniform ranks at every " +
@@ -203,6 +241,33 @@ class WebTextSpec extends AnyFunSuite {
     // outdeg(A)=3: B gets 2/3 of A's rank, C gets 1/3
     assert(got("B") === math.rint((0.05 + 0.85 * (2.0 / 9)) * 1e6) / 1e6)
     assert(got("C") === math.rint((0.05 + 0.85 * (1.0 / 9)) * 1e6) / 1e6)
+  }
+
+  // --- hits ---------------------------------------------------------------
+
+  test("hits: two hubs pointing at one authority converge to the hand " +
+    "solution in one iteration") {
+    // A→B, C→B: B is the only authority (1.0), A and C split hubness
+    val edges = Seq(("A", "B"), ("C", "B")).toDF("src", "dst")
+    val got = WebGraph.hits(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got("B") === ((0.0, 1.0)))
+    assert(got("A") === ((0.5, 0.0)))
+    assert(got("C") === ((0.5, 0.0)))
+  }
+
+  test("hits separates the hub role from the authority role in a " +
+    "directory-like graph") {
+    // hub H links to authorities X,Y,Z; X also links to Y (weak hub)
+    val edges = Seq(("H", "X"), ("H", "Y"), ("H", "Z"), ("X", "Y"))
+      .toDF("src", "dst")
+    val got = WebGraph.hits(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got("H")._1 > got("X")._1) // H is the stronger hub
+    assert(got("Y")._2 > got("Z")._2) // Y has two in-links, stronger authority
+    assert(got("H")._2 === 0.0) // nothing links to H
   }
 
   // --- scriptMix ----------------------------------------------------------
