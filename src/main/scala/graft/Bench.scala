@@ -101,7 +101,7 @@ object Bench {
     val total = results.map(_._2).sum
     val times = results.map { case (k, v, _, _, _, _) => k -> v }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL_r07.json")
+      "BENCH_DETAIL_r08.json")
     // Per-query diagnostics: epoch-ms start, the load average sampled
     // right before the query began, stop-the-world GC seconds inside the
     // query (gc ≈ wall ⇒ heap thrash), and process CPU seconds (cpu/wall
