@@ -1,0 +1,439 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TimeSeries, Warehouse, WebGraph}
+
+/** Round-8 pipeline-plane catalog entries: graph structure (communities,
+  * triangles, reachability, co-visitation), feed time-series anomaly
+  * detection, and warehouse maintenance (SCD2 / CDC merge / k-anonymity).
+  * Same determinism contract as [[Queries]]: total-order sort, late
+  * rounding, unrolled fixed-iteration oracles.
+  */
+object PipelineQueries {
+  import Tables._
+
+  /** The q120/q122 synthesized host link graph, reused for every graph
+    * entry: source host → doc-derived host, self-loops removed. */
+  private def hostEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d).select(col("source").as("src"),
+        concat(lit("src"),
+          ((col("doc_id") * col("doc_id") + 1) % 13)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  private val edgesCte: String = """edges AS (
+          SELECT source AS src, 'src' || ((doc_id * doc_id + 1) % 13) AS dst
+          FROM documents
+          WHERE source != 'src' || ((doc_id * doc_id + 1) % 13)),
+        und AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges)
+          WHERE a != b)"""
+
+  private[graft] def ops: Seq[Q] = Seq(
+
+    // ----- q123: synchronous label-propagation communities
+    // (WebGraph.labelPropagation) — mirror-farm clustering. 3 unrolled
+    // rounds; most-frequent neighbor label, min-label tie-break.
+    Q("q123_label_propagation",
+      (s, d) =>
+        WebGraph.labelPropagation(hostEdges(s, d), iters = 3)
+          .orderBy("node"),
+      Some(labelPropOracle(3))),
+
+    // ----- q124: triangle count + clustering coefficient
+    // (WebGraph.triangleStats) — link-farm shape signal. Canonical
+    // a<b<c enumeration on both engines.
+    Q("q124_triangles",
+      (s, d) =>
+        WebGraph.triangleStats(hostEdges(s, d)).orderBy("node"),
+      Some(s"""
+        WITH $edgesCte,
+        ce AS MATERIALIZED (SELECT a, b FROM und WHERE a < b),
+        tri AS MATERIALIZED (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+          WHERE EXISTS (SELECT 1 FROM ce e3
+                        WHERE e3.a = e1.a AND e3.b = e2.b)),
+        pn AS (
+          SELECT node, count(*) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+          GROUP BY 1),
+        deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY 1)
+        SELECT d.node, d.degree, coalesce(pn.triangles, 0) AS triangles,
+               round(CASE WHEN d.degree >= 2
+                 THEN 2.0 * coalesce(pn.triangles, 0)
+                      / (d.degree * (d.degree - 1))
+                 ELSE 0 END, 4) AS clustering
+        FROM deg d LEFT JOIN pn USING (node)
+        ORDER BY node""")),
+
+    // ----- q125: bounded-hop BFS reachability (WebGraph.khopDistances)
+    // — the spam-seed expansion drop list; min hop distance along
+    // directed edges, 3 unrolled hops from a fixed seed set.
+    Q("q125_khop_reach",
+      (s, d) => {
+        import s.implicits._
+        val seeds = Seq("src1", "src4").toDF("node")
+        WebGraph.khopDistances(hostEdges(s, d), seeds, maxHops = 3)
+          .orderBy("node")
+      },
+      Some(khopOracle(3))),
+
+    // ----- q126: daily-volume spike detection (TimeSeries.spikeDetect)
+    // — feed anomaly gate; trailing-7-day rolling z-score, baseline
+    // excludes the judged day, cold start (<3 prior days) is never a
+    // spike.
+    Q("q126_spike_detection",
+      (s, d) =>
+        TimeSeries.spikeDetect(events(s, d)).orderBy("key", "day"),
+      Some("""
+        WITH daily AS (
+          SELECT event_type AS key, date_trunc('day', ts)::DATE AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT key, day, n,
+                 avg(n) OVER tw AS mu,
+                 stddev_samp(n) OVER tw AS sd,
+                 count(*) OVER tw AS prior
+          FROM daily
+          WINDOW tw AS (PARTITION BY key ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        z AS (
+          SELECT key, day, n, mu,
+                 CASE WHEN prior >= 3 AND sd > 0
+                      THEN (n - mu) / sd END AS zraw
+          FROM w)
+        SELECT key, day, n, round(mu, 4) AS mu, round(zraw, 4) AS z,
+               coalesce(zraw > 3, false) AS spike
+        FROM z
+        ORDER BY key, day""")),
+
+    // ----- q127: Markov event-transition matrix
+    // (TimeSeries.eventTransitions) — behavioral fingerprint; lead()
+    // over the (ts, event_id) total order per user, then |states|²-scale
+    // probability table.
+    Q("q127_markov_transitions",
+      (s, d) =>
+        TimeSeries.eventTransitions(events(s, d))
+          .orderBy("from_type", "to_type"),
+      Some("""
+        WITH s AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events),
+        t AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        FROM t
+        ORDER BY from_type, to_type""")),
+
+    // ----- q128: co-visitation similarity (WebGraph.covisitation) —
+    // audience-overlap near-duplicate signal over the events (user,
+    // props.k) interactions; per-user top-20 cap bounds the self-join,
+    // pairs under 2 co-users dropped.
+    Q("q128_covisitation",
+      (s, d) => {
+        val inter = events(s, d)
+          .select(col("user_id"),
+            regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
+              .as("item"))
+          .filter(col("item").isNotNull)
+        WebGraph.covisitation(inter).orderBy("item_a", "item_b")
+      },
+      Some("""
+        WITH ui AS (
+          SELECT user_id,
+                 try_cast(regexp_extract(props, '([0-9]+)', 1) AS INT)
+                   AS item,
+                 count(*) AS f
+          FROM events
+          WHERE try_cast(regexp_extract(props, '([0-9]+)', 1) AS INT)
+                IS NOT NULL
+          GROUP BY 1, 2),
+        capped AS MATERIALIZED (
+          SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY f DESC, item) AS rn
+            FROM ui) WHERE rn <= 20),
+        iu AS (SELECT item, count(*) AS n FROM capped GROUP BY 1),
+        p AS (
+          SELECT l.item AS item_a, r.item AS item_b, count(*) AS co
+          FROM capped l JOIN capped r
+            ON l.user_id = r.user_id AND l.item < r.item
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT item_a, item_b, co,
+               round(co / sqrt(na.n * nb.n), 4) AS cosine
+        FROM p
+        JOIN iu na ON na.item = p.item_a
+        JOIN iu nb ON nb.item = p.item_b
+        ORDER BY item_a, item_b""")),
+
+    // ----- q129: SCD2 interval build (Warehouse.scd2Intervals) —
+    // gaps-and-islands over each customer's order-status log; half-open
+    // [valid_from, valid_to) intervals, NULL valid_to = current.
+    Q("q129_scd2_intervals",
+      (s, d) =>
+        Warehouse.scd2Intervals(orders(s, d), "o_custkey",
+          "o_orderstatus", "o_orderdate", "o_orderkey")
+          .orderBy("key", "valid_from", "value"),
+      Some("""
+        WITH ord AS (
+          SELECT o_custkey AS key, o_orderstatus AS value,
+                 o_orderdate AS ts, o_orderkey AS tie,
+                 lag(o_orderstatus) OVER w AS prev
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)),
+        flagged AS (
+          SELECT *, CASE WHEN prev IS NULL OR prev != value
+                         THEN 1 ELSE 0 END AS chg
+          FROM ord),
+        grp AS (
+          SELECT *, sum(chg) OVER (PARTITION BY key ORDER BY ts, tie
+                                   ROWS UNBOUNDED PRECEDING) AS g
+          FROM flagged),
+        isl AS (
+          SELECT key, g, min(value) AS value, min(ts) AS valid_from,
+                 count(*) AS n_rows
+          FROM grp GROUP BY 1, 2),
+        fin AS (
+          SELECT key, value, valid_from,
+                 lead(valid_from) OVER (PARTITION BY key ORDER BY g)
+                   AS valid_to,
+                 n_rows
+          FROM isl)
+        SELECT key, value, valid_from, valid_to, n_rows,
+               valid_to IS NULL AS is_current
+        FROM fin
+        ORDER BY key, valid_from, value""")),
+
+    // ----- q130: batch CDC merge (Warehouse.cdcMerge) — MERGE INTO
+    // semantics as one full-outer key join; change set synthesized
+    // deterministically from orders (D: key%10=0, U: key%10∈{1,2} price
+    // ×1.1, I: key%10=3 shifted key).
+    Q("q130_cdc_merge",
+      (s, d) => {
+        val o = orders(s, d)
+        val del = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            col("o_orderstatus"), col("o_totalprice"))
+        val upd = o.filter((col("o_orderkey") % 10).isin(1, 2))
+          .select(col("o_orderkey"), lit("U").as("op"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+        val ins = o.filter(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("I").as("op"), col("o_orderstatus"), col("o_totalprice"))
+        val changes = del.unionByName(upd).unionByName(ins)
+        Warehouse.cdcMerge(o, changes, "o_orderkey",
+            Seq("o_orderstatus", "o_totalprice"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH changes AS (
+          SELECT o_orderkey, 'D' AS op, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 'U', o_orderstatus,
+                 round(o_totalprice * 1.1, 2)
+          FROM orders WHERE o_orderkey % 10 IN (1, 2)
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'I', o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 10 = 3)
+        SELECT o_orderkey,
+               CASE WHEN c.op IN ('U', 'I') THEN c.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               round(CASE WHEN c.op IN ('U', 'I') THEN c.o_totalprice
+                          ELSE b.o_totalprice END, 2) AS o_totalprice
+        FROM orders b FULL JOIN changes c USING (o_orderkey)
+        WHERE coalesce(c.op != 'D', true)
+        ORDER BY o_orderkey""")),
+
+    // ----- q131: k-anonymity small-cell suppression
+    // (Warehouse.kanonSuppress) — corpus-composition release form:
+    // (source, lang) cells under k=5 generalized to '*' and
+    // re-aggregated.
+    Q("q131_kanon_suppress",
+      (s, d) =>
+        Warehouse.kanonSuppress(documents(s, d), Seq("source", "lang"),
+          k = 5).orderBy("source", "lang"),
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        g AS (
+          SELECT CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+                 CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang, n
+          FROM cells)
+        SELECT source, lang, sum(n)::BIGINT AS n,
+               source = '*' AND lang = '*' AS suppressed
+        FROM g GROUP BY 1, 2
+        ORDER BY source, lang""")),
+
+    // ----- q132: bucketed co-located join (Bucketing.cojoin) — both
+    // sides written bucketed+sorted on the join key, joined with ZERO
+    // exchanges (BucketingSpec pins the plan). The oracle only checks
+    // values — bucketing must never change results.
+    Q("q132_bucketed_join",
+      (s, d) =>
+        graft.operators.Bucketing.cojoin(
+            orders(s, d), "o_custkey", customer(s, d), "c_custkey",
+            nBuckets = 8, dir = "/tmp/graft_bucketed")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("c_mktsegment"),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // ----- q133: C4-style global sentence dedup, keep-first
+    // (TextAnalysis.sentenceDedup) — sentence boundaries synthesized
+    // deterministically (the word ' table ' becomes '. ') since harness
+    // text has no punctuation; boilerplate sentences collapse to their
+    // first (doc_id, pos) occurrence and docs are reassembled.
+    Q("q133_sentence_dedup",
+      (s, d) =>
+        graft.operators.TextAnalysis.sentenceDedup(
+          documents(s, d).withColumn("text",
+            regexp_replace(col("text"), "\\stable\\s", ". ")))
+          .orderBy("doc_id"),
+      Some("""
+        WITH docs2 AS (
+          SELECT doc_id, regexp_replace(text, '\stable\s', '. ', 'g')
+                   AS text
+          FROM documents),
+        arrs AS (
+          SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS arr
+          FROM docs2),
+        s AS (
+          -- parallel unnests zip: sentence with its 1-based position
+          -- (Spark's posexplode is 0-based; only relative order matters)
+          SELECT doc_id, trim(unnest(arr)) AS sent,
+                 unnest(generate_series(1, len(arr))) AS pos
+          FROM arrs),
+        s2 AS (SELECT * FROM s WHERE sent != ''),
+        tot AS (SELECT doc_id, count(*) AS n_total FROM s2 GROUP BY 1),
+        firsts AS (
+          SELECT doc_id, pos, sent FROM (
+            SELECT doc_id, pos, sent,
+                   row_number() OVER (PARTITION BY sent
+                                      ORDER BY doc_id, pos) AS rn
+            FROM s2) WHERE rn = 1),
+        kept AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(sent, '. ' ORDER BY pos) AS text_dedup
+          FROM firsts GROUP BY 1)
+        SELECT t.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+               coalesce(k.n_kept, 0) AS n_kept, t.n_total
+        FROM tot t LEFT JOIN kept k USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ----- q134: zone-map pruning effectiveness
+    // (Layout.zoneMapSkipStats) — per-shard min/max skipping for range
+    // predicates under the natural (doc_id) vs value-clustered layout;
+    // the decide-before-rewrite companion to q80's z-order.
+    Q("q134_zonemap_prune",
+      (s, d) =>
+        graft.operators.Layout.zoneMapSkipStats(documents(s, d),
+            valueCol = "n_chars", orderCol = "doc_id", nShards = 20,
+            preds = Seq((0.0, 100.0), (200.0, 260.0), (500.0, 10000.0)))
+          .orderBy("layout", "pred_id"),
+      Some("""
+        WITH b AS (
+          SELECT min(doc_id)::DOUBLE AS min_o, max(doc_id)::DOUBLE AS max_o,
+                 min(n_chars)::DOUBLE AS min_v, max(n_chars)::DOUBLE AS max_v
+          FROM documents),
+        z AS (
+          SELECT 'natural' AS layout,
+                 least(CASE WHEN max_o - min_o <= 0 THEN 0
+                       ELSE floor((doc_id - min_o) / (max_o - min_o) * 20)
+                       END, 19)::BIGINT AS shard,
+                 n_chars
+          FROM documents, b
+          UNION ALL
+          SELECT 'clustered',
+                 least(CASE WHEN max_v - min_v <= 0 THEN 0
+                       ELSE floor((n_chars - min_v) / (max_v - min_v) * 20)
+                       END, 19)::BIGINT,
+                 n_chars
+          FROM documents, b),
+        zones AS (
+          SELECT layout, shard, min(n_chars)::DOUBLE AS zmin,
+                 max(n_chars)::DOUBLE AS zmax
+          FROM z GROUP BY 1, 2),
+        preds AS (
+          SELECT * FROM (VALUES (0, 0.0, 100.0), (1, 200.0, 260.0),
+                                (2, 500.0, 10000.0)) p(pred_id, lo, hi))
+        SELECT layout, pred_id, lo, hi, count(*) AS n_shards,
+               sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_skipped,
+               round(sum(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0
+                         END) / count(*), 4) AS skip_frac
+        FROM zones CROSS JOIN preds
+        GROUP BY 1, 2, 3, 4
+        ORDER BY layout, pred_id""")))
+
+  /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
+    * counts then the (count DESC, label ASC) argmin. MATERIALIZED per
+    * level (hitsOracle precedent: plain CTEs re-inline the whole chain
+    * per reference). */
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+          SELECT u.a AS node, l.label, count(*) AS c
+          FROM und u JOIN l${k - 1} l ON u.b = l.node
+          GROUP BY 1, 2),
+        l$k AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH $edgesCte,
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+        $steps
+        SELECT node, label FROM l$iters ORDER BY node"""
+  }
+
+  /** q125 oracle: BFS min-distance unrolled — frontier step k joins the
+    * previous round's dist table at dist = k−1, then a min-merge. */
+  private def khopOracle(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { k =>
+      s"""s$k AS MATERIALIZED (
+          SELECT e.dst AS node, $k AS dist
+          FROM e JOIN d${k - 1} d ON e.src = d.node AND d.dist = ${k - 1}),
+        d$k AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT * FROM d${k - 1} UNION ALL SELECT * FROM s$k)
+          GROUP BY 1)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH edges AS (
+          SELECT source AS src, 'src' || ((doc_id * doc_id + 1) % 13) AS dst
+          FROM documents
+          WHERE source != 'src' || ((doc_id * doc_id + 1) % 13)),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+        d0 AS MATERIALIZED (
+          SELECT node, 0 AS dist
+          FROM (VALUES ('src1'), ('src4')) v(node)),
+        $steps
+        SELECT node, dist FROM d$maxHops ORDER BY node"""
+  }
+}

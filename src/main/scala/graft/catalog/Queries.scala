@@ -40,7 +40,7 @@ object Queries {
   /** All registered queries, in catalog order. */
   def all: Seq[Q] =
     relational ++ UmlsQueries.umls ++ text ++ similarity ++
-      MultimodalQueries.multimodal
+      MultimodalQueries.multimodal ++ PipelineQueries.ops
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -183,4 +183,63 @@ object Layout {
       .sortWithinPartitions("z")
       .drop("z")
       .write.mode("overwrite").parquet(path)
+
+  /** Zone-map pruning effectiveness: how many shards a range predicate
+    * on `valueCol` could SKIP under a given at-rest layout, from
+    * per-shard min/max — exactly the parquet/Iceberg file-stats pruning
+    * decision, computed as a relation so layouts are comparable BEFORE
+    * paying a rewrite. Layouts:
+    *   - `natural`: shards = equal-width cuts of `orderCol` (insertion
+    *     order — what the table looks like today);
+    *   - `clustered`: shards = equal-width cuts of `valueCol` (what a
+    *     sort-on-write would produce).
+    * A shard is skippable for [lo, hi] when zmax < lo OR zmin > hi.
+    *
+    * No window anywhere: shard ids come from broadcast 1-row min/max
+    * bounds ([[scaleToBits]]-style equal-width discretization), so the
+    * whole computation is one codegen'd projection + a shard-scale
+    * aggregate; predicates are a broadcast literal list.
+    *
+    * @return (layout, pred_id, lo, hi, n_shards, n_skipped,
+    *          skip_frac round 4) */
+  def zoneMapSkipStats(df: DataFrame, valueCol: String, orderCol: String,
+      nShards: Int,
+      preds: Seq[(Double, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = df.agg(
+      min(col(orderCol)).cast("double").as("__graft_min_o"),
+      max(col(orderCol)).cast("double").as("__graft_max_o"),
+      min(col(valueCol)).cast("double").as("__graft_min_v"),
+      max(col(valueCol)).cast("double").as("__graft_max_v"))
+    def shardId(x: Column, lo: Column, hi: Column): Column = {
+      val span = hi - lo
+      least(
+        when(span <= 0.0, lit(0L))
+          .otherwise(floor((x.cast("double") - lo) / span * nShards)
+            .cast("long")),
+        lit(nShards - 1L))
+    }
+    def zones(layout: String, cut: Column) =
+      df.crossJoin(broadcast(bounds))
+        .withColumn("shard", cut)
+        .groupBy("shard")
+        .agg(min(col(valueCol)).cast("double").as("zmin"),
+          max(col(valueCol)).cast("double").as("zmax"))
+        .withColumn("layout", lit(layout))
+    val z = zones("natural",
+        shardId(col(orderCol), col("__graft_min_o"), col("__graft_max_o")))
+      .unionByName(zones("clustered",
+        shardId(col(valueCol), col("__graft_min_v"), col("__graft_max_v"))))
+    val predDf = preds.zipWithIndex
+      .map { case ((lo, hi), i) => (i, lo, hi) }
+      .toDF("pred_id", "lo", "hi")
+    z.crossJoin(broadcast(predDf))
+      .groupBy("layout", "pred_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(col("zmax") < col("lo") || col("zmin") > col("hi"), 1L)
+          .otherwise(0L)).as("n_skipped"))
+      .withColumn("skip_frac",
+        round(col("n_skipped") / col("n_shards"), 4))
+  }
 }

@@ -1311,4 +1311,49 @@ object TextAnalysis {
           .cast("double") / greatest(length(t), lit(1)).cast("double")), 4)
         .as("other_frac"))
   }
+
+  /** C4-style GLOBAL sentence-level dedup, keep-first: every sentence
+    * that appears anywhere else in the corpus keeps only its first
+    * occurrence (smallest (doc_id, position)), and documents are
+    * reassembled from their surviving sentences. This removes the
+    * boilerplate that document-level dedup can't touch (cookie banners,
+    * license footers) — [[boilerplateLines]] only FLAGS such lines
+    * within a source; this rewrites the corpus.
+    *
+    * Shape at 100 TB: one posexplode, then ONE map-side-combinable
+    * groupBy(sentence) → min(struct(doc_id, pos)). Deliberately not a
+    * window over sentence partitions — a boilerplate sentence repeated
+    * 10⁸ times would single-task a window's sort, while min() partials
+    * absorb it. The group result IS the kept set (no join-back), and
+    * reassembly is a per-doc sort_array over surviving positions.
+    *
+    * Sentence split = `\.\s+` (shared RE2/Java subset, oracle-portable);
+    * empty/whitespace segments dropped.
+    *
+    * @return (doc_id, text_dedup, n_kept, n_total) — docs whose every
+    *         sentence was claimed elsewhere keep an empty text_dedup */
+  def sentenceDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sents = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\.\\s+")).as(Seq("pos", "sent")))
+      .withColumn("sent", trim(col("sent")))
+      .filter(length(col("sent")) > 0)
+    val totals = sents.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_total"))
+    val kept = sents
+      .groupBy("sent")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.pos").as("pos"),
+        col("sent"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(". ",
+          transform(sort_array(collect_list(struct(col("pos"),
+            col("sent")))), x => x("sent"))).as("text_dedup"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_total"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators for the corpus metadata plane: SCD2
+  * history build, batch CDC merge, and k-anonymity cell suppression.
+  * A training-data pipeline tracks document/source state over time
+  * (license status, quality tier, takedown flags); these are the standard
+  * shapes that maintenance runs on at 100 TB.
+  */
+object Warehouse {
+
+  /** Gaps-and-islands SCD2 build: collapse an ordered per-key change log
+    * into [valid_from, valid_to) intervals, one row per consecutive run
+    * of the same tracked value. `valid_to` is the NEXT interval's start
+    * (half-open convention); NULL marks the current interval.
+    *
+    * Two window passes, both partitioned BY KEY (never global): the
+    * island id is a running count of change points; the interval close is
+    * a lead over the (much smaller) collapsed islands.
+    *
+    * Ordering must be total — pass a tie-breaker (e.g. the event id) or
+    * same-instant changes make the islands nondeterministic.
+    *
+    * @return (key, value, valid_from, valid_to, n_rows, is_current) */
+  def scd2Intervals(log: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val islands = log
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(ord).isNull ||
+          lag(col(valueCol), 1).over(ord) =!= col(valueCol), 1)
+          .otherwise(0))
+      .withColumn("__grp", sum("__chg").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol).as("key"), col("__grp"))
+      // value is constant within an island; min() is the deterministic
+      // way to say so (first() is order-dependent)
+      .agg(min(col(valueCol)).as("value"),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    // sequence islands by the island id, not valid_from — two islands of
+    // one key can share a start date (same-day status flip) and the id is
+    // the total order both engines agree on
+    val seq = Window.partitionBy("key").orderBy("__grp")
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(seq))
+      .select(col("key"), col("value"), col("valid_from"), col("valid_to"),
+        col("n_rows"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Batch CDC merge: apply an (op ∈ I/U/D) change set to a base snapshot
+    * by key. Exactly the MERGE INTO semantics a table format runs —
+    * expressed as one full-outer equi-join on the key (the shape AQE can
+    * convert to a broadcast when the change batch is small, which it
+    * almost always is relative to the snapshot).
+    *
+    * Contract: at most one change row per key (enforce upstream with a
+    * last-writer-wins compaction); D drops, U/I replace, absent keeps.
+    *
+    * @param payloadCols the non-key columns (same names in both inputs)
+    * @return merged snapshot (key ++ payloadCols) */
+  def cdcMerge(base: DataFrame, changes: DataFrame, keyCol: String,
+      payloadCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val b = base.select((keyCol +: payloadCols).map(col): _*)
+    val c = changes.select(
+      col(keyCol) +: col(opCol) +:
+        payloadCols.map(p => col(p).as(s"__c_$p")): _*)
+    val merged = b.join(c, Seq(keyCol), "full_outer")
+      .filter(coalesce(col(opCol) =!= "D", lit(true)))
+    val out: Seq[Column] = col(keyCol) +: payloadCols.map(p =>
+      when(col(opCol).isin("U", "I"), col(s"__c_$p"))
+        .otherwise(col(p)).as(p))
+    merged.select(out: _*)
+  }
+
+  /** k-anonymity small-cell suppression over quasi-identifier columns:
+    * cells (distinct QI combinations) with fewer than k members have
+    * every QI generalized to `'*'` and are re-aggregated into the
+    * suppressed remainder — the release form privacy review expects for
+    * corpus composition stats.
+    *
+    * Two aggregations (cell count, then regroup after generalization);
+    * both map-side combinable, both on QI-cardinality relations.
+    *
+    * @return (qiCols..., n, suppressed) */
+  def kanonSuppress(df: DataFrame, qiCols: Seq[String],
+      k: Int): DataFrame = {
+    val cells = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val generalized = qiCols.map(q =>
+      when(col("n") >= k, col(q).cast("string")).otherwise(lit("*")).as(q))
+    cells
+      .select(generalized :+ col("n"): _*)
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum("n").as("n"))
+      .withColumn("suppressed", qiCols.map(col(_) === "*")
+        .reduce(_ && _))
+  }
+}

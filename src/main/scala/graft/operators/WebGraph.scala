@@ -112,4 +112,147 @@ object WebGraph {
       .select(col("node"), round(col("hub"), 6).as("hub"),
         round(col("authority"), 6).as("authority"))
   }
+
+  /** Distinct undirected neighbor pairs (a, b) from a directed edge list —
+    * both orientations, self-loops dropped, parallel edges collapsed. */
+  private def undirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Synchronous label-propagation community detection — the cheap
+    * host-clustering signal (mirror farms / boilerplate networks share a
+    * community; per-community caps then bound near-duplicate sources the
+    * pairwise dedup never compares).
+    *
+    * Deterministic form (plain LPA is order-dependent): SYNCHRONOUS
+    * rounds, every node updates from the previous round's labels; new
+    * label = most frequent neighbor label, ties broken by SMALLEST label.
+    * Fixed iteration count so an oracle can replay the rounds unrolled.
+    *
+    * Scale: one round = two host-keyed aggregations over the (host-scale)
+    * neighbor list, lineage cut per round. Tie-break needs no window —
+    * `min_by(label, struct(-cnt, label))` is a plain aggregate.
+    *
+    * @return (node, label) */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val counts = und
+        .join(labels, und("b") === labels("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .groupBy(col("a").as("node"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"),
+          col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Per-node triangle count + local clustering coefficient — the
+    * link-farm shape signal (spam rings are near-cliques: high clustering
+    * at high degree; legitimate hub hosts have low clustering).
+    *
+    * Canonical-edge enumeration (a < b < c): each triangle is built
+    * exactly once from two canonical edges sharing the middle node plus a
+    * closing-edge semi-join — never the 6× wedge blowup. All joins are
+    * host-keyed equi-joins; degrees come from the same undirected list.
+    *
+    * @return (node, degree, triangles, clustering round 4) */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint()
+    val canon = und.filter(col("a") < col("b"))
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .join(canon.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"),
+        "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(col("x").as("node"))
+      .unionByName(tri.select(col("y").as("node")))
+      .unionByName(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 4).as("clustering"))
+  }
+
+  /** Bounded-hop BFS from a seed set: minimum hop distance along DIRECTED
+    * edges — "everything within k clicks of a known-spam host" is a drop
+    * list no pairwise similarity computes. Fixed hop bound (the scale
+    * contract: k keyed join+min rounds, frontier never materialized
+    * beyond the node table), min-distance semantics.
+    *
+    * @return (node, dist) for reached nodes only */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0))
+    for (h <- 1 to maxHops) {
+      val step = e.join(dist.filter(col("dist") === h - 1),
+          e("src") === col("node"))
+        .select(col("dst").as("node"), lit(h).as("dist"))
+      dist = dist.unionByName(step)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Item co-visitation similarity over a (user, item) interaction log —
+    * the collaborative near-duplicate signal for sources: two hosts whose
+    * audiences coincide almost surely mirror each other.
+    *
+    * Scale contract: the self-join on user is bounded by capping each
+    * user at `maxItemsPerUser` items (most-frequent first, item-id
+    * tie-break) BEFORE pairing — per-user work is ≤ M², so a power user
+    * with 10⁶ interactions cannot detonate the pair count. Cosine =
+    * co / √(n_a·n_b) over the capped sets; pairs below `minCo` co-users
+    * are noise and dropped pre-shuffle.
+    *
+    * @return (item_a, item_b, co, cosine round 4) with item_a < item_b */
+  def covisitation(interactions: DataFrame, maxItemsPerUser: Int = 20,
+      minCo: Int = 2, userCol: String = "user_id",
+      itemCol: String = "item"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = interactions
+      .groupBy(col(userCol).as("u"), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("f"))
+    val capped = freq
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("f").desc, col("item"))))
+      .filter(col("rn") <= maxItemsPerUser)
+      .select("u", "item")
+      .localCheckpoint()
+    val itemUsers = capped.groupBy("item").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("l")
+      .join(capped.as("r"), col("l.u") === col("r.u") &&
+        col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    pairs
+      .join(itemUsers.select(col("item").as("item_a"), col("n").as("na")),
+        "item_a")
+      .join(itemUsers.select(col("item").as("item_b"), col("n").as("nb")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("co"),
+        round(col("co") / sqrt(col("na") * col("nb")), 4).as("cosine"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The point of bucketing is the PLAN: a fact⋈fact join over two tables
+  * bucketed on their join keys must run with zero shuffle exchanges (and
+  * zero sorts, since the buckets are sorted on write). These tests pin
+  * that property — the value-correctness of q132 is the oracle's job.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withSmj[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cojoin of two bucketed tables plans with zero shuffle exchanges " +
+    "and zero sorts") {
+    withSmj {
+      val left = (1 to 100).map(i => (i.toLong % 10, s"l$i"))
+        .toDF("k", "lv")
+      val right = (1 to 40).map(i => (i.toLong % 10, s"r$i"))
+        .toDF("j", "rv")
+      val joined = Bucketing.cojoin(left, "k", right, "j", nBuckets = 4,
+        dir = "/tmp/graft_bucketed_spec")
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(shuffles.isEmpty,
+        s"expected exchange-free bucketed join, got:\n$plan")
+      assert(sorts.isEmpty,
+        s"expected sort-free bucketed join (sorted buckets), got:\n$plan")
+      // and the join is still correct: 10 keys × (10 left × 4 right) each
+      assert(joined.count() === 400L)
+    }
+  }
+
+  test("writeBucketed round-trips values and is re-entrant (overwrite)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Bucketing.writeBucketed(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
+    Bucketing.writeBucketed(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
+    val back = spark.table("graft_bkt_t").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(back === Seq((1L, "a"), (2L, "b")))
+  }
+}
