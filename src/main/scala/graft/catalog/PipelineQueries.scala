@@ -386,7 +386,130 @@ object PipelineQueries {
                          END) / count(*), 4) AS skip_frac
         FROM zones CROSS JOIN preds
         GROUP BY 1, 2, 3, 4
-        ORDER BY layout, pred_id""")))
+        ORDER BY layout, pred_id""")),
+
+    // ----- q135: leakage-free group-aware split (Dedup.groupAwareSplit)
+    // — the eval-contamination guard: the md5 bucket split is applied to
+    // the near-duplicate COMPONENT id, so a doc and its mirror always
+    // land on the same side. Components replayed in DuckDB exactly as
+    // q37 does (recursive min-label CTE over portable LSH pairs).
+    Q("q135_groupaware_split",
+      (s, d) => {
+        val docs = documents(s, d)
+        val comps = graft.operators.Dedup.nearDupComponents(
+          graft.operators.Dedup.lshCandidatePairs(docs, numHashes = 16,
+            bands = 4, portable = true))
+        graft.operators.Dedup.groupAwareSplit(docs, comps,
+          trainFrac = 0.9).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(root) AS component FROM r GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS group_id,
+               CASE WHEN CAST(('0x' || substr(md5(
+                        coalesce(c.component, d.doc_id)::VARCHAR), 1, 4))
+                        AS INT) < ${(0.9 * 65536).toInt}
+                    THEN 'train' ELSE 'valid' END AS split
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ----- q136: schema-evolution read (DocSource.readEvolved) — two
+    // parquet generations with different schemas (lang added later)
+    // written by our writer, read back as one frame via mergeSchema;
+    // the oracle recomputes the expected union from the base table, so
+    // it checks the whole round trip.
+    Q("q136_schema_evolution",
+      (s, d) => {
+        val docs = documents(s, d)
+        docs.filter(col("doc_id") < 250).select("doc_id", "n_chars")
+          .coalesce(1).write.mode("overwrite")
+          .parquet("/tmp/graft_evo/g1")
+        docs.filter(col("doc_id") >= 250)
+          .select("doc_id", "n_chars", "lang")
+          .coalesce(1).write.mode("overwrite")
+          .parquet("/tmp/graft_evo/g2")
+        graft.sources.DocSource.readEvolved(s,
+            "/tmp/graft_evo/g1", "/tmp/graft_evo/g2")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- q137: incremental stats maintenance (Warehouse.partialStats
+    // / mergeStats / finalizeStats) — per-source summary kept as an
+    // ALGEBRAIC state: two disjoint batches aggregated separately, then
+    // state-merged; the oracle aggregates the whole table at once, so a
+    // pass proves merge associativity end-to-end.
+    Q("q137_stats_merge",
+      (s, d) => {
+        val docs = documents(s, d)
+        val b1 = graft.operators.Warehouse.partialStats(
+          docs.filter(col("doc_id") < 250), "source", "n_chars")
+        val b2 = graft.operators.Warehouse.partialStats(
+          docs.filter(col("doc_id") >= 250), "source", "n_chars")
+        graft.operators.Warehouse.finalizeStats(
+            graft.operators.Warehouse.mergeStats(b1, b2))
+          .orderBy("g")
+      },
+      Some("""
+        SELECT source AS g, count(*)::BIGINT AS n,
+               sum(n_chars)::BIGINT AS s,
+               round(sum(n_chars) / count(*), 4) AS avg,
+               min(n_chars) AS mn, max(n_chars) AS mx
+        FROM documents GROUP BY 1
+        ORDER BY 1""")),
+
+    // ----- q138: join-key skew diagnosis (SkewJoin.skewReport) — the
+    // decide-before-you-shuffle report (per-key counts → exact
+    // percentiles, max/avg skew ratio, suggested salt count) for two
+    // very different key profiles.
+    Q("q138_skew_report",
+      (s, d) =>
+        graft.operators.SkewJoin.skewReport(orders(s, d), "o_custkey")
+          .unionByName(
+            graft.operators.SkewJoin.skewReport(lineitem(s, d),
+              "l_orderkey"))
+          .orderBy("key_col"),
+      Some("""
+        WITH c1 AS (
+          SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        c2 AS (
+          SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        r1 AS (
+          SELECT 'o_custkey' AS key_col, count(*)::BIGINT AS n_keys,
+                 sum(c)::BIGINT AS n_rows, round(avg(c), 4) AS avg_rows,
+                 round(quantile_cont(c, 0.5), 4) AS p50,
+                 round(quantile_cont(c, 0.9), 4) AS p90,
+                 max(c)::BIGINT AS max_rows,
+                 round(max(c) / (sum(c) / count(*)), 4) AS skew_ratio,
+                 ceil(round(max(c) / (sum(c) / count(*)), 6))::BIGINT
+                   AS suggested_salts
+          FROM c1),
+        r2 AS (
+          SELECT 'l_orderkey', count(*)::BIGINT, sum(c)::BIGINT,
+                 round(avg(c), 4), round(quantile_cont(c, 0.5), 4),
+                 round(quantile_cont(c, 0.9), 4), max(c)::BIGINT,
+                 round(max(c) / (sum(c) / count(*)), 4),
+                 ceil(round(max(c) / (sum(c) / count(*)), 6))::BIGINT
+          FROM c2)
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        ORDER BY key_col""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

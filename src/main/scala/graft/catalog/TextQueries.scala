@@ -2947,7 +2947,7 @@ object TextQueries {
         $bandKeys)"""
   }
 
-  private val minhashCtes: String = minhashCtesFrom("documents")
+  private[catalog] val minhashCtes: String = minhashCtesFrom("documents")
 
   /** DuckDB re-implementation of the 16-bit portable simhash: nibble k of
     * md5(shingle) supplies bits 4k..4k+3 (hex digit -> int via strpos). */

@@ -1003,4 +1003,28 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Leakage-free train/validation split: the split is assigned to the
+    * near-duplicate GROUP, not the document, so two near-identical docs
+    * can never land on opposite sides of the split (the classic eval
+    * contamination [[TextAnalysis.hashSplit]] alone cannot prevent —
+    * a doc and its mirror hash differently, a doc and its group don't).
+    *
+    * Group id = connected component where one exists, else the doc's own
+    * id; assignment = the same deterministic md5 bucket split as
+    * hashSplit, applied to the group id. One left equi-join against the
+    * (tiny, pair-bounded) component table — the corpus never reshuffles.
+    *
+    * @param components (id, component) from [[nearDupComponents]]
+    * @return (idCol, group_id, split) */
+  def groupAwareSplit(docs: DataFrame, components: DataFrame,
+      trainFrac: Double, idCol: String = "doc_id"): DataFrame = {
+    val comp = components.select(col("id").as(idCol),
+      col("component"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .select(col(idCol), col("group_id"),
+        TextAnalysis.hashSplit(col("group_id"), trainFrac).as("split"))
+  }
 }

@@ -78,4 +78,31 @@ object SkewJoin {
     left.filter(mightContain)
       .join(rightKeys, col(leftKey) === col("__rk"), "left_semi")
   }
+
+  /** Join-key skew diagnosis: the before-you-shuffle report that decides
+    * whether a key needs [[saltedInnerJoin]] and with how many salts.
+    * One map-side-combinable count per key, then exact percentiles over
+    * the (key-cardinality-scale) count table — the report is one row.
+    *
+    * `suggested_salts` = ceil(max/avg): enough replicas that the hottest
+    * key's share drops to roughly the average partition load.
+    *
+    * @return 1 row: (key_col, n_keys, n_rows, avg_rows round 4, p50,
+    *          p90, max_rows, skew_ratio round 4, suggested_salts) */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        round(avg("c"), 4).as("avg_rows"),
+        percentile(col("c"), lit(0.5)).as("p50"),
+        percentile(col("c"), lit(0.9)).as("p90"),
+        max("c").as("max_rows"))
+      .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+        col("avg_rows"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"), col("max_rows"),
+        round(col("max_rows") / (col("n_rows") / col("n_keys")), 4)
+          .as("skew_ratio"),
+        // round before ceil: an exactly-integer ratio must not flip on
+        // engine-specific last-bit fp noise
+        ceil(round(col("max_rows") / (col("n_rows") / col("n_keys")), 6))
+          .cast("long").as("suggested_salts"))
 }

@@ -99,4 +99,28 @@ object Warehouse {
       .withColumn("suppressed", qiCols.map(col(_) === "*")
         .reduce(_ && _))
   }
+
+  /** Mergeable per-group summary state: (n, sum, min, max) — the
+    * ALGEBRAIC form whose merge is associative+commutative, which is
+    * what makes stats maintainable incrementally: aggregate each new
+    * batch alone, merge states, never rescan history. (avg is derived
+    * at read time — sum/n merges, avg doesn't.) */
+  def partialStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+
+  /** Merge two partial-stats states (same schema as [[partialStats]]).
+    * Groups present in only one side pass through. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("g")
+      .agg(sum("n").as("n"), sum("s").as("s"), min("mn").as("mn"),
+        max("mx").as("mx"))
+
+  /** Finalize a stats state for reading: derive avg. */
+  def finalizeStats(state: DataFrame): DataFrame =
+    state.select(col("g"), col("n"), col("s"),
+      round(col("s") / col("n"), 4).as("avg"), col("mn"), col("mx"))
 }

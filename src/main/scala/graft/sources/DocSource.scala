@@ -93,4 +93,16 @@ object DocSource {
     spark.createDataFrame(
       spark.sparkContext.parallelize(materialized.toSeq), report.schema)
   }
+
+  /** Schema-evolution read: union parquet snapshot generations whose
+    * schemas DIFFER (columns added over time) into one frame — missing
+    * columns become NULL. This is Spark's `mergeSchema` footer
+    * reconciliation, the lakehouse contract for reading a table across
+    * an ADD COLUMN: old files stay valid, no rewrite.
+    *
+    * Cost note: mergeSchema reads every file footer at planning time —
+    * fine for generation roots like these; at a million files you pin
+    * the merged schema in a table format instead. */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -282,4 +282,85 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_skipped") === 1L)
     assert(got.getAs[Double]("skip_frac") === 1.0)
   }
+
+  // --- groupAwareSplit ----------------------------------------------------
+
+  test("groupAwareSplit: every member of a component gets the SAME " +
+    "split; singletons fall back to their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val comps = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val got = Dedup.groupAwareSplit(docs, comps, trainFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got(1L)._2 === got(2L)._2) // component 1 never straddles
+    assert(got(4L)._2 === got(5L)._2) // component 4 never straddles
+    assert(got(3L)._1 === 3L) // singleton groups by its own id
+    assert(got(1L)._1 === 1L && got(5L)._1 === 4L)
+  }
+
+  test("groupAwareSplit matches hashSplit of the group id (the split " +
+    "function itself is unchanged)") {
+    val docs = Seq(7L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id", "component")
+    val viaGroup = Dedup.groupAwareSplit(docs, none, 0.9)
+      .collect()(0).getString(2)
+    val direct = docs.select(
+      TextAnalysis.hashSplit(col("doc_id"), 0.9)).collect()(0).getString(0)
+    assert(viaGroup === direct)
+  }
+
+  // --- partialStats / mergeStats / finalizeStats --------------------------
+
+  test("stats state merged across disjoint batches equals the " +
+    "whole-table aggregate (associativity)") {
+    val full = (1 to 100).map(i => (s"s${i % 3}", i.toLong)).toDF("g0", "v")
+    val b1 = Warehouse.partialStats(full.filter(col("v") <= 40), "g0", "v")
+    val b2 = Warehouse.partialStats(full.filter(col("v") > 40), "g0", "v")
+    val merged = Warehouse.finalizeStats(Warehouse.mergeStats(b1, b2))
+      .orderBy("g").collect().toSeq
+    val direct = Warehouse.finalizeStats(
+        Warehouse.partialStats(full, "g0", "v"))
+      .orderBy("g").collect().toSeq
+    assert(merged === direct)
+  }
+
+  test("mergeStats passes through groups present on only one side") {
+    val a = Warehouse.partialStats(Seq(("x", 1L)).toDF("g0", "v"), "g0", "v")
+    val b = Warehouse.partialStats(Seq(("y", 5L)).toDF("g0", "v"), "g0", "v")
+    val got = Warehouse.finalizeStats(Warehouse.mergeStats(a, b))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got === Seq(("x", 1L, 1L), ("y", 1L, 5L)))
+  }
+
+  // --- skewReport ---------------------------------------------------------
+
+  test("skewReport: one hot key dominates → skew ratio and salt count " +
+    "reflect max/avg") {
+    // 10 keys: key 0 has 91 rows, keys 1-9 have 1 → avg 10, max 91
+    val d = (Seq.fill(91)(0L) ++ (1L to 9L)).toDF("k")
+    val got = SkewJoin.skewReport(d, "k").collect()(0)
+    assert(got.getAs[Long]("n_keys") === 10L)
+    assert(got.getAs[Long]("n_rows") === 100L)
+    assert(got.getAs[Long]("max_rows") === 91L)
+    assert(got.getAs[Double]("skew_ratio") === 9.1)
+    assert(got.getAs[Long]("suggested_salts") === 10L) // ceil(9.1)
+  }
+
+  // --- readEvolved --------------------------------------------------------
+
+  test("readEvolved unions generations with differing schemas, NULLing " +
+    "columns absent from older files") {
+    Seq((1L, 10L)).toDF("id", "a")
+      .write.mode("overwrite").parquet("/tmp/graft_evo_spec/g1")
+    Seq((2L, 20L, "new")).toDF("id", "a", "b")
+      .write.mode("overwrite").parquet("/tmp/graft_evo_spec/g2")
+    val got = graft.sources.DocSource.readEvolved(spark,
+        "/tmp/graft_evo_spec/g1", "/tmp/graft_evo_spec/g2")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSeq
+    assert(got === Seq((1L, 10L, None), (2L, 20L, Some("new"))))
+  }
 }
