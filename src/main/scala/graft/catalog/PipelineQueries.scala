@@ -509,7 +509,124 @@ object PipelineQueries {
                  ceil(round(max(c) / (sum(c) / count(*)), 6))::BIGINT
           FROM c2)
         SELECT * FROM r1 UNION ALL SELECT * FROM r2
-        ORDER BY key_col""")))
+        ORDER BY key_col""")),
+
+    // ----- q139: last-touch attribution (TimeSeries
+    // .lastTouchAttribution) — each purchase credited to the latest
+    // click/view by the same user within 24 h; out-of-window conversions
+    // surface with NULL touch (the join condition, not a post-filter,
+    // carries the window).
+    Q("q139_attribution",
+      (s, d) =>
+        TimeSeries.lastTouchAttribution(events(s, d)).orderBy("conv_id"),
+      Some("""
+        WITH conv AS (
+          SELECT user_id AS u, event_id AS conv_id, ts AS conv_ts
+          FROM events WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id AS u, event_id AS touch_id,
+                 event_type AS touch_type, ts AS touch_ts
+          FROM events WHERE event_type IN ('click', 'view')),
+        cand AS (
+          SELECT c.conv_id, c.conv_ts, t.touch_id, t.touch_type,
+                 t.touch_ts
+          FROM conv c LEFT JOIN touch t
+            ON c.u = t.u
+           AND epoch_us(t.touch_ts) <= epoch_us(c.conv_ts)
+           AND epoch_us(t.touch_ts) > epoch_us(c.conv_ts) - 86400000000),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY conv_id
+                   ORDER BY (touch_ts IS NULL), epoch_us(touch_ts) DESC,
+                            touch_id DESC) AS rn
+          FROM cand)
+        SELECT conv_id, conv_ts, touch_id, touch_type,
+               round((epoch_us(conv_ts) - epoch_us(touch_ts))
+                     / 60000000.0, 2) AS mins_before
+        FROM r WHERE rn = 1
+        ORDER BY conv_id""")),
+
+    // ----- q140: conversion-lag summary (TimeSeries.conversionLag) —
+    // signup→purchase conversion rate and exact p50/p90 minutes from
+    // first signup to first subsequent purchase; one row.
+    Q("q140_conversion_lag",
+      (s, d) => TimeSeries.conversionLag(events(s, d)),
+      Some("""
+        WITH ff AS (
+          SELECT user_id AS u, min(ts) AS from_ts
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        tos AS (
+          SELECT user_id, ts AS to_ts
+          FROM events WHERE event_type = 'purchase'),
+        lags AS (
+          SELECT u, from_ts, min(to_ts) AS first_to
+          FROM ff LEFT JOIN tos
+            ON ff.u = tos.user_id
+           AND epoch_us(to_ts) >= epoch_us(from_ts)
+          GROUP BY 1, 2),
+        l2 AS (
+          SELECT *, (epoch_us(first_to) - epoch_us(from_ts))
+                    / 60000000.0 AS lag_mins
+          FROM lags)
+        SELECT count(*)::BIGINT AS n_users,
+               count(first_to)::BIGINT AS n_converted,
+               round(count(first_to) / count(*), 4) AS cvr,
+               round(quantile_cont(lag_mins, 0.5), 2) AS p50_mins,
+               round(quantile_cont(lag_mins, 0.9), 2) AS p90_mins
+        FROM l2""")),
+
+    // ----- q141: per-event lag/rolling features (TimeSeries
+    // .lagFeatures) — prev value, delta, trailing-3 mean per user in
+    // (ts, event_id) order; the feature-store shape, all windows
+    // user-partitioned.
+    Q("q141_lag_features",
+      (s, d) => TimeSeries.lagFeatures(events(s, d)).orderBy("event_id"),
+      Some("""
+        SELECT event_id, user_id, value,
+               lag(value) OVER w AS prev_value,
+               round(value - lag(value) OVER w, 4) AS delta,
+               round(avg(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+                 AS roll3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""")),
+
+    // ----- q142: merged-interval activity coverage (TimeSeries
+    // .intervalCoverage) — events padded to 30-min intervals, overlaps
+    // merged via trailing cummax gaps-and-islands, per-user island count
+    // + exact covered minutes.
+    Q("q142_interval_coverage",
+      (s, d) => TimeSeries.intervalCoverage(events(s, d))
+        .orderBy("user_id"),
+      Some("""
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + 1800000000 AS e
+          FROM events),
+        m AS (
+          SELECT *, max(e) OVER (PARTITION BY user_id
+                   ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+          FROM iv),
+        f AS (
+          SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                         THEN 1 ELSE 0 END AS ni
+          FROM m),
+        g AS (
+          SELECT *, sum(ni) OVER (PARTITION BY user_id
+                   ORDER BY s, event_id ROWS UNBOUNDED PRECEDING)
+                 AS island
+          FROM f),
+        isl AS (
+          SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, count(*)::BIGINT AS n_intervals,
+               round(sum(is_e - is_s) / 60000000.0, 2) AS covered_mins
+        FROM isl GROUP BY 1
+        ORDER BY user_id""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -73,4 +73,130 @@ object TimeSeries {
     trans.select(col("from_type"), col("to_type"), col("n"),
       round(col("n") / sum("n").over(tot), 4).as("p"))
   }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * LATEST qualifying touch event by the same user inside a lookback
+    * window (ties broken by event id — a total order, so credit never
+    * flips). Conversions with no touch in the window surface with a NULL
+    * touch (they're the "dark" conversions a marketing report must not
+    * silently drop).
+    *
+    * Scale shape: one USER-keyed equi-join (events per user are bounded;
+    * the time predicate rides along as a join residual) + one
+    * max_by per conversion — no window over the raw stream, no range
+    * explosion.
+    *
+    * @return (conv_id, conv_ts, touch_id, touch_type, mins_before
+    *          round 2) */
+  def lastTouchAttribution(events: DataFrame, convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackMinutes: Long = 24 * 60): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id").as("u"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id").as("u"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+    val lookbackUs = lookbackMinutes * 60L * 1000000L
+    // the window predicate must live IN the left-join condition: filtered
+    // afterwards, a conversion whose touches are all out-of-window would
+    // vanish instead of surfacing with a NULL touch
+    val cand = conv.join(touch,
+      conv("u") === touch("u") &&
+        unix_micros(col("touch_ts")) <= unix_micros(col("conv_ts")) &&
+        unix_micros(col("touch_ts")) >
+          unix_micros(col("conv_ts")) - lookbackUs,
+      "left")
+    cand
+      .groupBy("conv_id", "conv_ts")
+      .agg(max_by(
+        struct(col("touch_id"), col("touch_type"), col("touch_ts")),
+        // NULL-touch rows lose to any real touch: order by a nullable
+        // struct — Spark max skips nulls, so make the whole key null
+        when(col("touch_id").isNotNull,
+          struct(unix_micros(col("touch_ts")).as("t"),
+            col("touch_id").as("i"))))
+        .as("best"))
+      .select(col("conv_id"), col("conv_ts"),
+        col("best.touch_id").as("touch_id"),
+        col("best.touch_type").as("touch_type"),
+        round((unix_micros(col("conv_ts")) -
+          unix_micros(col("best.touch_ts"))) / lit(60000000.0), 2)
+          .as("mins_before"))
+  }
+
+  /** Conversion-lag summary: of the users who did `fromType`, how many
+    * later did `toType`, and how long it took (exact p50/p90 minutes over
+    * first-from → first-to-after-it). One row.
+    *
+    * Two user-keyed min-aggregations + one percentile over the
+    * (user-count-scale) lag table. */
+  def conversionLag(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase"): DataFrame = {
+    val firstFrom = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id").as("u")).agg(min("ts").as("from_ts"))
+    val tos = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts").as("to_ts"))
+    // after-signup predicate in the JOIN condition (not a post-filter):
+    // a user whose purchases all predate signup must stay, unconverted
+    val lags = firstFrom.join(tos,
+        firstFrom("u") === tos("user_id") &&
+          unix_micros(col("to_ts")) >= unix_micros(col("from_ts")),
+        "left")
+      .groupBy("u", "from_ts")
+      .agg(min("to_ts").as("first_to"))
+      .withColumn("lag_mins",
+        (unix_micros(col("first_to")) - unix_micros(col("from_ts"))) /
+          lit(60000000.0))
+    lags.agg(count(lit(1)).as("n_users"),
+        count(col("first_to")).as("n_converted"),
+        round(count(col("first_to")) / count(lit(1)), 4).as("cvr"),
+        round(percentile(col("lag_mins"), lit(0.5)), 2).as("p50_mins"),
+        round(percentile(col("lag_mins"), lit(0.9)), 2).as("p90_mins"))
+  }
+
+  /** Per-event lag/rolling features — the feature-store shape for
+    * sequence models: previous value, delta, and trailing 3-row mean of
+    * `value` per user in (ts, event_id) order. All windows are
+    * USER-partitioned (small, parallel); nothing global.
+    *
+    * @return (event_id, user_id, value, prev_value, delta round 4,
+    *          roll3 round 4) */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trail3 = w.rowsBetween(-3, -1)
+    events.select(col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        round(col("value") - lag("value", 1).over(w), 4).as("delta"),
+        round(avg("value").over(trail3), 4).as("roll3"))
+  }
+
+  /** Per-user activity coverage: pad each event to a fixed-length
+    * interval, merge overlaps (gaps-and-islands via trailing cummax of
+    * interval end), and report islands + total covered minutes per user.
+    * The session-coverage metric computed EXACTLY, with all windows
+    * user-partitioned.
+    *
+    * @return (user_id, n_intervals, covered_mins round 2) */
+  def intervalCoverage(events: DataFrame,
+      padMinutes: Long = 30): DataFrame = {
+    val padUs = padMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val prevMax = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val runSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + padUs).as("e"))
+      .withColumn("new_island",
+        when(col("s") > coalesce(prevMax, lit(Long.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("island", sum("new_island").over(runSum))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("is_s"), max("e").as("is_e"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("is_e") - col("is_s")) / lit(60000000.0), 2)
+          .as("covered_mins"))
+  }
 }

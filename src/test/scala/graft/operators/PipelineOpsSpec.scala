@@ -348,6 +348,101 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("suggested_salts") === 10L) // ceil(9.1)
   }
 
+  // --- lastTouchAttribution -----------------------------------------------
+
+  private def evRow(id: Long, ts: String, u: Long, t: String) =
+    (id, Timestamp.valueOf(ts), u, t)
+
+  test("lastTouchAttribution credits the latest in-window touch and " +
+    "surfaces out-of-window conversions with a NULL touch") {
+    val d = Seq(
+      evRow(1L, "2024-01-01 10:00:00", 7L, "click"),
+      evRow(2L, "2024-01-01 11:00:00", 7L, "view"),
+      evRow(3L, "2024-01-01 12:00:00", 7L, "purchase"), // → view (id 2)
+      evRow(4L, "2024-01-05 12:00:00", 7L, "purchase"), // all stale → NULL
+      evRow(5L, "2024-01-01 09:00:00", 8L, "purchase")) // no touches ever
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.lastTouchAttribution(d)
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString),
+        Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      (3L, Some("2"), Some("view")),
+      (4L, None, None),
+      (5L, None, None)))
+  }
+
+  test("lastTouchAttribution breaks same-instant touch ties by the " +
+    "larger event id") {
+    val t = "2024-01-01 10:00:00"
+    val d = Seq(
+      evRow(1L, t, 7L, "click"), evRow(2L, t, 7L, "view"),
+      evRow(9L, "2024-01-01 10:01:00", 7L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.lastTouchAttribution(d).collect()(0)
+    assert(got.getLong(2) === 2L)
+  }
+
+  // --- conversionLag ------------------------------------------------------
+
+  test("conversionLag: purchases BEFORE signup do not convert a user, " +
+    "and non-converters stay in the denominator") {
+    val d = Seq(
+      evRow(1L, "2024-01-01 10:00:00", 1L, "purchase"), // pre-signup
+      evRow(2L, "2024-01-01 11:00:00", 1L, "signup"),
+      evRow(3L, "2024-01-01 12:00:00", 2L, "signup"),
+      evRow(4L, "2024-01-01 12:30:00", 2L, "purchase")) // +30 min
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.conversionLag(d).collect()(0)
+    assert(got.getLong(0) === 2L) // both signed-up users counted
+    assert(got.getLong(1) === 1L) // only user 2 converted
+    assert(got.getDouble(2) === 0.5)
+    assert(got.getDouble(3) === 30.0) // p50 over converters only
+  }
+
+  // --- lagFeatures --------------------------------------------------------
+
+  test("lagFeatures: first row has NULL prev/delta/roll3; trailing mean " +
+    "excludes the current row") {
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 7L, "a", 20.0),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), 7L, "a", 60.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeries.lagFeatures(d).orderBy("event_id").collect()
+    assert(got(0).isNullAt(3) && got(0).isNullAt(4) && got(0).isNullAt(5))
+    assert(got(2).getDouble(3) === 20.0) // prev
+    assert(got(2).getDouble(4) === 40.0) // delta
+    assert(got(2).getDouble(5) === 15.0) // mean(10, 20)
+  }
+
+  // --- intervalCoverage ---------------------------------------------------
+
+  test("intervalCoverage merges overlapping padded intervals and sums " +
+    "the union, not the raw durations") {
+    val d = Seq(
+      // user 7: 10:00 and 10:10 overlap (30-min pad) → one island
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L),
+      // 12:00 is disjoint → second island
+      (3L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val got = TimeSeries.intervalCoverage(d).collect()(0)
+    assert(got.getLong(1) === 2L)
+    assert(got.getDouble(2) === 70.0) // [10:00,10:40] ∪ [12:00,12:30]
+  }
+
+  test("intervalCoverage: an interval starting exactly at the previous " +
+    "end merges (touching counts as overlap)") {
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val got = TimeSeries.intervalCoverage(d).collect()(0)
+    assert(got.getLong(1) === 1L)
+    assert(got.getDouble(2) === 60.0)
+  }
+
   // --- readEvolved --------------------------------------------------------
 
   test("readEvolved unions generations with differing schemas, NULLing " +
