@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Warehouse
+
+/** Streaming MERGE INTO: maintain a keyed snapshot at rest from a stream
+  * of change rows (op ∈ I/U/D) — the materialized-view maintenance loop
+  * a metadata plane runs continuously (license flags, takedown state,
+  * quality tiers), built from [[Warehouse.cdcMerge]] per micro-batch.
+  *
+  * Idempotency contract (exactly-once effect under at-least-once
+  * foreachBatch): snapshots are IMMUTABLE VERSIONED directories
+  * `snap_v<batchId>`. A batch reads the latest version with id < its own
+  * batchId — never its own (possibly partial) output — merges, and
+  * overwrites `snap_v<batchId>`. Replaying a batch after a crash
+  * re-reads the same predecessor and rewrites the same directory: the
+  * final state is byte-identical to a single run. Old versions double as
+  * time travel; vacuum them by retention like any table format.
+  *
+  * In-batch ordering: multiple changes to one key within a micro-batch
+  * are collapsed last-writer-wins by `seqCol` (a total order the SOURCE
+  * provides — relying on micro-batch row order would be
+  * nondeterministic).
+  */
+object StreamingUpsert {
+
+  def streamingUpsert(changes: DataFrame, snapshotPath: String,
+      checkpoint: String, keyCol: String, payloadCols: Seq[String],
+      seqCol: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          upsertBatch(batch.toDF(), batchId, snapshotPath, keyCol,
+            payloadCols, seqCol)
+      }
+      .start()
+
+  /** Committed snapshot versions under `snapshotPath`, ascending. */
+  private[streaming] def versions(spark: SparkSession,
+      snapshotPath: String): Seq[Long] = {
+    val p = new Path(snapshotPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap_v"))
+      // only versions whose write COMMITTED (parquet _SUCCESS marker):
+      // a crash mid-write leaves a directory without it, which the next
+      // read must not trust
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("snap_v").toLong)
+      .sorted
+  }
+
+  /** Latest committed snapshot (empty two-column-free frame if none). */
+  def latestSnapshot(spark: SparkSession, snapshotPath: String,
+      keyCol: String, payloadCols: Seq[String]): DataFrame =
+    versions(spark, snapshotPath).lastOption match {
+      case Some(v) => spark.read.parquet(s"$snapshotPath/snap_v$v")
+        .select((keyCol +: payloadCols).map(col): _*)
+      case None => throw new IllegalStateException(
+        s"no committed snapshot under $snapshotPath")
+    }
+
+  /** One micro-batch, factored out so replay idempotency is directly
+    * testable: calling twice with the same batchId (checkpoint recovery)
+    * leaves the snapshot chain exactly as one call would. */
+  private[streaming] def upsertBatch(bdf: DataFrame, batchId: Long,
+      snapshotPath: String, keyCol: String, payloadCols: Seq[String],
+      seqCol: String): Unit = {
+    val spark = bdf.sparkSession
+    val prev = versions(spark, snapshotPath).filter(_ < batchId)
+      .lastOption
+    val base = prev match {
+      case Some(v) =>
+        spark.read.parquet(s"$snapshotPath/snap_v$v")
+          .select((keyCol +: payloadCols).map(col): _*)
+      case None =>
+        bdf.select((keyCol +: payloadCols).map(col): _*).limit(0)
+    }
+    // last writer (max seqCol) wins per key within the batch; ties on
+    // seq broken by op so the collapse is total-order deterministic
+    val collapsed = bdf
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct((Seq("op", seqCol) ++ payloadCols).map(col): _*),
+        struct(col(seqCol), col("op"))).as("__last"))
+      .select(col(keyCol) +: (Seq("op") ++ payloadCols)
+        .map(c => col(s"__last.$c").as(c)): _*)
+    Warehouse.cdcMerge(base, collapsed, keyCol, payloadCols)
+      .write.mode("overwrite").parquet(s"$snapshotPath/snap_v$batchId")
+  }
+}

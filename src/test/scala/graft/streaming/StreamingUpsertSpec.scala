@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Change row for the upsert specs (top-level: Spark can't synthesize an
+  * encoder for a class nested inside the suite). */
+case class Chg(k: Long, op: String, v: String, seq: Long)
+
+/** Streaming MERGE INTO maintenance: correctness of the merge chain,
+  * last-writer-wins collapse, and the replay-idempotency contract
+  * (versioned snapshots + predecessor-only reads).
+  */
+class StreamingUpsertSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_upsert").toString
+
+  private def snap(path: String): Map[Long, String] =
+    StreamingUpsert.latestSnapshot(spark, path, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("streamingUpsert maintains the snapshot across micro-batches " +
+    "(insert, update, delete)") {
+    val dir = freshDir()
+    val input = MemoryStream[Chg](spark)
+    val q = StreamingUpsert.streamingUpsert(input.toDF(), s"$dir/snap",
+      s"$dir/ckpt", "k", Seq("v"), "seq")
+    try {
+      input.addData(Chg(1, "I", "a", 1), Chg(2, "I", "b", 2))
+      q.processAllAvailable()
+      assert(snap(s"$dir/snap") === Map(1L -> "a", 2L -> "b"))
+      input.addData(Chg(1, "U", "a2", 3), Chg(2, "D", "b", 4),
+        Chg(3, "I", "c", 5))
+      q.processAllAvailable()
+      assert(snap(s"$dir/snap") === Map(1L -> "a2", 3L -> "c"))
+    } finally q.stop()
+  }
+
+  test("multiple changes to one key in a batch collapse last-writer-wins " +
+    "by seq") {
+    val dir = freshDir()
+    val batch = Seq(Chg(1, "I", "first", 1), Chg(1, "U", "last", 9),
+      Chg(1, "U", "middle", 5)).toDF()
+    StreamingUpsert.upsertBatch(batch, 0L, s"$dir/snap", "k", Seq("v"),
+      "seq")
+    assert(snap(s"$dir/snap") === Map(1L -> "last"))
+  }
+
+  test("replaying a batch after its own (committed or partial) write " +
+    "leaves the chain as a single run would") {
+    val dir = freshDir()
+    StreamingUpsert.upsertBatch(Seq(Chg(1, "I", "a", 1)).toDF(), 0L,
+      s"$dir/snap", "k", Seq("v"), "seq")
+    val b1 = Seq(Chg(1, "U", "a2", 2), Chg(2, "I", "b", 3)).toDF()
+    StreamingUpsert.upsertBatch(b1, 1L, s"$dir/snap", "k", Seq("v"), "seq")
+    val once = snap(s"$dir/snap")
+    // crash-replay: batch 1 runs again with its own v1 output present —
+    // it must read v0 (not its own output) and rewrite identically
+    StreamingUpsert.upsertBatch(b1, 1L, s"$dir/snap", "k", Seq("v"), "seq")
+    assert(snap(s"$dir/snap") === once)
+    assert(once === Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("an uncommitted snapshot directory (no _SUCCESS) is invisible to " +
+    "version listing") {
+    val dir = freshDir()
+    StreamingUpsert.upsertBatch(Seq(Chg(1, "I", "a", 1)).toDF(), 0L,
+      s"$dir/snap", "k", Seq("v"), "seq")
+    // simulate a crash mid-write of v1: directory exists, no _SUCCESS
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/snap/snap_v1"))
+    assert(StreamingUpsert.versions(spark, s"$dir/snap") === Seq(0L))
+    assert(snap(s"$dir/snap") === Map(1L -> "a"))
+  }
+}
