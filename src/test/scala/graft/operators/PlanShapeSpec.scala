@@ -405,4 +405,75 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastNestedLoopJoin"), p.take(1000))
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
+
+  // --- round-8 pipeline-plane operators -----------------------------------
+
+  private def events(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        (i % 7).toLong, Seq("click", "view", "purchase")(i % 3),
+        (i % 10).toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("event time-series windows (lagFeatures, intervalCoverage, " +
+    "eventTransitions) are all USER-partitioned, never global") {
+    for (df <- Seq(
+        TimeSeries.lagFeatures(events(100)),
+        TimeSeries.intervalCoverage(events(100)),
+        TimeSeries.eventTransitions(events(100)))) {
+      val p = plan(df)
+      p.linesIterator.filter(_.contains("Window [")).foreach { n =>
+        assert(n.contains("user_id") || n.contains("from_type"),
+          s"Window not keyed by user/state: $n")
+      }
+      assert(p.contains("Window ["), p.take(400))
+    }
+  }
+
+  test("spikeDetect windows partition by the series key over the DAILY " +
+    "aggregate (one combinable groupBy absorbs the raw stream first)") {
+    val p = plan(TimeSeries.spikeDetect(events(200)))
+    assertWindowsKeyedBy(p, "key")
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("covisitation pairs through equi-joins only (the capped item set " +
+    "is checkpointed, so the final plan is join+agg — no cartesian, no " +
+    "window)") {
+    val inter = events(200).select(col("user_id"),
+      (col("event_id") % 11).cast("int").as("item"))
+    val p = plan(WebGraph.covisitation(inter))
+    // the per-user cap window runs INSIDE the localCheckpoint of the
+    // capped set; the downstream pair plan must be pure equi-join+agg
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("zoneMapSkipStats runs with NO window at all (broadcast bounds + " +
+    "codegen shard projection) and no cartesian") {
+    val d = (0 until 200).map(i => (i.toLong, (i % 13) * 10L))
+      .toDF("id", "v")
+    val p = plan(Layout.zoneMapSkipStats(d, "v", "id", 10,
+      Seq((0.0, 50.0))))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sentenceDedup elects first occurrences through hash aggregation " +
+    "— no window over the (skew-prone) sentence key") {
+    val p = plan(TextAnalysis.sentenceDedup(docs(100)))
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(800))
+  }
+
+  test("lastTouchAttribution is a user-keyed equi-join plus aggregation " +
+    "— no window over raw events, no cartesian") {
+    val p = plan(TimeSeries.lastTouchAttribution(events(200)))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
