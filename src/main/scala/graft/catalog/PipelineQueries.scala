@@ -287,7 +287,7 @@ object PipelineQueries {
     // values — bucketing must never change results.
     Q("q132_bucketed_join",
       (s, d) =>
-        graft.operators.Bucketing.cojoin(
+        graft.sources.Bucketing.cojoin(
             orders(s, d), "o_custkey", customer(s, d), "c_custkey",
             nBuckets = 8, dir = "/tmp/graft_bucketed")
           .groupBy("c_mktsegment")
@@ -402,7 +402,18 @@ object PipelineQueries {
         graft.operators.Dedup.groupAwareSplit(docs, comps,
           trainFrac = 0.9).orderBy("doc_id")
       },
-      Some(s"""
+      benchRun = Some((s, d) => {
+        // production configuration: xxhash64 LSH features (the md5 path
+        // above exists so DuckDB can replay the components — q37b
+        // precedent)
+        val docs = documents(s, d)
+        val comps = graft.operators.Dedup.nearDupComponents(
+          graft.operators.Dedup.lshCandidatePairs(docs, numHashes = 16,
+            bands = 4, portable = false))
+        graft.operators.Dedup.groupAwareSplit(docs, comps,
+          trainFrac = 0.9).orderBy("doc_id")
+      }),
+      oracle = Some(s"""
         WITH RECURSIVE ${TextQueries.minhashCtes},
         pairs AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

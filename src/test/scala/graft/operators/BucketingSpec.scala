@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.sources.Bucketing
 
 /** The point of bucketing is the PLAN: a fact⋈fact join over two tables
   * bucketed on their join keys must run with zero shuffle exchanges (and
   * zero sorts, since the buckets are sorted on write). These tests pin
   * that property — the value-correctness of q132 is the oracle's job.
+  * (BucketedJoinSpec pins the same contract on the UMLS fixture tables.)
   */
 class BucketingSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -44,10 +46,10 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
-  test("writeBucketed round-trips values and is re-entrant (overwrite)") {
+  test("writeBucketedAt round-trips values and is re-entrant (overwrite)") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
-    Bucketing.writeBucketed(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
-    Bucketing.writeBucketed(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
+    Bucketing.writeBucketedAt(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
+    Bucketing.writeBucketedAt(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
     val back = spark.table("graft_bkt_t").orderBy("k")
       .as[(Long, String)].collect().toSeq
     assert(back === Seq((1L, "a"), (2L, "b")))
