@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TimeSeries, Warehouse, WebGraph}
+import graft.operators.{TextAnalysis, TimeSeries, Warehouse, WebGraph}
 
 /** Round-8 pipeline-plane catalog entries: graph structure (communities,
   * triangles, reachability, co-visitation), feed time-series anomaly
@@ -637,7 +637,79 @@ object PipelineQueries {
         SELECT user_id, count(*)::BIGINT AS n_intervals,
                round(sum(is_e - is_s) / 60000000.0, 2) AS covered_mins
         FROM isl GROUP BY 1
-        ORDER BY user_id""")))
+        ORDER BY user_id""")),
+
+    // ----- q143: Otsu auto-threshold (TextAnalysis.otsuThreshold) —
+    // parameter-free quality cutoff: the 20-bucket histogram cut that
+    // maximizes between-class variance over documents.n_chars. Discrete
+    // Otsu over bucket indices (integer-weighted sums both engines
+    // compute identically).
+    Q("q143_otsu_threshold",
+      (s, d) =>
+        TextAnalysis.otsuThreshold(documents(s, d), "n_chars",
+          nBuckets = 20),
+      Some("""
+        WITH b AS (
+          SELECT min(n_chars) AS minv, max(n_chars) AS maxv
+          FROM documents),
+        s AS (
+          SELECT CASE WHEN (maxv - minv) <= 0 THEN 0
+                      ELSE least(floor(((n_chars - minv)
+                             / (maxv - minv)) * 20)::BIGINT, 19)
+                 END AS bucket,
+                 minv, (maxv - minv) / 20.0 AS w
+          FROM documents, b),
+        hist AS (
+          SELECT bucket,
+                 round(min(minv + (bucket + 1) * w), 4) AS hi,
+                 count(*) AS n
+          FROM s GROUP BY bucket),
+        tot AS (
+          SELECT sum(n) AS tn, sum(n * bucket) AS ti FROM hist),
+        cum AS (
+          SELECT bucket, hi, n,
+                 sum(n) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS w0,
+                 sum(n * bucket) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS i0
+          FROM hist),
+        v AS (
+          SELECT bucket, hi, w0, tn - w0 AS w1,
+                 CASE WHEN w0 > 0 AND tn - w0 > 0
+                      THEN w0::DOUBLE * (tn - w0)::DOUBLE *
+                           pow(i0 / w0 - (ti - i0) / (tn - w0), 2)
+                 END AS varb
+          FROM cum, tot)
+        SELECT bucket AS threshold_bucket, hi AS threshold_value,
+               w0::BIGINT AS n_below, w1::BIGINT AS n_above,
+               round(varb, 4) AS var_between
+        FROM v WHERE varb IS NOT NULL
+        ORDER BY round(varb, 6) DESC, bucket
+        LIMIT 1""")),
+
+    // ----- q144: join-cardinality prediction (SkewJoin
+    // .joinCardinalityReport) — Σ c_l(k)·c_r(k) from the two per-key
+    // histograms; the ORACLE computes the actual lineitem⋈orders join
+    // count, so a green row proves the predictor exact without Spark
+    // ever running the join.
+    Q("q144_join_cardinality",
+      (s, d) =>
+        graft.operators.SkewJoin.joinCardinalityReport(
+          lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"),
+      Some("""
+        WITH lc AS (
+          SELECT l_orderkey AS k, count(*) AS cl
+          FROM lineitem GROUP BY 1),
+        rc AS (
+          SELECT o_orderkey AS k, count(*) AS cr
+          FROM orders GROUP BY 1),
+        j AS (SELECT cl, cr FROM lc JOIN rc USING (k))
+        SELECT count(*)::BIGINT AS n_shared_keys,
+               (SELECT count(*) FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey)::BIGINT
+                 AS predicted_rows,
+               max(cl * cr)::BIGINT AS max_key_rows
+        FROM j""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -89,6 +89,25 @@ object SkewJoin {
     *
     * @return 1 row: (key_col, n_keys, n_rows, avg_rows round 4, p50,
     *          p90, max_rows, skew_ratio round 4, suggested_salts) */
+  /** Exact join-output-size prediction WITHOUT running the join: for an
+    * inner equi-join, |result| = Σ_k c_left(k)·c_right(k) over shared
+    * keys — two per-key counts and one key-cardinality-scale join of the
+    * histograms. This is the cost-based pre-check for "can this join's
+    * output even fit": the q144 oracle computes the ACTUAL join count,
+    * so a pass proves the predictor exact.
+    *
+    * @return 1 row: (n_shared_keys, predicted_rows, max_key_rows —
+    *          the largest single key's contribution, the skew hazard) */
+  def joinCardinalityReport(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    lc.join(rc, "k")
+      .agg(count(lit(1)).as("n_shared_keys"),
+        sum(col("cl") * col("cr")).as("predicted_rows"),
+        max(col("cl") * col("cr")).as("max_key_rows"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),

@@ -1332,6 +1332,52 @@ object TextAnalysis {
     *
     * @return (doc_id, text_dedup, n_kept, n_total) — docs whose every
     *         sentence was claimed elsewhere keep an empty text_dedup */
+  /** Otsu auto-thresholding over a score column: pick the histogram cut
+    * that maximizes between-class variance — the parameter-free way to
+    * choose a quality cutoff when the distribution is bimodal (clean vs
+    * junk), instead of hand-tuning a magic number per corpus.
+    *
+    * Discrete Otsu over BUCKET INDICES (integer-weighted sums, so both
+    * engines compute identical rationals): one [[Layout.histogram]] pass
+    * absorbs the corpus; everything after runs on the ≤ nBuckets-row
+    * bucket table (the window below is bounded by nBuckets — the q83
+    * bounded-relation precedent, not a corpus-sized window).
+    *
+    * @return 1 row: (threshold_bucket, threshold_value, n_below,
+    *          n_above, var_between round 4); threshold = highest value
+    *          still in the LOW class */
+  def otsuThreshold(df: DataFrame, valueCol: String,
+      nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Layout.histogram(df.select(valueCol), valueCol, nBuckets)
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum("n").as("__graft_tn"),
+      sum(col("n") * col("bucket")).as("__graft_ti"))
+    val cum = hist
+      .withColumn("w0", sum("n").over(w))
+      .withColumn("i0", sum(col("n") * col("bucket")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("w1", col("__graft_tn") - col("w0"))
+      .withColumn("varb",
+        when(col("w0") > 0 && col("w1") > 0,
+          col("w0").cast("double") * col("w1").cast("double") *
+            pow(col("i0") / col("w0") -
+              (col("__graft_ti") - col("i0")) / col("w1"), 2)))
+      .filter(col("varb").isNotNull)
+    cum
+      .agg(max_by(
+        struct(col("bucket"), col("hi"), col("w0"), col("w1"),
+          round(col("varb"), 4).as("v4")),
+        // argmax by 6-decimal-rounded variance, tie → smaller bucket
+        struct(round(col("varb"), 6).as("v"), (-col("bucket")).as("nb")))
+        .as("b"))
+      .select(col("b.bucket").as("threshold_bucket"),
+        col("b.hi").as("threshold_value"),
+        col("b.w0").as("n_below"), col("b.w1").as("n_above"),
+        col("b.v4").as("var_between"))
+  }
+
   def sentenceDedup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val sents = docs

@@ -443,6 +443,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 60.0)
   }
 
+  // --- otsuThreshold ------------------------------------------------------
+
+  test("otsuThreshold cuts a clean bimodal distribution between the " +
+    "modes") {
+    // 50 values near 0, 50 near 100 → threshold must land between them
+    val d = (Seq.fill(50)(5.0) ++ Seq.fill(50)(95.0)).toDF("q")
+    val got = TextAnalysis.otsuThreshold(d, "q", nBuckets = 10)
+      .collect()(0)
+    val cut = got.getAs[Double]("threshold_value")
+    assert(cut > 5.0 && cut < 95.0, s"cut=$cut")
+    assert(got.getAs[Long]("n_below") === 50L)
+    assert(got.getAs[Long]("n_above") === 50L)
+  }
+
+  test("otsuThreshold on a constant column yields no valid cut (empty " +
+    "result, not a crash)") {
+    val d = Seq.fill(10)(7.0).toDF("q")
+    // all mass in bucket 0 → no (w0>0, w1>0) split exists
+    val got = TextAnalysis.otsuThreshold(d, "q", nBuckets = 10).collect()
+    assert(got.isEmpty || got(0).isNullAt(0))
+  }
+
+  // --- joinCardinalityReport ----------------------------------------------
+
+  test("joinCardinalityReport predicts the exact inner-join size from " +
+    "per-key histograms, without joining the data") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk") // counts: 1→3, 2→1, 3→1
+    val r = Seq(1L, 1L, 2L, 9L).toDF("rk") // counts: 1→2, 2→1, 9→1
+    val got = SkewJoin.joinCardinalityReport(l, "lk", r, "rk").collect()(0)
+    assert(got.getLong(0) === 2L) // shared keys {1, 2}
+    assert(got.getLong(1) === 7L) // 3·2 + 1·1
+    assert(got.getLong(2) === 6L) // key 1 dominates
+    val actual = l.join(r, col("lk") === col("rk")).count()
+    assert(actual === 7L)
+  }
+
   // --- readEvolved --------------------------------------------------------
 
   test("readEvolved unions generations with differing schemas, NULLing " +
