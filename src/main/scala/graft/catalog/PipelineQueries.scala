@@ -709,7 +709,77 @@ object PipelineQueries {
                 JOIN orders ON l_orderkey = o_orderkey)::BIGINT
                  AS predicted_rows,
                max(cl * cr)::BIGINT AS max_key_rows
-        FROM j""")))
+        FROM j""")),
+
+    // ----- q145: cleaning-pipeline audit (Dedup.dedupCorpusAudit) —
+    // the per-stage lineage report for the q38 composition: rows in/out
+    // and dropped at input → quality gate → exact dedup → near-dup.
+    // The oracle replays every stage population (q38's CTE chain) and
+    // counts them, so the report is value-verified end to end.
+    Q("q145_pipeline_audit",
+      (s, d) =>
+        graft.operators.Dedup.dedupCorpusAudit(documents(s, d),
+          minQuality = 0.3, numHashes = 16, bands = 4, portable = true)
+          .orderBy("stage_id"),
+      benchRun = Some((s, d) =>
+        graft.operators.Dedup.dedupCorpusAudit(documents(s, d),
+          minQuality = 0.3, numHashes = 16, bands = 4, portable = false)
+          .orderBy("stage_id")),
+      oracle = Some(s"""
+        WITH RECURSIVE qgate AS (
+          SELECT doc_id, text FROM documents
+          WHERE round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) >= 0.3
+        ),
+        fpk AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+                FROM qgate)
+          GROUP BY fp
+        ),
+        s1 AS (SELECT q.* FROM qgate q JOIN fpk USING (doc_id)),
+        ${TextQueries.minhashCtesFrom("s1")},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS (
+          SELECT id FROM (SELECT id, min(root) AS comp FROM r GROUP BY id)
+          WHERE id <> comp),
+        counts AS (
+          SELECT 0 AS stage_id, 'input' AS stage,
+                 (SELECT count(*) FROM documents) AS rows_out
+          UNION ALL
+          SELECT 1, 'quality_gate', (SELECT count(*) FROM qgate)
+          UNION ALL
+          SELECT 2, 'exact_dedup', (SELECT count(*) FROM fpk)
+          UNION ALL
+          SELECT 3, 'near_dup',
+                 (SELECT count(*) FROM s1
+                  WHERE doc_id NOT IN (SELECT id FROM drops)))
+        SELECT stage_id, stage,
+               coalesce(lag(rows_out) OVER (ORDER BY stage_id), rows_out)
+                 ::BIGINT AS rows_in,
+               rows_out::BIGINT AS rows_out,
+               (coalesce(lag(rows_out) OVER (ORDER BY stage_id), rows_out)
+                 - rows_out)::BIGINT AS dropped
+        FROM counts
+        ORDER BY stage_id""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -2931,7 +2931,7 @@ object TextQueries {
         SELECT DISTINCT doc_id, md5(token) AS th
         FROM toks WHERE length(token) > 0)"""
 
-  private def minhashCtesFrom(src: String): String = {
+  private[catalog] def minhashCtesFrom(src: String): String = {
     val hashAggs = (0 until 16)
       .map(i => s"min(md5('$i' || '|' || th)) AS h$i").mkString(",\n        ")
     val bandKeys = (0 until 4).map { b =>

@@ -1004,6 +1004,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-stage audit of the [[dedupCorpus]] composition — the lineage
+    * report operations wants next to every cleaning run: how many rows
+    * each stage received, kept, and dropped. Re-derives the stage
+    * populations with the same public building blocks (quality gate,
+    * fingerprint keeper, [[dedupCorpus]] itself for the final set), so
+    * the audit can run independently of — and cross-check — a production
+    * run. Everything after the stage filters is 1-row aggregates; the
+    * lag window runs on the 4-row stage table.
+    *
+    * @return 4 rows: (stage_id, stage, rows_in, rows_out, dropped) */
+  def dedupCorpusAudit(docs: DataFrame, minQuality: Double = 0.3,
+      numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def stageCount(df: DataFrame, id: Int, name: String) =
+      df.agg(count(lit(1)).as("rows_out"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("rows_out"))
+    val pass = docs.filter(
+      round(TextAnalysis.qualityScore(col(textCol)), 3) >= minQuality)
+    val exactKept = pass
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(idCol).as(idCol))
+    val finalKept = dedupCorpus(docs, minQuality, numHashes, bands,
+      portable, textCol, idCol)
+    val stages = stageCount(docs, 0, "input")
+      .unionByName(stageCount(pass, 1, "quality_gate"))
+      .unionByName(stageCount(exactKept, 2, "exact_dedup"))
+      .unionByName(stageCount(finalKept, 3, "near_dup"))
+    val w = Window.orderBy("stage_id") // 4-row stage table, bounded
+    stages
+      .withColumn("rows_in",
+        coalesce(lag("rows_out", 1).over(w), col("rows_out")))
+      .withColumn("dropped", col("rows_in") - col("rows_out"))
+      .select("stage_id", "stage", "rows_in", "rows_out", "dropped")
+  }
+
   /** Leakage-free train/validation split: the split is assigned to the
     * near-duplicate GROUP, not the document, so two near-identical docs
     * can never land on opposite sides of the split (the classic eval

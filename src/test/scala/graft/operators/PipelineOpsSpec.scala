@@ -443,6 +443,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 60.0)
   }
 
+  // --- dedupCorpusAudit ---------------------------------------------------
+
+  test("dedupCorpusAudit stages chain (rows_in = previous rows_out) and " +
+    "the final stage matches dedupCorpus itself") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (3L, "a completely different sentence about spark engines here"),
+      (4L, "1234567890 9999 888 777")) // numeric junk → quality gate
+      .toDF("doc_id", "text")
+    val audit = Dedup.dedupCorpusAudit(docs, minQuality = 0.3)
+      .orderBy("stage_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(audit(0) === (("input", 4L, 4L, 0L)))
+    assert(audit(1)._1 === "quality_gate" && audit(1)._3 === 3L)
+    assert(audit(2) === (("exact_dedup", 3L, 2L, 1L))) // dup collapsed
+    // chain property + final equality with the production operator
+    audit.sliding(2).foreach { case Array(a, b) => assert(b._2 === a._3) }
+    val finalN = Dedup.dedupCorpus(docs, minQuality = 0.3).count()
+    assert(audit(3)._3 === finalN)
+  }
+
   // --- otsuThreshold ------------------------------------------------------
 
   test("otsuThreshold cuts a clean bimodal distribution between the " +
