@@ -779,7 +779,32 @@ object PipelineQueries {
                (coalesce(lag(rows_out) OVER (ORDER BY stage_id), rows_out)
                  - rows_out)::BIGINT AS dropped
         FROM counts
-        ORDER BY stage_id""")))
+        ORDER BY stage_id""")),
+
+    // ----- q146: exact phrase search (TextSearch.phraseSearch) — the
+    // positional complement to q57's bag-of-words BM25: "says exactly
+    // this", via per-term posting lists lined up at consecutive
+    // positions (join input = the phrase terms' postings, never the
+    // corpus).
+    Q("q146_phrase_search",
+      (s, d) =>
+        graft.operators.TextSearch.phraseSearch(documents(s, d),
+          Seq("table", "hash")).orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
+          FROM documents),
+        p AS (
+          SELECT doc_id, unnest(a) AS token,
+                 unnest(generate_series(1, len(a))) AS pos
+          FROM t),
+        p2 AS (SELECT * FROM p WHERE token != ''),
+        f AS (SELECT doc_id, pos FROM p2 WHERE token = 'table'),
+        n AS (SELECT doc_id, pos - 1 AS pos FROM p2 WHERE token = 'hash')
+        SELECT doc_id, count(*)::BIGINT AS n_matches
+        FROM f JOIN n USING (doc_id, pos)
+        GROUP BY doc_id
+        ORDER BY doc_id""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

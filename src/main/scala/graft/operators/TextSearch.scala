@@ -208,4 +208,39 @@ object TextSearch {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"),
         col("cos_raw"))
   }
+
+  /** Positional postings: one row per (doc, position, token) — the index
+    * relation phrase search needs on top of [[termFreqs]]'s bag-of-words
+    * counts. */
+  def positionalPostings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+"))
+          .as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+
+  /** Exact phrase search over positional postings: a phrase of k words
+    * matches where k postings line up at consecutive positions in one
+    * document — (k−1) equi-joins on (doc, pos), each side pre-filtered
+    * to ONE term's postings (so join input is the phrase terms' posting
+    * lists, never the corpus). The positional analog of [[bm25]]'s
+    * bag-of-words scoring; BM25 ranks "has these words", this answers
+    * "says exactly this".
+    *
+    * @return (idCol, n_matches) for documents containing the phrase */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val terms = phrase.map(_.toLowerCase)
+    val post = positionalPostings(docs, textCol, idCol)
+    val first = post.filter(col("token") === terms.head)
+      .select(col(idCol), col("pos"))
+    val matches = terms.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        val next = post.filter(col("token") === t)
+          .select(col(idCol), (col("pos") - i).as("pos"))
+        acc.join(next, Seq(idCol, "pos"))
+    }
+    matches.groupBy(idCol).agg(count(lit(1)).as("n_matches"))
+  }
 }

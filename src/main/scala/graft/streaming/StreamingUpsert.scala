@@ -67,6 +67,18 @@ object StreamingUpsert {
         s"no committed snapshot under $snapshotPath")
     }
 
+  /** Time-travel read: the snapshot as of `version` — the latest
+    * committed version with id ≤ `version` (immutable version dirs make
+    * this free; vacuum old versions by retention to bound storage). */
+  def snapshotAt(spark: SparkSession, snapshotPath: String, version: Long,
+      keyCol: String, payloadCols: Seq[String]): DataFrame =
+    versions(spark, snapshotPath).filter(_ <= version).lastOption match {
+      case Some(v) => spark.read.parquet(s"$snapshotPath/snap_v$v")
+        .select((keyCol +: payloadCols).map(col): _*)
+      case None => throw new IllegalStateException(
+        s"no committed snapshot at or before v$version under $snapshotPath")
+    }
+
   /** One micro-batch, factored out so replay idempotency is directly
     * testable: calling twice with the same batchId (checkpoint recovery)
     * leaves the snapshot chain exactly as one call would. */

@@ -443,6 +443,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 60.0)
   }
 
+  // --- phraseSearch -------------------------------------------------------
+
+  test("phraseSearch matches exact consecutive positions only, counts " +
+    "multiple occurrences, and handles 3-word phrases") {
+    val docs = Seq(
+      (1L, "big data engine big data engine"), // phrase ×2
+      (2L, "big red data engine"), // words present, not adjacent
+      (3L, "data big engine"), // wrong order
+      (4L, "Big Data engine")) // case-insensitive ×1
+      .toDF("doc_id", "text")
+    val two = TextSearch.phraseSearch(docs, Seq("big", "data"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(1L -> 2L, 4L -> 1L))
+    val three = TextSearch.phraseSearch(docs, Seq("big", "data", "engine"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three === Map(1L -> 2L, 4L -> 1L))
+  }
+
   // --- dedupCorpusAudit ---------------------------------------------------
 
   test("dedupCorpusAudit stages chain (rows_in = previous rows_out) and " +

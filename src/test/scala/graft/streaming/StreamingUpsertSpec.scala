@@ -68,6 +68,22 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(once === Map(1L -> "a2", 2L -> "b"))
   }
 
+  test("snapshotAt time-travels to the latest committed version at or " +
+    "before the asked id") {
+    val dir = freshDir()
+    StreamingUpsert.upsertBatch(Seq(Chg(1, "I", "a", 1)).toDF(), 0L,
+      s"$dir/snap", "k", Seq("v"), "seq")
+    StreamingUpsert.upsertBatch(Seq(Chg(1, "U", "a2", 2)).toDF(), 3L,
+      s"$dir/snap", "k", Seq("v"), "seq")
+    def at(v: Long) = StreamingUpsert.snapshotAt(spark, s"$dir/snap", v,
+      "k", Seq("v")).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(at(0L) === Map(1L -> "a"))
+    assert(at(2L) === Map(1L -> "a")) // gap: falls back to v0
+    assert(at(3L) === Map(1L -> "a2"))
+    assert(at(99L) === Map(1L -> "a2"))
+  }
+
   test("an uncommitted snapshot directory (no _SUCCESS) is invisible to " +
     "version listing") {
     val dir = freshDir()
