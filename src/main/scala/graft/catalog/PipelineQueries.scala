@@ -804,7 +804,82 @@ object PipelineQueries {
         SELECT doc_id, count(*)::BIGINT AS n_matches
         FROM f JOIN n USING (doc_id, pos)
         GROUP BY doc_id
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ----- q147: frequent event trigrams (TimeSeries.eventTrigrams) —
+    // first-rung sequential-pattern mining: recurring (a → b → c)
+    // behavior paths across users; two leads per user, one combinable
+    // count, tail cut at minCount.
+    Q("q147_event_trigrams",
+      (s, d) =>
+        TimeSeries.eventTrigrams(events(s, d), minCount = 2)
+          .orderBy("e1", "e2", "e3"),
+      Some("""
+        WITH s AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT e1, e2, e3, count(*)::BIGINT AS n
+        FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        ORDER BY e1, e2, e3""")),
+
+    // ----- q148: RFM user-value segmentation (TimeSeries.rfmScores) —
+    // recency/frequency/monetary quintile scores via BROADCAST exact
+    // percentile thresholds (score = 1 + thresholds exceeded), never a
+    // global ntile over the user table; recency anchored to the corpus
+    // max ts so the report is reproducible.
+    Q("q148_rfm",
+      (s, d) => TimeSeries.rfmScores(events(s, d)).orderBy("user_id"),
+      Some("""
+        WITH pu AS (
+          SELECT user_id, max(epoch_us(ts)) AS last_us,
+                 count(*) AS frequency,
+                 coalesce(sum(CASE WHEN event_type = 'purchase'
+                                   THEN value END), 0) AS monetary
+          FROM events GROUP BY 1),
+        mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        base AS (
+          SELECT user_id,
+                 floor((max_us - last_us) / 86400000000)::BIGINT
+                   AS recency_days,
+                 frequency, monetary
+          FROM pu, mx),
+        t AS (
+          SELECT quantile_cont(recency_days, 0.2) AS r1,
+                 quantile_cont(recency_days, 0.4) AS r2,
+                 quantile_cont(recency_days, 0.6) AS r3,
+                 quantile_cont(recency_days, 0.8) AS r4,
+                 quantile_cont(frequency, 0.2) AS f1,
+                 quantile_cont(frequency, 0.4) AS f2,
+                 quantile_cont(frequency, 0.6) AS f3,
+                 quantile_cont(frequency, 0.8) AS f4,
+                 quantile_cont(monetary, 0.2) AS m1,
+                 quantile_cont(monetary, 0.4) AS m2,
+                 quantile_cont(monetary, 0.6) AS m3,
+                 quantile_cont(monetary, 0.8) AS m4
+          FROM base),
+        scored AS (
+          SELECT user_id, recency_days, frequency,
+                 round(monetary, 2) AS monetary,
+                 6 - (1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+                        + (recency_days > r3)::INT + (recency_days > r4)::INT)
+                   AS r_score,
+                 1 + (frequency > f1)::INT + (frequency > f2)::INT
+                   + (frequency > f3)::INT + (frequency > f4)::INT
+                   AS f_score,
+                 1 + (monetary > m1)::INT + (monetary > m2)::INT
+                   + (monetary > m3)::INT + (monetary > m4)::INT
+                   AS m_score
+          FROM base, t)
+        SELECT user_id, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                 AS rfm
+        FROM scored
+        ORDER BY user_id""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

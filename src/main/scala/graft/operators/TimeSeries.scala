@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,77 @@ object TimeSeries {
         lag("value", 1).over(w).as("prev_value"),
         round(col("value") - lag("value", 1).over(w), 4).as("delta"),
         round(avg("value").over(trail3), 4).as("roll3"))
+  }
+
+  /** Frequent event 3-grams: the sequential-pattern miner's first rung —
+    * which (a → b → c) behavior paths recur across users. Two leads over
+    * the per-user (ts, event_id) total order, then one combinable count;
+    * `minCount` drops the long tail pre-output.
+    *
+    * @return (e1, e2, e3, n) for trigrams with n ≥ minCount */
+  def eventTrigrams(events: DataFrame, minCount: Long = 2,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    events
+      .select(col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** RFM (recency / frequency / monetary) scoring — the user-value
+    * segmentation every event warehouse ships. Quintile scores come from
+    * exact 20/40/60/80th-percentile THRESHOLDS broadcast from one 1-row
+    * aggregate (score = 1 + #thresholds strictly exceeded) — never a
+    * global ntile window over the user table, which would single-task a
+    * billion users.
+    *
+    * Recency counts days from the corpus max ts (so the report is
+    * reproducible, not wall-clock-dependent); monetary sums `value` over
+    * `monetaryType` events only.
+    *
+    * @return (user_id, recency_days, frequency, monetary round 2,
+    *          r_score, f_score, m_score, rfm) — r_score high = recent */
+  def rfmScores(events: DataFrame, monetaryType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === monetaryType,
+          col(valueCol))), lit(0.0)).as("monetary"))
+    val corpusMax = events.agg(max(unix_micros(col(tsCol))).as("max_us"))
+    val base = perUser.crossJoin(broadcast(corpusMax))
+      .withColumn("recency_days",
+        floor((col("max_us") - col("last_us")) / lit(86400000000L))
+          .cast("long"))
+    def thresholds(c: String, names: Seq[String]) =
+      base.agg(percentile(col(c), lit(0.2)).as(names(0)),
+        percentile(col(c), lit(0.4)).as(names(1)),
+        percentile(col(c), lit(0.6)).as(names(2)),
+        percentile(col(c), lit(0.8)).as(names(3)))
+    val rT = thresholds("recency_days", Seq("r1", "r2", "r3", "r4"))
+    val fT = thresholds("frequency", Seq("f1", "f2", "f3", "f4"))
+    val mT = thresholds("monetary", Seq("m1", "m2", "m3", "m4"))
+    def score(v: Column, ts: Seq[Column]): Column =
+      ts.map(t => when(v > t, 1).otherwise(0)).reduce(_ + _) + lit(1)
+    base
+      .crossJoin(broadcast(rT)).crossJoin(broadcast(fT))
+      .crossJoin(broadcast(mT))
+      // recency: LOWER days = better, so invert the exceedance score
+      .withColumn("r_score", lit(6) - score(col("recency_days"),
+        Seq(col("r1"), col("r2"), col("r3"), col("r4"))))
+      .withColumn("f_score", score(col("frequency"),
+        Seq(col("f1"), col("f2"), col("f3"), col("f4"))))
+      .withColumn("m_score", score(col("monetary"),
+        Seq(col("m1"), col("m2"), col("m3"), col("m4"))))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"), col("r_score"),
+        col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
   /** Per-user activity coverage: pad each event to a fixed-length

@@ -443,6 +443,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 60.0)
   }
 
+  // --- eventTrigrams ------------------------------------------------------
+
+  test("eventTrigrams mines per-user consecutive triples and cuts the " +
+    "tail at minCount") {
+    val d = Seq(
+      evRow(1L, "2024-01-01 10:00:00", 1L, "a"),
+      evRow(2L, "2024-01-01 10:01:00", 1L, "b"),
+      evRow(3L, "2024-01-01 10:02:00", 1L, "c"),
+      evRow(4L, "2024-01-01 10:00:00", 2L, "a"),
+      evRow(5L, "2024-01-01 10:01:00", 2L, "b"),
+      evRow(6L, "2024-01-01 10:02:00", 2L, "c"),
+      evRow(7L, "2024-01-01 10:03:00", 2L, "d")) // (b,c,d) only once
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.eventTrigrams(d, minCount = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(got === Map(("a", "b", "c") -> 2L))
+  }
+
+  // --- rfmScores ----------------------------------------------------------
+
+  test("rfmScores: quintile scores from broadcast thresholds — the most " +
+    "recent, frequent, highest-spending user maxes all three") {
+    val rows = (1L to 5L).flatMap { u =>
+      // user u has u events, last one u days before the corpus max,
+      // and spends 10·u on one purchase
+      (1L to u).map { i =>
+        (u * 10 + i,
+          Timestamp.valueOf(s"2024-01-${21 - u.toInt} 10:0$i:00"), u,
+          if (i == 1) "purchase" else "click", if (i == 1) 10.0 * u else 0.0)
+      }
+    }
+    val d = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeries.rfmScores(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(7))).toMap
+    // user 5: most events (5), most spend (50), most recent (day 16 →
+    // smallest gap? no: user 5 is at 2024-01-16, user 1 at 2024-01-20)
+    assert(got(1L)._1 === 0L) // user 1 most recent
+    assert(got(5L)._2 === 5L && got(5L)._3 === 50.0)
+    assert(got(1L)._4.startsWith("5")) // top recency quintile
+    assert(got(5L)._4.endsWith("55")) // top frequency+monetary
+  }
+
   // --- phraseSearch -------------------------------------------------------
 
   test("phraseSearch matches exact consecutive positions only, counts " +
