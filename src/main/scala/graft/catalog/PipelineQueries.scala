@@ -879,7 +879,69 @@ object PipelineQueries {
                r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
                  AS rfm
         FROM scored
-        ORDER BY user_id""")))
+        ORDER BY user_id""")),
+
+    // ----- q149: modal imputation (Warehouse.imputeMode) — categorical
+    // data repair: NULL langs (synthesized at doc_id % 7 = 0) filled
+    // with the source's most frequent non-null lang, min-lang tie-break;
+    // imputed rows flagged, groups with no signal keep their NULL.
+    Q("q149_impute_mode",
+      (s, d) =>
+        Warehouse.imputeMode(
+            documents(s, d).select(col("doc_id"), col("source"),
+              when(col("doc_id") % 7 === 0, lit(null: String))
+                .otherwise(col("lang")).as("lang")),
+            "source", "lang")
+          .select("doc_id", "source", "lang", "was_imputed")
+          .orderBy("doc_id"),
+      Some("""
+        WITH nulled AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+          FROM documents),
+        cnt AS (
+          SELECT source, lang, count(*) AS c
+          FROM nulled WHERE lang IS NOT NULL GROUP BY 1, 2),
+        modes AS (
+          SELECT source, lang AS mode_lang FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang) AS rn
+            FROM cnt) WHERE rn = 1)
+        SELECT n.doc_id, n.source,
+               coalesce(n.lang, m.mode_lang) AS lang,
+               n.lang IS NULL AND m.mode_lang IS NOT NULL AS was_imputed
+        FROM nulled n LEFT JOIN modes m USING (source)
+        ORDER BY n.doc_id""")),
+
+    // ----- q150: top recurring session paths (TimeSeries.sessionPaths)
+    // — q19's gap-cut sessions rendered as ordered event-type strings
+    // and counted across sessions; the discovered-behavior complement to
+    // q94's predefined funnel.
+    Q("q150_session_paths",
+      (s, d) =>
+        TimeSeries.sessionPaths(events(s, d)).orderBy("path"),
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                        > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                 AS sess_id
+          FROM g),
+        paths AS (
+          SELECT user_id, sess_id,
+                 string_agg(event_type, '>' ORDER BY us, event_id)
+                   AS path
+          FROM sess GROUP BY 1, 2)
+        SELECT path, count(*)::BIGINT AS n_sessions
+        FROM paths GROUP BY 1 HAVING count(*) >= 2
+        ORDER BY path""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -242,6 +242,36 @@ object TimeSeries {
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
+  /** Top recurring session paths: sessionize per user (gap cut), render
+    * each session as its ordered event-type path, count identical paths
+    * across sessions. The behavioral report a funnel can't give — it
+    * finds the paths you didn't think to define. All windows are
+    * user-partitioned; the path table is session-scale.
+    *
+    * @return (path, n_sessions) for paths seen ≥ minCount times */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800,
+      minCount: Long = 2, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(byUser).isNotNull &&
+          col("__us") - lag(col("__us"), 1).over(byUser) >
+            gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("__sess", sum("__new").over(run))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("__us"),
+          col(idCol).as("__id"), col(typeCol).as("__t")))),
+          x => x("__t"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minCount)
+  }
+
   /** Per-user activity coverage: pad each event to a fixed-length
     * interval, merge overlaps (gaps-and-islands via trailing cummax of
     * interval end), and report islands + total covered minutes per user.

@@ -123,4 +123,29 @@ object Warehouse {
   def finalizeStats(state: DataFrame): DataFrame =
     state.select(col("g"), col("n"), col("s"),
       round(col("s") / col("n"), 4).as("avg"), col("mn"), col("mx"))
+
+  /** Modal imputation: fill NULLs in `valueCol` with the most frequent
+    * NON-null value of the row's `groupCol` (ties → smallest value, the
+    * deterministic argmax this repo uses everywhere). The standard
+    * data-repair move for categorical columns — per-group modes are one
+    * combinable count + one `min_by` aggregate, broadcast back in.
+    *
+    * Rows in a group with NO non-null values keep their NULL (flagged,
+    * not invented).
+    *
+    * @return input columns with `valueCol` filled + `was_imputed` */
+  def imputeMode(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val modes = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(min_by(col(valueCol), struct((-col("cnt")).as("nc"),
+        col(valueCol))).as("__graft_mode"))
+    df.join(modes, Seq(groupCol), "left")
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("__graft_mode").isNotNull)
+      .withColumn(valueCol,
+        coalesce(col(valueCol), col("__graft_mode")))
+      .drop("__graft_mode")
+  }
 }

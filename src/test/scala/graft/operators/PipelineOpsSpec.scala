@@ -443,6 +443,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 60.0)
   }
 
+  // --- imputeMode ---------------------------------------------------------
+
+  test("imputeMode fills NULLs with the group mode (min tie-break), " +
+    "flags them, and leaves signal-less groups NULL") {
+    val d = Seq(
+      (1L, "s1", "en"), (2L, "s1", "en"), (3L, "s1", "de"),
+      (4L, "s1", null), // → en (2 > 1)
+      (5L, "s2", "fr"), (6L, "s2", "zh"),
+      (7L, "s2", null), // tie fr/zh → fr (min)
+      (8L, "s3", null)) // no signal → stays NULL
+      .toDF("id", "g0", "v")
+    val got = Warehouse.imputeMode(d, "g0", "v").orderBy("id").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)),
+        r.getBoolean(3))).toSeq
+    assert(got(3) === ((4L, Some("en"), true)))
+    assert(got(6) === ((7L, Some("fr"), true)))
+    assert(got(7) === ((8L, None, false)))
+    assert(got(0) === ((1L, Some("en"), false))) // non-null untouched
+  }
+
+  // --- sessionPaths -------------------------------------------------------
+
+  test("sessionPaths cuts at the gap, renders ordered paths, and counts " +
+    "recurrences across users") {
+    val d = Seq(
+      // user 1, session 1: a>b ; session 2 (2h later): c
+      evRow(1L, "2024-01-01 10:00:00", 1L, "a"),
+      evRow(2L, "2024-01-01 10:10:00", 1L, "b"),
+      evRow(3L, "2024-01-01 13:00:00", 1L, "c"),
+      // user 2: a>b again
+      evRow(4L, "2024-01-02 09:00:00", 2L, "a"),
+      evRow(5L, "2024-01-02 09:05:00", 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.sessionPaths(d, minCount = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a>b" -> 2L)) // "c" session appears once → cut
+  }
+
   // --- eventTrigrams ------------------------------------------------------
 
   test("eventTrigrams mines per-user consecutive triples and cuts the " +
