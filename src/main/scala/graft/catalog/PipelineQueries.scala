@@ -941,7 +941,61 @@ object PipelineQueries {
           FROM sess GROUP BY 1, 2)
         SELECT path, count(*)::BIGINT AS n_sessions
         FROM paths GROUP BY 1 HAVING count(*) >= 2
-        ORDER BY path""")))
+        ORDER BY path""")),
+
+    // ----- q151: ER survivorship / golden records (Dedup.goldenRecords)
+    // — each near-dup component collapsed to one merged record (min id
+    // canonical, union langs/sources, max length); components replayed
+    // in DuckDB exactly as q37/q135 do.
+    Q("q151_golden_record",
+      (s, d) => {
+        val docs = documents(s, d)
+        val comps = graft.operators.Dedup.nearDupComponents(
+          graft.operators.Dedup.lshCandidatePairs(docs, numHashes = 16,
+            bands = 4, portable = true))
+        graft.operators.Dedup.goldenRecords(docs, comps)
+          .orderBy("group_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(root) AS component FROM r GROUP BY id),
+        g AS (
+          SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                 coalesce(c.component, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT group_id, min(doc_id)::BIGINT AS canonical_id,
+               count(*)::BIGINT AS n_members,
+               array_to_string(list_sort(list(DISTINCT lang)), ',')
+                 AS langs,
+               array_to_string(list_sort(list(DISTINCT source)), ',')
+                 AS sources,
+               max(n_chars)::BIGINT AS max_chars
+        FROM g GROUP BY 1
+        ORDER BY group_id""")),
+
+    // ----- q152: personalized PageRank (WebGraph.personalizedPageRank)
+    // — random walk with restart onto the {src1, src4} seed set: topical
+    // authority relative to trusted hosts, 5 unrolled iterations.
+    Q("q152_personalized_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val seeds = Seq("src1", "src4").toDF("node")
+        WebGraph.personalizedPageRank(hostEdges(s, d), seeds, iters = 5)
+          .orderBy("node")
+      },
+      Some(pprOracle(5))))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per
@@ -965,6 +1019,46 @@ object PipelineQueries {
         l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
         $steps
         SELECT node, label FROM l$iters ORDER BY node"""
+  }
+
+  /** q152 oracle: personalized PageRank unrolled — restart mass lands
+    * only on the seed set; init rank = 1/|seeds| on seeds, else 0. */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+          SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+          FROM edges e
+          JOIN r${k - 1} r ON e.src = r.node
+          JOIN outdeg o ON o.src = e.src
+          GROUP BY 1),
+        r$k AS MATERIALIZED (
+          SELECT rs.node, rs.restart + 0.85 * coalesce(c$k.c, 0) AS rank
+          FROM restart rs LEFT JOIN c$k USING (node))"""
+    }.mkString(",\n        ")
+    s"""
+        WITH edges AS (
+          SELECT source AS src, 'src' || ((doc_id * doc_id + 1) % 13) AS dst
+          FROM documents
+          WHERE source != 'src' || ((doc_id * doc_id + 1) % 13)),
+        sd AS (SELECT node FROM (VALUES ('src1'), ('src4')) v(node)),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+            UNION SELECT node FROM sd)),
+        consts AS (SELECT count(*)::DOUBLE AS ns FROM sd),
+        outdeg AS (
+          SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+        restart AS MATERIALIZED (
+          SELECT n.node,
+                 CASE WHEN s.node IS NOT NULL THEN 0.15 / ns
+                      ELSE 0 END AS restart
+          FROM nodes n LEFT JOIN sd s USING (node), consts),
+        r0 AS (SELECT node, restart / 0.15 AS rank FROM restart),
+        $steps
+        SELECT node, round(rank, 6) AS rank
+        FROM r$iters
+        ORDER BY node"""
   }
 
   /** q125 oracle: BFS min-distance unrolled — frontier step k joins the

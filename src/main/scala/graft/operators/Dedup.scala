@@ -1041,6 +1041,31 @@ object Dedup {
       .select("stage_id", "stage", "rows_in", "rows_out", "dropped")
   }
 
+  /** Entity-resolution survivorship ("golden record"): collapse each
+    * near-duplicate group to ONE merged record, taking the best of every
+    * member — smallest id as the canonical key, union of langs/sources,
+    * max length. The step AFTER dedup decides what to keep: dedup says
+    * "these are the same thing", survivorship says "this is the record".
+    *
+    * One left join against the (pair-bounded) component table + one
+    * groupBy over groups — the corpus aggregates once.
+    *
+    * @return (group_id, canonical_id, n_members, langs, sources,
+    *          max_chars) — langs/sources sorted-distinct CSV */
+  def goldenRecords(docs: DataFrame, components: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = components.select(col("id").as(idCol), col("component"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .groupBy("group_id")
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"),
+        concat_ws(",", array_sort(collect_set(col("source"))))
+          .as("sources"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   /** Leakage-free train/validation split: the split is assigned to the
     * near-duplicate GROUP, not the document, so two near-identical docs
     * can never land on opposite sides of the split (the classic eval

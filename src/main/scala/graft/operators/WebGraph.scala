@@ -113,6 +113,57 @@ object WebGraph {
         round(col("authority"), 6).as("authority"))
   }
 
+  /** Personalized PageRank: random-walk-with-restart where the restart
+    * mass lands ONLY on the seed set — "importance relative to these
+    * hosts", the crawl-frontier prioritizer (expand from trusted seeds)
+    * and topical-authority score that global [[pageRank]] can't express.
+    *
+    * Same per-round shape as pageRank (one host-keyed join + groupBy,
+    * lineage cut); the seed vector is a broadcast-scale relation. Seeds
+    * absent from the edge list still receive restart mass (they are part
+    * of the node set by definition).
+    *
+    * @return (node, rank round 6) */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val sd = seeds.select(col("node")).distinct().localCheckpoint()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .unionByName(sd)
+      .distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val contribEdges = edges
+      .join(outdeg, edges(srcCol) === outdeg("node"))
+      .select(edges(srcCol).as("src"), edges(dstCol).as("dst"),
+        col("outdeg"))
+      .localCheckpoint()
+    val restart = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"),
+        "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit((1.0 - damping) / nSeeds))
+          .otherwise(lit(0.0)).as("restart"))
+      .localCheckpoint()
+    var ranks = restart.select(col("node"),
+      (col("restart") / (1.0 - damping)).as("rank")) // init: seed mass
+    for (_ <- 0 until iters) {
+      val contrib = contribEdges
+        .join(ranks, contribEdges("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      ranks = restart.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("restart") +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Distinct undirected neighbor pairs (a, b) from a directed edge list —
     * both orientations, self-loops dropped, parallel edges collapsed. */
   private def undirected(edges: DataFrame, srcCol: String,

@@ -443,6 +443,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 60.0)
   }
 
+  // --- goldenRecords ------------------------------------------------------
+
+  test("goldenRecords merges each component into one survivor record " +
+    "with unioned attributes; singletons pass through") {
+    val docs = Seq(
+      (1L, "en", "s1", 100L), (2L, "de", "s2", 250L), // one component
+      (3L, "fr", "s3", 50L)) // singleton
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val got = Dedup.goldenRecords(docs, comps).orderBy("group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, "de,en", "s1,s2", 250L),
+      (3L, 3L, 1L, "fr", "s3", 50L)))
+  }
+
+  // --- personalizedPageRank -----------------------------------------------
+
+  test("personalizedPageRank concentrates mass near the seeds; nodes " +
+    "unreachable from them score zero") {
+    // a → b → c, and isolated pair x → y; seed = {a}
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val got = WebGraph.personalizedPageRank(edges,
+        Seq("a").toDF("node"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 0.15) // restart mass only (nothing links to a)
+    assert(got("b") > got("c")) // closer to the seed
+    assert(got("x") === 0.0 && got("y") === 0.0)
+  }
+
+  test("personalizedPageRank with ALL nodes as seeds matches global " +
+    "pageRank's restart structure") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ppr = WebGraph.personalizedPageRank(edges,
+        Seq("a", "b").toDF("node"), iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pr = WebGraph.pageRank(edges, iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ppr === pr) // uniform restart over all nodes = global PR
+  }
+
   // --- imputeMode ---------------------------------------------------------
 
   test("imputeMode fills NULLs with the group mode (min tie-break), " +
