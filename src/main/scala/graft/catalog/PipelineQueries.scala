@@ -995,7 +995,61 @@ object PipelineQueries {
         WebGraph.personalizedPageRank(hostEdges(s, d), seeds, iters = 5)
           .orderBy("node")
       },
-      Some(pprOracle(5))))
+      Some(pprOracle(5))),
+
+    // ----- q153: language-ID confusion matrix (Evaluation
+    // .confusionMatrix) — per-(actual, predicted) counts + row recall
+    // for the q31 language gate; DuckDB replays the classifier itself
+    // (q31's scoring CTE) and the matrix.
+    Q("q153_langid_confusion",
+      (s, d) =>
+        graft.operators.Evaluation.confusionMatrix(
+            documents(s, d).select(col("lang"),
+              TextAnalysis.langId(col("text")).getField("lang")
+                .as("pred")),
+            "lang", "pred")
+          .orderBy("actual", "predicted"),
+      Some(s"""
+        WITH $langIdPredsCtes,
+        cm AS (
+          SELECT lang AS actual, pred AS predicted, count(*) AS n
+          FROM preds GROUP BY 1, 2),
+        rt AS (SELECT actual, sum(n) AS rn FROM cm GROUP BY 1)
+        SELECT cm.actual, cm.predicted, cm.n::BIGINT AS n,
+               round(cm.n / rt.rn, 4) AS row_frac
+        FROM cm JOIN rt USING (actual)
+        ORDER BY actual, predicted""")),
+
+    // ----- q154: Cohen's kappa of the language gate (Evaluation
+    // .cohenKappa) — agreement beyond chance, the one-number health
+    // check accuracy overstates under class skew.
+    Q("q154_langid_kappa",
+      (s, d) =>
+        graft.operators.Evaluation.cohenKappa(
+          documents(s, d).select(col("lang"),
+            TextAnalysis.langId(col("text")).getField("lang").as("pred")),
+          "lang", "pred"),
+      Some(s"""
+        WITH $langIdPredsCtes,
+        cm AS (SELECT lang AS a, pred AS p, count(*) AS n
+               FROM preds GROUP BY 1, 2),
+        tot AS (SELECT sum(n)::DOUBLE AS nn FROM cm),
+        po AS (
+          SELECT coalesce(sum(CASE WHEN a = p THEN n END), 0)::DOUBLE
+                   AS agree
+          FROM cm),
+        rows_ AS (SELECT a, sum(n) AS rn FROM cm GROUP BY 1),
+        cols_ AS (SELECT p, sum(n) AS cn FROM cm GROUP BY 1),
+        pe AS (
+          SELECT coalesce(sum(rn * cn), 0)::DOUBLE AS rc
+          FROM rows_ JOIN cols_ ON a = p)
+        SELECT nn::BIGINT AS n,
+               round(agree / nn, 4) AS po,
+               round(rc / (nn * nn), 4) AS pe,
+               round(CASE WHEN rc / (nn * nn) < 1.0
+                 THEN (agree / nn - rc / (nn * nn))
+                      / (1.0 - rc / (nn * nn)) END, 4) AS kappa
+        FROM tot, po, pe""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per
@@ -1020,6 +1074,27 @@ object PipelineQueries {
         $steps
         SELECT node, label FROM l$iters ORDER BY node"""
   }
+
+  /** The q31 language-ID scoring replayed as a `preds(doc_id, lang,
+    * pred)` CTE — shared by the q153/q154 evaluation oracles. */
+  private val langIdPredsCtes: String = """scores AS (
+          SELECT doc_id, lang,
+            length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|nicht)\b')) AS s_de,
+            length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS s_en,
+            length(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en)\b')) AS s_es,
+            length(regexp_extract_all(lower(text), '\b(le|la|les|et|des|un|est)\b')) AS s_fr,
+            length(regexp_extract_all(lower(text), '\b(de5|shi4|le5|zai4|wo3|you3|he2)\b')) AS s_zh
+          FROM documents),
+        preds AS (
+          SELECT doc_id, lang,
+                 CASE
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                   WHEN s_fr >= s_zh THEN 'fr'
+                   ELSE 'zh'
+                 END AS pred
+          FROM scores)"""
 
   /** q152 oracle: personalized PageRank unrolled — restart mass lands
     * only on the seed set; init rank = 1/|seeds| on seeds, else 0. */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed references for the classifier-evaluation relations. */
+class EvaluationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 10 rows: a-class 6 (4 right), b-class 4 (3 right)
+  private def labeled = Seq(
+    ("a", "a"), ("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"), ("a", "b"),
+    ("b", "b"), ("b", "b"), ("b", "b"), ("b", "a"))
+    .toDF("y", "yhat")
+
+  test("confusionMatrix cells and per-row recall fractions") {
+    val got = Evaluation.confusionMatrix(labeled, "y", "yhat")
+      .orderBy("actual", "predicted").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("a", "a", 4L, 0.6667), ("a", "b", 2L, 0.3333),
+      ("b", "a", 1L, 0.25), ("b", "b", 3L, 0.75)))
+  }
+
+  test("cohenKappa matches the hand computation") {
+    val got = Evaluation.cohenKappa(labeled, "y", "yhat").collect()(0)
+    assert(got.getLong(0) === 10L)
+    assert(got.getDouble(1) === 0.7) // po = 7/10
+    // pe = (6·5 + 4·5)/100 = 0.5 ; kappa = (0.7−0.5)/0.5 = 0.4
+    assert(got.getDouble(2) === 0.5)
+    assert(got.getDouble(3) === 0.4)
+  }
+
+  test("cohenKappa: single-class degenerate case yields pe=1 and NULL " +
+    "kappa, not a division blow-up") {
+    val d = Seq(("a", "a"), ("a", "a")).toDF("y", "yhat")
+    val got = Evaluation.cohenKappa(d, "y", "yhat").collect()(0)
+    assert(got.getDouble(2) === 1.0)
+    assert(got.isNullAt(3))
+  }
+
+  test("cohenKappa with zero agreement on balanced classes is negative") {
+    val d = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
+      .toDF("y", "yhat")
+    val got = Evaluation.cohenKappa(d, "y", "yhat").collect()(0)
+    assert(got.getDouble(1) === 0.0)
+    assert(got.getDouble(3) === -1.0)
+  }
+}
