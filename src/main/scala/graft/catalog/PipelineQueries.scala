@@ -1049,7 +1049,118 @@ object PipelineQueries {
                round(CASE WHEN rc / (nn * nn) < 1.0
                  THEN (agree / nn - rc / (nn * nn))
                       / (1.0 - rc / (nn * nn)) END, 4) AS kappa
-        FROM tot, po, pe""")))
+        FROM tot, po, pe""")),
+
+    // ----- q155: per-class precision/recall/F1 (Evaluation.perClassPrf)
+    // — the per-language report card behind q154's single kappa; NULL
+    // where a denominator is empty instead of fake zeros.
+    Q("q155_langid_prf",
+      (s, d) =>
+        graft.operators.Evaluation.perClassPrf(
+            documents(s, d).select(col("lang"),
+              TextAnalysis.langId(col("text")).getField("lang")
+                .as("pred")),
+            "lang", "pred")
+          .orderBy("label"),
+      Some(s"""
+        WITH $langIdPredsCtes,
+        cm AS (SELECT lang AS a, pred AS p, count(*) AS n
+               FROM preds GROUP BY 1, 2),
+        labels AS (
+          SELECT DISTINCT a AS label FROM cm
+          UNION SELECT DISTINCT p FROM cm),
+        diag AS (SELECT a AS label, n AS tp FROM cm WHERE a = p),
+        rows_ AS (SELECT a AS label, sum(n) AS support FROM cm GROUP BY 1),
+        cols_ AS (SELECT p AS label, sum(n) AS predn FROM cm GROUP BY 1),
+        j AS (
+          SELECT l.label, coalesce(support, 0) AS support,
+                 coalesce(tp, 0)::DOUBLE
+                   / (CASE WHEN predn > 0 THEN predn END) AS pr,
+                 coalesce(tp, 0)::DOUBLE
+                   / (CASE WHEN support > 0 THEN support END) AS rc
+          FROM labels l
+          LEFT JOIN diag USING (label)
+          LEFT JOIN rows_ USING (label)
+          LEFT JOIN cols_ USING (label))
+        SELECT label, support::BIGINT AS support,
+               round(pr, 4) AS "precision", round(rc, 4) AS recall,
+               round(CASE WHEN pr + rc > 0
+                          THEN 2 * pr * rc / (pr + rc) END, 4) AS f1
+        FROM j
+        ORDER BY label""")),
+
+    // ----- q156: bucketed ROC-AUC (Evaluation.bucketedAuc) — does the
+    // quality score separate near-duplicate members (LSH pair docs)
+    // from unique docs? 20 equal-width score buckets → cumulative
+    // TPR/FPR → trapezoid; the monitoring-grade AUC with no global rank
+    // anywhere.
+    Q("q156_quality_dup_auc",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.operators.Dedup.lshCandidatePairs(docs,
+          numHashes = 16, bands = 4, portable = true)
+        val members = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id")))
+          .distinct().withColumn("__m", lit(1))
+        val scored = docs.select(col("doc_id"),
+            round(TextAnalysis.qualityScore(col("text")), 3).as("q"))
+          .join(members, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("q"),
+            col("__m").isNotNull.as("is_dup"))
+        graft.operators.Evaluation.bucketedAuc(scored, "q", "is_dup")
+      },
+      Some(s"""
+        WITH ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        members AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL SELECT id_b FROM pairs)),
+        lab AS (
+          SELECT d.doc_id, m.id IS NOT NULL AS y
+          FROM documents d LEFT JOIN members m ON m.id = d.doc_id),
+        q AS (
+          SELECT doc_id, round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) AS s
+          FROM documents),
+        b AS (SELECT min(s)::DOUBLE AS mn, max(s)::DOUBLE AS mx FROM q),
+        cells AS (
+          SELECT CASE WHEN mx - mn <= 0 THEN 0
+                      ELSE least(floor((s - mn) / (mx - mn) * 20)::BIGINT,
+                                 19) END AS bucket,
+                 sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+                 sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS neg
+          FROM q JOIN lab USING (doc_id), b
+          GROUP BY 1),
+        tot AS (
+          SELECT sum(pos)::DOUBLE AS tp, sum(neg)::DOUBLE AS tn
+          FROM cells),
+        c1 AS (
+          SELECT bucket, sum(pos) OVER w AS cp, sum(neg) OVER w AS cn_,
+                 tp, tn
+          FROM cells, tot
+          WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)),
+        c2 AS (
+          SELECT bucket, cp / tp AS ctpr, cn_ / tn AS cfpr,
+                 coalesce(lag(cp / tp) OVER (ORDER BY bucket DESC), 0)
+                   AS ptpr,
+                 coalesce(lag(cn_ / tn) OVER (ORDER BY bucket DESC), 0)
+                   AS pfpr,
+                 tp, tn
+          FROM c1)
+        SELECT max(tp)::BIGINT AS n_pos, max(tn)::BIGINT AS n_neg,
+               round(CASE WHEN max(tp) > 0 AND max(tn) > 0
+                 THEN sum((cfpr - pfpr) * (ctpr + ptpr) / 2) END, 4)
+                 AS auc
+        FROM c2""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

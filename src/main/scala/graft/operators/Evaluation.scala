@@ -25,6 +25,90 @@ object Evaluation {
         round(col("n") / col("__rt"), 4).as("row_frac"))
   }
 
+  /** Per-class precision / recall / F1 with support — the per-language
+    * report card behind [[cohenKappa]]'s single number. Classes are the
+    * UNION of actual and predicted labels (a class the model never
+    * predicts still gets its recall row, with NULL precision).
+    *
+    * @return (label, support, precision, recall, f1 — all round 4;
+    *          NULL where the denominator is empty) */
+  def perClassPrf(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val cm = df.groupBy(col(actualCol).as("a"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val labels = cm.select(col("a").as("label"))
+      .unionByName(cm.select(col("p").as("label"))).distinct()
+    val diag = cm.filter(col("a") === col("p"))
+      .select(col("a").as("label"), col("n").as("tp"))
+    val rows = cm.groupBy(col("a").as("label")).agg(sum("n").as("support"))
+    val cols = cm.groupBy(col("p").as("label")).agg(sum("n").as("predn"))
+    val j = labels
+      .join(diag, Seq("label"), "left")
+      .join(rows, Seq("label"), "left")
+      .join(cols, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (coalesce(col("tp"), lit(0L)) /
+          when(col("predn") > 0, col("predn"))).as("pr"),
+        (coalesce(col("tp"), lit(0L)) /
+          when(col("support") > 0, col("support"))).as("rc"))
+    j.select(col("label"), col("support"),
+      round(col("pr"), 4).as("precision"),
+      round(col("rc"), 4).as("recall"),
+      round(when(col("pr") + col("rc") > 0,
+        lit(2.0) * col("pr") * col("rc") / (col("pr") + col("rc"))), 4)
+        .as("f1"))
+  }
+
+  /** Bucketed ROC-AUC — the monitoring-grade form: scores discretized
+    * into equal-width buckets (broadcast min/max bounds, like
+    * [[Layout.histogram]]), per-bucket positive/negative counts, then
+    * the trapezoidal area over the ≤ nBuckets-row cumulative TPR/FPR
+    * curve (descending score = descending threshold). Never a global
+    * rank over the corpus — the classic exact-AUC scale trap.
+    *
+    * @return 1 row: (n_pos, n_neg, auc round 4; NULL auc when either
+    *          class is empty) */
+  def bucketedAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(
+      min(col(scoreCol)).cast("double").as("__graft_min_s"),
+      max(col(scoreCol)).cast("double").as("__graft_max_s"))
+    val span = col("__graft_max_s") - col("__graft_min_s")
+    val bucket = when(span <= 0.0, lit(0L))
+      .otherwise(least(
+        floor((col(scoreCol).cast("double") - col("__graft_min_s")) /
+          span * nBuckets).cast("long"),
+        lit(nBuckets - 1L)))
+    val cells = df.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
+      .groupBy("bucket")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("neg"))
+    val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+    // bounded window: ≤ nBuckets rows, descending score
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe denominators: a single-class input must yield NULL auc,
+    // not an ANSI divide-by-zero
+    val curve = cells.crossJoin(broadcast(tot))
+      .withColumn("ctpr",
+        sum("pos").over(w) / when(col("tp") > 0, col("tp")))
+      .withColumn("cfpr",
+        sum("neg").over(w) / when(col("tn") > 0, col("tn")))
+      .withColumn("ptpr", coalesce(lag("ctpr", 1).over(
+        Window.orderBy(col("bucket").desc)), lit(0.0)))
+      .withColumn("pfpr", coalesce(lag("cfpr", 1).over(
+        Window.orderBy(col("bucket").desc)), lit(0.0)))
+    curve.agg(
+      max("tp").as("n_pos"), max("tn").as("n_neg"),
+      round(when(max("tp") > 0 && max("tn") > 0,
+        sum((col("cfpr") - col("pfpr")) *
+          (col("ctpr") + col("ptpr")) / 2.0)), 4).as("auc"))
+  }
+
   /** Cohen's kappa: agreement beyond chance between a prediction column
     * and labels — the one-number gate health check that raw accuracy
     * overstates on skewed class mixes. po = observed agreement,

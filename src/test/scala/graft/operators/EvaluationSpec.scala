@@ -42,6 +42,39 @@ class EvaluationSpec extends AnyFunSuite {
     assert(got.isNullAt(3))
   }
 
+  // --- perClassPrf --------------------------------------------------------
+
+  test("perClassPrf: hand-computed precision/recall/F1; a never-" +
+    "predicted class keeps NULL precision") {
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("c", "b")).toDF("y", "yhat") // c never predicted
+    val got = Evaluation.perClassPrf(d, "y", "yhat").orderBy("label")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got(0) === (("a", 3L, Some(1.0), Some(0.6667))))
+    assert(got(1) === (("b", 1L, Some(0.3333), Some(1.0))))
+    assert(got(2) === (("c", 1L, None, Some(0.0))))
+  }
+
+  // --- bucketedAuc --------------------------------------------------------
+
+  test("bucketedAuc: perfectly separating score gives 1.0, " +
+    "anti-separating gives 0.0, random-ish is between") {
+    val sep = ((1 to 50).map(i => (i / 100.0, false)) ++
+      (51 to 100).map(i => (i / 100.0, true))).toDF("s", "y")
+    assert(Evaluation.bucketedAuc(sep, "s", "y").collect()(0)
+      .getDouble(2) === 1.0)
+    val anti = sep.selectExpr("s", "NOT y AS y")
+    assert(Evaluation.bucketedAuc(anti, "s", "y").collect()(0)
+      .getDouble(2) === 0.0)
+  }
+
+  test("bucketedAuc: single-class input yields NULL auc, not a crash") {
+    val d = (1 to 10).map(i => (i.toDouble, true)).toDF("s", "y")
+    val got = Evaluation.bucketedAuc(d, "s", "y").collect()(0)
+    assert(got.isNullAt(2))
+  }
+
   test("cohenKappa with zero agreement on balanced classes is negative") {
     val d = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
       .toDF("y", "yhat")
