@@ -19,8 +19,13 @@ object Evaluation {
     val cm = df.groupBy(col(actualCol).as("actual"),
         col(predCol).as("predicted"))
       .agg(count(lit(1)).as("n"))
-    val rows = cm.groupBy("actual").agg(sum("n").as("__rt"))
-    cm.join(rows, "actual")
+    // null-safe (<=>) row-total join: unlabeled rows (NULL actual) form
+    // a real matrix row — an equi-join would silently drop their cells
+    // and the matrix total would stop matching the input count
+    val rows = cm.groupBy("actual")
+      .agg(sum("n").as("__rt"))
+      .withColumnRenamed("actual", "__a")
+    cm.join(rows, cm("actual") <=> col("__a"))
       .select(col("actual"), col("predicted"), col("n"),
         round(col("n") / col("__rt"), 4).as("row_frac"))
   }
@@ -76,12 +81,8 @@ object Evaluation {
     val bounds = df.agg(
       min(col(scoreCol)).cast("double").as("__graft_min_s"),
       max(col(scoreCol)).cast("double").as("__graft_max_s"))
-    val span = col("__graft_max_s") - col("__graft_min_s")
-    val bucket = when(span <= 0.0, lit(0L))
-      .otherwise(least(
-        floor((col(scoreCol).cast("double") - col("__graft_min_s")) /
-          span * nBuckets).cast("long"),
-        lit(nBuckets - 1L)))
+    val bucket = Layout.equalWidthBucket(col(scoreCol),
+      col("__graft_min_s"), col("__graft_max_s"), nBuckets)
     val cells = df.crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
       .groupBy("bucket")

@@ -77,6 +77,20 @@ object Layout {
     *
     * @return (bucket, lo, hi, n) for non-empty buckets
     */
+  /** Equal-width bucket id of `x` over `[lo, hi]` in `n` buckets: the
+    * shared discretization behind [[histogram]], [[zoneMapSkipStats]],
+    * and `Evaluation.bucketedAuc` — one definition so the bucket
+    * boundary semantics can never drift between them. Degenerate span
+    * (lo = hi) puts everything in bucket 0; x = hi lands in the last
+    * bucket, not a phantom bucket n. */
+  def equalWidthBucket(x: Column, lo: Column, hi: Column,
+      n: Int): Column = {
+    val span = (hi - lo).cast("double")
+    when(span <= 0.0, lit(0L))
+      .otherwise(least(floor((x - lo).cast("double") / span * n)
+        .cast("long"), lit(n - 1L)))
+  }
+
   def histogram(df: DataFrame, valueCol: String, nBuckets: Int)
       : DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
@@ -86,11 +100,8 @@ object Layout {
     val bounds = df.agg(min(valueCol).as("__graft_min_v"),
       max(valueCol).as("__graft_max_v"))
     val span = (col("__graft_max_v") - col("__graft_min_v")).cast("double")
-    val rawBucket =
-      floor((col(valueCol) - col("__graft_min_v")).cast("double") /
-        span * nBuckets).cast("long")
-    val bucket = when(span <= 0.0, lit(0L))
-      .otherwise(least(rawBucket, lit(nBuckets - 1L)))
+    val bucket = equalWidthBucket(col(valueCol), col("__graft_min_v"),
+      col("__graft_max_v"), nBuckets)
     val width = span / nBuckets
     df.crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col("__graft_min_v"),
@@ -212,14 +223,8 @@ object Layout {
       max(col(orderCol)).cast("double").as("__graft_max_o"),
       min(col(valueCol)).cast("double").as("__graft_min_v"),
       max(col(valueCol)).cast("double").as("__graft_max_v"))
-    def shardId(x: Column, lo: Column, hi: Column): Column = {
-      val span = hi - lo
-      least(
-        when(span <= 0.0, lit(0L))
-          .otherwise(floor((x.cast("double") - lo) / span * nShards)
-            .cast("long")),
-        lit(nShards - 1L))
-    }
+    def shardId(x: Column, lo: Column, hi: Column): Column =
+      equalWidthBucket(x, lo, hi, nShards)
     def zones(layout: String, cut: Column) =
       df.crossJoin(broadcast(bounds))
         .withColumn("shard", cut)

@@ -79,16 +79,6 @@ object SkewJoin {
       .join(rightKeys, col(leftKey) === col("__rk"), "left_semi")
   }
 
-  /** Join-key skew diagnosis: the before-you-shuffle report that decides
-    * whether a key needs [[saltedInnerJoin]] and with how many salts.
-    * One map-side-combinable count per key, then exact percentiles over
-    * the (key-cardinality-scale) count table — the report is one row.
-    *
-    * `suggested_salts` = ceil(max/avg): enough replicas that the hottest
-    * key's share drops to roughly the average partition load.
-    *
-    * @return 1 row: (key_col, n_keys, n_rows, avg_rows round 4, p50,
-    *          p90, max_rows, skew_ratio round 4, suggested_salts) */
   /** Exact join-output-size prediction WITHOUT running the join: for an
     * inner equi-join, |result| = Σ_k c_left(k)·c_right(k) over shared
     * keys — two per-key counts and one key-cardinality-scale join of the
@@ -108,6 +98,16 @@ object SkewJoin {
         max(col("cl") * col("cr")).as("max_key_rows"))
   }
 
+  /** Join-key skew diagnosis: the before-you-shuffle report that decides
+    * whether a key needs [[saltedInnerJoin]] and with how many salts.
+    * One map-side-combinable count per key, then exact percentiles over
+    * the (key-cardinality-scale) count table — the report is one row.
+    *
+    * `suggested_salts` = ceil(max/avg): enough replicas that the hottest
+    * key's share drops to roughly the average partition load.
+    *
+    * @return 1 row: (key_col, n_keys, n_rows, avg_rows round 4, p50,
+    *          p90, max_rows, skew_ratio round 4, suggested_salts) */
   def skewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),

@@ -1312,26 +1312,6 @@ object TextAnalysis {
         .as("other_frac"))
   }
 
-  /** C4-style GLOBAL sentence-level dedup, keep-first: every sentence
-    * that appears anywhere else in the corpus keeps only its first
-    * occurrence (smallest (doc_id, position)), and documents are
-    * reassembled from their surviving sentences. This removes the
-    * boilerplate that document-level dedup can't touch (cookie banners,
-    * license footers) — [[boilerplateLines]] only FLAGS such lines
-    * within a source; this rewrites the corpus.
-    *
-    * Shape at 100 TB: one posexplode, then ONE map-side-combinable
-    * groupBy(sentence) → min(struct(doc_id, pos)). Deliberately not a
-    * window over sentence partitions — a boilerplate sentence repeated
-    * 10⁸ times would single-task a window's sort, while min() partials
-    * absorb it. The group result IS the kept set (no join-back), and
-    * reassembly is a per-doc sort_array over surviving positions.
-    *
-    * Sentence split = `\.\s+` (shared RE2/Java subset, oracle-portable);
-    * empty/whitespace segments dropped.
-    *
-    * @return (doc_id, text_dedup, n_kept, n_total) — docs whose every
-    *         sentence was claimed elsewhere keep an empty text_dedup */
   /** Otsu auto-thresholding over a score column: pick the histogram cut
     * that maximizes between-class variance — the parameter-free way to
     * choose a quality cutoff when the distribution is bimodal (clean vs
@@ -1376,8 +1356,32 @@ object TextAnalysis {
         col("b.hi").as("threshold_value"),
         col("b.w0").as("n_below"), col("b.w1").as("n_above"),
         col("b.v4").as("var_between"))
+      // degenerate input (all mass in one bucket): no valid split exists
+      // — emit ZERO rows, matching the oracle's WHERE/LIMIT shape, not
+      // one all-NULL row
+      .filter(col("threshold_bucket").isNotNull)
   }
 
+  /** C4-style GLOBAL sentence-level dedup, keep-first: every sentence
+    * that appears anywhere else in the corpus keeps only its first
+    * occurrence (smallest (doc_id, position)), and documents are
+    * reassembled from their surviving sentences. This removes the
+    * boilerplate that document-level dedup can't touch (cookie banners,
+    * license footers) — [[boilerplateLines]] only FLAGS such lines
+    * within a source; this rewrites the corpus.
+    *
+    * Shape at 100 TB: one posexplode, then ONE map-side-combinable
+    * groupBy(sentence) → min(struct(doc_id, pos)). Deliberately not a
+    * window over sentence partitions — a boilerplate sentence repeated
+    * 10⁸ times would single-task a window's sort, while min() partials
+    * absorb it. The group result IS the kept set (no join-back), and
+    * reassembly is a per-doc sort_array over surviving positions.
+    *
+    * Sentence split = `\.\s+` (shared RE2/Java subset, oracle-portable);
+    * empty/whitespace segments dropped.
+    *
+    * @return (doc_id, text_dedup, n_kept, n_total) — docs whose every
+    *         sentence was claimed elsewhere keep an empty text_dedup */
   def sentenceDedup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val sents = docs

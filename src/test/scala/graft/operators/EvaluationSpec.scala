@@ -25,6 +25,18 @@ class EvaluationSpec extends AnyFunSuite {
       ("b", "a", 1L, 0.25), ("b", "b", 3L, 0.75)))
   }
 
+  test("confusionMatrix keeps NULL-actual (unlabeled) cells — the " +
+    "matrix total equals the input row count") {
+    val d = Seq((Some("a"), "a"), (None, "a"), (None, "b"))
+      .map { case (y, p) => (y.orNull, p) }.toDF("y", "yhat")
+    val got = Evaluation.confusionMatrix(d, "y", "yhat")
+    assert(got.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0) === 3L)
+    val nullRows = got.filter(got("actual").isNull)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(nullRows === Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("cohenKappa matches the hand computation") {
     val got = Evaluation.cohenKappa(labeled, "y", "yhat").collect()(0)
     assert(got.getLong(0) === 10L)

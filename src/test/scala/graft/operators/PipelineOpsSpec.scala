@@ -625,9 +625,10 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("otsuThreshold on a constant column yields no valid cut (empty " +
     "result, not a crash)") {
     val d = Seq.fill(10)(7.0).toDF("q")
-    // all mass in bucket 0 → no (w0>0, w1>0) split exists
+    // all mass in bucket 0 → no (w0>0, w1>0) split exists → ZERO rows
+    // (the oracle's WHERE varb IS NOT NULL ... LIMIT 1 shape)
     val got = TextAnalysis.otsuThreshold(d, "q", nBuckets = 10).collect()
-    assert(got.isEmpty || got(0).isNullAt(0))
+    assert(got.isEmpty)
   }
 
   // --- joinCardinalityReport ----------------------------------------------

@@ -61,6 +61,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.head.pushedFilters.isEmpty)
   }
 
+  test("summary still sees exchanges AFTER the query has executed " +
+    "(AQE folds them into query stages)") {
+    val q = spark.read.parquet(dir).groupBy("name").count()
+    q.collect() // materialize: exchanges become ShuffleQueryStageExec
+    val s = PlanAudit.summary(q)
+    assert(s.shuffles >= 1,
+      s"executed plan lost its shuffles: $s")
+  }
+
   test("summaryDf renders the audit as one row") {
     val q = spark.read.parquet(dir).groupBy("name").count()
     val row = PlanAudit.summaryDf(q).collect()(0)
