@@ -42,6 +42,23 @@ object DocStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** CSV twin of [[jsonlTail]]: streaming RFC-4180 reads with the same
+    * explicit schema, quote-escape (`""`) handling, and corrupt-line
+    * capture as the batch [[DocSource.csv]] — crawl shards arriving as
+    * CSV drain through the identical ingest loop (the output of
+    * [[jsonlIngest]] is format-agnostic once rows are parsed). */
+  def csvTail(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(DocSource.documentSchema.add("_corrupt", StringType))
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
   /** Start the ingest: valid rows → `outPath` (batch-partitioned
     * parquet), corrupt raw lines → `quarantinePath`. Caller stops the
     * returned query. */

@@ -69,4 +69,28 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 1L)
     assert(spark.read.parquet(quarantine).count() === 1L)
   }
+
+  test("csvTail drains RFC-4180 shards through the same ingest loop: " +
+    "quoted commas survive, malformed rows quarantine") {
+    val root = Files.createTempDirectory("graft-csvstream")
+    val in = Files.createDirectory(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val quarantine = root.resolve("bad").toString
+    val cp = root.resolve("cp").toString
+    writeShard(in, "shard0.csv",
+      "doc_id,text,lang,source",
+      "1,\"hello, comma\",en,web",
+      "2,\"say \"\"hi\"\"\",de,wiki",
+      "9,\"unclosed quote,en,web") // corrupt: unterminated quote
+    val q = DocStreams.jsonlIngest(
+      DocStreams.csvTail(spark, in.toString), out, quarantine, cp)
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "hello, comma", 2L -> "say \"hi\""))
+      assert(spark.read.parquet(quarantine).count() === 1L)
+    } finally q.stop()
+  }
 }
