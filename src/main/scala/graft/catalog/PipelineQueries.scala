@@ -1160,7 +1160,127 @@ object PipelineQueries {
                round(CASE WHEN max(tp) > 0 AND max(tn) > 0
                  THEN sum((cfpr - pfpr) * (ctpr + ptpr) / 2) END, 4)
                  AS auc
-        FROM c2""")))
+        FROM c2""")),
+
+    // ----- q157: group-aware k-fold assignment (Dedup.groupAwareFolds)
+    // — q135's leakage guard, k ways: fold = md5(component id) mod 5,
+    // so cross-validation folds never split a mirror pair.
+    Q("q157_groupaware_folds",
+      (s, d) => {
+        val docs = documents(s, d)
+        val comps = graft.operators.Dedup.nearDupComponents(
+          graft.operators.Dedup.lshCandidatePairs(docs, numHashes = 16,
+            bands = 4, portable = true))
+        graft.operators.Dedup.groupAwareFolds(docs, comps, k = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(root) AS component FROM r GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS group_id,
+               CAST(('0x' || substr(md5(
+                   coalesce(c.component, d.doc_id)::VARCHAR), 1, 4))
+                 AS INT) % 5 AS fold
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ----- q158: score lift table (Evaluation.liftTable) — the
+    // calibration view behind q156's AUC: per score bucket, positive
+    // rate and lift over base rate for the same near-dup label.
+    Q("q158_score_lift",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.operators.Dedup.lshCandidatePairs(docs,
+          numHashes = 16, bands = 4, portable = true)
+        val members = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id")))
+          .distinct().withColumn("__m", lit(1))
+        val scored = docs.select(col("doc_id"),
+            round(TextAnalysis.qualityScore(col("text")), 3).as("q"))
+          .join(members, Seq("doc_id"), "left")
+          .select(col("q"), col("__m").isNotNull.as("is_dup"))
+        graft.operators.Evaluation.liftTable(scored, "q", "is_dup",
+          nBuckets = 10).orderBy("bucket")
+      },
+      Some(s"""
+        WITH ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        members AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL SELECT id_b FROM pairs)),
+        lab AS (
+          SELECT d.doc_id, m.id IS NOT NULL AS y
+          FROM documents d LEFT JOIN members m ON m.id = d.doc_id),
+        q AS (
+          SELECT doc_id, round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) AS s
+          FROM documents),
+        b AS (SELECT min(s)::DOUBLE AS mn, max(s)::DOUBLE AS mx FROM q),
+        cells AS (
+          SELECT CASE WHEN mx - mn <= 0 THEN 0
+                      ELSE least(floor((s - mn) / (mx - mn) * 10)::BIGINT,
+                                 9) END AS bucket,
+                 count(*) AS n,
+                 sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+          FROM q JOIN lab USING (doc_id), b
+          GROUP BY 1),
+        base AS (
+          SELECT sum(n_pos)::DOUBLE / sum(n) AS br FROM cells)
+        SELECT bucket, n::BIGINT AS n, n_pos::BIGINT AS n_pos,
+               round(n_pos / n, 4) AS pos_rate,
+               round(n_pos / n / (CASE WHEN br > 0 THEN br END), 4)
+                 AS lift
+        FROM cells, base
+        ORDER BY bucket""")),
+
+    // ----- q159: recency-decay training weights (TimeSeries
+    // .decayWeights) — exp(−age_days/30) freshness weighting anchored
+    // to the corpus max date, rolled up per order priority so the
+    // weighted-vs-raw revenue contrast is visible in five rows.
+    Q("q159_decay_weights",
+      (s, d) =>
+        TimeSeries.decayWeights(orders(s, d), "o_orderdate",
+            tauDays = 30.0)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue"),
+            round(sum(col("o_totalprice") * col("decay_weight")), 2)
+              .as("weighted_revenue"))
+          .orderBy("o_orderpriority"),
+      Some("""
+        WITH mx AS (SELECT max(epoch_us(o_orderdate)) AS m FROM orders),
+        w AS (
+          SELECT o_orderpriority, o_totalprice,
+                 round(exp(-(floor((m - epoch_us(o_orderdate))
+                     / 86400000000.0))::BIGINT / 30.0), 6) AS dw
+          FROM orders, mx)
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(sum(o_totalprice * dw), 2) AS weighted_revenue
+        FROM w GROUP BY 1
+        ORDER BY o_orderpriority""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

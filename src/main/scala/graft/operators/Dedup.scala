@@ -1041,6 +1041,24 @@ object Dedup {
       .select("stage_id", "stage", "rows_in", "rows_out", "dropped")
   }
 
+  /** [[groupAwareSplit]]'s k-fold form: cross-validation fold ids
+    * assigned to the near-duplicate GROUP (md5 of the group id mod k),
+    * so no fold ever holds a mirror of another fold's document — the
+    * leakage guard, k ways.
+    *
+    * @return (idCol, group_id, fold ∈ [0, k)) */
+  def groupAwareFolds(docs: DataFrame, components: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "groupAwareFolds: k must be positive")
+    val comp = components.select(col("id").as(idCol), col("component"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .select(col(idCol), col("group_id"),
+        pmod(conv(substring(md5(col("group_id").cast("string")), 1, 4),
+          16, 10).cast("int"), lit(k)).as("fold"))
+  }
+
   /** Entity-resolution survivorship ("golden record"): collapse each
     * near-duplicate group to ONE merged record, taking the best of every
     * member — smallest id as the canonical key, union of langs/sources,

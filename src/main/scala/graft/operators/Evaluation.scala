@@ -110,6 +110,35 @@ object Evaluation {
           (col("ctpr") + col("ptpr")) / 2.0)), 4).as("auc"))
   }
 
+  /** Decile-style lift table — the calibration view behind
+    * [[bucketedAuc]]'s single number: per equal-width score bucket, the
+    * positive rate and its lift over the base rate. A well-calibrated
+    * score shows monotone lift; a useless one shows lift ≈ 1 everywhere.
+    * Same bucketed shape as the AUC — no global rank.
+    *
+    * @return (bucket, n, n_pos, pos_rate round 4, lift round 4 — NULL
+    *          when the base rate is 0) */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    val bounds = df.agg(
+      min(col(scoreCol)).cast("double").as("__graft_min_s"),
+      max(col(scoreCol)).cast("double").as("__graft_max_s"))
+    val bucket = Layout.equalWidthBucket(col(scoreCol),
+      col("__graft_min_s"), col("__graft_max_s"), nBuckets)
+    val cells = df.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+    val base = cells.agg(
+      (sum("n_pos").cast("double") / sum("n")).as("__base"))
+    cells.crossJoin(broadcast(base))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n"), 4).as("pos_rate"),
+        round(col("n_pos") / col("n") /
+          when(col("__base") > 0, col("__base")), 4).as("lift"))
+  }
+
   /** Cohen's kappa: agreement beyond chance between a prediction column
     * and labels — the one-number gate health check that raw accuracy
     * overstates on skewed class mixes. po = observed agreement,

@@ -254,6 +254,31 @@ object TimeSeries {
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
+  /** Exponential recency-decay weights: weight = exp(−age_days/τ)
+    * relative to the CORPUS max timestamp (reproducible — never
+    * wall-clock), the freshness weighting a training mix applies so last
+    * year's crawl doesn't dominate this month's. Pure column algebra;
+    * age in exact whole days (floor), so the weight is a deterministic
+    * function of the data.
+    *
+    * @return input columns + (age_days, decay_weight round 6) */
+  def decayWeights(df: DataFrame, tsCol: String,
+      tauDays: Double): DataFrame = {
+    require(tauDays > 0, "decayWeights: tauDays must be positive")
+    // .cast("timestamp"): harness dates ship as TIMESTAMP_NTZ in some
+    // generations (Tables.events note); session TZ is pinned UTC so the
+    // cast is value-preserving
+    val ts = col(tsCol).cast("timestamp")
+    val mx = df.agg(max(unix_micros(ts)).as("__graft_max_us"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("age_days",
+        floor((col("__graft_max_us") - unix_micros(ts)) /
+          lit(86400000000L)).cast("long"))
+      .withColumn("decay_weight",
+        round(exp(-col("age_days") / lit(tauDays)), 6))
+      .drop("__graft_max_us")
+  }
+
   /** Top recurring session paths: sessionize per user (gap cut), render
     * each session as its ordered event-type path, count identical paths
     * across sessions. The behavioral report a funnel can't give — it

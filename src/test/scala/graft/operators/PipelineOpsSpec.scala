@@ -485,6 +485,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- groupAwareFolds / liftTable / decayWeights -------------------------
+
+  test("groupAwareFolds: one fold per component, folds in [0, k)") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val got = Dedup.groupAwareFolds(docs, comps, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) === got(2L)) // same component → same fold
+    assert(got.values.forall(f => f >= 0 && f < 3))
+  }
+
+  test("liftTable: a separating score lifts the top bucket above 1 and " +
+    "the bottom to 0; base rate recovered from cells") {
+    val d = ((1 to 50).map(i => (i / 100.0, false)) ++
+      (51 to 100).map(i => (i / 100.0, true))).toDF("s", "y")
+    val got = Evaluation.liftTable(d, "s", "y", nBuckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq((0L, 0.0, 0.0), (1L, 1.0, 2.0))) // base rate 0.5
+  }
+
+  test("decayWeights: weight 1 at the corpus max date, e^-1 at tau days " +
+    "before it") {
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-01-31 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"))) // 30 days older
+      .toDF("id", "ts")
+    val got = TimeSeries.decayWeights(d, "ts", tauDays = 30.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("age_days"), r.getAs[Double]("decay_weight")))
+      .toMap
+    assert(got(1L) === ((0L, 1.0)))
+    assert(got(2L) === ((30L, BigDecimal(math.exp(-1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   // --- imputeMode ---------------------------------------------------------
 
   test("imputeMode fills NULLs with the group mode (min tie-break), " +
