@@ -1280,7 +1280,72 @@ object PipelineQueries {
                round(sum(o_totalprice), 2) AS revenue,
                round(sum(o_totalprice * dw), 2) AS weighted_revenue
         FROM w GROUP BY 1
-        ORDER BY o_orderpriority""")))
+        ORDER BY o_orderpriority""")),
+
+    // ----- q160: population stability index (Layout.psiScore) — the
+    // bucketed industry drift metric next to q97's categorical KL:
+    // first-half docs are the reference frame, second-half the current
+    // sample; buckets cut from REFERENCE bounds, smoothed shares.
+    Q("q160_psi_drift",
+      (s, d) => {
+        val q = documents(s, d).select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 3).as("score"))
+        graft.operators.Layout.psiScore(
+          q.filter(col("doc_id") >= 250), q.filter(col("doc_id") < 250),
+          "score")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, round(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 3) AS s
+          FROM documents),
+        ref AS (SELECT s FROM scored WHERE doc_id < 250),
+        cur AS (SELECT s FROM scored WHERE doc_id >= 250),
+        b AS (SELECT min(s)::DOUBLE AS mn, max(s)::DOUBLE AS mx FROM ref),
+        cc AS (
+          SELECT greatest(CASE WHEN mx - mn <= 0 THEN 0
+                   ELSE least(floor((s - mn) / (mx - mn) * 10)::BIGINT, 9)
+                 END, 0) AS bucket, count(*) AS nc
+          FROM cur, b GROUP BY 1),
+        cr AS (
+          SELECT greatest(CASE WHEN mx - mn <= 0 THEN 0
+                   ELSE least(floor((s - mn) / (mx - mn) * 10)::BIGINT, 9)
+                 END, 0) AS bucket, count(*) AS nr
+          FROM ref, b GROUP BY 1),
+        j AS (
+          SELECT coalesce(cc.bucket, cr.bucket) AS bucket,
+                 coalesce(nc, 0) AS nc, coalesce(nr, 0) AS nr
+          FROM cc FULL JOIN cr ON cc.bucket = cr.bucket),
+        t AS (SELECT sum(nc)::DOUBLE AS tc, sum(nr)::DOUBLE AS tr FROM j)
+        SELECT max(tc)::BIGINT AS n_cur, max(tr)::BIGINT AS n_ref,
+               round(sum(
+                 (((nc + 0.5) / (tc + 5)) - ((nr + 0.5) / (tr + 5)))
+                 * ln(((nc + 0.5) / (tc + 5))
+                      / ((nr + 0.5) / (tr + 5)))), 6) AS psi
+        FROM j, t""")),
+
+    // ----- q161: source-concentration Gini (Layout.giniConcentration)
+    // — corpus diversity in one number via the exact sorted-share
+    // formula over the per-source count table.
+    Q("q161_source_gini",
+      (s, d) =>
+        graft.operators.Layout.giniConcentration(documents(s, d),
+          "source"),
+      Some("""
+        WITH c AS (
+          SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        r AS (
+          SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM c),
+        t AS (SELECT sum(c) AS t, count(*) AS k FROM r)
+        SELECT max(k)::BIGINT AS n_groups, max(t)::BIGINT AS n_rows,
+               round(sum((2 * i - k - 1) * c) / (max(k) * max(t)), 6)
+                 AS gini
+        FROM r, t""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

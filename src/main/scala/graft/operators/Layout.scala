@@ -183,6 +183,74 @@ object Layout {
         round(p * log(p / q), 6).as("kl_term"))
   }
 
+  /** Population stability index between a current and a reference
+    * sample of a SCORE column — the bucketed industry drift metric that
+    * complements [[driftScore]]'s categorical KL: PSI = Σ (p_c − p_r) ·
+    * ln(p_c / p_r) over equal-width score buckets CUT FROM THE
+    * REFERENCE's bounds (drift must be measured against the reference's
+    * frame; re-cutting from current bounds would hide a shift).
+    * Additive smoothing keeps one-sided buckets finite. Rule of thumb:
+    * < 0.1 stable, 0.1–0.25 watch, > 0.25 act.
+    *
+    * Two combinable bucket counts + bucket-table arithmetic; values
+    * outside the reference range clamp into the edge buckets (that mass
+    * movement is exactly what PSI should see).
+    *
+    * @return 1 row: (n_cur, n_ref, psi round 6) */
+  def psiScore(current: DataFrame, reference: DataFrame,
+      scoreCol: String, nBuckets: Int = 10,
+      smoothing: Double = 0.5): DataFrame = {
+    val bounds = reference.agg(
+      min(col(scoreCol)).cast("double").as("__graft_min_s"),
+      max(col(scoreCol)).cast("double").as("__graft_max_s"))
+    def cells(df: DataFrame, name: String) =
+      df.crossJoin(broadcast(bounds))
+        // greatest(0): CURRENT scores below the reference min clamp into
+        // the bottom edge bucket (the reference's own cuts can't go
+        // negative, but drifted current values can)
+        .select(greatest(equalWidthBucket(col(scoreCol),
+            col("__graft_min_s"), col("__graft_max_s"), nBuckets),
+          lit(0L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    val joined = cells(current, "nc")
+      .join(cells(reference, "nr"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+    val tot = joined.agg(sum("nc").as("tc"), sum("nr").as("tr"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        ((col("nc") + smoothing) /
+          (col("tc") + smoothing * nBuckets)).as("pc"),
+        ((col("nr") + smoothing) /
+          (col("tr") + smoothing * nBuckets)).as("pr"),
+        col("tc"), col("tr"))
+      .agg(max("tc").as("n_cur"), max("tr").as("n_ref"),
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))),
+          6).as("psi"))
+  }
+
+  /** Gini coefficient of a grouped count distribution — corpus
+    * concentration in one number (0 = every source contributes equally,
+    * →1 = one source dominates), the diversity gate next to the q77
+    * composition report. Exact, via the sorted-share formula over the
+    * (group-cardinality-scale) count table; the rank window is bounded
+    * by the number of groups.
+    *
+    * @return 1 row: (n_groups, n_rows, gini round 6) */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+    // bounded window: one row per group
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col(groupCol))))
+    val tot = ranked.agg(sum("c").as("t"), count(lit(1)).as("k"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max("k").as("n_groups"), max("t").as("n_rows"),
+        round(
+          sum((lit(2) * col("i") - col("k") - 1) * col("c")) /
+            (max("k") * max("t")), 6).as("gini"))
+  }
+
   /** Write `df` Z-ordered on (colA, colB): range-repartitioned and
     * sorted by z, so each output file covers a compact rectangle of the
     * (a, b) space and parquet min/max stats prune range queries on

@@ -485,6 +485,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- psiScore / giniConcentration ---------------------------------------
+
+  test("psiScore: identical samples score ~0; a shifted sample scores " +
+    "high; current values below the reference min clamp into bucket 0") {
+    val ref = (1 to 100).map(i => Tuple1(i / 10.0)).toDF("s")
+    val psi0 = Layout.psiScore(ref, ref, "s").collect()(0).getDouble(2)
+    assert(math.abs(psi0) < 1e-9)
+    val shifted = (1 to 100).map(i => Tuple1(i / 10.0 + 50))
+      .toDF("s") // all mass clamps into the TOP bucket
+    val psiHi = Layout.psiScore(shifted, ref, "s").collect()(0)
+      .getDouble(2)
+    assert(psiHi > 0.25, s"psi=$psiHi")
+    val below = (1 to 100).map(i => Tuple1(i / 10.0 - 50)).toDF("s")
+    val psiLo = Layout.psiScore(below, ref, "s").collect()(0).getDouble(2)
+    assert(psiLo > 0.25) // bottom-clamped, not negative buckets
+  }
+
+  test("giniConcentration: equal groups → 0; extreme concentration → " +
+    "near 1") {
+    val equal = (1 to 100).map(i => Tuple1(s"s${i % 4}")).toDF("g0")
+    assert(Layout.giniConcentration(equal, "g0").collect()(0)
+      .getDouble(2) === 0.0)
+    val skewed = (Seq.fill(97)("big") ++ Seq("a", "b", "c"))
+      .map(Tuple1(_)).toDF("g0")
+    val g = Layout.giniConcentration(skewed, "g0").collect()(0)
+      .getDouble(2)
+    assert(g > 0.7, s"gini=$g")
+  }
+
   // --- groupAwareFolds / liftTable / decayWeights -------------------------
 
   test("groupAwareFolds: one fold per component, folds in [0, k)") {
