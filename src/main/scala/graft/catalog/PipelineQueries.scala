@@ -1345,7 +1345,57 @@ object PipelineQueries {
         SELECT max(k)::BIGINT AS n_groups, max(t)::BIGINT AS n_rows,
                round(sum((2 * i - k - 1) * c) / (max(k) * max(t)), 6)
                  AS gini
-        FROM r, t""")))
+        FROM r, t""")),
+
+    // ----- q162: inter-event burstiness (TimeSeries.burstiness) — the
+    // rhythm fingerprint: per-user CV of inter-arrival gaps (scripted
+    // clients ≈ 0, organic ≥ 1); one lag per user + moment aggregates.
+    Q("q162_burstiness",
+      (s, d) =>
+        TimeSeries.burstiness(events(s, d)).orderBy("user_id"),
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                   / 1000000.0 AS gap_s
+          FROM events),
+        a AS (
+          SELECT user_id, count(*) AS n_gaps, avg(gap_s) AS m,
+                 stddev_samp(gap_s) AS sd
+          FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps::BIGINT AS n_gaps,
+               round(m, 2) AS mean_gap_s, round(sd, 2) AS sd_gap_s,
+               round(sd / (CASE WHEN m > 0 THEN m END), 4) AS cv
+        FROM a WHERE n_gaps >= 4
+        ORDER BY user_id""")),
+
+    // ----- q163: Flesch-style readability (TextAnalysis.readability) —
+    // vowel-group syllable proxy + words/sentences, the classic
+    // reading-ease formula as one shuffle-free scalar pass.
+    Q("q163_readability",
+      (s, d) =>
+        TextAnalysis.readability(documents(s, d)).orderBy("doc_id"),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   w -> length(w) > 0))::BIGINT AS n_words,
+                 greatest(len(list_filter(
+                   regexp_split_to_array(text, '[.!?]+'),
+                   x -> length(trim(x)) > 0)), 1)::BIGINT AS n_sentences,
+                 length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   ::BIGINT AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(CASE WHEN n_words > 0
+                 THEN 206.835
+                      - 1.015 * (n_words / n_sentences::DOUBLE)
+                      - 84.6 * (n_syllables / n_words::DOUBLE) END, 2)
+                 AS flesch
+        FROM c
+        ORDER BY doc_id""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -1312,6 +1312,35 @@ object TextAnalysis {
         .as("other_frac"))
   }
 
+  /** Flesch-style readability signals: words, sentence-ish segments,
+    * vowel-group syllable estimate, and the reading-ease score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words). The
+    * heuristic syllable counter (consecutive-vowel groups per word) is
+    * the standard cheap proxy, and — unlike a dictionary lookup — it is
+    * pure column algebra both engines compute identically. Pure scalar
+    * pass, no shuffle.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, flesch round 2)
+    *         — empty/degenerate docs yield NULL flesch */
+  def readability(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = filter(split(trim(lower(col(textCol))), "\\s+"),
+      wrd => length(wrd) > 0)
+    val nWords = size(words).cast("long")
+    // sentence segments: split on ./!/? runs; harness text has none, so
+    // the whole doc counts as one sentence — still a valid signal
+    val nSent = greatest(
+      size(filter(split(col(textCol), "[.!?]+"),
+        sg => length(trim(sg)) > 0)).cast("long"), lit(1L))
+    val nSyl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      round(when(nWords > 0,
+        lit(206.835) - lit(1.015) * (nWords / nSent.cast("double")) -
+          lit(84.6) * (nSyl / nWords.cast("double"))), 2).as("flesch"))
+  }
+
   /** Otsu auto-thresholding over a score column: pick the histogram cut
     * that maximizes between-class variance — the parameter-free way to
     * choose a quality cutoff when the distribution is bimodal (clean vs

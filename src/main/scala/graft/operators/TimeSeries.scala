@@ -254,6 +254,38 @@ object TimeSeries {
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
+  /** Inter-event burstiness per user: coefficient of variation and Fano
+    * factor of inter-arrival gaps — the bot fingerprint ([[spikeDetect]]
+    * sees volume anomalies; this sees RHYTHM: a scripted client's gaps
+    * are near-constant → CV ≈ 0, organic traffic is bursty → CV ≥ 1).
+    * One lag per user, then user-keyed moment aggregates.
+    *
+    * Users with fewer than `minEvents` events are dropped (their
+    * variance is noise, and a sample stddev needs n ≥ 2 gaps).
+    *
+    * @return (user_id, n_gaps, mean_gap_s round 2, sd_gap_s round 2,
+    *          cv round 4 — NULL when the mean gap is 0) */
+  def burstiness(events: DataFrame, minEvents: Int = 5,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val gaps = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("gap_s",
+        (col("__us") - lag("__us", 1).over(w)) / lit(1000000.0))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg("gap_s").as("__mean"),
+        stddev_samp(col("gap_s")).as("__sd"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .select(col(userCol), col("n_gaps"),
+        round(col("__mean"), 2).as("mean_gap_s"),
+        round(col("__sd"), 2).as("sd_gap_s"),
+        round(col("__sd") / when(col("__mean") > 0, col("__mean")), 4)
+          .as("cv"))
+  }
+
   /** Exponential recency-decay weights: weight = exp(−age_days/τ)
     * relative to the CORPUS max timestamp (reproducible — never
     * wall-clock), the freshness weighting a training mix applies so last

@@ -7,6 +7,34 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Warehouse
 
+/** Continuous distribution monitoring: per micro-batch PSI of a score
+  * column against a STATIC reference sample — drift surfaces within one
+  * trigger of the feed going bad, not at the next nightly report. Each
+  * batch appends one (batch_id, n_cur, n_ref, psi) row; the PSI itself
+  * is [[graft.operators.Layout.psiScore]], so batch and streaming
+  * monitoring share one definition.
+  */
+object StreamingDrift {
+  def psiMonitor(stream: DataFrame, reference: DataFrame,
+      scoreCol: String, outPath: String, checkpoint: String,
+      nBuckets: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!batch.isEmpty) {
+            // per-batch partition dir + overwrite = replay-idempotent
+            // (an append sink would double-count a replayed batch)
+            graft.operators.Layout
+              .psiScore(batch.toDF(), reference, scoreCol, nBuckets)
+              .write.mode("overwrite")
+              .parquet(s"$outPath/batch_id=$batchId")
+          }
+      }
+      .start()
+}
+
 /** Streaming MERGE INTO: maintain a keyed snapshot at rest from a stream
   * of change rows (op ∈ I/U/D) — the materialized-view maintenance loop
   * a metadata plane runs continuously (license flags, takedown state,

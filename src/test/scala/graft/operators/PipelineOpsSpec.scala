@@ -485,6 +485,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- burstiness / readability -------------------------------------------
+
+  test("burstiness: a metronome user scores CV 0, a bursty user " +
+    "scores high; sparse users are dropped") {
+    val rows =
+      (0 until 10).map(i => // user 1: exactly 60 s apart
+        (i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "a")) ++
+      Seq(0L, 1L, 2L, 3L, 7200L).zipWithIndex.map { case (s, i) => // bursty
+        (100L + i, new Timestamp(1700000000000L + s * 1000), 2L, "a") } ++
+      (0 until 2).map(i => // user 3: too few events
+        (200L + i, new Timestamp(1700000000000L + i * 1000), 3L, "a"))
+    val d = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.burstiness(d, minEvents = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === 0.0)
+    assert(got(2L) > 1.0)
+  }
+
+  test("readability: hand-computed Flesch on a two-sentence doc; " +
+    "empty doc yields NULL score") {
+    val d = Seq((1L, "the cat sat. the dog ran."), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d).orderBy("doc_id").collect()
+    // 6 words, 2 sentences, syllable groups: e,a,a,e,o,a = 6
+    assert(got(0).getLong(1) === 6L)
+    assert(got(0).getLong(2) === 2L)
+    assert(got(0).getLong(3) === 6L)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(got(0).getDouble(4) === 119.19)
+    assert(got(1).isNullAt(4))
+  }
+
   // --- psiScore / giniConcentration ---------------------------------------
 
   test("psiScore: identical samples score ~0; a shifted sample scores " +

@@ -84,6 +84,27 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(at(99L) === Map(1L -> "a2"))
   }
 
+  test("StreamingDrift.psiMonitor: an in-distribution batch scores low, " +
+    "a shifted batch scores high, one row per batch") {
+    val dir = freshDir()
+    val ref = spark.range(1, 101).selectExpr("id / 10.0 AS s")
+    val input = MemoryStream[Double](spark)
+    val q = StreamingDrift.psiMonitor(input.toDF().toDF("s"), ref, "s",
+      s"$dir/psi", s"$dir/ckpt")
+    try {
+      input.addData((1 to 100).map(_ / 10.0): _*) // same distribution
+      q.processAllAvailable()
+      input.addData((1 to 100).map(_ / 10.0 + 50): _*) // shifted
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/psi")
+        .orderBy("batch_id").collect()
+        .map(r => r.getAs[Long]("batch_id") -> r.getAs[Double]("psi"))
+      assert(rows.length === 2)
+      assert(math.abs(rows(0)._2) < 1e-9)
+      assert(rows(1)._2 > 0.25)
+    } finally q.stop()
+  }
+
   test("an uncommitted snapshot directory (no _SUCCESS) is invisible to " +
     "version listing") {
     val dir = freshDir()
