@@ -1395,7 +1395,65 @@ object PipelineQueries {
                       - 84.6 * (n_syllables / n_words::DOUBLE) END, 2)
                  AS flesch
         FROM c
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ----- q164: Benford first-digit conformance (Warehouse
+    // .benfordDigits) — the forgery/garbage test for numeric columns:
+    // observed vs log10(1+1/d) shares + χ² terms over order prices.
+    Q("q164_benford",
+      (s, d) =>
+        Warehouse.benfordDigits(orders(s, d), "o_totalprice")
+          .orderBy("digit"),
+      Some("""
+        WITH fd AS (
+          SELECT try_cast(regexp_extract(abs(o_totalprice)::VARCHAR,
+                   '[1-9]', 0) AS INT) AS digit
+          FROM orders WHERE abs(o_totalprice) >= 1e-10),
+        c AS (
+          SELECT digit, count(*) AS n FROM fd
+          WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        t AS (SELECT sum(n)::DOUBLE AS tt FROM c)
+        SELECT digit, n::BIGINT AS n,
+               round(n / tt, 4) AS p_obs,
+               round(log10(1.0 + 1.0 / digit), 4) AS p_exp,
+               round(tt * pow(n / tt - log10(1.0 + 1.0 / digit), 2)
+                     / log10(1.0 + 1.0 / digit), 4) AS chi2_term
+        FROM c, t
+        ORDER BY digit""")),
+
+    // ----- q165: duplicate-cluster size distribution (component sizes
+    // → counts per size) — the dedup-health report: a fat tail of huge
+    // components means over-merging (bad bands), all-size-2 means the
+    // threshold is conservative.
+    Q("q165_dup_cluster_sizes",
+      (s, d) => {
+        val comps = graft.operators.Dedup.nearDupComponents(
+          graft.operators.Dedup.lshCandidatePairs(documents(s, d),
+            numHashes = 16, bands = 4, portable = true))
+        comps.groupBy("component").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("size")
+      },
+      Some(s"""
+        WITH RECURSIVE ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(root) AS component FROM r GROUP BY id),
+        sizes AS (
+          SELECT component, count(*) AS size FROM comp GROUP BY 1)
+        SELECT size::BIGINT AS size, count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY 1
+        ORDER BY size""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -124,6 +124,38 @@ object Warehouse {
     state.select(col("g"), col("n"), col("s"),
       round(col("s") / col("n"), 4).as("avg"), col("mn"), col("mx"))
 
+  /** Benford first-digit conformance — the numeric-column forgery/
+    * garbage test: natural multi-scale quantities (prices, populations,
+    * counts) follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    * doesn't. Per digit: observed vs expected share and the χ² term
+    * n·(p_obs − p_exp)²/p_exp (sum them against the χ²₈ table).
+    * One combinable digit count over positive values; digit extraction
+    * is pure column algebra.
+    *
+    * @return 9 rows: (digit, n, p_obs round 4, p_exp round 4, chi2_term
+    *          round 4) */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    // first SIGNIFICANT digit = first [1-9] of the string form — robust
+    // to scientific notation (the mantissa digit leads either way) and
+    // free of the log10/pow boundary bug (log10(1000) floors to 2 in
+    // IEEE, making the arithmetic form emit digit 10)
+    val firstDigit = regexp_extract(abs(col(valueCol)).cast("string"),
+      "[1-9]", 0).cast("int")
+    val counts = df.filter(abs(col(valueCol)) >= 1e-10)
+      .select(firstDigit.as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").cast("double").as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_obs_raw", col("n") / col("__t"))
+      .withColumn("p_exp_raw", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("p_obs_raw"), 4).as("p_obs"),
+        round(col("p_exp_raw"), 4).as("p_exp"),
+        round(col("__t") * pow(col("p_obs_raw") - col("p_exp_raw"), 2) /
+          col("p_exp_raw"), 4).as("chi2_term"))
+  }
+
   /** Modal imputation: fill NULLs in `valueCol` with the most frequent
     * NON-null value of the row's `groupCol` (ties → smallest value, the
     * deterministic argmax this repo uses everywhere). The standard

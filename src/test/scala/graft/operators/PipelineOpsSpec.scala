@@ -485,6 +485,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- benfordDigits ------------------------------------------------------
+
+  test("benfordDigits: digit extraction survives decimals, negatives, " +
+    "sub-1 values, and zero exclusion; shares sum to 1") {
+    val d = Seq(123.4, -950.0, 0.0071, 10.0, 0.0, 2e8)
+      .map(Tuple1(_)).toDF("v")
+    val got = Warehouse.benfordDigits(d, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // digits: 1 (123.4), 9 (950), 7 (0.0071), 1 (10), 2 (2e8); 0 excluded
+    assert(got === Map(1 -> 2L, 2 -> 1L, 7 -> 1L, 9 -> 1L))
+    val shares = Warehouse.benfordDigits(d, "v")
+      .agg(sum("p_obs")).collect()(0).getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-6)
+  }
+
+  test("benfordDigits: a perfectly Benford-ish sample has near-zero " +
+    "chi-square terms") {
+    // counts proportional to log10(1+1/d) over 10000 rows
+    val rows = (1 to 9).flatMap { dgt =>
+      val n = math.round(10000 * math.log10(1.0 + 1.0 / dgt)).toInt
+      Seq.fill(n)(Tuple1(dgt * 100.0))
+    }
+    val chi2 = Warehouse.benfordDigits(rows.toDF("v"), "v")
+      .agg(sum("chi2_term")).collect()(0).getDouble(0)
+    assert(chi2 < 1.0, s"chi2=$chi2") // χ²₈ at p=0.05 is 15.5
+  }
+
   // --- burstiness / readability -------------------------------------------
 
   test("burstiness: a metronome user scores CV 0, a bursty user " +
