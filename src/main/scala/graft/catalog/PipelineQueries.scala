@@ -1453,7 +1453,46 @@ object PipelineQueries {
           SELECT component, count(*) AS size FROM comp GROUP BY 1)
         SELECT size::BIGINT AS size, count(*)::BIGINT AS n_clusters
         FROM sizes GROUP BY 1
-        ORDER BY size""")))
+        ORDER BY size""")),
+
+    // ----- q166: the dataset card (one row) — the release-notes summary
+    // a corpus ships with, composed from already-verified pieces: sizes,
+    // diversity counts, token volume, mean quality, exact-dup rate.
+    Q("q166_dataset_card",
+      (s, d) => {
+        val docs = documents(s, d)
+        docs.select(col("doc_id"), col("lang"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long")
+              .as("toks"),
+            TextAnalysis.qualityScore(col("text")).as("q"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            countDistinct("lang").as("n_langs"),
+            sum("toks").as("total_tokens"),
+            round(avg("q"), 4).as("avg_quality"),
+            round(lit(1.0) -
+              countDistinct("fp") / count(lit(1)).cast("double"), 4)
+              .as("exact_dup_rate"))
+      },
+      Some("""
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                 AS total_tokens,
+               round(avg(
+                  (length(regexp_extract_all(lower(text), '[a-z]'))
+                     / greatest(length(text), 1))
+                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  - (length(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1))), 4) AS avg_quality,
+               round(1.0 - count(DISTINCT md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                   '\s+', ' ', 'g')))) / count(*)::DOUBLE, 4)
+                 AS exact_dup_rate
+        FROM documents""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per
