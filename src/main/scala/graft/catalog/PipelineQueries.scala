@@ -1492,7 +1492,42 @@ object PipelineQueries {
                    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
                    '\s+', ' ', 'g')))) / count(*)::DOUBLE, 4)
                  AS exact_dup_rate
-        FROM documents""")))
+        FROM documents""")),
+
+    // ----- q167: search-result snippets (TextSearch.snippets) — the
+    // ±30-char window around the first 'merge' occurrence for the docs
+    // that contain it; the UX step after BM25 ranks.
+    Q("q167_snippets",
+      (s, d) =>
+        graft.operators.TextSearch.snippets(documents(s, d), "merge")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, strpos(lower(text), 'merge') AS pos,
+               substr(text, greatest(strpos(lower(text), 'merge') - 30, 1),
+                 65) AS snippet
+        FROM documents
+        WHERE strpos(lower(text), 'merge') > 0
+        ORDER BY doc_id""")),
+
+    // ----- q168: LSH banding S-curve tuning table (Dedup
+    // .lshTuningTable) — candidate probability 1−(1−s^r)^b over a
+    // similarity grid for every 16-hash (b, r) split, plus each config's
+    // threshold estimate: the recall/cost dial for the whole q35 family,
+    // emitted as a relation.
+    Q("q168_lsh_tuning",
+      (s, _) => graft.operators.Dedup.lshTuningTable(s)
+        .orderBy("bands", "s"),
+      Some("""
+        WITH cfg(bands, rows_per_band) AS (
+          VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16)),
+        grid AS (SELECT g / 20.0 AS s FROM generate_series(1, 19) t(g))
+        SELECT bands, rows_per_band, round(s, 2) AS s,
+               round(pow(1.0 / bands, 1.0 / rows_per_band), 4)
+                 AS s_threshold,
+               round(1.0 - pow(1.0 - pow(s, rows_per_band), bands), 4)
+                 AS p_candidate
+        FROM cfg, grid
+        ORDER BY bands, s""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -1041,6 +1041,36 @@ object Dedup {
       .select("stage_id", "stage", "rows_in", "rows_out", "dropped")
   }
 
+  /** LSH banding S-curve table — the TUNING companion to
+    * [[lshCandidatePairs]]: for each (bands, rows-per-band) split of the
+    * signature and a similarity grid, the candidate probability
+    * 1 − (1 − s^r)^b plus the config's threshold estimate (1/b)^(1/r).
+    * Choosing (b, r) from this table is how the dedup recall/cost
+    * trade-off is actually set; emitting it as a relation keeps the
+    * decision next to the data instead of in a notebook.
+    *
+    * Pure generated math (config × grid cross product of literals) —
+    * no corpus touched.
+    *
+    * @return (bands, rows_per_band, s round 2, s_threshold round 4,
+    *          p_candidate round 4) */
+  def lshTuningTable(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)] =
+        Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)),
+      gridSteps: Int = 20): DataFrame = {
+    import spark.implicits._
+    val cfg = configs.toDF("bands", "rows_per_band")
+    val grid = (1 until gridSteps).map(_.toDouble / gridSteps).toDF("s")
+    cfg.crossJoin(grid)
+      .select(col("bands"), col("rows_per_band"),
+        round(col("s"), 2).as("s"),
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 4).as("s_threshold"),
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(col("s"), col("rows_per_band")), col("bands")), 4)
+          .as("p_candidate"))
+  }
+
   /** [[groupAwareSplit]]'s k-fold form: cross-validation fold ids
     * assigned to the near-duplicate GROUP (md5 of the group id mod k),
     * so no fold ever holds a mirror of another fold's document — the

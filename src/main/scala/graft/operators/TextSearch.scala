@@ -209,6 +209,25 @@ object TextSearch {
         col("cos_raw"))
   }
 
+  /** Result snippets: a ±`radius`-char window around the FIRST
+    * occurrence of the query term in each matching document — the
+    * search-UX step after [[bm25]] ranks. Case-insensitive locate, word
+    * and window boundaries clamped to the text; one scalar pass over the
+    * (already-ranked, small) hit set.
+    *
+    * @return (idCol, pos — 1-based char offset, snippet) for docs
+    *         containing the term */
+  def snippets(hits: DataFrame, term: String, radius: Int = 30,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pos = instr(lower(col(textCol)), term.toLowerCase)
+    val start = greatest(pos - radius, lit(1))
+    hits.withColumn("pos", pos)
+      .filter(col("pos") > 0)
+      .select(col(idCol), col("pos"),
+        col(textCol).substr(start, lit(2 * radius + term.length))
+          .as("snippet"))
+  }
+
   /** Positional postings: one row per (doc, position, token) — the index
     * relation phrase search needs on top of [[termFreqs]]'s bag-of-words
     * counts. */

@@ -485,6 +485,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- snippets / lshTuningTable ------------------------------------------
+
+  test("snippets clamps the window at text start, matches " +
+    "case-insensitively, and skips non-matching docs") {
+    val d = Seq(
+      (1L, "Merge sort is stable"), // match at pos 1 → clamped start
+      (2L, "the big merge happened late in the day yesterday evening ok"),
+      (3L, "no hit here")).toDF("doc_id", "text")
+    val got = TextSearch.snippets(d, "merge", radius = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L))
+    assert(got(0)._2 === 1 && got(0)._3.startsWith("Merge sort"))
+    assert(got(1)._3.contains("merge"))
+    assert(got(1)._3.length <= 25) // 2·radius + term length
+  }
+
+  test("lshTuningTable: more rows per band ⇒ higher threshold; the " +
+    "S-curve hits ~0.5 candidate probability near the threshold") {
+    val spark2 = spark
+    val t = Dedup.lshTuningTable(spark2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getDouble(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    val th44 = t((4, 4, 0.5))._1 // (1/4)^(1/4) ≈ 0.7071
+    val th82 = t((8, 2, 0.5))._1 // (1/8)^(1/2) ≈ 0.3536
+    assert(th44 > th82)
+    assert(math.abs(th44 - 0.7071) < 1e-4)
+    // at s = its own threshold, p ≈ 1 − (1−1/b)^b ∈ (0.63, 0.69)
+    val p = t((4, 4, 0.7))._2
+    assert(p > 0.4 && p < 0.8, s"p=$p")
+  }
+
   // --- benfordDigits ------------------------------------------------------
 
   test("benfordDigits: digit extraction survives decimals, negatives, " +
