@@ -75,19 +75,30 @@ object Evaluation {
     *
     * @return 1 row: (n_pos, n_neg, auc round 4; NULL auc when either
     *          class is empty) */
-  def bucketedAuc(df: DataFrame, scoreCol: String, labelCol: String,
-      nBuckets: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared scaffold behind [[bucketedAuc]] and [[liftTable]]:
+    * per-bucket (n, pos) counts over equal-width score buckets from
+    * broadcast bounds — one definition so the two metrics can never
+    * drift on bounds/label handling (the equalWidthBucket rationale,
+    * one level up). */
+  private def bucketedLabelCells(df: DataFrame, scoreCol: String,
+      labelCol: String, nBuckets: Int): DataFrame = {
     val bounds = df.agg(
       min(col(scoreCol)).cast("double").as("__graft_min_s"),
       max(col(scoreCol)).cast("double").as("__graft_max_s"))
     val bucket = Layout.equalWidthBucket(col(scoreCol),
       col("__graft_min_s"), col("__graft_max_s"), nBuckets)
-    val cells = df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
       .groupBy("bucket")
-      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
-        sum(when(!col("y"), 1L).otherwise(0L)).as("neg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+  }
+
+  def bucketedAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = bucketedLabelCells(df, scoreCol, labelCol, nBuckets)
+      .withColumn("neg", col("n") - col("pos"))
     val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"))
     // bounded window: ≤ nBuckets rows, descending score
     val w = Window.orderBy(col("bucket").desc)
@@ -120,16 +131,8 @@ object Evaluation {
     *          when the base rate is 0) */
   def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
       nBuckets: Int = 10): DataFrame = {
-    val bounds = df.agg(
-      min(col(scoreCol)).cast("double").as("__graft_min_s"),
-      max(col(scoreCol)).cast("double").as("__graft_max_s"))
-    val bucket = Layout.equalWidthBucket(col(scoreCol),
-      col("__graft_min_s"), col("__graft_max_s"), nBuckets)
-    val cells = df.crossJoin(broadcast(bounds))
-      .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+    val cells = bucketedLabelCells(df, scoreCol, labelCol, nBuckets)
+      .withColumnRenamed("pos", "n_pos")
     val base = cells.agg(
       (sum("n_pos").cast("double") / sum("n")).as("__base"))
     cells.crossJoin(broadcast(base))
