@@ -1527,7 +1527,91 @@ object PipelineQueries {
                round(1.0 - pow(1.0 - pow(s, rows_per_band), bands), 4)
                  AS p_candidate
         FROM cfg, grid
-        ORDER BY bands, s""")))
+        ORDER BY bands, s""")),
+
+    // ----- q169: reciprocal-rank fusion (TextSearch.rrfFuse) — merge a
+    // raw-tf ranking and a length-normalized-density ranking of the
+    // 'merge' hits without score calibration; 1/(60+rank) contributions.
+    Q("q169_rank_fusion",
+      (s, d) => {
+        val tf = documents(s, d).select(col("doc_id"),
+            size(regexp_extract_all(lower(col("text")), lit("merge"),
+              lit(0))).cast("long").as("tf"), col("n_chars"))
+          .filter(col("tf") > 0)
+        val r1 = tf.select(col("doc_id"),
+          col("tf").cast("double").as("score"))
+        val r2 = tf.select(col("doc_id"),
+          (col("tf") / col("n_chars")).as("score"))
+        graft.operators.TextSearch.rrfFuse(Seq(r1, r2))
+          .orderBy(desc("rrf"), col("doc_id"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id,
+                 length(regexp_extract_all(lower(text), 'merge')) AS tf,
+                 n_chars
+          FROM documents),
+        hit AS (SELECT * FROM tf WHERE tf > 0),
+        r1 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id)
+                   AS rnk
+          FROM hit),
+        r2 AS (
+          SELECT doc_id, row_number() OVER
+                   (ORDER BY tf::DOUBLE / n_chars DESC, doc_id) AS rnk
+          FROM hit),
+        u AS (
+          SELECT doc_id, 1.0 / (60 + rnk) AS c FROM r1
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + rnk) FROM r2)
+        SELECT doc_id, round(sum(c), 6) AS rrf,
+               count(*)::BIGINT AS n_lists
+        FROM u GROUP BY 1
+        ORDER BY rrf DESC, doc_id""")),
+
+    // ----- q170: empirical Jaccard threshold sweep (Dedup
+    // .thresholdSweep over q61's verified pairs) — pairs kept per 0.1
+    // band plus the descending cumulative: the DATA behind choosing the
+    // verification gate, next to q168's theory curve.
+    Q("q170_threshold_sweep",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cand = graft.operators.Dedup.lshCandidatePairs(docs,
+          numHashes = 16, bands = 4, portable = true)
+        graft.operators.Dedup.thresholdSweep(
+            graft.operators.Dedup.pairJaccard(cand, docs,
+              portable = true))
+          .orderBy("band_lo")
+      },
+      Some(s"""
+        WITH ${TextQueries.minhashCtes},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+        inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p
+          JOIN toks2 ta ON ta.doc_id = p.id_a
+          JOIN toks2 tb ON tb.doc_id = p.id_b AND tb.th = ta.th
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT coalesce(i.inter, 0)
+                   / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+          FROM pairs p
+          LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          JOIN sizes sa ON sa.doc_id = p.id_a
+          JOIN sizes sb ON sb.doc_id = p.id_b),
+        bandsag AS (
+          SELECT floor(jaccard / 0.1) * 0.1 AS band_lo,
+                 count(*) AS n_pairs
+          FROM jac GROUP BY 1)
+        SELECT round(band_lo, 4) AS band_lo, n_pairs::BIGINT AS n_pairs,
+               sum(n_pairs) OVER (ORDER BY band_lo DESC
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS n_at_or_above
+        FROM bandsag
+        ORDER BY band_lo""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -1041,6 +1041,29 @@ object Dedup {
       .select("stage_id", "stage", "rows_in", "rows_out", "dropped")
   }
 
+  /** Empirical threshold sweep over verified pair similarities — the
+    * DATA companion to [[lshTuningTable]]'s theory: how many pairs each
+    * Jaccard threshold would keep, as per-band counts plus a descending
+    * cumulative ("pairs surviving ≥ t"). Choosing the q38c/q61 gate
+    * value is reading this table.
+    *
+    * One bucket groupBy over the (candidate-bounded) pair set; the
+    * cumulative window runs on the ≤ `1/step`-row band table.
+    *
+    * @return (band_lo round 1-ish, n_pairs, n_at_or_above) */
+  def thresholdSweep(pairsWithJaccard: DataFrame,
+      step: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(step > 0 && step <= 1, "thresholdSweep: step in (0, 1]")
+    val bands = pairsWithJaccard
+      .select((floor(col("jaccard") / step) * step).as("band_lo"))
+      .groupBy("band_lo").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("band_lo").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands.select(round(col("band_lo"), 4).as("band_lo"), col("n_pairs"),
+      sum("n_pairs").over(w).as("n_at_or_above"))
+  }
+
   /** LSH banding S-curve table — the TUNING companion to
     * [[lshCandidatePairs]]: for each (bands, rows-per-band) split of the
     * signature and a similarity grid, the candidate probability

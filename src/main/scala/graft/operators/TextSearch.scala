@@ -209,6 +209,35 @@ object TextSearch {
         col("cos_raw"))
   }
 
+  /** Reciprocal-rank fusion of several (id, score) rankings:
+    * rrf(d) = Σ_lists 1/(K + rank_list(d)) — the standard way to merge
+    * heterogeneous retrievers (BM25, dense ANN, tf) without calibrating
+    * their score scales against each other. Ranks are (score desc, id)
+    * row numbers per list; a document missing from a list simply
+    * contributes nothing.
+    *
+    * The rank windows are global BY CONTRACT over top-k HIT LISTS
+    * (bounded relations — never a corpus; fuse after each retriever's
+    * own TakeOrdered cut).
+    *
+    * @return (idCol, rrf round 6, n_lists) */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    val contribs = rankings.map { r =>
+      r.select(col(idCol),
+          row_number().over(
+            Window.orderBy(col("score").desc, col(idCol))).as("rnk"))
+        .select(col(idCol),
+          (lit(1.0) / (lit(kConst) + col("rnk"))).as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum("contrib"), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Result snippets: a ±`radius`-char window around the FIRST
     * occurrence of the query term in each matching document — the
     * search-UX step after [[bm25]] ranks. Case-insensitive locate, word

@@ -485,6 +485,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- rrfFuse / thresholdSweep -------------------------------------------
+
+  test("rrfFuse: a doc ranked first in both lists beats a doc that " +
+    "tops only one; missing docs contribute nothing") {
+    val r1 = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "score")
+    val r2 = Seq((1L, 9.0), (3L, 8.0)).toDF("doc_id", "score") // no doc 2
+    val got = TextSearch.rrfFuse(Seq(r1, r2), kConst = 60)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1),
+        r.getLong(2))).toMap
+    assert(got(1L)._1 > got(3L)._1 && got(3L)._1 > got(2L)._1)
+    assert(got(1L)._2 === 2L && got(2L)._2 === 1L)
+    // exact: doc 1 = 1/61 + 1/61
+    assert(got(1L)._1 === BigDecimal(2.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("thresholdSweep bands pair similarities and accumulates " +
+    "survivors from the top down") {
+    val pairs = Seq(0.95, 0.91, 0.55, 0.12)
+      .map(j => (1L, 2L, j)).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.thresholdSweep(pairs).orderBy("band_lo").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0.1, 1L, 4L), (0.5, 1L, 3L), (0.9, 2L, 2L)))
+  }
+
   // --- snippets / lshTuningTable ------------------------------------------
 
   test("snippets clamps the window at text start, matches " +

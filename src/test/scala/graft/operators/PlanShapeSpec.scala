@@ -476,4 +476,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("the broadcast-threshold metric family (rfm, psi, lift, benford) " +
+    "plans with NO window and no cartesian — thresholds ride broadcasts") {
+    val scored = (0 until 200).map(i => (i / 200.0, i % 3 == 0))
+      .toDF("s", "y")
+    val ref = (0 until 100).map(i => Tuple1(i / 100.0)).toDF("s")
+    for (df <- Seq(
+        TimeSeries.rfmScores(events(200)),
+        Layout.psiScore(ref, ref, "s"),
+        Evaluation.liftTable(scored, "s", "y"),
+        Warehouse.benfordDigits(scored, "s"))) {
+      val p = plan(df)
+      assert(!p.contains("Window ["), p.take(800))
+      assert(!p.contains("CartesianProduct"), p.take(800))
+    }
+  }
+
+  test("burstiness and sessionPaths windows are user-partitioned") {
+    for (df <- Seq(
+        TimeSeries.burstiness(events(300)),
+        TimeSeries.sessionPaths(events(300), minCount = 1))) {
+      assertWindowsKeyedBy(plan(df), "user_id")
+    }
+  }
 }
