@@ -1611,7 +1611,56 @@ object PipelineQueries {
                sum(n_pairs) OVER (ORDER BY band_lo DESC
                  ROWS UNBOUNDED PRECEDING)::BIGINT AS n_at_or_above
         FROM bandsag
-        ORDER BY band_lo""")))
+        ORDER BY band_lo""")),
+
+    // ----- q171: resharding migration cost (Layout.reshardCost) — the
+    // before-you-reshard answer: growing 16 → 20 shards, mod-hashing
+    // moves ~95% of docs while a consistent ring moves ~20%; both
+    // fractions computed exactly over md5 positions.
+    Q("q171_reshard_cost",
+      (s, d) =>
+        graft.operators.Layout.reshardCost(documents(s, d), "doc_id",
+          nOld = 16, nNew = 20).orderBy("scheme"),
+      Some("""
+        WITH pos AS (
+          SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))
+                   AS BIGINT) AS h
+          FROM documents),
+        modrow AS (
+          SELECT 'mod' AS scheme, count(*) AS n_docs,
+                 sum(CASE WHEN h % 16 != h % 20 THEN 1 ELSE 0 END)
+                   AS n_moved
+          FROM pos),
+        nodes AS (
+          SELECT g AS node,
+                 CAST(('0x' || substring(md5('node' || g), 1, 15))
+                   AS BIGINT) AS point
+          FROM generate_series(0, 19) t(g)),
+        a16 AS (
+          SELECT p.h,
+                 coalesce(
+                   (SELECT min_by(node, point) FROM nodes n
+                    WHERE n.node < 16 AND n.point >= p.h),
+                   (SELECT min_by(node, point) FROM nodes n
+                    WHERE n.node < 16)) AS a
+          FROM pos p),
+        a20 AS (
+          SELECT p.h,
+                 coalesce(
+                   (SELECT min_by(node, point) FROM nodes n
+                    WHERE n.point >= p.h),
+                   (SELECT min_by(node, point) FROM nodes n)) AS a
+          FROM pos p),
+        ringrow AS (
+          SELECT 'ring' AS scheme, count(*) AS n_docs,
+                 sum(CASE WHEN a16.a != a20.a THEN 1 ELSE 0 END)
+                   AS n_moved
+          FROM a16 JOIN a20 USING (h))
+        SELECT scheme, n_docs::BIGINT AS n_docs, n_moved::BIGINT
+                 AS n_moved,
+               round(n_moved / n_docs::DOUBLE, 4) AS frac_moved
+        FROM (SELECT * FROM modrow UNION ALL SELECT * FROM ringrow)
+        ORDER BY scheme""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

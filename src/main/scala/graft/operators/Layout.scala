@@ -251,6 +251,60 @@ object Layout {
             (max("k") * max("t")), 6).as("gini"))
   }
 
+  /** Resharding migration cost, mod-hash vs consistent-ring: when the
+    * shard count grows `nOld` → `nNew`, what fraction of documents
+    * MOVE? Mod-hashing reassigns almost everything (h%16 vs h%20 agree
+    * only when both mods coincide); a consistent ring moves only the
+    * docs falling in segments the new nodes claim (≈ (nNew−nOld)/nNew).
+    * This table is the before-you-reshard answer to "can we afford to
+    * grow the index" — for the at-rest dedup index, packed shards, and
+    * bucketed layouts alike.
+    *
+    * Doc position and ring node points are md5-derived 60-bit ints
+    * (portable); node points ride a broadcast ≤(nOld+nNew)-row table;
+    * the successor pick is one `min_by` per doc with a wraparound
+    * fallback to the ring's first node.
+    *
+    * @return 2 rows: (scheme ∈ mod|ring, n_docs, n_moved,
+    *          frac_moved round 4) */
+  def reshardCost(df: DataFrame, idCol: String, nOld: Int,
+      nNew: Int): DataFrame = {
+    require(0 < nOld && nOld < nNew, "reshardCost: need 0 < nOld < nNew")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val pos = df.select(h60(col(idCol)).as("h")).localCheckpoint()
+    // mod scheme: a doc stays only when both mods land on the same node
+    val modRow = pos.agg(count(lit(1)).as("n_docs"),
+        sum(when(pmod(col("h"), lit(nOld.toLong)) =!=
+          pmod(col("h"), lit(nNew.toLong)), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_docs"), col("n_moved"))
+    // ring scheme: node i owns [point_i, next point); successor search
+    val nodes = (0 until nNew)
+      .map(i => (i, s"node$i")).toDF("node", "name")
+      .select(col("node"), h60(col("name")).as("point"))
+      .localCheckpoint()
+    def assign(n: Int): DataFrame = {
+      val ns = nodes.filter(col("node") < n)
+      val wrap = ns.agg(min_by(col("node"), col("point")).as("w"))
+      pos.join(broadcast(ns), col("point") >= col("h"), "left")
+        .groupBy("h")
+        .agg(min_by(col("node"), col("point")).as("succ"))
+        .crossJoin(broadcast(wrap))
+        .select(col("h"), coalesce(col("succ"), col("w")).as(s"a$n"))
+    }
+    val ringRow = assign(nOld).join(assign(nNew), "h")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(s"a$nOld") =!= col(s"a$nNew"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(lit("ring").as("scheme"), col("n_docs"), col("n_moved"))
+    modRow.unionByName(ringRow)
+      .withColumn("frac_moved",
+        round(col("n_moved") / col("n_docs"), 4))
+  }
+
   /** Write `df` Z-ordered on (colA, colB): range-repartitioned and
     * sorted by z, so each output file covers a compact rectangle of the
     * (a, b) space and parquet min/max stats prune range queries on

@@ -485,6 +485,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- reshardCost --------------------------------------------------------
+
+  test("reshardCost: consistent ring moves far fewer docs than " +
+    "mod-hashing on the same growth, and neither moves more than all") {
+    val d = (1L to 400L).toDF("doc_id")
+    val got = Layout.reshardCost(d, "doc_id", nOld = 16, nNew = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val (modMoved, modFrac) = got("mod")
+    val (ringMoved, ringFrac) = got("ring")
+    assert(modFrac > 0.7) // theoretical 1 − 16/lcm(16,20) = 0.8
+    assert(ringFrac < 0.5 && ringMoved < modMoved)
+    assert(ringFrac > 0.0) // the new nodes do claim some segments
+  }
+
   // --- rrfFuse / thresholdSweep -------------------------------------------
 
   test("rrfFuse: a doc ranked first in both lists beats a doc that " +
