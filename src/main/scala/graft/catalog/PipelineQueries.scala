@@ -1660,7 +1660,44 @@ object PipelineQueries {
                  AS n_moved,
                round(n_moved / n_docs::DOUBLE, 4) AS frac_moved
         FROM (SELECT * FROM modrow UNION ALL SELECT * FROM ringrow)
-        ORDER BY scheme""")))
+        ORDER BY scheme""")),
+
+    // ----- q172: stored-query percolation (TextSearch.percolate) —
+    // phrase search reversed: three standing two-term subscriptions
+    // matched against every document in one postings pass; the
+    // alerting/routing primitive.
+    Q("q172_stored_queries",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(("q_th", "table", "hash"),
+          ("q_mg", "merge", "group"), ("q_sk", "slow", "key"))
+          .toDF("query_id", "t1", "t2")
+        graft.operators.TextSearch.percolate(documents(s, d), queries)
+          .orderBy("query_id", "doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
+          FROM documents),
+        p AS (
+          SELECT doc_id, unnest(a) AS token,
+                 unnest(generate_series(1, len(a))) AS pos
+          FROM t),
+        p2 AS (SELECT * FROM p WHERE token != ''),
+        q(query_id, t1, t2) AS (
+          VALUES ('q_th', 'table', 'hash'), ('q_mg', 'merge', 'group'),
+                 ('q_sk', 'slow', 'key')),
+        f AS (
+          SELECT q.query_id, p2.doc_id, p2.pos, q.t2
+          FROM p2 JOIN q ON p2.token = q.t1),
+        m AS (
+          SELECT f.query_id, f.doc_id
+          FROM f JOIN p2 s2
+            ON s2.doc_id = f.doc_id AND s2.pos = f.pos + 1
+           AND s2.token = f.t2)
+        SELECT query_id, doc_id, count(*)::BIGINT AS n_matches
+        FROM m GROUP BY 1, 2
+        ORDER BY query_id, doc_id""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

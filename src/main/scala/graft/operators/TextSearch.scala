@@ -209,6 +209,28 @@ object TextSearch {
         col("cos_raw"))
   }
 
+  /** Percolation — [[phraseSearch]] reversed: a TABLE of stored two-term
+    * phrase queries matched against incoming documents in one pass, the
+    * alerting/routing primitive ("which subscriptions does this doc
+    * satisfy"). The query table rides a broadcast; per-document work is
+    * bounded by its own posting list, so a million stored queries cost
+    * the same scan as one.
+    *
+    * @param queries (query_id, t1, t2) — lowercase phrase terms
+    * @return (query_id, idCol, n_matches) */
+  def percolate(docs: DataFrame, queries: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val post = positionalPostings(docs, textCol, idCol)
+    val first = post.join(broadcast(queries), col("token") === col("t1"))
+      .select(col("query_id"), col(idCol), col("pos"), col("t2"))
+    val second = post.select(col(idCol), (col("pos") - 1).as("pos"),
+      col("token").as("__tok2"))
+    first.join(second, Seq(idCol, "pos"))
+      .filter(col("__tok2") === col("t2"))
+      .groupBy("query_id", idCol)
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Reciprocal-rank fusion of several (id, score) rankings:
     * rrf(d) = Σ_lists 1/(K + rank_list(d)) — the standard way to merge
     * heterogeneous retrievers (BM25, dense ANN, tf) without calibrating

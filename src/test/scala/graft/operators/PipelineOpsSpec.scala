@@ -485,6 +485,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- percolate ----------------------------------------------------------
+
+  test("percolate routes docs to every matching stored query, counts " +
+    "multiplicity, and requires adjacency") {
+    val docs = Seq(
+      (1L, "big data and big data again"), // q1 ×2
+      (2L, "data big"), // wrong order → no match
+      (3L, "fast lane here")) // q2 ×1
+      .toDF("doc_id", "text")
+    val qs = Seq(("q1", "big", "data"), ("q2", "fast", "lane"))
+      .toDF("query_id", "t1", "t2")
+    val got = TextSearch.percolate(docs, qs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("q1", 1L) -> 2L, ("q2", 3L) -> 1L))
+  }
+
   // --- reshardCost --------------------------------------------------------
 
   test("reshardCost: consistent ring moves far fewer docs than " +
