@@ -1697,7 +1697,57 @@ object PipelineQueries {
            AND s2.token = f.t2)
         SELECT query_id, doc_id, count(*)::BIGINT AS n_matches
         FROM m GROUP BY 1, 2
-        ORDER BY query_id, doc_id""")))
+        ORDER BY query_id, doc_id""")),
+
+    // ----- q173: per-priority trimmed mean of order value (Warehouse
+    // .trimmedMean) — the robust location estimate next to the raw mean;
+    // the gap between the two IS the outlier signal.
+    Q("q173_trimmed_mean",
+      (s, d) =>
+        Warehouse.trimmedMean(orders(s, d), "o_orderpriority",
+          "o_totalprice").orderBy("o_orderpriority"),
+      Some("""
+        WITH f AS (
+          SELECT o_orderpriority AS g,
+                 quantile_cont(o_totalprice, 0.1) AS lo,
+                 quantile_cont(o_totalprice, 0.9) AS hi
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               round(avg(o_totalprice), 4) AS mean,
+               round(avg(CASE WHEN o_totalprice BETWEEN lo AND hi
+                              THEN o_totalprice END), 4) AS trimmed_mean,
+               sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                        THEN 1 ELSE 0 END)::BIGINT AS n_trimmed
+        FROM orders JOIN f ON f.g = o_orderpriority
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // ----- q174: Tukey-fence outliers per priority (Warehouse
+    // .iqrOutliers) — the distribution-free boxplot rule, exact
+    // quartiles broadcast back as fences.
+    Q("q174_iqr_outliers",
+      (s, d) =>
+        Warehouse.iqrOutliers(orders(s, d), "o_orderpriority",
+          "o_totalprice").orderBy("o_orderpriority"),
+      Some("""
+        WITH q AS (
+          SELECT o_orderpriority AS g,
+                 quantile_cont(o_totalprice, 0.25) AS q1,
+                 quantile_cont(o_totalprice, 0.75) AS q3
+          FROM orders GROUP BY 1),
+        f AS (
+          SELECT g, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+                 q3 + 1.5 * (q3 - q1) AS hi
+          FROM q)
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               round(max(q1), 4) AS q1, round(max(q3), 4) AS q3,
+               round(max(lo), 4) AS lo_fence, round(max(hi), 4)
+                 AS hi_fence,
+               sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM orders JOIN f ON f.g = o_orderpriority
+        GROUP BY 1
+        ORDER BY 1""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

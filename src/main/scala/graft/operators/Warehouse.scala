@@ -124,6 +124,57 @@ object Warehouse {
     state.select(col("g"), col("n"), col("s"),
       round(col("s") / col("n"), 4).as("avg"), col("mn"), col("mx"))
 
+  /** Per-group trimmed mean: the robust location estimate — the mean of
+    * values strictly inside the [p, 1−p] exact percentile fence, next
+    * to the raw mean so the gap itself is the outlier signal. Two
+    * passes over the group aggregate (percentiles, then conditional
+    * mean with the fences broadcast back via join).
+    *
+    * @return (group, n, mean round 4, trimmed_mean round 4, n_trimmed) */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    require(trim > 0 && trim < 0.5, "trimmedMean: trim in (0, 0.5)")
+    val fences = df.groupBy(col(groupCol).as("__g"))
+      .agg(percentile(col(valueCol), lit(trim)).as("__lo"),
+        percentile(col(valueCol), lit(1 - trim)).as("__hi"))
+    df.join(broadcast(fences), col(groupCol) === col("__g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 4).as("mean"),
+        round(avg(when(col(valueCol) >= col("__lo") &&
+          col(valueCol) <= col("__hi"), col(valueCol))), 4)
+          .as("trimmed_mean"),
+        sum(when(col(valueCol) < col("__lo") ||
+          col(valueCol) > col("__hi"), 1L).otherwise(0L)).as("n_trimmed"))
+  }
+
+  /** Tukey-fence outlier report per group: values beyond
+    * [q1 − k·IQR, q3 + k·IQR] counted (k = 1.5, the boxplot rule).
+    * The distribution-free cousin of the z-score gate — one exact
+    * quartile pass, fences broadcast back.
+    *
+    * @return (group, n, q1 round 4, q3 round 4, lo_fence round 4,
+    *          hi_fence round 4, n_outliers) */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val q = df.groupBy(col(groupCol).as("__g"))
+      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+      .withColumn("__lo",
+        col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("__hi",
+        col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+    df.join(broadcast(q), col(groupCol) === col("__g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max("__q1"), 4).as("q1"), round(max("__q3"), 4).as("q3"),
+        round(max("__lo"), 4).as("lo_fence"),
+        round(max("__hi"), 4).as("hi_fence"),
+        sum(when(col(valueCol) < col("__lo") ||
+          col(valueCol) > col("__hi"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Benford first-digit conformance — the numeric-column forgery/
     * garbage test: natural multi-scale quantities (prices, populations,
     * counts) follow P(d) = log10(1 + 1/d); fabricated or truncated data

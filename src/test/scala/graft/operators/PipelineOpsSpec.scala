@@ -485,6 +485,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- trimmedMean / iqrOutliers ------------------------------------------
+
+  test("trimmedMean discards the tails the raw mean is dragged by") {
+    // 9 values of 10 plus one 1000 → mean 109, trimmed mean 10
+    val d = (Seq.fill(9)(10.0) :+ 1000.0).map(("g", _)).toDF("g0", "v")
+    val got = Warehouse.trimmedMean(d, "g0", "v", trim = 0.1)
+      .collect()(0)
+    assert(got.getAs[Double]("mean") === 109.0)
+    assert(got.getAs[Double]("trimmed_mean") === 10.0)
+    assert(got.getAs[Long]("n_trimmed") === 1L)
+  }
+
+  test("iqrOutliers flags exactly the beyond-fence values") {
+    val d = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0)).map(("g", _))
+      .toDF("g0", "v")
+    val got = Warehouse.iqrOutliers(d, "g0", "v").collect()(0)
+    assert(got.getAs[Long]("n_outliers") === 1L) // only the 100
+    assert(got.getAs[Double]("q1") < got.getAs[Double]("q3"))
+  }
+
   // --- percolate ----------------------------------------------------------
 
   test("percolate routes docs to every matching stored query, counts " +
