@@ -150,7 +150,9 @@ object TimeSeries {
           lit(60000000.0))
     lags.agg(count(lit(1)).as("n_users"),
         count(col("first_to")).as("n_converted"),
-        round(count(col("first_to")) / count(lit(1)), 4).as("cvr"),
+        // null-safe: an empty feed is cvr NULL, not an ANSI 0/0 crash
+        round(count(col("first_to")) /
+          when(count(lit(1)) > 0, count(lit(1))), 4).as("cvr"),
         round(percentile(col("lag_mins"), lit(0.5)), 2).as("p50_mins"),
         round(percentile(col("lag_mins"), lit(0.9)), 2).as("p90_mins"))
   }

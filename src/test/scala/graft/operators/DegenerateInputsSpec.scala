@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Empty-input behavior of the round-8 operator families: every operator
+  * must either return an empty/NULL-shaped relation or raise its
+  * DOCUMENTED requirement — never a confusing runtime crash deep in a
+  * plan. (An empty partition, a filtered-to-nothing batch, and a
+  * cold-start feed are all normal states at 100 TB.)
+  */
+class DegenerateInputsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyEvents: DataFrame =
+    Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("event-series operators return EMPTY relations on an empty " +
+    "stream (no crash, no phantom rows)") {
+    for (df <- Seq(
+        TimeSeries.spikeDetect(emptyEvents),
+        TimeSeries.eventTransitions(emptyEvents),
+        TimeSeries.lastTouchAttribution(emptyEvents),
+        TimeSeries.lagFeatures(emptyEvents),
+        TimeSeries.intervalCoverage(emptyEvents),
+        TimeSeries.burstiness(emptyEvents),
+        TimeSeries.sessionPaths(emptyEvents),
+        TimeSeries.eventTrigrams(emptyEvents),
+        TimeSeries.decayWeights(emptyEvents, "ts", 30.0),
+        TimeSeries.rfmScores(emptyEvents)))
+      assert(df.collect().isEmpty, df.columns.mkString(","))
+  }
+
+  test("1-row summary operators survive empty input with a NULL-shaped " +
+    "or empty row, never a divide-by-zero") {
+    val lag = TimeSeries.conversionLag(emptyEvents).collect()
+    assert(lag.length === 1 && lag(0).getLong(0) === 0L)
+    val kappa = Evaluation.cohenKappa(
+      Seq.empty[(String, String)].toDF("y", "p"), "y", "p").collect()
+    assert(kappa.length === 1) // n NULL/0, kappa NULL — but one row
+    val auc = Evaluation.bucketedAuc(
+      Seq.empty[(Double, Boolean)].toDF("s", "y"), "s", "y").collect()
+    assert(auc.length === 1 && auc(0).isNullAt(2))
+  }
+
+  test("text/warehouse operators return empty on empty corpora") {
+    for (df <- Seq(
+        TextAnalysis.sentenceDedup(emptyDocs),
+        TextAnalysis.readability(emptyDocs),
+        TextAnalysis.otsuThreshold(emptyDocs, "n_chars"),
+        TextSearch.phraseSearch(emptyDocs, Seq("a", "b")),
+        TextSearch.snippets(emptyDocs, "term"),
+        Warehouse.kanonSuppress(emptyDocs, Seq("source", "lang"), 5),
+        Warehouse.imputeMode(emptyDocs, "source", "lang"),
+        Warehouse.benfordDigits(emptyDocs, "n_chars"),
+        Warehouse.trimmedMean(emptyDocs, "source", "n_chars"),
+        Warehouse.iqrOutliers(emptyDocs, "source", "n_chars"),
+        Dedup.goldenRecords(emptyDocs,
+          Seq.empty[(Long, Long)].toDF("id", "component")),
+        Dedup.thresholdSweep(
+          Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard"))))
+      assert(df.collect().isEmpty, df.columns.mkString(","))
+  }
+
+  test("cdcMerge with an empty change set is the identity; with an " +
+    "empty base it applies only inserts/updates") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val noChanges = Seq.empty[(Long, String, String)]
+      .toDF("k", "op", "v")
+    assert(Warehouse.cdcMerge(base, noChanges, "k", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a")))
+    val emptyBase = Seq.empty[(Long, String)].toDF("k", "v")
+    val ins = Seq((2L, "I", "b"), (3L, "D", "c")).toDF("k", "op", "v")
+    assert(Warehouse.cdcMerge(emptyBase, ins, "k", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "b")))
+  }
+
+  test("graph operators document their empty-edge behavior: pageRank " +
+    "and ppr REQUIRE nodes/seeds loudly, the rest return empty") {
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      WebGraph.pageRank(noEdges)
+    }
+    intercept[IllegalArgumentException] {
+      WebGraph.personalizedPageRank(noEdges,
+        Seq.empty[String].toDF("node"))
+    }
+    assert(WebGraph.labelPropagation(noEdges).collect().isEmpty)
+    assert(WebGraph.triangleStats(noEdges).collect().isEmpty)
+    assert(WebGraph.covisitation(
+      Seq.empty[(Long, Int)].toDF("user_id", "item")).collect().isEmpty)
+  }
+}
