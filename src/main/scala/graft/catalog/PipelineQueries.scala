@@ -1747,7 +1747,54 @@ object PipelineQueries {
                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         FROM orders JOIN f ON f.g = o_orderpriority
         GROUP BY 1
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // ----- q175: session-basket association rules (TimeSeries
+    // .associationRules) — support/confidence/lift for event-type pairs
+    // co-occurring in gap-cut sessions; the market-basket trio over the
+    // behavioral stream.
+    Q("q175_association_rules",
+      (s, d) =>
+        // 6 h gap: harness users emit ~2 events/day, so the default
+        // 30 min gap yields single-event baskets and an empty report
+        TimeSeries.associationRules(events(s, d), gapSeconds = 21600)
+          .orderBy("ante", "cons"),
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                        > 21600000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                 AS sess_id
+          FROM g),
+        baskets AS (
+          SELECT DISTINCT user_id, sess_id, event_type AS item
+          FROM sess),
+        ns AS (
+          SELECT count(*)::DOUBLE AS n FROM (
+            SELECT DISTINCT user_id, sess_id FROM baskets)),
+        itemn AS (SELECT item, count(*) AS ni FROM baskets GROUP BY 1),
+        p AS (
+          SELECT l.item AS ante, r.item AS cons, count(*) AS n_sessions
+          FROM baskets l JOIN baskets r
+            ON l.user_id = r.user_id AND l.sess_id = r.sess_id
+           AND l.item != r.item
+          GROUP BY 1, 2)
+        SELECT ante, cons, n_sessions::BIGINT AS n_sessions,
+               round(n_sessions / n, 4) AS support,
+               round(n_sessions / na.ni, 4) AS confidence,
+               round((n_sessions / na.ni) / (nb.ni / n), 4) AS lift
+        FROM p
+        JOIN itemn na ON na.item = p.ante
+        JOIN itemn nb ON nb.item = p.cons
+        CROSS JOIN ns
+        WHERE n_sessions / n >= 0.01
+        ORDER BY ante, cons""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

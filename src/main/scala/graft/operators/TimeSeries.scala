@@ -256,6 +256,57 @@ object TimeSeries {
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
+  /** Session-basket association rules: for ordered pairs of event types
+    * (a → b as "sessions containing both", not sequence order),
+    * support = P(a ∧ b), confidence = P(b | a), lift = conf / P(b) —
+    * the classic market-basket trio over gap-cut sessions. Sessions are
+    * [[sessionPaths]]'s islands; baskets are DISTINCT types per session,
+    * so the pair fan-out is bounded by |event types|² per session.
+    *
+    * @return (ante, cons, n_sessions, support round 4,
+    *          confidence round 4, lift round 4) for pairs with
+    *          support ≥ minSupport */
+  def associationRules(events: DataFrame, gapSeconds: Long = 1800,
+      minSupport: Double = 0.01, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val baskets = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(byUser).isNotNull &&
+          col("__us") - lag(col("__us"), 1).over(byUser) >
+            gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("__sess", sum("__new").over(run))
+      .select(col(userCol).as("u"), col("__sess"),
+        col(typeCol).as("item"))
+      .distinct()
+      .localCheckpoint()
+    val nSessions = baskets.select("u", "__sess").distinct().count()
+    require(nSessions > 0, "associationRules: no sessions")
+    val itemN = baskets.groupBy("item").agg(count(lit(1)).as("ni"))
+    val pairs = baskets.as("l")
+      .join(baskets.as("r"),
+        col("l.u") === col("r.u") && col("l.__sess") === col("r.__sess")
+          && col("l.item") =!= col("r.item"))
+      .groupBy(col("l.item").as("ante"), col("r.item").as("cons"))
+      .agg(count(lit(1)).as("n_sessions"))
+    pairs
+      .join(itemN.select(col("item").as("ante"), col("ni").as("na")),
+        "ante")
+      .join(itemN.select(col("item").as("cons"), col("ni").as("nb")),
+        "cons")
+      .withColumn("support", col("n_sessions") / lit(nSessions.toDouble))
+      .filter(col("support") >= minSupport)
+      .select(col("ante"), col("cons"), col("n_sessions"),
+        round(col("support"), 4).as("support"),
+        round(col("n_sessions") / col("na"), 4).as("confidence"),
+        round((col("n_sessions") / col("na")) /
+          (col("nb") / lit(nSessions.toDouble)), 4).as("lift"))
+  }
+
   /** Inter-event burstiness per user: coefficient of variation and Fano
     * factor of inter-arrival gaps — the bot fingerprint ([[spikeDetect]]
     * sees volume anomalies; this sees RHYTHM: a scripted client's gaps

@@ -485,6 +485,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- associationRules ---------------------------------------------------
+
+  test("associationRules: support/confidence/lift hand-checked on a " +
+    "3-session basket set; duplicate events in a session count once") {
+    val d = Seq(
+      // session 1 (user 1): {a, b} — b appears twice, counted once
+      evRow(1L, "2024-01-01 10:00:00", 1L, "a"),
+      evRow(2L, "2024-01-01 10:01:00", 1L, "b"),
+      evRow(3L, "2024-01-01 10:02:00", 1L, "b"),
+      // session 2 (user 2): {a, b}
+      evRow(4L, "2024-01-01 10:00:00", 2L, "a"),
+      evRow(5L, "2024-01-01 10:01:00", 2L, "b"),
+      // session 3 (user 3): {a}
+      evRow(6L, "2024-01-01 10:00:00", 3L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.associationRules(d, minSupport = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // a→b: both in 2 of 3 sessions; conf = 2/3 (a in all 3); b in 2/3
+    assert(got(("a", "b")) === ((2L, 0.6667, 0.6667, 1.0)))
+    // b→a: conf = 2/2 = 1; lift = 1 / (3/3) = 1
+    assert(got(("b", "a")) === ((2L, 0.6667, 1.0, 1.0)))
+  }
+
   // --- trimmedMean / iqrOutliers ------------------------------------------
 
   test("trimmedMean discards the tails the raw mean is dragged by") {
