@@ -1794,7 +1794,25 @@ object PipelineQueries {
         JOIN itemn nb ON nb.item = p.cons
         CROSS JOIN ns
         WHERE n_sessions / n >= 0.01
-        ORDER BY ante, cons""")))
+        ORDER BY ante, cons""")),
+
+    // ----- q176: weekly traffic composition (TimeSeries
+    // .weeklyComposition) — event-type shares per ISO week, the time
+    // axis the static q77 composition and endpoint q97 drift lack.
+    Q("q176_weekly_composition",
+      (s, d) =>
+        TimeSeries.weeklyComposition(events(s, d))
+          .orderBy("week_start", "event_type"),
+      Some("""
+        WITH c AS (
+          SELECT date_trunc('week', ts)::DATE AS week_start,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT week_start, sum(n) AS wt FROM c GROUP BY 1)
+        SELECT c.week_start, c.event_type, c.n::BIGINT AS n,
+               round(c.n / t.wt, 4) AS share
+        FROM c JOIN t USING (week_start)
+        ORDER BY week_start, event_type""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

@@ -256,6 +256,25 @@ object TimeSeries {
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
+  /** Weekly composition: each event type's share of traffic per ISO
+    * week — the time axis q77's static composition report and q97's
+    * endpoint drift score both lack: WHEN the mix shifted, not just
+    * that it did. One combinable (week × type) count + a broadcast-back
+    * weekly total.
+    *
+    * @return (week_start date, event_type, n, share round 4) */
+  def weeklyComposition(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val wk = to_date(date_trunc("WEEK", col(tsCol)))
+    val cells = events.groupBy(wk.as("week_start"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("week_start").agg(sum("n").as("__wt"))
+    cells.join(broadcast(totals), "week_start")
+      .select(col("week_start"), col("event_type"), col("n"),
+        round(col("n") / col("__wt"), 4).as("share"))
+  }
+
   /** Session-basket association rules: for ordered pairs of event types
     * (a → b as "sessions containing both", not sequence order),
     * support = P(a ∧ b), confidence = P(b | a), lift = conf / P(b) —

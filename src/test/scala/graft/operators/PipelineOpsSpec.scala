@@ -485,6 +485,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- weeklyComposition --------------------------------------------------
+
+  test("weeklyComposition: shares sum to 1 within each week and weeks " +
+    "cut on Monday") {
+    val d = Seq(
+      evRow(1L, "2024-01-01 10:00:00", 1L, "a"), // Monday
+      evRow(2L, "2024-01-03 10:00:00", 1L, "b"), // same ISO week
+      evRow(3L, "2024-01-08 10:00:00", 1L, "a")) // next Monday
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.weeklyComposition(d).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getDouble(3)))
+    assert(got.count(_._1 == "2024-01-01") === 2)
+    assert(got.filter(_._1 == "2024-01-01").map(_._3).sum === 1.0)
+    assert(got.filter(_._1 == "2024-01-08") ===
+      Seq(("2024-01-08", "a", 1.0)))
+  }
+
   // --- associationRules ---------------------------------------------------
 
   test("associationRules: support/confidence/lift hand-checked on a " +
