@@ -1812,7 +1812,33 @@ object PipelineQueries {
         SELECT c.week_start, c.event_type, c.n::BIGINT AS n,
                round(c.n / t.wt, 4) AS share
         FROM c JOIN t USING (week_start)
-        ORDER BY week_start, event_type""")))
+        ORDER BY week_start, event_type""")),
+
+    // ----- q177: conversion by signup-week cohort (TimeSeries
+    // .cohortConversion) — q140's decision grouped by acquisition week:
+    // does conversion quality drift across cohorts?
+    Q("q177_cohort_conversion",
+      (s, d) =>
+        TimeSeries.cohortConversion(events(s, d)).orderBy("cohort_week"),
+      Some("""
+        WITH ff AS (
+          SELECT user_id AS u, min(ts) AS from_ts
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        tos AS (
+          SELECT user_id, ts AS to_ts
+          FROM events WHERE event_type = 'purchase'),
+        lags AS (
+          SELECT u, from_ts, min(to_ts) AS first_to
+          FROM ff LEFT JOIN tos
+            ON ff.u = tos.user_id
+           AND epoch_us(to_ts) >= epoch_us(from_ts)
+          GROUP BY 1, 2)
+        SELECT date_trunc('week', from_ts)::DATE AS cohort_week,
+               count(*)::BIGINT AS n_users,
+               count(first_to)::BIGINT AS n_converted,
+               round(count(first_to) / count(*)::DOUBLE, 4) AS cvr
+        FROM lags GROUP BY 1
+        ORDER BY cohort_week""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per

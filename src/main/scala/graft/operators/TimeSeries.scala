@@ -256,6 +256,32 @@ object TimeSeries {
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
   }
 
+  /** Conversion by signup-week cohort: [[conversionLag]]'s decision
+    * grouped by each user's first-signup ISO week — does conversion
+    * quality drift across acquisition cohorts? Two user-keyed min
+    * aggregations + one cohort-scale rollup.
+    *
+    * @return (cohort_week, n_users, n_converted, cvr round 4) */
+  def cohortConversion(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase"): DataFrame = {
+    val firstFrom = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id").as("u")).agg(min("ts").as("from_ts"))
+    val tos = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts").as("to_ts"))
+    firstFrom.join(tos,
+        firstFrom("u") === tos("user_id") &&
+          unix_micros(col("to_ts")) >= unix_micros(col("from_ts")),
+        "left")
+      .groupBy("u", "from_ts")
+      .agg(min("to_ts").as("first_to"))
+      .groupBy(to_date(date_trunc("WEEK", col("from_ts")))
+        .as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("first_to")).as("n_converted"),
+        round(count(col("first_to")) /
+          when(count(lit(1)) > 0, count(lit(1))), 4).as("cvr"))
+  }
+
   /** Weekly composition: each event type's share of traffic per ISO
     * week — the time axis q77's static composition report and q97's
     * endpoint drift score both lack: WHEN the mix shifted, not just

@@ -485,6 +485,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ppr === pr) // uniform restart over all nodes = global PR
   }
 
+  // --- cohortConversion ---------------------------------------------------
+
+  test("cohortConversion groups the conversion decision by first-signup " +
+    "week; pre-signup purchases still don't convert") {
+    val d = Seq(
+      evRow(1L, "2024-01-01 10:00:00", 1L, "signup"), // week 1, converts
+      evRow(2L, "2024-01-02 10:00:00", 1L, "purchase"),
+      evRow(3L, "2024-01-03 10:00:00", 2L, "purchase"), // pre-signup
+      evRow(4L, "2024-01-04 10:00:00", 2L, "signup"), // week 1, no conv
+      evRow(5L, "2024-01-08 10:00:00", 3L, "signup")) // week 2, no conv
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeries.cohortConversion(d).orderBy("cohort_week")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 2L, 1L, 0.5),
+      ("2024-01-08", 1L, 0L, 0.0)))
+  }
+
   // --- weeklyComposition --------------------------------------------------
 
   test("weeklyComposition: shares sum to 1 within each week and weeks " +
