@@ -1838,7 +1838,53 @@ object PipelineQueries {
                count(first_to)::BIGINT AS n_converted,
                round(count(first_to) / count(*)::DOUBLE, 4) AS cvr
         FROM lags GROUP BY 1
-        ORDER BY cohort_week""")))
+        ORDER BY cohort_week""")),
+
+    // ----- q178: effective dataset size — the "how big is it really"
+    // answer: raw token mass vs the mass surviving exact dedup (min-id
+    // keeper per fingerprint), and the inflation ratio. Composes the
+    // verified fingerprint keeper with token counting; one row.
+    Q("q178_effective_size",
+      (s, d) => {
+        val docs = documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        val keepers = toks.groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val kept = toks.join(keepers, "doc_id")
+        toks.agg(count(lit(1)).as("n_docs"),
+            sum("t").as("raw_tokens"))
+          .crossJoin(broadcast(
+            kept.agg(count(lit(1)).as("n_unique_docs"),
+              sum("t").as("effective_tokens"))))
+          .select(col("n_docs"), col("raw_tokens"),
+            col("n_unique_docs"), col("effective_tokens"),
+            round(col("raw_tokens") /
+              when(col("effective_tokens") > 0, col("effective_tokens")),
+              4).as("inflation"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                   AS t,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM toks GROUP BY fp),
+        kept AS (SELECT t.* FROM toks t JOIN keepers USING (doc_id)),
+        raw AS (
+          SELECT count(*) AS n_docs, sum(t) AS raw_tokens FROM toks),
+        eff AS (
+          SELECT count(*) AS n_unique_docs, sum(t) AS effective_tokens
+          FROM kept)
+        SELECT n_docs::BIGINT AS n_docs, raw_tokens::BIGINT AS raw_tokens,
+               n_unique_docs::BIGINT AS n_unique_docs,
+               effective_tokens::BIGINT AS effective_tokens,
+               round(raw_tokens / (CASE WHEN effective_tokens > 0
+                 THEN effective_tokens END)::DOUBLE, 4) AS inflation
+        FROM raw, eff""")))
 
   /** q123 oracle: synchronous LPA unrolled — per round, neighbor-label
     * counts then the (count DESC, label ASC) argmin. MATERIALIZED per
