@@ -182,9 +182,15 @@ object PipelineQueries {
     // [valid_from, valid_to) intervals, NULL valid_to = current.
     Q("q129_scd2_intervals",
       (s, d) =>
+        // (key, valid_from, value) alone is not a total order — a status
+        // that flips A→B→A within one o_orderdate yields two islands
+        // identical on those three but different on valid_to/n_rows;
+        // append both (NULLS LAST to match the oracle's ASC default) so
+        // both engines emit one order and the hash compare can't flake.
         Warehouse.scd2Intervals(orders(s, d), "o_custkey",
           "o_orderstatus", "o_orderdate", "o_orderkey")
-          .orderBy("key", "valid_from", "value"),
+          .orderBy(col("key"), col("valid_from"), col("value"),
+            col("valid_to").asc_nulls_last, col("n_rows")),
       Some("""
         WITH ord AS (
           SELECT o_custkey AS key, o_orderstatus AS value,
@@ -214,7 +220,8 @@ object PipelineQueries {
         SELECT key, value, valid_from, valid_to, n_rows,
                valid_to IS NULL AS is_current
         FROM fin
-        ORDER BY key, valid_from, value""")),
+        ORDER BY key, valid_from, value, valid_to ASC NULLS LAST,
+                 n_rows""")),
 
     // ----- q130: batch CDC merge (Warehouse.cdcMerge) — MERGE INTO
     // semantics as one full-outer key join; change set synthesized
@@ -289,7 +296,9 @@ object PipelineQueries {
       (s, d) =>
         graft.sources.Bucketing.cojoin(
             orders(s, d), "o_custkey", customer(s, d), "c_custkey",
-            nBuckets = 8, dir = "/tmp/graft_bucketed")
+            nBuckets = 8,
+            dir = java.nio.file.Files
+              .createTempDirectory("graft_bucketed_").toString)
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"),
             round(sum("o_totalprice"), 2).as("revenue"))

@@ -349,8 +349,8 @@ object Dedup {
 
   /** Rows to DROP under near-dup dedup: every id whose component keeper
     * (min id) is not itself. */
-  def nearDupDuplicates(pairs: DataFrame): DataFrame =
-    nearDupComponents(pairs)
+  def nearDupDuplicates(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    nearDupComponents(pairs, maxIter)
       .filter(col("id") =!= col("component"))
       .select(col("id"), col("component").as("keeper"))
 
@@ -375,8 +375,9 @@ object Dedup {
     *
     * @return (component, keeper, n_members, best_q) */
   def canonicalKeepers(pairs: DataFrame, quality: DataFrame,
-      idCol: String = "id", qCol: String = "q"): DataFrame =
-    nearDupComponents(pairs)
+      idCol: String = "id", qCol: String = "q",
+      maxIter: Int = 20): DataFrame =
+    nearDupComponents(pairs, maxIter)
       .join(quality.select(col(idCol).as("id"), col(qCol).as("__q")),
         Seq("id"))
       .groupBy("component")
@@ -402,7 +403,8 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, minQuality: Double = 0.3,
       numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
       textCol: String = "text", idCol: String = "doc_id",
-      jaccardThreshold: Option[Double] = None): DataFrame = {
+      jaccardThreshold: Option[Double] = None,
+      maxIter: Int = 20): DataFrame = {
     // Quality gate; round(3) so the boundary compare is stable across
     // engines (the raw doubles are equal, but belt and suspenders).
     val pass = docs.filter(
@@ -430,7 +432,7 @@ object Dedup {
       pairJaccard(candidates, survivors, textCol, idCol, portable)
         .filter(col("jaccard") >= t)
         .select("id_a", "id_b"))
-    val drops = nearDupDuplicates(pairs)
+    val drops = nearDupDuplicates(pairs, maxIter)
       .select(col("id").as(idCol))
     // The returned frame is materialized and lineage-cut: callers can
     // re-consume it freely without replaying the pipeline.
@@ -476,7 +478,8 @@ object Dedup {
     * batch-sided is proportional to the BATCH, not the corpus. */
   def dedupIncremental(batch: DataFrame, index: DataFrame,
       numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val fps = batch.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
@@ -518,7 +521,8 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val drops = nearDupDuplicates(pairs).select(col("id").as(idCol))
+    val drops = nearDupDuplicates(pairs, maxIter)
+      .select(col("id").as(idCol))
     // The returned frame is materialized and lineage-cut: callers can
     // re-consume it freely without replaying the composition.
     s2ids.join(drops, Seq(idCol), "left_anti").transform(Materialize.cut)
@@ -1016,7 +1020,8 @@ object Dedup {
     * @return 4 rows: (stage_id, stage, rows_in, rows_out, dropped) */
   def dedupCorpusAudit(docs: DataFrame, minQuality: Double = 0.3,
       numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def stageCount(df: DataFrame, id: Int, name: String) =
       df.agg(count(lit(1)).as("rows_out"))
@@ -1028,7 +1033,7 @@ object Dedup {
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(idCol).as(idCol))
     val finalKept = dedupCorpus(docs, minQuality, numHashes, bands,
-      portable, textCol, idCol)
+      portable, textCol, idCol, maxIter = maxIter)
     val stages = stageCount(docs, 0, "input")
       .unionByName(stageCount(pass, 1, "quality_gate"))
       .unionByName(stageCount(exactKept, 2, "exact_dedup"))

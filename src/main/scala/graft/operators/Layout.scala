@@ -274,7 +274,13 @@ object Layout {
     import spark.implicits._
     def h60(c: Column): Column =
       conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
-    val pos = df.select(h60(col(idCol)).as("h")).localCheckpoint()
+    // Carry a unique row key through both schemes: grouping the ring
+    // assignment by the hash alone would collapse md5-position collisions
+    // and duplicate ids, making the two emitted n_docs (and frac_moved
+    // denominators) count different populations. The uid is minted once
+    // and frozen by the checkpoint.
+    val pos = df.select(monotonically_increasing_id().as("uid"),
+      h60(col(idCol)).as("h")).localCheckpoint()
     // mod scheme: a doc stays only when both mods land on the same node
     val modRow = pos.agg(count(lit(1)).as("n_docs"),
         sum(when(pmod(col("h"), lit(nOld.toLong)) =!=
@@ -290,12 +296,12 @@ object Layout {
       val ns = nodes.filter(col("node") < n)
       val wrap = ns.agg(min_by(col("node"), col("point")).as("w"))
       pos.join(broadcast(ns), col("point") >= col("h"), "left")
-        .groupBy("h")
+        .groupBy("uid")
         .agg(min_by(col("node"), col("point")).as("succ"))
         .crossJoin(broadcast(wrap))
-        .select(col("h"), coalesce(col("succ"), col("w")).as(s"a$n"))
+        .select(col("uid"), coalesce(col("succ"), col("w")).as(s"a$n"))
     }
-    val ringRow = assign(nOld).join(assign(nNew), "h")
+    val ringRow = assign(nOld).join(assign(nNew), "uid")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col(s"a$nOld") =!= col(s"a$nNew"), 1L).otherwise(0L))
           .as("n_moved"))

@@ -330,7 +330,11 @@ object TimeSeries {
       .distinct()
       .localCheckpoint()
     val nSessions = baskets.select("u", "__sess").distinct().count()
-    require(nSessions > 0, "associationRules: no sessions")
+    // Empty feed → empty rules frame (same hardening as conversionLag's
+    // NULL cvr), not a crash: an empty events slice is a normal state for
+    // an incremental pipeline. max(1) only guards the ÷0 — with zero
+    // sessions the pair join below is empty anyway.
+    val sessDenom = math.max(nSessions, 1L)
     val itemN = baskets.groupBy("item").agg(count(lit(1)).as("ni"))
     val pairs = baskets.as("l")
       .join(baskets.as("r"),
@@ -343,13 +347,13 @@ object TimeSeries {
         "ante")
       .join(itemN.select(col("item").as("cons"), col("ni").as("nb")),
         "cons")
-      .withColumn("support", col("n_sessions") / lit(nSessions.toDouble))
+      .withColumn("support", col("n_sessions") / lit(sessDenom.toDouble))
       .filter(col("support") >= minSupport)
       .select(col("ante"), col("cons"), col("n_sessions"),
         round(col("support"), 4).as("support"),
         round(col("n_sessions") / col("na"), 4).as("confidence"),
         round((col("n_sessions") / col("na")) /
-          (col("nb") / lit(nSessions.toDouble)), 4).as("lift"))
+          (col("nb") / lit(sessDenom.toDouble)), 4).as("lift"))
   }
 
   /** Inter-event burstiness per user: coefficient of variation and Fano

@@ -41,16 +41,21 @@ object Bucketing {
 
   /** Bucket both sides on their join keys (same bucket count), read back
     * through the catalog, and inner-join — the exchange-free, sort-free
-    * plan a recurring fact⋈fact join should pay layout once for. */
+    * plan a recurring fact⋈fact join should pay layout once for.
+    *
+    * Table names and paths are UNIQUE per invocation: the returned
+    * DataFrame is lazy and reads the catalog tables by name, so fixed
+    * names would let a second cojoin (same session or a concurrent one
+    * sharing `dir`) silently re-point an earlier, not-yet-evaluated
+    * result at the newer write's data. */
   def cojoin(left: DataFrame, leftKey: String, right: DataFrame,
       rightKey: String, nBuckets: Int, dir: String): DataFrame = {
     val spark = left.sparkSession
-    writeBucketedAt(left, "graft_bkt_l", s"$dir/graft_bkt_l", leftKey,
-      nBuckets)
-    writeBucketedAt(right, "graft_bkt_r", s"$dir/graft_bkt_r", rightKey,
-      nBuckets)
-    spark.table("graft_bkt_l").join(spark.table("graft_bkt_r"),
-      spark.table("graft_bkt_l")(leftKey) ===
-        spark.table("graft_bkt_r")(rightKey))
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (lTab, rTab) = (s"graft_bkt_l_$run", s"graft_bkt_r_$run")
+    writeBucketedAt(left, lTab, s"$dir/$lTab", leftKey, nBuckets)
+    writeBucketedAt(right, rTab, s"$dir/$rTab", rightKey, nBuckets)
+    spark.table(lTab).join(spark.table(rTab),
+      spark.table(lTab)(leftKey) === spark.table(rTab)(rightKey))
   }
 }
