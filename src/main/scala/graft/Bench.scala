@@ -62,10 +62,33 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     val wallStart = java.time.Instant.now().toString
     // Warm up JVM/codegen/parquet-reader paths so the first timed query
-    // isn't charged for JIT + class loading.
+    // isn't charged for JIT + class loading. The synthetic second block
+    // exercises the engine's common physical machinery — shuffle,
+    // collect_list-of-struct aggregation, array_sort, interpreted
+    // higher-order functions, broadcast + shuffle joins — which profiling
+    // showed dominate cold-JVM cost (a cold q25s spends ~55 of ~107
+    // cpu-sec in HotSpot compiler threads; see per-query jit_sec).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val syn = spark.range(200000L)
+        .select(col("id"), (col("id") % 5000).as("k"),
+          concat(lit("v"), col("id")).as("s"))
+      val grouped = syn.groupBy("k")
+        .agg(collect_list(struct(col("s").as("a"), col("s").as("b"))).as("xs"))
+        .select(col("k"), array_sort(col("xs")).as("xs"))
+        .select(col("k"),
+          size(filter(col("xs"), x => x.getField("a").startsWith("v1")))
+            .as("n1"),
+          size(array_distinct(transform(col("xs"), x => x.getField("a"))))
+            .as("n2"))
+      val dim = spark.range(5000L)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      grouped.join(dim, "k").join(syn.groupBy("k").count(), "k")
+        .queryExecution.toRdd.count()
+    }
     // Queries in name order for stable output; each is timed end-to-end.
     // Drain via queryExecution.toRdd.count() — a plain df.count() lets
     // Catalyst prune unreferenced columns, so projection-only queries would
@@ -78,7 +101,13 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     case class Sample(wall: Double, startedAt: Long, loadAt: Double,
-        gcSec: Double, cpuSec: Double)
+        gcSec: Double, cpuSec: Double, jitSec: Double)
+    // HotSpot compiler-thread time: a one-shot query's generated classes
+    // are Janino'd + C2-compiled DURING the query, and those compiler
+    // threads land in process CPU. Profiling q25s cold: 107 cpu-sec =
+    // 55 JIT + ~1.7 Janino + ~50 execute (36 warm). jit_sec makes the
+    // split visible per query so cpu_sec reads as compile + compute.
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tag: String): Sample = {
@@ -86,6 +115,7 @@ object Bench {
       val loadAt = osBean.getSystemLoadAverage
       val gc0 = gcMillis
       val cpu0 = cpuNanos
+      val jit0 = jitBean.getTotalCompilationTime
       val t0 = System.nanoTime()
       val n =
         try fn(spark, sfDir).queryExecution.toRdd.count()
@@ -95,9 +125,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - gc0) / 1e3
       val cpuSec = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
+      val jitSec = (jitBean.getTotalCompilationTime - jit0) / 1e3
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  " +
-        f"(cpu $cpuSec%.1f s, gc $gcSec%.1f s, $n rows$tag)")
-      Sample(sec, startedAt, loadAt, gcSec, cpuSec)
+        f"(cpu $cpuSec%.1f s, jit $jitSec%.1f s, gc $gcSec%.1f s, $n rows$tag)")
+      Sample(sec, startedAt, loadAt, gcSec, cpuSec, jitSec)
     }
 
     val firstPass = selected.map { case (name, fn) => (name, fn, runOnce(name, fn, "")) }
@@ -144,7 +175,8 @@ object Bench {
         }.getOrElse("")
         "\"" + k + "\":{\"start_ms\":" + s1.startedAt +
           ",\"load\":" + f3(s1.loadAt) + ",\"gc_sec\":" + f3(best.gcSec) +
-          ",\"cpu_sec\":" + f3(best.cpuSec) + retryJson + "}"
+          ",\"cpu_sec\":" + f3(best.cpuSec) +
+          ",\"jit_sec\":" + f3(best.jitSec) + retryJson + "}"
     }.mkString("{", ",", "}")
     val heapMax = Runtime.getRuntime.maxMemory()
     val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +

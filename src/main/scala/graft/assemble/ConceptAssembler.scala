@@ -322,14 +322,10 @@ class ConceptAssembler(
     val schema = raw.schema
     def emptyLike(c: String) =
       array().cast(schema(schema.fieldIndex(c)).dataType)
-    // Canonical (aui, cui) order via a keyed struct sort (struct field
-    // ORDER is the sort key, so the key must be rebuilt, not the raw
-    // atom struct whose first field is cui).
-    val sortedAtoms = transform(
-      array_sort(transform(col("atoms"), a =>
-        struct(a.getField("aui").as("k1"), a.getField("cui").as("k2"),
-          a.as("v")))),
-      x => x.getField("v"))
+    // Canonical (aui, cui) order: the atom struct leads with those keys
+    // by construction (AtomRow field-order note), so the sort runs on the
+    // raw structs — no per-atom key rebuild, no unwrap transform.
+    val sortedAtoms = array_sort(col("atoms"))
     val withSorted = raw.withColumn("atoms_sorted", sortedAtoms)
     val atomsS = col("atoms_sorted")
     val strs = transform(atomsS, a => a.getField("str"))
@@ -350,25 +346,20 @@ class ConceptAssembler(
           .when(size(ttyP) === 1, element_at(ttyP, 1).getField("str"))
           .otherwise(first)
       } else if (rankMap.nonEmpty) {
-        // A7 argmax; strict `>` keeps the FIRST max in canonical order
-        // (the typed path's maxBy tie-break). Missing TTY raises like the
-        // reference's KeyError.
+        // A7 argmax; FIRST max in canonical order (the typed path's maxBy
+        // tie-break) = array_position's first-occurrence pick. One rank
+        // lookup per atom (the old struct-accumulator aggregate evaluated
+        // it twice), no per-step struct rebuilds. Missing TTY raises like
+        // the reference's KeyError.
         val rankLit = typedLit(rankMap)
-        def rankOf(tty: org.apache.spark.sql.Column) = {
-          val r = element_at(rankLit, tty)
+        val ranks = transform(atomsS, a => {
+          val r = element_at(rankLit, a.getField("tty"))
           when(r.isNull,
-            raise_error(concat(lit("TTY "), tty, lit(" not in MRRANK")))
-              .cast("int"))
+            raise_error(concat(lit("TTY "), a.getField("tty"),
+              lit(" not in MRRANK"))).cast("int"))
             .otherwise(r)
-        }
-        aggregate(atomsS,
-          struct(lit(Int.MinValue).as("r"),
-            lit(null).cast("string").as("str")),
-          (acc, a) =>
-            when(rankOf(a.getField("tty")) > acc.getField("r"),
-              struct(rankOf(a.getField("tty")).as("r"),
-                a.getField("str").as("str")))
-              .otherwise(acc))
+        })
+        element_at(atomsS, array_position(ranks, array_max(ranks)).cast("int"))
           .getField("str")
       } else {
         // A9: empty MRRANK requires exactly one 'P'-TTY atom.
@@ -409,9 +400,11 @@ class ConceptAssembler(
     * canonically re-sorts the atom array ([[conceptsColumns]] /
     * [[ConceptAssembler.finish]]); equality is spec-pinned. */
   private def groupCollectAtoms(a: DataFrame): DataFrame = {
+    // (aui, cui) lead the struct so array_sort over the raw structs IS the
+    // canonical order — see the AtomRow field-order note.
     val atomStruct = struct(
-      col("CUI").as("cui"), col("STT").as("stt"),
-      col("ISPREF").as("ispref"), col("AUI").as("aui"),
+      col("AUI").as("aui"), col("CUI").as("cui"),
+      col("STT").as("stt"), col("ISPREF").as("ispref"),
       col("TTY").as("tty"), col("STR").as("str"))
     if (saltBuckets <= 1)
       a.groupBy(col("code")).agg(collect_list(atomStruct).as("atoms"))

@@ -13,9 +13,16 @@ package graft.model
   * CUI per load mode, `umls2rdf.py:142-147`) lives on [[AssembledRaw]]'s
   * `code`, not per atom — carrying it per atom would shuffle the same
   * string once per atom for nothing.
+  *
+  * Field ORDER is load-bearing: `(aui, cui)` lead so the canonical
+  * intra-class sort is a plain `array_sort` over the raw structs
+  * (struct comparison is field-by-field, and AUI is MRCONSO's primary
+  * key, so the prefix is already a total order) — no per-atom key-struct
+  * rebuild in the columnar finish. Encoders resolve nested fields by
+  * name, so the typed path is order-agnostic.
   */
 final case class AtomRow(
-    cui: String, stt: String, ispref: String, aui: String,
+    aui: String, cui: String, stt: String, ispref: String,
     tty: String, str: String)
 
 /** One MRREL relation after AUI→code resolution (J3, `umls2rdf.py:699-727`):

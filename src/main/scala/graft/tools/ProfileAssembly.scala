@@ -20,11 +20,15 @@ object ProfileAssembly {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$d/lineitem.parquet").count()
 
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def time[T](name: String)(f: => T): T = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val r = f
-      System.err.println(
-        f"[asm] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val w = (System.nanoTime() - t0) / 1e9
+      val c = (osBean.getProcessCpuTime - c0) / 1e9
+      System.err.println(f"[asm] $name%-34s $w%8.2f s wall  $c%8.1f s cpu")
       r
     }
 
@@ -67,6 +71,28 @@ object ProfileAssembly {
     }
     time("concepts (typed finish)") {
       asm2.concepts().queryExecution.toRdd.count()
+    }
+    time("columnar finish (cached base)") {
+      asm2.conceptsColumns().queryExecution.toRdd.count()
+    }
+    // Columnar finish sub-stages over the SAME assembled base (cache warm):
+    val raw = asm2.assembled().toDF()
+    val sortedAtoms = transform(
+      array_sort(transform(col("atoms"), a =>
+        struct(a.getField("aui").as("k1"), a.getField("cui").as("k2"),
+          a.as("v")))),
+      x => x.getField("v"))
+    time("sub: keyed-struct sort only") {
+      raw.select(size(sortedAtoms).as("n")).queryExecution.toRdd.count()
+    }
+    time("sub: sort + strs transform") {
+      raw.select(size(array_distinct(
+        transform(sortedAtoms, a => a.getField("str")))).as("n"))
+        .queryExecution.toRdd.count()
+    }
+    time("sub: sort via sort_array raw") {
+      raw.select(size(sort_array(col("atoms"))).as("n"))
+        .queryExecution.toRdd.count()
     }
     time("q25s projection on top") {
       asm2.concepts().toDF()
