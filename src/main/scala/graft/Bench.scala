@@ -178,6 +178,19 @@ object Bench {
           ",\"cpu_sec\":" + f3(best.cpuSec) +
           ",\"jit_sec\":" + f3(best.jitSec) + retryJson + "}"
     }.mkString("{", ",", "}")
+    // Streaming throughput (VERDICT r8 #6): sustained events/sec through
+    // sessionize and watermarked dedup over a backlogged rate source —
+    // the streaming surface's first committed number. ~30 s total;
+    // disable with SPARK_GRAFT_STREAM_BENCH=0 for targeted runs.
+    val streamBench =
+      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0") ||
+          only.isDefined) ""
+      else {
+        val rates = graft.streaming.StreamBench.run(spark)
+        ",\"streaming_throughput\":" + rates.map { case (k, v) =>
+          "\"" + k + "_events_per_sec\":" + f3(v)
+        }.mkString("{", ",", "}")
+      }
     val heapMax = Runtime.getRuntime.maxMemory()
     val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +
       s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
@@ -191,7 +204,7 @@ object Bench {
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n":${results.size},"queries":${jsonMap(times)},""" +
       s""""bench_config_overrides":$overridden,""" +
-      s""""query_meta":$perQuery,$host,"sf":"$sfDir"}"""
+      s""""query_meta":$perQuery$streamBench,$host,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     // Stdout line stays well under the harness's 2,000-char tail: total,

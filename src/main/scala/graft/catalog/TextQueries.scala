@@ -12,11 +12,15 @@ import graft.operators.{Dedup, Packing, TextAnalysis, WebText}
 object TextQueries {
   import Tables._
 
-  /** The production incremental-dedup configuration (xxhash64 signatures,
-    * full corpus volume) — q53b's run, the ONE timed instance of this
-    * config (the portable-md5 q53 form exists for the DuckDB oracle,
-    * bounded so Verify stays cheap, and times itself). */
-  private def incrementalDedupProd(
+  /** The incremental-dedup composition at FULL corpus volume, in either
+    * hash configuration: `portable = false` is the production xxhash64
+    * path (q53b); `portable = true` is the same dataflow with md5
+    * signatures (q53s) — benching BOTH at the same volume is what makes
+    * the fast twin's win measurable (r8 compared q53b against the
+    * BOUNDED portable q53 and the twin looked like dead weight; at equal
+    * volume xxhash64 runs ~2x faster). The bounded portable q53 form
+    * exists for the DuckDB oracle and times itself. */
+  private def incrementalDedupFull(portable: Boolean)(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val corpus = documents(s, d)
@@ -46,9 +50,10 @@ object TextQueries {
           lit("zx")).as("text"))
     val batch = entering(3, off).unionByName(entering(15, 2 * off))
       .unionByName(novel).unionByName(novelTwin)
-    val index = Dedup.dedupIndex(corpus)
+    val index = Dedup.dedupIndex(corpus, portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = Dedup.dedupIncremental(batch, index).orderBy("doc_id")
+    val kept = Dedup.dedupIncremental(batch, index, portable = portable)
+      .orderBy("doc_id")
     index.unpersist()
     kept
   }
@@ -728,7 +733,16 @@ object TextQueries {
     // identical composition to q53 with xxhash64 signatures (8-byte band
     // keys, no md5). Rows-only (no DuckDB xxhash64); the composition is
     // value-verified by q53.
-    Q("q53b_dedup_incremental_fast", incrementalDedupProd, None),
+    Q("q53b_dedup_incremental_fast", incrementalDedupFull(portable = false),
+      None),
+
+    // ----- q53s: the SAME composition at the SAME full volume with
+    // portable md5 signatures — q53b's fair comparator. BENCH_r{N} should
+    // show q53b strictly faster than q53s; the md5 cost is what the
+    // oracle-verifiable configuration pays. Rows-only (the bounded q53
+    // form value-verifies the composition).
+    Q("q53s_dedup_incremental_portable_scale",
+      incrementalDedupFull(portable = true), None),
 
     // ----- q54: deterministic weighted corpus mixing — per-language keep
     // fractions decided by a salted md5 of the id (reshuffle-proof; the

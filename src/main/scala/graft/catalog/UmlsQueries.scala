@@ -344,6 +344,43 @@ object UmlsQueries {
             size(col("tuis")).as("n_tuis"))
           .orderBy("code")
       },
+      None),
+
+    // ----- q25e: the FULL export dataflow at bench scale — the
+    // reference's per-SAB budget (README.md:29-31, ≈360 s/SAB single
+    // thread) covers assemble → toRDF render → single-file write
+    // (umls2rdf.py:586-789), so the bench needs an entry timing exactly
+    // that S5/§3.1 composition, not assembly alone (q25s). Runs
+    // ConceptAssembler → ConceptRenderer → OntologyWriter in the
+    // distributed-write configuration (executors write sorted text parts,
+    // the driver concatenates bytes) over the q25s BIG source to a temp
+    // dir, and returns the WriteReport as one row (rows-only by design:
+    // the fixture e2e goldens pin the VALUES; this entry times the
+    // dataflow at volume).
+    Q("q25e_export_e2e",
+      (s, d) => {
+        import graft.model.OntologyJob
+        import graft.sink.{OntologyWriter, UmlsExportConfig}
+        import graft.assemble.PropertyDoc
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_export_").toFile
+        val outFile = new java.io.File(outDir, "big.ttl").getAbsolutePath
+        val docs = Map(
+          "SIZE" -> PropertyDoc("ATN", Some("Size attribute"), None),
+          "part_of" -> PropertyDoc("RELA", Some("Part of"), None),
+          "RO" -> PropertyDoc("REL", Some("Related to"), None))
+        val report = OntologyWriter.write(
+          s, scaleSource(s, d), OntologyJob("BIG", None, outFile, false),
+          UmlsExportConfig(umlsVersion = "2026AA",
+            includeSemanticTypes = false, distributedWrite = true),
+          outFile, docs, "")
+        val bytes = new java.io.File(outFile).length()
+        import s.implicits._
+        Seq((report.sab, report.terms, report.errors, report.dupLiteral,
+          report.dupObject, report.dupSubclass, bytes > 0L))
+          .toDF("sab", "terms", "errors", "dup_literal", "dup_object",
+            "dup_subclass", "file_nonempty")
+      },
       None))
 
   /** UMLS-shaped tables projected from the harness lake (TESTDATA.md):
@@ -422,8 +459,20 @@ object UmlsQueries {
         org.apache.spark.sql.Row("0400", "BIG", "PT", "N"),
         org.apache.spark.sql.Row("0300", "BIG", "SY", "N")),
       UmlsSource.schemaOf("MRRANK"))
+    // One current-version MRSAB row so the q25e full-export path can run
+    // its J11/F9 header lookup against the synthetic SAB.
+    val mrsabVals = UmlsSource.schemaOf("MRSAB").fieldNames.map {
+      case "RSAB" => "BIG"; case "VSAB" => "BIG2026"
+      case "SON" => "Synthetic bench source"; case "SVER" => "2026"
+      case "IMETA" => "2026AA"; case "LAT" => "ENG"; case "CURVER" => "Y"
+      case "SSN" => "Synthetic bench source"; case _ => ""
+    }
+    val mrsab = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(mrsabVals: _*)),
+      UmlsSource.schemaOf("MRSAB"))
     UmlsSource.fixed(Map(
       "MRCONSO" -> atoms, "MRREL" -> rels, "MRDEF" -> defs,
-      "MRSAT" -> atts, "MRSTY" -> sty, "MRRANK" -> rank))
+      "MRSAT" -> atts, "MRSTY" -> sty, "MRRANK" -> rank,
+      "MRSAB" -> mrsab))
   }
 }

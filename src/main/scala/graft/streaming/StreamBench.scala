@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming throughput micro-bench: rate-source events driven
+  * through the two stateful operators that gate any streaming deployment —
+  * keyed sessionization (`flatMapGroupsWithState`) and watermarked exact
+  * dedup (`dropDuplicatesWithinWatermark`) — for a fixed wall-clock
+  * window, reporting sustained events/sec actually processed.
+  *
+  * The rate source is deliberately over-provisioned (rowsPerSecond far
+  * above single-box capacity) so every micro-batch drains a backlog and
+  * the measured rate is the ENGINE'S ceiling, not the generator's. The
+  * sink is Spark's `noop` writer — the number excludes sink I/O by
+  * design (state-store update cost dominates both pipelines).
+  */
+object StreamBench {
+
+  /** Run both pipelines sequentially, `seconds` each.
+    * @return (pipeline name, sustained events/sec) pairs. */
+  def run(spark: SparkSession, seconds: Int = 15,
+      rowsPerSec: Long = 2000000L): Seq[(String, Double)] = {
+    import spark.implicits._
+
+    def measure(name: String)(build: DataFrame => DataFrame)
+        : (String, Double) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_bench_").toString
+      val src = spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSec)
+        .option("numPartitions", 32)
+        .load()
+      val q = build(src).writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val t0 = System.nanoTime()
+      try Thread.sleep(seconds * 1000L)
+      finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val rate = rows / wall
+      System.err.println(
+        f"[bench] streaming:$name%-20s ${rate / 1e3}%8.1f k events/s " +
+          f"($rows rows in $wall%.1f s)")
+      (name, rate)
+    }
+
+    val sessionize = measure("sessionize") { src =>
+      src.select(
+          col("value").as("event_id"), col("timestamp").as("ts"),
+          (col("value") % 50000).as("user_id"),
+          concat(lit("t"), col("value") % 5).as("event_type"),
+          (col("value") % 100).cast("double").as("value"))
+        .as[EventStreams.Event]
+        // 5 s gap + 10 s watermark: sessions actually close during the
+        // run, so the state path (open → timeout-emit → reclaim) is the
+        // thing measured, not just state accretion.
+        .transform(ds =>
+          EventStreams.sessionize(ds, gapSeconds = 5,
+            watermarkDelay = "10 seconds"))
+        .toDF()
+    }
+    val dedup = measure("windowed_dedup") { src =>
+      // ~10% distinct keys: the dedup actually drops rows, exercising
+      // both the lookup-hit and state-insert paths.
+      EventStreams.streamingExactDedup(
+        src.select(col("timestamp").as("ts"),
+          concat(lit("doc "), col("value") % 200000).as("text")),
+        watermarkDelay = "10 seconds")
+    }
+    Seq(sessionize, dedup)
+  }
+}
