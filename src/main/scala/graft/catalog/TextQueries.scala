@@ -2629,6 +2629,68 @@ object TextQueries {
         WHERE doc_id IS NOT NULL
         ORDER BY doc_id""")),
 
+    // ----- q179: WARC source (sources/DocSource.warc) — the web-crawl
+    // container format (ISO 28500; CommonCrawl's interchange), read with
+    // a block-splittable record-delimiter scan and Content-Length BYTE
+    // framing (the fixture's HTML payload is multibyte UTF-8 — a char
+    // slice would mis-frame it). Oracle = the committed golden
+    // (expected.parquet), emitted by WarcFixtureGen from the same
+    // literal records as the .warc bytes — the media-fixture (q50-q52)
+    // verification discipline. The fixture's corrupt record (no
+    // Content-Length) is dropped here and pinned by WarcSourceSpec.
+    Q("q179_warc_source",
+      (s, _) =>
+        graft.sources.DocSource.warcRecords(s,
+          "/root/repo/fixtures/warc/sample.warc").orderBy("record_id"),
+      Some("""
+        SELECT warc_type, record_id, warc_date, target_uri, payload,
+               content_length
+        FROM '/root/repo/fixtures/warc/expected.parquet/*.parquet'
+        ORDER BY record_id""")),
+
+    // ----- q180: crawl → corpus ingestion (DocSource.warcDocs) — HTTP
+    // response records de-enveloped (status line parsed, body split at
+    // the first blank line) and markup-stripped to training text
+    // (WebText.stripMarkup, the q111 chain). DuckDB replays the whole
+    // composition over the committed golden payloads.
+    Q("q180_warc_ingest",
+      (s, _) =>
+        graft.sources.DocSource.warcDocs(s,
+          "/root/repo/fixtures/warc/sample.warc").orderBy("url"),
+      Some("""
+        WITH resp AS (
+          SELECT target_uri AS url, warc_date AS fetched_at, payload
+          FROM '/root/repo/fixtures/warc/expected.parquet/*.parquet'
+          WHERE warc_type = 'response' AND payload LIKE 'HTTP/%'),
+        split AS (
+          SELECT url, fetched_at,
+                 regexp_extract(payload, '^HTTP/[0-9.]+\s+(\d{3})', 1)::INT
+                   AS http_status,
+                 substr(payload,
+                   strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+                   AS body
+          FROM resp)
+        SELECT url, fetched_at, http_status,
+               trim(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(
+                   body,
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                   '&nbsp;', ' ', 'g'),
+                   '&quot;', '"', 'g'),
+                   '&#39;', chr(39), 'g'),
+                   '&lt;', '<', 'g'),
+                   '&gt;', '>', 'g'),
+                   '&amp;', '&', 'g'),
+                 '\s+', ' ', 'g')) AS text
+        FROM split
+        ORDER BY url""")),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,

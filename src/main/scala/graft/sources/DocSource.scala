@@ -94,6 +94,102 @@ object DocSource {
       spark.sparkContext.parallelize(materialized.toSeq), report.schema)
   }
 
+  /** WARC (Web ARChive, ISO 28500) source — the container format of web
+    * crawls (CommonCrawl ships ~100 TB/month of it), and therefore the
+    * front door of most LLM training pipelines.
+    *
+    * Scale design: records are split with Hadoop's record-delimiter
+    * text input (`textinputformat.record.delimiter` =
+    * `\r\n\r\nWARC/1.0\r\n`), which is BLOCK-SPLITTABLE — a multi-GB
+    * .warc parallelizes across executors on block boundaries with no
+    * per-file driver work, the same property the JSONL/CSV readers
+    * guarantee. Everything after the split is one codegen'd projection:
+    * header fields by anchored regex, payload framed by slicing exactly
+    * `Content-Length` BYTES (slice on the UTF-8 `encode` of the tail —
+    * a char slice would mis-frame every multibyte payload).
+    *
+    * Records whose mandatory framing is missing (no parseable
+    * Content-Length) surface with NULL data columns and the raw record
+    * in `_corrupt` — the JSONL PERMISSIVE discipline; a crawl shard with
+    * one mangled record must not kill the pipeline.
+    *
+    * Honest limits, documented as such: payloads are treated as UTF-8
+    * text (binary payloads — gzip members, images — belong to the
+    * binaryFile/multimodal path, [[graft.operators.Multimodal]]); a
+    * payload CONTAINING the delimiter byte sequence would split early
+    * (never observed in practice — the sequence embeds a WARC version
+    * line; strict Content-Length framing needs a custom InputFormat,
+    * the upgrade path if it ever matters).
+    */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/1.0\r\n")
+    val raw = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString) // copy out of Hadoop's reused Text buffer
+    val df = spark.createDataFrame(
+      raw.map(org.apache.spark.sql.Row(_)),
+      StructType(Seq(StructField("rec", StringType))))
+    // The delimiter consumes the version line of every record but the
+    // file-leading one; normalize, then split headers from payload at
+    // the first blank line.
+    def hdr(name: String) =
+      regexp_extract(col("headers"), "(?mi)^" + name + ":\\s*(.+?)\\r?$", 1)
+    val parsed = df
+      .filter(length(trim(col("rec"))) > 0)
+      .withColumn("body",
+        when(col("rec").startsWith("WARC/1.0\r\n"),
+          expr("substring(rec, 11)")).otherwise(col("rec")))
+      .withColumn("headers", substring_index(col("body"), "\r\n\r\n", 1))
+      .withColumn("tail_bytes",
+        encode(expr("substring(body, length(headers) + 5)"), "UTF-8"))
+      .withColumn("content_length",
+        nullif(regexp_extract(col("headers"),
+          "(?mi)^Content-Length:\\s*(\\d+)\\r?$", 1), lit("")).cast("long"))
+    parsed.select(
+      when(col("content_length").isNotNull, hdr("WARC-Type"))
+        .as("warc_type"),
+      when(col("content_length").isNotNull, hdr("WARC-Record-ID"))
+        .as("record_id"),
+      when(col("content_length").isNotNull, hdr("WARC-Date"))
+        .as("warc_date"),
+      when(col("content_length").isNotNull,
+        nullif(hdr("WARC-Target-URI"), lit(""))).as("target_uri"),
+      when(col("content_length").isNotNull,
+        decode(expr("substring(tail_bytes, 1, content_length)"), "UTF-8"))
+        .as("payload"),
+      col("content_length"),
+      when(col("content_length").isNull, col("rec")).as("_corrupt"))
+  }
+
+  /** The valid records of a WARC read (corrupt records dropped). */
+  def warcRecords(spark: SparkSession, path: String): DataFrame =
+    warc(spark, path).filter(col("_corrupt").isNull).drop("_corrupt")
+
+  /** Crawl → corpus ingestion: HTTP response records reduced to
+    * (url, fetched_at, http_status, text) with markup stripped — the
+    * composition a crawl pipeline runs first ([[warcRecords]] ∘ HTTP
+    * de-enveloping ∘ [[graft.operators.WebText.stripMarkup]]). */
+  def warcDocs(spark: SparkSession, path: String): DataFrame = {
+    val resp = warcRecords(spark, path)
+      .filter(col("warc_type") === "response" &&
+        col("payload").startsWith("HTTP/"))
+      .withColumn("http_status",
+        regexp_extract(col("payload"), "^HTTP/[0-9.]+\\s+(\\d{3})", 1)
+          .cast("int"))
+      .withColumn("http_body",
+        expr("substring(payload, instr(payload, '\r\n\r\n') + 4)"))
+    resp.select(
+      col("target_uri").as("url"),
+      col("warc_date").as("fetched_at"),
+      col("http_status"),
+      graft.operators.WebText.stripMarkup(col("http_body")).as("text"))
+  }
+
   /** Schema-evolution read: union parquet snapshot generations whose
     * schemas DIFFER (columns added over time) into one frame — missing
     * columns become NULL. This is Spark's `mergeSchema` footer

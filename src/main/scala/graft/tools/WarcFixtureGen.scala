@@ -1,0 +1,102 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes the committed WARC fixture (`fixtures/warc/`): the raw
+  * `sample.warc` bytes AND the expected parse (`expected.parquet`) are
+  * both emitted from the same literal record list below, so the
+  * expectation is independent of the parser under test — the q-entry
+  * oracle compares `DocSource.warc` output against this golden exactly
+  * like the media fixtures (q50-q52) do.
+  *
+  * The records deliberately exercise: a warcinfo preamble, an HTTP
+  * response with multibyte UTF-8 (Content-Length counts BYTES — the
+  * reader must slice bytes, not chars), a text/plain conversion record,
+  * a request record, and one corrupt record (no Content-Length) that
+  * must surface as `_corrupt`, not sink the file.
+  */
+object WarcFixtureGen {
+
+  final case class Rec(
+      warcType: String, recordId: String, date: String, targetUri: String,
+      contentType: String, payload: String, corrupt: Boolean = false)
+
+  val records: Seq[Rec] = Seq(
+    Rec("warcinfo", "<urn:uuid:0001>", "2026-01-01T00:00:00Z", "",
+      "application/warc-fields",
+      "software: graft-fixture/1.0\r\nformat: WARC File Format 1.0\r\n"),
+    Rec("request", "<urn:uuid:0002>", "2026-01-01T00:00:01Z",
+      "http://example.org/a", "application/http;msgtype=request",
+      "GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n"),
+    Rec("response", "<urn:uuid:0003>", "2026-01-01T00:00:02Z",
+      "http://example.org/a", "application/http;msgtype=response",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        "<html><head><title>Café 日本</title></head>" +
+        "<body><p>naïve résumé — 中文</p>" +
+        "<script>var x=1;</script></body></html>"),
+    Rec("conversion", "<urn:uuid:0004>", "2026-01-01T00:00:03Z",
+      "http://example.org/b", "text/plain",
+      "plain text conversion record\nsecond line\n"),
+    Rec("response", "<urn:uuid:0005>", "2026-01-01T00:00:04Z",
+      "http://example.org/c", "application/http;msgtype=response",
+      "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" +
+        "not here"),
+    // Corrupt: Content-Length header missing entirely.
+    Rec("response", "<urn:uuid:0006>", "2026-01-01T00:00:05Z",
+      "http://example.org/d", "text/plain", "orphan payload",
+      corrupt = true))
+
+  def warcBytes: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val payloadBytes = r.payload.getBytes(StandardCharsets.UTF_8)
+      val headers = new StringBuilder()
+      headers.append("WARC/1.0\r\n")
+      headers.append(s"WARC-Type: ${r.warcType}\r\n")
+      headers.append(s"WARC-Record-ID: ${r.recordId}\r\n")
+      headers.append(s"WARC-Date: ${r.date}\r\n")
+      if (r.targetUri.nonEmpty)
+        headers.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
+      headers.append(s"Content-Type: ${r.contentType}\r\n")
+      if (!r.corrupt)
+        headers.append(s"Content-Length: ${payloadBytes.length}\r\n")
+      headers.append("\r\n")
+      out.write(headers.toString.getBytes(StandardCharsets.UTF_8))
+      out.write(payloadBytes)
+      out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    }
+    out.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get("fixtures/warc")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("sample.warc"), warcBytes)
+
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // The EXPECTED parse, from the literal records (not the parser):
+    // valid records only — record_id is the stable compare key; the
+    // corrupt record's tolerance (surfaces in _corrupt, doesn't sink the
+    // file) is pinned by WarcSourceSpec, whose framing is
+    // parser-specific. Payloads are the exact Content-Length byte slices
+    // (= the full literal payload here).
+    records.filterNot(_.corrupt).map { r =>
+      (r.warcType, r.recordId, r.date,
+        if (r.targetUri.isEmpty) null else r.targetUri,
+        r.payload,
+        r.payload.getBytes(StandardCharsets.UTF_8).length.toLong)
+    }.toDF("warc_type", "record_id", "warc_date", "target_uri",
+        "payload", "content_length")
+      .coalesce(1)
+      .write.mode("overwrite").parquet("fixtures/warc/expected.parquet")
+    spark.stop()
+    println(s"wrote fixtures/warc/sample.warc (${warcBytes.length} bytes) " +
+      s"+ expected.parquet (${records.size} records)")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tools.WarcFixtureGen
+
+/** WARC source contract: Content-Length frames BYTES (multibyte UTF-8
+  * payloads slice correctly), corrupt records surface without sinking
+  * the file, and the record-delimiter scan is genuinely splittable —
+  * forcing sub-record input splits must not change the parse.
+  */
+class WarcSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val warcPath: String = {
+    val dir = Files.createTempDirectory("graft_warc_spec")
+    val f = dir.resolve("sample.warc")
+    Files.write(f, WarcFixtureGen.warcBytes)
+    f.toString
+  }
+
+  test("parses all valid records; the Content-Length-less record is " +
+    "_corrupt, not fatal") {
+    val df = DocSource.warc(spark, warcPath)
+    assert(df.filter(col("_corrupt").isNotNull).count() === 1)
+    val valid = df.filter(col("_corrupt").isNull)
+    assert(valid.count() ===
+      WarcFixtureGen.records.count(!_.corrupt).toLong)
+    val types = valid.select("warc_type").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().sorted
+    assert(types === WarcFixtureGen.records.filterNot(_.corrupt)
+      .map(_.warcType).sorted)
+  }
+
+  test("Content-Length frames bytes: the multibyte HTML payload " +
+    "round-trips exactly") {
+    val expect = WarcFixtureGen.records
+      .find(r => r.recordId == "<urn:uuid:0003>").get
+    val got = DocSource.warcRecords(spark, warcPath)
+      .filter(col("record_id") === "<urn:uuid:0003>")
+      .select("payload", "content_length").head()
+    assert(got.getString(0) === expect.payload)
+    assert(got.getLong(1) ===
+      expect.payload.getBytes(StandardCharsets.UTF_8).length.toLong)
+    // byte length != char length for this payload — the thing a char
+    // slice would get wrong
+    assert(got.getLong(1) > expect.payload.length.toLong)
+  }
+
+  test("forcing sub-record input splits does not change the parse " +
+    "(block-splittable scan)") {
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get(key))
+    val whole = DocSource.warcRecords(spark, warcPath)
+      .orderBy("record_id").collect().map(_.toString)
+    try {
+      hc.set(key, "200") // 1.5 KB file → ~8 splits, all mid-record
+      val split = DocSource.warcRecords(spark, warcPath)
+        .orderBy("record_id").collect().map(_.toString)
+      assert(split === whole)
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
+  test("warcDocs de-envelopes HTTP responses and strips markup") {
+    val docs = DocSource.warcDocs(spark, warcPath).orderBy("url").collect()
+    assert(docs.length === 2)
+    val a = docs(0)
+    assert(a.getAs[String]("url") === "http://example.org/a")
+    assert(a.getAs[Int]("http_status") === 200)
+    val text = a.getAs[String]("text")
+    assert(text.contains("Café 日本") && text.contains("naïve résumé"))
+    assert(!text.contains("<") && !text.contains("var x"),
+      s"markup or script leaked: $text")
+    assert(docs(1).getAs[Int]("http_status") === 404)
+    assert(docs(1).getAs[String]("text") === "not here")
+  }
+}
