@@ -823,6 +823,38 @@ object SimilarityQueries {
                round(mb.m, 6) AS mean_b,
                round(abs(ma.m - mb.m), 6) AS drift
         FROM ma JOIN mb ON ma.j = mb.j
-        ORDER BY ma.j"""))
+        ORDER BY ma.j""")),
+
+    // ----- q181: semantic decontamination (Similarity
+    // .semanticDecontaminate) — the embedding-space sibling of the
+    // n-gram decontamination q49/q91: n-grams catch verbatim eval
+    // leakage, cosine catches PARAPHRASED leakage. Eval set = every
+    // 25th vector (small by definition — that is what makes the
+    // broadcast nested-loop the right 100 TB plan: linear in the
+    // corpus, bounded constant per row); per-doc max cosine vs the
+    // whole eval set, thresholded at 0.35.
+    Q("q181_semantic_decontaminate",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.semanticDecontaminate(
+            emb.filter(col("vec_id") % 25 =!= 0),
+            emb.filter(col("vec_id") % 25 === 0), tau = 0.35)
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT embedding::DOUBLE[] AS ev FROM embeddings
+          WHERE vec_id % 25 = 0),
+        corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE vec_id % 25 != 0)
+        SELECT vec_id,
+               round(max(list_cosine_similarity(cv, ev)), 4)
+                 AS max_eval_cos,
+               round(max(list_cosine_similarity(cv, ev)), 4) >= 0.35
+                 AS contaminated
+        FROM corpus, ev
+        GROUP BY vec_id
+        ORDER BY vec_id"""))
   )
 }

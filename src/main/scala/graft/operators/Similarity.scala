@@ -297,6 +297,35 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** Semantic decontamination: flag every corpus document whose embedding
+    * is too close (cosine ≥ `tau`) to ANY held-out/eval embedding — the
+    * embedding-space sibling of the n-gram decontamination (q49/q91):
+    * n-grams catch verbatim leakage, cosine catches paraphrased leakage.
+    *
+    * Scale shape: the eval set is SMALL by definition (thousands of
+    * items against a billions-row corpus), so the right plan is a
+    * broadcast nested-loop over the eval side — cost is linear in the
+    * corpus with a bounded constant, never corpus×corpus. The per-doc
+    * reduction is a `max` aggregate keyed by the corpus id (map-side
+    * combined). For an eval set too big to broadcast, compose
+    * [[knnJoin]] instead (LSH-bucketed) — documented trade, not needed
+    * at sane eval sizes.
+    *
+    * @return one row per corpus doc: (idCol, max_eval_cos round 4,
+    *         contaminated) */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val e = evalSet.select(col(vecCol).as("ev"), norm(col(vecCol)).as("en"))
+    c.crossJoin(broadcast(e))
+      .groupBy(col(idCol))
+      .agg(round(max(dot(col("cv"), col("ev")) / (col("cn") * col("en"))), 4)
+        .as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= tau)
+  }
+
   // --- Random projection (JL) ---------------------------------------------
 
   /** PORTABLE ±1/√outDim sign matrix for Johnson–Lindenstrauss projection:

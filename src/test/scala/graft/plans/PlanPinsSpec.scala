@@ -102,6 +102,17 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(s.windows === 0 && s.cartesianProducts === 0)
   }
 
+  test("semanticDecontaminate: eval side broadcasts — linear in the " +
+    "corpus, no cartesian shuffle") {
+    val corpus = (1 to 20)
+      .map(i => (i.toLong, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
+    val ev = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val s = PlanAudit.summary(
+      graft.operators.Similarity.semanticDecontaminate(corpus, ev, 0.5))
+    assert(s.broadcasts >= 1, s"eval side must broadcast: $s")
+    assert(s.cartesianProducts === 0, s"corpus-side cartesian: $s")
+  }
+
   test("bucketed cojoin reads plan with zero shuffle exchanges " +
     "(the at-rest layout IS the exchange)") {
     val dir = Files.createTempDirectory("graft_pins_bkt").toString
