@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
 object StreamBench {
 
   /** Run both pipelines sequentially, `seconds` each.
+    *
+    * Logging is dropped to OFF for the duration: stopping a backlogged
+    * stream kills its in-flight micro-batch, and the state store +
+    * scheduler log dozens of loud-but-expected CANNOT_COMMIT /
+    * TaskKilled lines (asynchronously, from task threads) that would
+    * swamp the driver's captured output tail. The throughput lines
+    * print via System.err directly, unaffected.
+    *
     * @return (pipeline name, sustained events/sec) pairs. */
   def run(spark: SparkSession, seconds: Int = 15,
       rowsPerSec: Long = 2000000L): Seq[(String, Double)] = {
     import spark.implicits._
+    spark.sparkContext.setLogLevel("OFF")
 
     def measure(name: String)(build: DataFrame => DataFrame)
         : (String, Double) = {
@@ -70,6 +79,10 @@ object StreamBench {
           concat(lit("doc "), col("value") % 200000).as("text")),
         watermarkDelay = "10 seconds")
     }
+    // Give the killed batches' async task-failure logging a beat to
+    // drain while the level is still OFF, then restore.
+    Thread.sleep(2000)
+    spark.sparkContext.setLogLevel("WARN")
     Seq(sessionize, dedup)
   }
 }
