@@ -163,34 +163,45 @@ object Bench {
     // right before the query began, stop-the-world GC seconds inside the
     // query (gc ≈ wall ⇒ heap thrash), and process CPU seconds (cpu/wall
     // ≪ 1 core ⇒ the process was starved by other host load and the wall
-    // time is not an engine number). Retried queries carry both samples:
-    // the headline time is best-of-two.
+    // time is not an engine number). Every non-retry field comes from the
+    // FIRST sample — mixing fields across samples would let a consumer
+    // correlate one run's load with the other's cpu. Retried queries
+    // carry the retry's full sample alongside; only the headline wall in
+    // `queries` is best-of-two.
     val perQuery = results.map {
-      case (k, best, s1, retry) =>
+      case (k, _, s1, retry) =>
         val retryJson = retry.map { r =>
           ",\"retried\":true,\"wall_first\":" + f3(s1.wall) +
             ",\"wall_retry\":" + f3(r.wall) +
             ",\"cpu_sec_retry\":" + f3(r.cpuSec) +
+            ",\"gc_sec_retry\":" + f3(r.gcSec) +
+            ",\"jit_sec_retry\":" + f3(r.jitSec) +
             ",\"load_retry\":" + f3(r.loadAt)
         }.getOrElse("")
         "\"" + k + "\":{\"start_ms\":" + s1.startedAt +
-          ",\"load\":" + f3(s1.loadAt) + ",\"gc_sec\":" + f3(best.gcSec) +
-          ",\"cpu_sec\":" + f3(best.cpuSec) +
-          ",\"jit_sec\":" + f3(best.jitSec) + retryJson + "}"
+          ",\"load\":" + f3(s1.loadAt) + ",\"gc_sec\":" + f3(s1.gcSec) +
+          ",\"cpu_sec\":" + f3(s1.cpuSec) +
+          ",\"jit_sec\":" + f3(s1.jitSec) + retryJson + "}"
     }.mkString("{", ",", "}")
     // Streaming throughput (VERDICT r8 #6): sustained events/sec through
     // sessionize and watermarked dedup over a backlogged rate source —
     // the streaming surface's first committed number. ~30 s total;
     // disable with SPARK_GRAFT_STREAM_BENCH=0 for targeted runs.
+    // Guarded: a streaming failure (full /tmp, state-store error) must
+    // not discard the minutes of per-query results gathered above — the
+    // detail file and stdout line still get written.
     val streamBench =
       if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0") ||
           only.isDefined) ""
-      else {
+      else scala.util.Try {
         val rates = graft.streaming.StreamBench.run(spark)
         ",\"streaming_throughput\":" + rates.map { case (k, v) =>
           "\"" + k + "_events_per_sec\":" + f3(v)
         }.mkString("{", ",", "}")
-      }
+      }.recover { case e =>
+        System.err.println(s"[bench] streaming bench FAILED: ${e.getMessage}")
+        ""
+      }.get
     val heapMax = Runtime.getRuntime.maxMemory()
     val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +
       s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +

@@ -375,6 +375,14 @@ object UmlsQueries {
             includeSemanticTypes = false, distributedWrite = true),
           outFile, docs, "")
         val bytes = new java.io.File(outFile).length()
+        // The export ran eagerly above; nothing later reads the file, so
+        // reclaim the temp dir now — repeated bench/verify cycles must
+        // not accumulate multi-hundred-MB orphan exports in /tmp.
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(outDir)
         import s.implicits._
         Seq((report.sab, report.terms, report.errors, report.dupLiteral,
           report.dupObject, report.dupSubclass, bytes > 0L))

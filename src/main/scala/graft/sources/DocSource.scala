@@ -116,17 +116,24 @@ object DocSource {
     * Honest limits, documented as such: payloads are treated as UTF-8
     * text (binary payloads — gzip members, images — belong to the
     * binaryFile/multimodal path, [[graft.operators.Multimodal]]); a
-    * payload CONTAINING the delimiter byte sequence would split early
-    * (never observed in practice — the sequence embeds a WARC version
-    * line; strict Content-Length framing needs a custom InputFormat,
-    * the upgrade path if it ever matters).
+    * payload CONTAINING the delimiter byte sequence (`\r\n\r\nWARC/`)
+    * would split early (never observed in practice; strict
+    * Content-Length framing needs a custom InputFormat, the upgrade
+    * path if it ever matters).
+    *
+    * The delimiter is VERSION-AGNOSTIC (`WARC/` without the number):
+    * pinning `WARC/1.0` would make every record after the first in a
+    * WARC/1.1 file (wget ≥1.19, modern IIPC tooling) vanish silently
+    * into the first record's discarded tail — well-formed input, total
+    * data loss. The version remnant left by the split is stripped per
+    * record.
     */
   def warc(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/1.0\r\n")
+    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/")
     val raw = spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)
@@ -134,16 +141,16 @@ object DocSource {
     val df = spark.createDataFrame(
       raw.map(org.apache.spark.sql.Row(_)),
       StructType(Seq(StructField("rec", StringType))))
-    // The delimiter consumes the version line of every record but the
-    // file-leading one; normalize, then split headers from payload at
-    // the first blank line.
+    // After the split, every record but the file-leading one starts with
+    // the version remnant ("1.0\r\n" / "1.1\r\n"); the leading one keeps
+    // its full "WARC/x.y\r\n" line. Strip either form, then split
+    // headers from payload at the first blank line.
     def hdr(name: String) =
       regexp_extract(col("headers"), "(?mi)^" + name + ":\\s*(.+?)\\r?$", 1)
     val parsed = df
       .filter(length(trim(col("rec"))) > 0)
       .withColumn("body",
-        when(col("rec").startsWith("WARC/1.0\r\n"),
-          expr("substring(rec, 11)")).otherwise(col("rec")))
+        regexp_replace(col("rec"), "^(WARC/)?[0-9]+\\.[0-9]+\r\n", ""))
       .withColumn("headers", substring_index(col("body"), "\r\n\r\n", 1))
       .withColumn("tail_bytes",
         encode(expr("substring(body, length(headers) + 5)"), "UTF-8"))

@@ -30,6 +30,9 @@ object StreamBench {
   def run(spark: SparkSession, seconds: Int = 15,
       rowsPerSec: Long = 2000000L): Seq[(String, Double)] = {
     import spark.implicits._
+    val rootLogger = org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val priorLevel = rootLogger.getLevel
     spark.sparkContext.setLogLevel("OFF")
 
     def measure(name: String)(build: DataFrame => DataFrame)
@@ -45,9 +48,13 @@ object StreamBench {
         .option("checkpointLocation", ckpt)
         .start()
       val t0 = System.nanoTime()
-      try Thread.sleep(seconds * 1000L)
-      finally q.stop()
-      val wall = (System.nanoTime() - t0) / 1e9
+      // The measurement window ends BEFORE stop(): stopping a backlogged
+      // stream waits for the in-flight batch to cancel, and rows only
+      // counts COMPLETED batches — including stop latency in the
+      // denominator would bias the rate low by the stop-cost fraction.
+      val wall =
+        try { Thread.sleep(seconds * 1000L); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
       val rows = q.recentProgress.map(_.numInputRows).sum
       val rate = rows / wall
       System.err.println(
@@ -56,6 +63,7 @@ object StreamBench {
       (name, rate)
     }
 
+    try {
     val sessionize = measure("sessionize") { src =>
       src.select(
           col("value").as("event_id"), col("timestamp").as("ts"),
@@ -80,9 +88,15 @@ object StreamBench {
         watermarkDelay = "10 seconds")
     }
     // Give the killed batches' async task-failure logging a beat to
-    // drain while the level is still OFF, then restore.
+    // drain while the level is still OFF.
     Thread.sleep(2000)
-    spark.sparkContext.setLogLevel("WARN")
     Seq(sessionize, dedup)
+    } finally {
+      // Restore the CALLER'S level even when a pipeline throws —
+      // leaving the shared context at OFF would suppress exactly the
+      // error context needed to diagnose the failure.
+      org.apache.logging.log4j.core.config.Configurator
+        .setRootLevel(priorLevel)
+    }
   }
 }

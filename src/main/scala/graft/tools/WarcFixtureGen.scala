@@ -49,12 +49,15 @@ object WarcFixtureGen {
       "http://example.org/d", "text/plain", "orphan payload",
       corrupt = true))
 
-  def warcBytes: Array[Byte] = {
+  /** The one WARC record serializer — the fixture bytes AND the property
+    * test's generated files both come from here, so a framing change
+    * cannot silently diverge between them. */
+  def serialize(recs: Seq[Rec], version: String = "1.0"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.foreach { r =>
+    recs.foreach { r =>
       val payloadBytes = r.payload.getBytes(StandardCharsets.UTF_8)
       val headers = new StringBuilder()
-      headers.append("WARC/1.0\r\n")
+      headers.append(s"WARC/$version\r\n")
       headers.append(s"WARC-Type: ${r.warcType}\r\n")
       headers.append(s"WARC-Record-ID: ${r.recordId}\r\n")
       headers.append(s"WARC-Date: ${r.date}\r\n")
@@ -70,6 +73,8 @@ object WarcFixtureGen {
     }
     out.toByteArray
   }
+
+  def warcBytes: Array[Byte] = serialize(records)
 
   def main(args: Array[String]): Unit = {
     val dir = Paths.get("fixtures/warc")

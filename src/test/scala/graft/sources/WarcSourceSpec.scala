@@ -70,6 +70,21 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC/1.1 files parse all records — the version-agnostic " +
+    "delimiter does not silently swallow post-first records") {
+    val dir = Files.createTempDirectory("graft_warc11")
+    val f = dir.resolve("v11.warc")
+    Files.write(f, WarcFixtureGen.serialize(
+      WarcFixtureGen.records.filterNot(_.corrupt), version = "1.1"))
+    val got = DocSource.warcRecords(spark, f.toString)
+    assert(got.count() ===
+      WarcFixtureGen.records.count(!_.corrupt).toLong)
+    val p = got.filter(col("record_id") === "<urn:uuid:0003>")
+      .select("payload").head().getString(0)
+    assert(p === WarcFixtureGen.records
+      .find(_.recordId == "<urn:uuid:0003>").get.payload)
+  }
+
   test("warcDocs de-envelopes HTTP responses and strips markup") {
     val docs = DocSource.warcDocs(spark, warcPath).orderBy("url").collect()
     assert(docs.length === 2)
