@@ -127,6 +127,12 @@ object DocSource {
     * into the first record's discarded tail — well-formed input, total
     * data loss. The version remnant left by the split is stripped per
     * record.
+    *
+    * `.warc.gz` works through Hadoop's codec auto-detection (spec'd),
+    * with the standard gzip trade: a gzipped file decompresses in ONE
+    * task (not block-splittable) — crawl corpora parallelize across
+    * their many files, which is exactly how CommonCrawl shards. The
+    * `path` may be a file, directory, or glob.
     */
   def warc(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.io.{LongWritable, Text}

@@ -85,6 +85,31 @@ class WarcSourceSpec extends AnyFunSuite {
       .find(_.recordId == "<urn:uuid:0003>").get.payload)
   }
 
+  test(".warc.gz parses identically through Hadoop codec auto-detection " +
+    "(one task per gz file — CommonCrawl's sharding model)") {
+    val dir = Files.createTempDirectory("graft_warc_gz")
+    val gz = dir.resolve("s.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(WarcFixtureGen.warcBytes); out.close()
+    val fromGz = DocSource.warcRecords(spark, gz.toString)
+      .orderBy("record_id").collect().map(_.toString)
+    val fromPlain = DocSource.warcRecords(spark, warcPath)
+      .orderBy("record_id").collect().map(_.toString)
+    assert(fromGz === fromPlain)
+  }
+
+  test("a directory of WARC files reads as one corpus") {
+    val dir = Files.createTempDirectory("graft_warc_multi")
+    val recs = WarcFixtureGen.records.filterNot(_.corrupt)
+    Files.write(dir.resolve("a.warc"),
+      WarcFixtureGen.serialize(recs.take(2)))
+    Files.write(dir.resolve("b.warc"),
+      WarcFixtureGen.serialize(recs.drop(2), version = "1.1"))
+    val got = DocSource.warcRecords(spark, dir.toString)
+    assert(got.count() === recs.size.toLong)
+    assert(got.select("record_id").distinct().count() === recs.size.toLong)
+  }
+
   test("warcDocs de-envelopes HTTP responses and strips markup") {
     val docs = DocSource.warcDocs(spark, warcPath).orderBy("url").collect()
     assert(docs.length === 2)
