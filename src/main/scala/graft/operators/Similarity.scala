@@ -319,11 +319,16 @@ object Similarity {
     val c = corpus.select(col(idCol), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
     val e = evalSet.select(col(vecCol).as("ev"), norm(col(vecCol)).as("en"))
-    c.crossJoin(broadcast(e))
+    // LEFT join against the broadcast eval side: an EMPTY eval set means
+    // "nothing to leak" — every doc must surface with a NULL max cosine
+    // and contaminated=false, not silently vanish (a crossJoin would
+    // empty the whole report and read as an all-clean corpus).
+    c.join(broadcast(e), lit(true), "left")
       .groupBy(col(idCol))
       .agg(round(max(dot(col("cv"), col("ev")) / (col("cn") * col("en"))), 4)
         .as("max_eval_cos"))
-      .withColumn("contaminated", col("max_eval_cos") >= tau)
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= tau, lit(false)))
   }
 
   // --- Random projection (JL) ---------------------------------------------

@@ -102,4 +102,21 @@ class DegenerateInputsSpec extends AnyFunSuite {
     assert(WebGraph.covisitation(
       Seq.empty[(Long, Int)].toDF("user_id", "item")).collect().isEmpty)
   }
+
+  test("semanticDecontaminate with an EMPTY eval set keeps every doc " +
+    "(NULL max cosine, contaminated=false) — docs must not vanish") {
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val noEval = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .semanticDecontaminate(corpus, noEval, tau = 0.5)
+      .orderBy("vec_id").collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("max_eval_cos"))))
+    assert(got.forall(!_.getAs[Boolean]("contaminated")))
+    // and an empty corpus yields an empty report, not a crash
+    assert(graft.operators.Similarity
+      .semanticDecontaminate(noEval, corpus, tau = 0.5)
+      .collect().isEmpty)
+  }
 }
