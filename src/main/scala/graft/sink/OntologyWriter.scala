@@ -164,10 +164,19 @@ object OntologyWriter {
   /** Distributed write — the 100 TB shape: executors write the globally
     * `orderBy(code)`-sorted term text as parts (a global sort yields
     * range-partitioned parts whose name order IS the code order); the
-    * driver never iterates rows — it aggregates the counters/properties
-    * with one Spark agg pass and then CONCATENATES part bytes into the
-    * single-file contract. Byte-identical to [[writeStreamed]]
-    * (RrfSourceSpec/OntologyWriterSpec pin this). */
+    * driver never iterates rows — counters, error log lines and the
+    * property set ride ACCUMULATORS on the write job itself, so the
+    * whole export is ONE pass over the rendered terms (no persist of
+    * the full text, no second/third aggregation action) — and the
+    * driver then CONCATENATES part bytes into the single-file contract.
+    * Byte-identical to [[writeStreamed]] (RrfSourceSpec/
+    * OntologyWriterSpec pin this).
+    *
+    * Exactly-once counters: the accumulator updates run in the map
+    * AFTER the global sort, i.e. inside the write job's RESULT stage —
+    * Spark applies a result task's accumulator updates once regardless
+    * of retries/speculation. (The same map placed before the sort would
+    * live in a shuffle-map stage, where stage retries double-count.) */
   private def writeDistributed(
       spark: SparkSession,
       rendered: org.apache.spark.sql.Dataset[RenderResult],
@@ -176,57 +185,95 @@ object OntologyWriter {
       propertyDocs: Map[String, PropertyDoc],
       semanticTypes: String): WriteReport = {
     import org.apache.spark.sql.functions._
-    val cached = rendered.persist()
-    try {
-      val stats = cached.agg(
-        sum(when(col("error").isNull, 1L).otherwise(0L)).as("terms"),
-        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"),
-        sum("dupLiteral").as("dl"), sum("dupObject").as("do"),
-        sum("dupSubclass").as("ds")).collect()(0)
-      def n(i: Int) = if (stats.isNullAt(i)) 0L else stats.getLong(i)
-      cached.filter(col("error").isNotNull)
-        .select("code", "error").collect()
-        .foreach(r => System.err.println(
-          s"ERROR dumping term ${r.getString(0)}: ${r.getString(1)}"))
-      // The property block sorts by URI, so first-seen order is
-      // irrelevant; min(att) makes the pick deterministic (att and uri are
-      // 1:1 — the uri is built FROM the fragment).
-      val props = cached.filter(col("error").isNull)
-        .select(explode(col("properties")).as("p"))
-        .groupBy(col("p.uri").as("uri")).agg(min("p.att").as("att"))
-        .collect()
-        .map(r => TermProperty(r.getString(0), r.getString(1))).toSeq
+    val sc = spark.sparkContext
+    val terms = sc.longAccumulator("graft.terms")
+    val errors = sc.longAccumulator("graft.errors")
+    val dupL = sc.longAccumulator("graft.dupLiteral")
+    val dupO = sc.longAccumulator("graft.dupObject")
+    val dupS = sc.longAccumulator("graft.dupSubclass")
+    val errRows = sc.collectionAccumulator[(String, String)]("graft.errRows")
+    val propAcc = new MinMapAccumulator
+    sc.register(propAcc, "graft.properties")
 
-      // The text sink appends one '\n' per row; term text already ends
-      // with '\n', so strip one to keep bytes identical to the streamed
-      // writer.
-      val partsDir = outFile + ".parts"
-      cached.filter(col("error").isNull)
-        .orderBy("code")
-        .select(expr("substring(text, 1, length(text) - 1)").as("value"))
-        .write.mode("overwrite").text(partsDir)
-
-      val out = new java.io.FileOutputStream(outFile)
-      try {
-        def w(s: String): Unit =
-          out.write(s.getBytes(StandardCharsets.UTF_8))
-        w(OntologyRender.Prefixes)
-        w(OntologyRender.header(ns, job.sab, rec, conf.umlsVersion))
-        val parts = new File(partsDir).listFiles()
-          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-        parts.foreach { f =>
-          java.nio.file.Files.copy(f.toPath, out)
+    // The text sink appends one '\n' per row; term text already ends
+    // with '\n', so strip one to keep bytes identical to the streamed
+    // writer. Error rows survive the sort so the result-stage map can
+    // count them, then drop out before the text projection.
+    val partsDir = outFile + ".parts"
+    rendered
+      .orderBy("code")
+      .map { r =>
+        if (r.error != null) {
+          errors.add(1L); errRows.add((r.code, r.error))
+        } else {
+          terms.add(1L)
+          dupL.add(r.dupLiteral); dupO.add(r.dupObject)
+          dupS.add(r.dupSubclass)
+          r.properties.foreach(p => propAcc.add((p.uri, p.att)))
         }
-        w(OntologyRender.propertyBlock(props, propertyDocs))
-        if (conf.includeSemanticTypes) { w(semanticTypes); w("\n") }
-      } finally out.close()
-      // Clean the intermediate parts (best-effort).
-      def rm(f: File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
+        r
+      }(Encoders.product[RenderResult])
+      .filter(col("error").isNull)
+      .select(expr("substring(text, 1, length(text) - 1)").as("value"))
+      .write.mode("overwrite").text(partsDir)
+
+    errRows.value.forEach { t =>
+      System.err.println(s"ERROR dumping term ${t._1}: ${t._2}")
+    }
+    // The property block sorts by URI, so first-seen order is
+    // irrelevant; the min(att) merge makes the pick deterministic (att
+    // and uri are 1:1 — the uri is built FROM the fragment).
+    val props = propAcc.value
+      .map { case (uri, att) => TermProperty(uri, att) }.toSeq
+
+    val out = new java.io.FileOutputStream(outFile)
+    try {
+      def w(s: String): Unit =
+        out.write(s.getBytes(StandardCharsets.UTF_8))
+      w(OntologyRender.Prefixes)
+      w(OntologyRender.header(ns, job.sab, rec, conf.umlsVersion))
+      val parts = new File(partsDir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.foreach { f =>
+        java.nio.file.Files.copy(f.toPath, out)
       }
-      rm(new File(partsDir))
-      WriteReport(job.sab, outFile, n(0), n(1), n(2), n(3), n(4))
-    } finally { cached.unpersist(); () }
+      w(OntologyRender.propertyBlock(props, propertyDocs))
+      if (conf.includeSemanticTypes) { w(semanticTypes); w("\n") }
+    } finally out.close()
+    // Clean the intermediate parts (best-effort).
+    def rm(f: File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new File(partsDir))
+    WriteReport(job.sab, outFile, terms.value, errors.value,
+      dupL.value, dupO.value, dupS.value)
+  }
+}
+
+/** Accumulator merging (uri → att) pairs with per-key MIN — the
+  * deterministic first-seen-equivalent the property block needs (A15),
+  * bounded by the ontology's distinct predicate count (small). */
+private[sink] class MinMapAccumulator
+    extends org.apache.spark.util.AccumulatorV2[
+      (String, String), Map[String, String]] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): MinMapAccumulator = {
+    val c = new MinMapAccumulator
+    m.forEach((k, v) => c.m.put(k, v))
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(kv: (String, String)): Unit =
+    m.merge(kv._1, kv._2, (a, b) => if (a <= b) a else b)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      (String, String), Map[String, String]]): Unit =
+    other.value.foreach { case (k, v) =>
+      m.merge(k, v, (a, b) => if (a <= b) a else b)
+    }
+  override def value: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
   }
 }
