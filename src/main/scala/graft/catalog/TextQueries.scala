@@ -2691,6 +2691,42 @@ object TextQueries {
         FROM split
         ORDER BY url""")),
 
+    // ----- q182: BPE tokenizer training (Tokenizer.bpeTrain) — the
+    // vocabulary-learning stage of an LLM pipeline, distributed with ONE
+    // corpus pass (word-freq table) + vocabulary-bounded merge rounds.
+    // Rows-only BY DESIGN with a stronger-than-oracle verification:
+    // TokenizerSpec pins the full training trajectory (counts,
+    // lexicographic tie-breaks, greedy merges) against an independent
+    // in-memory reference implementation on randomized corpora — the
+    // iterative argmax-loop is not tractably replayable in SQL.
+    Q("q182_bpe_train",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeMergeTable(documents(s, d), numMerges = 12)
+          .orderBy("step"),
+      None),
+
+    // ----- q183: BPE single-merge tokenization effect — the one merge
+    // configuration an external engine CAN replay exactly: applying
+    // merge (e,s) greedily left-to-right collapses exactly the
+    // non-overlapping "es" occurrences that SQL's replace() also
+    // collapses, so token counts reconcile as chars_nonspace − n_es.
+    Q("q183_bpe_tokenize",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeApply(documents(s, d), Seq(("e", "s")))
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents)
+        SELECT doc_id,
+               (length(regexp_replace(t, '\s', '', 'g'))
+                - (length(t) - length(replace(t, 'es', ''))) / 2)::INT
+                 AS n_tokens
+        FROM w
+        ORDER BY doc_id""")),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,

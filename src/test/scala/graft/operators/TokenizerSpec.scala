@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BPE training pinned against an independent in-memory reference
+  * implementation (plain Scala, no Spark) of the Sennrich algorithm —
+  * the same verification idea as the DuckDB oracles, for an operator
+  * whose iterative training DuckDB cannot replay tractably.
+  */
+class TokenizerSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- independent reference implementation -------------------------------
+
+  private def refWordFreq(corpus: Seq[String]): Map[List[String], Long] =
+    corpus.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toCharArray.map(_.toString).toList -> ws.size.toLong
+      }
+
+  private def refMergeOnce(sym: List[String], a: String,
+      b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    sym.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b) {
+        out.remove(out.length - 1); out += (a + b)
+      } else out += x
+    }
+    out.toList
+  }
+
+  private def refTrain(corpus: Seq[String],
+      numMerges: Int): Seq[(String, String)] = {
+    var words = refWordFreq(corpus)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.size < numMerges && continue) {
+      val pairCounts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        sym.zip(sym.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+        }
+      }
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val (a, b) = pairCounts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head._1
+        merges += ((a, b))
+        words = words.toSeq.map { case (s, f) =>
+          refMergeOnce(s, a, b) -> f
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      }
+    }
+    merges.toSeq
+  }
+
+  // --- tests ---------------------------------------------------------------
+
+  test("learns the classic merge sequence on the textbook corpus") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Tokenizer.bpeTrain(docs, numMerges = 4)
+    assert(got === refTrain(corpus, 4))
+    // the famous first merges: (e,s) then (es,t) dominate "newest/widest"
+    assert(got.take(2) === Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("bpeApply tokenizes greedily with the learned merges") {
+    val docs = Seq((1L, "newest newest low")).toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("n", "e"))
+    val got = Tokenizer.bpeApply(docs, merges).head()
+      .getSeq[String](1).toList
+    assert(got === List("ne", "w", "est", "ne", "w", "est", "l", "o", "w"))
+  }
+
+  test("property: distributed training equals the reference on random " +
+    "corpora (counts, tie-breaks, greedy merge all agree)") {
+    val genWord = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val genCorpus = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, genWord))
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      Tokenizer.bpeTrain(docs, numMerges = 5) == refTrain(corpus, 5)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("plan: training leaves no corpus lineage — the word table is " +
+    "checkpointed per round") {
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    // exhausting the pairs stops early and must not loop forever
+    val merges = Tokenizer.bpeTrain(docs, numMerges = 50)
+    assert(merges.nonEmpty && merges.size < 50)
+  }
+}
