@@ -2727,6 +2727,35 @@ object TextQueries {
         FROM w
         ORDER BY doc_id""")),
 
+    // ----- q183b: BPE merge-CHAIN tokenization — the second merge
+    // consumes the FIRST merge's output symbol ((e,s) then (es,t)), the
+    // interaction a single-merge check can't see. Replayable in SQL via
+    // sentinel-char replaces: each replace() is the same greedy-left
+    // non-overlapping pass as the per-word fold, and chr(1)/chr(2) do
+    // not occur in the corpus (checked), so tokens = nonspace chars −
+    // round-1 collapses − round-2 collapses.
+    Q("q183b_bpe_merge_chain",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeApply(documents(s, d), Seq(("e", "s"), ("es", "t")))
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        r1 AS (
+          SELECT doc_id, t, replace(t, 'es', chr(1)) AS t1 FROM w),
+        r2 AS (
+          SELECT doc_id, t, t1,
+                 replace(t1, chr(1) || 't', chr(2)) AS t2
+          FROM r1)
+        SELECT doc_id,
+               (length(regexp_replace(t, '\s', '', 'g'))
+                - (length(t) - length(t1))
+                - (length(t1) - length(t2)))::INT AS n_tokens
+        FROM r2
+        ORDER BY doc_id""")),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,
