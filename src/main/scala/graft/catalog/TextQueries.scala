@@ -2756,6 +2756,35 @@ object TextQueries {
         FROM r2
         ORDER BY doc_id""")),
 
+    // ----- q184: production-scale BPE application (Tokenizer
+    // .bpeApplyLarge) — the mapPartitions + broadcast-rules +
+    // distinct-word-memo twin of the expression-fold q183b, the path a
+    // real 30k-merge vocabulary needs (the fold nests one aggregate per
+    // rule). Same sentinel-replace oracle as q183b — both engines, both
+    // paths, one answer; the full equivalence under trained merge lists
+    // is property-pinned in TokenizerSpec.
+    Q("q184_bpe_tokenize_large",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeApplyLarge(documents(s, d), Seq(("e", "s"), ("es", "t")))
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        r1 AS (
+          SELECT doc_id, t, replace(t, 'es', chr(1)) AS t1 FROM w),
+        r2 AS (
+          SELECT doc_id, t, t1,
+                 replace(t1, chr(1) || 't', chr(2)) AS t2
+          FROM r1)
+        SELECT doc_id,
+               (length(regexp_replace(t, '\s', '', 'g'))
+                - (length(t) - length(t1))
+                - (length(t1) - length(t2)))::INT AS n_tokens
+        FROM r2
+        ORDER BY doc_id""")),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,

@@ -104,6 +104,57 @@ object Tokenizer {
       flatten(filter(tokensPerWord, a => size(a) > 0)).as("tokens"))
   }
 
+  /** [[bpeApply]] for REAL vocabularies: the expression fold nests one
+    * `aggregate` per merge, which is fine for a handful of rules and
+    * unusable at a production 30k-merge table. This twin runs the SAME
+    * sequential greedy-left semantics (spec-pinned equal to
+    * [[bpeApply]]) as a per-partition Scala tokenizer over a BROADCAST
+    * merge array, with two standard production tricks:
+    * a substring prefilter (merge (a,b) can only apply to a word whose
+    * raw text contains `a+b` contiguously) and a per-partition
+    * distinct-word memo (a corpus tokenizes its VOCABULARY, not its
+    * token stream). mapPartitions is the honest tool here — per-word
+    * imperative iteration over 30k rules is exactly the "genuine
+    * per-partition imperative logic" case. */
+  def bpeApplyLarge(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rules = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def tokenizeWord(w: String): Array[String] = {
+          val cached = memo.get(w)
+          if (cached != null) return cached
+          var sym: Array[String] = w.split("").filter(_.nonEmpty)
+          rules.foreach { case (a, b) =>
+            if (w.contains(a + b) && sym.length > 1) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](
+                sym.length)
+              sym.foreach { x =>
+                if (out.nonEmpty && out.last == a && x == b) {
+                  out.remove(out.length - 1); out += (a + b)
+                } else out += x
+              }
+              sym = out.toArray
+            }
+          }
+          memo.put(w, sym)
+          sym
+        }
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim.toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+            .flatMap(tokenizeWord)
+          (id, toks.toSeq)
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
+
   /** Training summary as a relation (for the catalog): one row per
     * learned merge, in training order. */
   def bpeMergeTable(docs: DataFrame, numMerges: Int,

@@ -96,6 +96,30 @@ class TokenizerSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: bpeApplyLarge (mapPartitions + memo + prefilter) " +
+    "equals the expression-fold bpeApply under TRAINED merge lists") {
+    val genWord = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val genCorpus = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, genWord))
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // trained merges chain (later rules consume earlier outputs) —
+      // the realistic rule shape
+      val merges = refTrain(corpus, 6)
+      val small = Tokenizer.bpeApply(docs, merges)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+      val large = Tokenizer.bpeApplyLarge(docs, merges)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+      small == large
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan: training leaves no corpus lineage — the word table is " +
     "checkpointed per round") {
     val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
