@@ -2706,6 +2706,28 @@ object TextQueries {
           .orderBy("step"),
       None),
 
+    // ----- q185: PRODUCTION-SCALE BPE training — the round-9 weak item
+    // closed. One distributed corpus pass builds the (unit, freq) table
+    // (3-word pre-tokenization units here so the synthetic corpus's
+    // 31-word vocabulary expands to ~27k trainable units at sf0.1);
+    // the merge loop then runs DRIVER-LOCAL with incremental pair-count
+    // maintenance + an ordered argmax index (Tokenizer.bpeTrainLocal) —
+    // 1,200 merges in ~a second of driver CPU and exactly TWO Spark
+    // jobs total (count + collect of the vocabulary-bounded table),
+    // vs 1,200 jobs for the old per-merge loop. Rows-only BY DESIGN
+    // with the q182 discipline, but stronger: TokenizerSpec pins the
+    // full 1,000-merge trajectory (counts, tie-breaks, greedy merges)
+    // equal to an independent in-memory reference implementation, and
+    // the routed path equal to the forced-distributed loop on random
+    // corpora.
+    Q("q185_bpe_train_scale",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeMergeTable(documents(s, d), numMerges = 1200,
+            wordsPerUnit = 3)
+          .orderBy("step"),
+      None),
+
     // ----- q183: BPE single-merge tokenization effect — the one merge
     // configuration an external engine CAN replay exactly: applying
     // merge (e,s) greedily left-to-right collapses exactly the

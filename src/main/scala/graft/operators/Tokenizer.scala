@@ -10,17 +10,18 @@ import org.apache.spark.sql.functions._
   * distributes cleanly if the corpus is touched exactly once:
   *
   *   1. ONE corpus pass builds the (word, freq) table — whitespace
-  *      words, each split into single-character symbol arrays. The
-  *      corpus never participates again.
-  *   2. Each merge round runs entirely on the word table (bounded by
-  *      DISTINCT-word count, not corpus size): count adjacent symbol
-  *      pairs weighted by word freq (map-side combinable groupBy), pick
-  *      the argmax pair (1-row driver action; ties broken
-  *      lexicographically so training is deterministic), and rewrite
-  *      the symbol arrays with a greedy left-to-right fold.
-  *   3. `localCheckpoint` cuts lineage each round — the plan stays
-  *      round-count-independent, same discipline as
-  *      [[WebGraph.pageRank]] (PlanPinsSpec model).
+  *      words (or n-word units), each split into single-character
+  *      symbol arrays. The corpus never participates again.
+  *   2. The merge loop runs over that vocabulary-bounded table. Since
+  *      round 10 the front door collects it (millions of distinct words
+  *      fit on any driver) and trains DRIVER-LOCAL with incremental
+  *      pair-count maintenance + an ordered argmax index
+  *      ([[bpeTrainLocal]]) — 30k merges in seconds with zero extra
+  *      Spark jobs, the same loop shape HF/sentencepiece trainers use.
+  *      Only a vocabulary too big to collect falls back to the
+  *      one-job-per-merge distributed loop ([[bpeTrainDistributed]]),
+  *      whose `localCheckpoint` per round keeps the plan
+  *      round-count-independent.
   *
   * At 100 TB the word table is the tokenizer-training working set
   * (millions of distinct words, not billions of tokens) — the shape
@@ -45,19 +46,146 @@ object Tokenizer {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
-  /** The one corpus pass: (word, freq, sym) with single-char symbols. */
-  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+  /** The one corpus pass: (word, freq, sym) with single-char symbols.
+    * `wordsPerUnit` is the pre-tokenization granularity — 1 trains over
+    * whitespace words (the Sennrich setup); n>1 groups n consecutive
+    * words into one space-joined unit (the GPT-2-style "merges may
+    * capture space-adjacent context" setup, with ' ' as an ordinary
+    * symbol). A coarser unit grows the trainable vocabulary without
+    * changing the algorithm. */
+  private def wordTable(docs: DataFrame, textCol: String,
+      wordsPerUnit: Int): DataFrame = {
+    val ws = filter(split(trim(lower(col(textCol))), "\\s+"),
+      s => length(s) > 0)
+    val units =
+      if (wordsPerUnit <= 1) explode(ws)
+      else explode(transform(
+        sequence(lit(0),
+          floor((size(ws) - 1) / wordsPerUnit).cast("int")),
+        i => array_join(
+          slice(ws, i * wordsPerUnit + 1, lit(wordsPerUnit)), " ")))
     docs
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .select(units.as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("sym",
         filter(split(col("w"), ""), s => length(s) > 0))
+  }
 
-  /** Learn `numMerges` merges. @return the ordered merge list. */
+  /** Learn `numMerges` merges over `docs`. Routes by vocabulary size:
+    * the (word, freq) table is vocabulary-bounded (millions of distinct
+    * words at 100 TB, not billions of tokens), so after the ONE
+    * distributed corpus pass the merge loop runs DRIVER-LOCAL with
+    * incrementally-maintained pair counts ([[bpeTrainLocal]]) — the
+    * shape every production BPE/WordPiece trainer uses — falling back to
+    * the one-job-per-merge distributed loop ([[bpeTrainDistributed]])
+    * only when the vocabulary exceeds `maxLocalWords`.
+    * @return the ordered merge list. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): Seq[(String, String)] = {
-    var words = wordTable(docs, textCol).localCheckpoint()
+      textCol: String = "text", wordsPerUnit: Int = 1,
+      maxLocalWords: Long = 2000000L): Seq[(String, String)] = {
+    val words = wordTable(docs, textCol, wordsPerUnit).localCheckpoint()
+    try {
+      if (words.count() <= maxLocalWords) {
+        val wf = words.select("w", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        bpeTrainLocal(wf, numMerges)
+      } else bpeTrainDistributed(words, numMerges)
+    } finally words.unpersist()
+  }
+
+  /** Driver-local merge loop over a collected (word, freq) table —
+    * O(affected-words) incremental pair-count maintenance per merge and
+    * an ordered index for the argmax, so 30k merges cost seconds, not
+    * 30k Spark jobs. Trajectory-identical to [[bpeTrainDistributed]]
+    * and to TokenizerSpec's independent reference implementation
+    * (same greedy-left merge, same (count desc, pair asc) tie-break) —
+    * property-pinned on randomized corpora. */
+  def bpeTrainLocal(wordFreqs: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // consolidate duplicates defensively (input is normally distinct)
+    val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
+    val syms: Array[Array[String]] =
+      wf.map(_._1.split("").filter(_.nonEmpty))
+    val freqs: Array[Long] = wf.map(_._2)
+
+    def pairMultiset(sym: Array[String]): mutable.Map[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i < sym.length - 1) {
+        val p = (sym(i), sym(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    def mergeOnceLocal(sym: Array[String], a: String,
+        b: String): Array[String] = {
+      val out = new mutable.ArrayBuffer[String](sym.length)
+      sym.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b) {
+          out.remove(out.length - 1); out += (a + b)
+        } else out += x
+      }
+      out.toArray
+    }
+
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // ordered argmax index: (count desc, a asc, b asc) — the reference
+    // tie-break, kept in lock-step with pairCounts
+    val index = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
+        Ordering[String]))
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCounts.getOrElse(p, 0L)
+      if (old != 0L) index.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw > 0L) { pairCounts(p) = nw; index.add((nw, p._1, p._2)) }
+      else { pairCounts.remove(p); pairWords.remove(p) }
+    }
+
+    var i = 0
+    while (i < syms.length) {
+      pairMultiset(syms(i)).foreach { case (p, k) =>
+        bump(p, k.toLong * freqs(i))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+      }
+      i += 1
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < numMerges && index.nonEmpty) {
+      val (_, a, b) = index.head
+      merges += ((a, b))
+      val affected = pairWords.get((a, b))
+        .map(_.toArray).getOrElse(Array.emptyIntArray)
+      affected.foreach { w =>
+        val before = pairMultiset(syms(w))
+        syms(w) = mergeOnceLocal(syms(w), a, b)
+        val after = pairMultiset(syms(w))
+        (before.keySet ++ after.keySet).foreach { p =>
+          val d = after.getOrElse(p, 0) - before.getOrElse(p, 0)
+          if (d != 0) bump(p, d.toLong * freqs(w))
+          if (after.getOrElse(p, 0) > 0)
+            pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+          else pairWords.get(p).foreach(_ -= w)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The one-Spark-job-per-merge loop — the fallback for a vocabulary
+    * too large to collect (beyond [[bpeTrain]]'s `maxLocalWords`).
+    * Correct but scheduling-bound at production merge counts; the
+    * routed [[bpeTrain]] front door prefers [[bpeTrainLocal]]. Takes
+    * the (w, freq, sym) word table from the single corpus pass. */
+  def bpeTrainDistributed(wordTbl: DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
+    var words = wordTbl.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
@@ -146,7 +274,11 @@ object Tokenizer {
           sym
         }
         it.map { case (id, text) =>
-          val toks = Option(text).getOrElse("").trim.toLowerCase
+          // Locale.ROOT matches Spark's locale-independent lower() —
+          // under a Turkish default locale plain toLowerCase maps
+          // 'I'→'ı' and the spec-pinned twins would diverge
+          val toks = Option(text).getOrElse("").trim
+            .toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
             .flatMap(tokenizeWord)
           (id, toks.toSeq)
@@ -158,10 +290,10 @@ object Tokenizer {
   /** Training summary as a relation (for the catalog): one row per
     * learned merge, in training order. */
   def bpeMergeTable(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", wordsPerUnit: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, numMerges, textCol).zipWithIndex
+    bpeTrain(docs, numMerges, textCol, wordsPerUnit).zipWithIndex
       .map { case ((a, b), i) => (i, a, b, a + b) }
       .toDF("step", "left", "right", "merged")
   }

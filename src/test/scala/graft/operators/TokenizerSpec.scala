@@ -34,8 +34,12 @@ class TokenizerSpec extends AnyFunSuite {
   }
 
   private def refTrain(corpus: Seq[String],
+      numMerges: Int): Seq[(String, String)] =
+    refTrainWF(refWordFreq(corpus), numMerges)
+
+  private def refTrainWF(wordFreq: Map[List[String], Long],
       numMerges: Int): Seq[(String, String)] = {
-    var words = refWordFreq(corpus)
+    var words = wordFreq
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (merges.size < numMerges && continue) {
@@ -80,8 +84,8 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got === List("ne", "w", "est", "ne", "w", "est", "l", "o", "w"))
   }
 
-  test("property: distributed training equals the reference on random " +
-    "corpora (counts, tie-breaks, greedy merge all agree)") {
+  test("property: routed (driver-local) training equals the reference " +
+    "on random corpora (counts, tie-breaks, greedy merge all agree)") {
     val genWord = Gen.choose(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
     val genCorpus = Gen.choose(1, 12).flatMap(n =>
@@ -94,6 +98,66 @@ class TokenizerSpec extends AnyFunSuite {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("property: forced-distributed training (maxLocalWords=0) equals " +
+    "the routed driver-local path and the reference") {
+    val genWord = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val genCorpus = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, genWord))
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val dist = Tokenizer.bpeTrain(docs, numMerges = 4,
+        maxLocalWords = 0L)
+      dist == refTrain(corpus, 4) &&
+        dist == Tokenizer.bpeTrain(docs, numMerges = 4)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("wordsPerUnit=2 trains over space-joined 2-word units (trailing " +
+    "partial unit kept) — equal to the reference over the same units") {
+    val corpus = Seq("the cat sat on the mat", "the cat ran",
+      "on the mat the cat sat")
+    val units = corpus.flatMap { t =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .grouped(2).map(_.mkString(" "))
+    }
+    val wf = units.groupBy(identity).map { case (u, us) =>
+      u.split("").filter(_.nonEmpty).toList -> us.size.toLong
+    }
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Tokenizer.bpeTrain(docs, numMerges = 8, wordsPerUnit = 2)
+    assert(got === refTrainWF(wf, 8))
+    // space participates as an ordinary symbol: some learned merge
+    // should span a word boundary once in-word pairs are consumed
+    assert(got.size === 8)
+  }
+
+  test("driver-local trainer handles 1000+ merges over a large random " +
+    "vocabulary, trajectory-equal to the reference") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val wf = (1 to 2000).map { _ =>
+      val len = 4 + rnd.nextInt(7)
+      val w = (1 to len).map(_ => alphabet(rnd.nextInt(26))).mkString
+      (w, (1 + rnd.nextInt(100)).toLong)
+    }.groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    val t0 = System.nanoTime()
+    val got = Tokenizer.bpeTrainLocal(wf, numMerges = 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size === 1000)
+    // loose tripwire only — the bench entry (q185) records the real time
+    assert(secs < 120.0, s"driver-local 1000-merge train took $secs s")
+    val refWf = wf.map { case (w, f) =>
+      w.split("").filter(_.nonEmpty).toList -> f
+    }.toMap
+    assert(got === refTrainWF(refWf, 1000))
   }
 
   test("property: bpeApplyLarge (mapPartitions + memo + prefilter) " +
