@@ -2666,9 +2666,11 @@ object TextQueries {
           SELECT url, fetched_at,
                  regexp_extract(payload, '^HTTP/[0-9.]+\s+(\d{3})', 1)::INT
                    AS http_status,
-                 substr(payload,
-                   strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
-                   AS body
+                 CASE WHEN strpos(payload,
+                        chr(13)||chr(10)||chr(13)||chr(10)) > 0
+                      THEN substr(payload, strpos(payload,
+                        chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+                      ELSE NULL END AS body
           FROM resp)
         SELECT url, fetched_at, http_status,
                trim(regexp_replace(

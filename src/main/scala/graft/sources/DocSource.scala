@@ -98,35 +98,35 @@ object DocSource {
     * crawls (CommonCrawl ships ~100 TB/month of it), and therefore the
     * front door of most LLM training pipelines.
     *
-    * Scale design: records are split with Hadoop's record-delimiter
-    * text input (`textinputformat.record.delimiter` =
-    * `\r\n\r\nWARC/1.0\r\n`), which is BLOCK-SPLITTABLE — a multi-GB
-    * .warc parallelizes across executors on block boundaries with no
-    * per-file driver work, the same property the JSONL/CSV readers
-    * guarantee. Everything after the split is one codegen'd projection:
-    * header fields by anchored regex, payload framed by slicing exactly
-    * `Content-Length` BYTES (slice on the UTF-8 `encode` of the tail —
-    * a char slice would mis-frame every multibyte payload).
+    * Scale design: records are split by [[WarcInputFormat]], a custom
+    * splittable input format with STRICT Content-Length byte framing —
+    * a multi-GB .warc parallelizes across executors on block boundaries
+    * with no per-file driver work (readers sync to a VALIDATED record
+    * boundary, then frame every record by reading exactly
+    * `Content-Length` payload bytes). A payload containing the bytes
+    * `\r\n\r\nWARC/` therefore canNOT split a record early — the
+    * round-9 record-delimiter scan's documented edge, closed. After the
+    * framed read, parsing is one codegen'd projection: header fields by
+    * anchored regex, payload re-sliced to `Content-Length` BYTES on the
+    * UTF-8 `encode` of the tail (a char slice would mis-frame every
+    * multibyte payload).
     *
     * Records whose mandatory framing is missing (no parseable
     * Content-Length) surface with NULL data columns and the raw record
     * in `_corrupt` — the JSONL PERMISSIVE discipline; a crawl shard with
-    * one mangled record must not kill the pipeline.
+    * one mangled record must not kill the pipeline. ([[WarcInputFormat]]
+    * recovers them by scanning to the next validated boundary.)
     *
     * Honest limits, documented as such: payloads are treated as UTF-8
     * text (binary payloads — gzip members, images — belong to the
     * binaryFile/multimodal path, [[graft.operators.Multimodal]]); a
-    * payload CONTAINING the delimiter byte sequence (`\r\n\r\nWARC/`)
-    * would split early (never observed in practice; strict
-    * Content-Length framing needs a custom InputFormat, the upgrade
-    * path if it ever matters).
+    * payload embedding a COMPLETE valid WARC header block that ALSO
+    * straddles an input-split boundary can still fool the split sync —
+    * whole-file context no splittable reader has.
     *
-    * The delimiter is VERSION-AGNOSTIC (`WARC/` without the number):
-    * pinning `WARC/1.0` would make every record after the first in a
-    * WARC/1.1 file (wget ≥1.19, modern IIPC tooling) vanish silently
-    * into the first record's discarded tail — well-formed input, total
-    * data loss. The version remnant left by the split is stripped per
-    * record.
+    * The format is VERSION-AGNOSTIC (`WARC/d.d` accepted): pinning
+    * `WARC/1.0` would silently lose every record of a WARC/1.1 file
+    * (wget ≥1.19, modern IIPC tooling).
     *
     * `.warc.gz` works through Hadoop's codec auto-detection (spec'd),
     * with the standard gzip trade: a gzipped file decompresses in ONE
@@ -135,22 +135,21 @@ object DocSource {
     * `path` may be a file, directory, or glob.
     */
   def warc(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.io.{LongWritable, Text}
-    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    import org.apache.hadoop.io.{BytesWritable, LongWritable}
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/")
     val raw = spark.sparkContext
-      .newAPIHadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], conf)
-      .map(_._2.toString) // copy out of Hadoop's reused Text buffer
+      .newAPIHadoopFile(path, classOf[WarcInputFormat],
+        classOf[LongWritable], classOf[BytesWritable], conf)
+      .map { case (_, v) => // copy out of Hadoop's reused buffer
+        new String(v.copyBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      }
     val df = spark.createDataFrame(
       raw.map(org.apache.spark.sql.Row(_)),
       StructType(Seq(StructField("rec", StringType))))
-    // After the split, every record but the file-leading one starts with
-    // the version remnant ("1.0\r\n" / "1.1\r\n"); the leading one keeps
-    // its full "WARC/x.y\r\n" line. Strip either form, then split
-    // headers from payload at the first blank line.
+    // Every framed record starts with its full "WARC/x.y\r\n" line
+    // (recovered corrupt chunks may not). Strip it, then split headers
+    // from payload at the first blank line.
     def hdr(name: String) =
       regexp_extract(col("headers"), "(?mi)^" + name + ":\\s*(.+?)\\r?$", 1)
     val parsed = df
@@ -195,7 +194,12 @@ object DocSource {
         regexp_extract(col("payload"), "^HTTP/[0-9.]+\\s+(\\d{3})", 1)
           .cast("int"))
       .withColumn("http_body",
-        expr("substring(payload, instr(payload, '\r\n\r\n') + 4)"))
+        // a response with no header terminator has no body — instr()=0
+        // would otherwise silently yield substring(payload, 4): the
+        // status line and headers, minus 3 chars, AS the document text
+        when(instr(col("payload"), "\r\n\r\n") > 0,
+          expr("substring(payload, instr(payload, '\r\n\r\n') + 4)"))
+          .otherwise(lit(null).cast("string")))
     resp.select(
       col("target_uri").as("url"),
       col("warc_date").as("fetched_at"),

@@ -44,10 +44,27 @@ object WarcFixtureGen {
       "http://example.org/c", "application/http;msgtype=response",
       "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" +
         "not here"),
-    // Corrupt: Content-Length header missing entirely.
+    // Corrupt: Content-Length header missing entirely. Mid-file, so the
+    // reader's recovery scan must hand off cleanly to the next record.
     Rec("response", "<urn:uuid:0006>", "2026-01-01T00:00:05Z",
       "http://example.org/d", "text/plain", "orphan payload",
-      corrupt = true))
+      corrupt = true),
+    // Strict-framing proof: the payload CONTAINS the record-delimiter
+    // byte sequence (`\r\n\r\nWARC/`) — the r9 record-delimiter scan
+    // split this record early; Content-Length framing reads straight
+    // through it. The embedded fragment deliberately has no
+    // Content-Length, so a split-sync candidate landing on it is
+    // rejected by head validation.
+    Rec("response", "<urn:uuid:0007>", "2026-01-01T00:00:06Z",
+      "http://example.org/e", "application/http;msgtype=response",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+        "tutorial: a WARC record begins\r\n\r\nWARC/1.0\r\n" +
+        "WARC-Type: response\r\nlike that, and ends after its payload"),
+    // Headerless HTTP response: no \r\n\r\n terminator anywhere in the
+    // payload — warcDocs must surface NULL text, not header garbage.
+    Rec("response", "<urn:uuid:0008>", "2026-01-01T00:00:07Z",
+      "http://example.org/f", "application/http;msgtype=response",
+      "HTTP/1.1 204 No Content\r\nServer: fixture"))
 
   /** The one WARC record serializer — the fixture bytes AND the property
     * test's generated files both come from here, so a framing change

@@ -14,8 +14,9 @@ import graft.tools.WarcFixtureGen.Rec
   * serialized — by the SAME serializer that writes the committed
   * fixture, so the framing under test cannot diverge from the golden's
   * — and must parse back EXACTLY, for both WARC/1.0 and WARC/1.1
-  * version lines. Payloads exclude the record delimiter byte sequence,
-  * the reader's one documented framing limit (DocSource.warc scaladoc).
+  * version lines. Since the strict Content-Length InputFormat, payloads
+  * may freely CONTAIN the record-delimiter byte sequence — the
+  * generator deliberately includes that fragment.
   */
 class WarcPropertySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -23,7 +24,7 @@ class WarcPropertySpec extends AnyFunSuite {
   private val genPayload: Gen[String] = Gen.oneOf(
     // prose with newlines and CRLF
     Gen.listOf(Gen.oneOf("word", "línea", "日本語", "a&b<c>", "\r\n", "\n",
-      " ", "é")).map(_.mkString),
+      " ", "é", "\r\n\r\nWARC/1.0\r\n")).map(_.mkString),
     // HTTP-ish envelope
     Gen.alphaNumStr.map(b =>
       s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$b"),
@@ -45,10 +46,8 @@ class WarcPropertySpec extends AnyFunSuite {
     } yield (rs, v)
     val prop = Prop.forAll(gen) { case (recs0, version) =>
       val recs = recs0.zipWithIndex.map { case (r, i) =>
-          r.copy(recordId = s"<urn:uuid:$i>")
-        }
-        // documented limit: payload must not embed the record delimiter
-        .filterNot(_.payload.contains("\r\n\r\nWARC/"))
+        r.copy(recordId = s"<urn:uuid:$i>")
+      }
       if (recs.isEmpty) Prop.passed else Prop.secure {
         val dir = Files.createTempDirectory("graft_warc_prop")
         val f = dir.resolve("t.warc")

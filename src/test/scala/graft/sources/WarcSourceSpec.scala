@@ -112,7 +112,7 @@ class WarcSourceSpec extends AnyFunSuite {
 
   test("warcDocs de-envelopes HTTP responses and strips markup") {
     val docs = DocSource.warcDocs(spark, warcPath).orderBy("url").collect()
-    assert(docs.length === 2)
+    assert(docs.length === 4)
     val a = docs(0)
     assert(a.getAs[String]("url") === "http://example.org/a")
     assert(a.getAs[Int]("http_status") === 200)
@@ -122,5 +122,36 @@ class WarcSourceSpec extends AnyFunSuite {
       s"markup or script leaked: $text")
     assert(docs(1).getAs[Int]("http_status") === 404)
     assert(docs(1).getAs[String]("text") === "not here")
+  }
+
+  test("a payload CONTAINING the record-delimiter bytes does not split " +
+    "the record — whole-file and sub-record-split parses both exact") {
+    val rec = WarcFixtureGen.records
+      .find(_.recordId == "<urn:uuid:0007>").get
+    assert(rec.payload.contains("\r\n\r\nWARC/"), "fixture precondition")
+    def payloadOf(): String = DocSource.warcRecords(spark, warcPath)
+      .filter(col("record_id") === "<urn:uuid:0007>")
+      .select("payload").head().getString(0)
+    assert(payloadOf() === rec.payload)
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get(key))
+    try {
+      hc.set(key, "150") // force many mid-record and mid-payload splits
+      assert(payloadOf() === rec.payload)
+      assert(DocSource.warcRecords(spark, warcPath).count() ===
+        WarcFixtureGen.records.count(!_.corrupt).toLong)
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
+  test("a headerless HTTP response yields NULL text from warcDocs, " +
+    "not header garbage") {
+    val row = DocSource.warcDocs(spark, warcPath)
+      .filter(col("url") === "http://example.org/f").head()
+    assert(row.getAs[Int]("http_status") === 204)
+    assert(row.getAs[String]("text") === null)
   }
 }
