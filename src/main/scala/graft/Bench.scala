@@ -101,7 +101,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     case class Sample(wall: Double, startedAt: Long, loadAt: Double,
-        gcSec: Double, cpuSec: Double, jitSec: Double)
+        loadAfter: Double, gcSec: Double, cpuSec: Double, jitSec: Double)
     // HotSpot compiler-thread time: a one-shot query's generated classes
     // are Janino'd + C2-compiled DURING the query, and those compiler
     // threads land in process CPU. Profiling q25s cold: 107 cpu-sec =
@@ -123,33 +123,54 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val loadAfter = osBean.getSystemLoadAverage
       val gcSec = (gcMillis - gc0) / 1e3
       val cpuSec = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
       val jitSec = (jitBean.getTotalCompilationTime - jit0) / 1e3
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  " +
-        f"(cpu $cpuSec%.1f s, jit $jitSec%.1f s, gc $gcSec%.1f s, $n rows$tag)")
-      Sample(sec, startedAt, loadAt, gcSec, cpuSec, jitSec)
+        f"(cpu $cpuSec%.1f s, jit $jitSec%.1f s, gc $gcSec%.1f s, " +
+        f"load $loadAt%.1f→$loadAfter%.1f, $n rows$tag)")
+      Sample(sec, startedAt, loadAt, loadAfter, gcSec, cpuSec, jitSec)
     }
 
-    val firstPass = selected.map { case (name, fn) => (name, fn, runOnce(name, fn, "")) }
-    // Self-correcting retry pass: a query whose process-CPU/wall ratio is
-    // below 2 cores on a 32-thread session was starved by OTHER host load —
-    // its wall time is an environment number, not an engine number. Re-run
-    // each such query once (skipping sub-0.3 s noise) and report the
-    // best-of-two as the headline time; both samples stay in the detail so
-    // a contended driver run is self-adjudicating without a judge re-run.
-    val results = firstPass.map { case (name, fn, s1) =>
-      val starved = s1.cpuSec > 0 && s1.cpuSec / math.max(s1.wall, 1e-9) < 2.0
-      val retry = if (starved && s1.wall >= 0.3) Some(runOnce(name, fn, ", retry")) else None
-      val best = retry.filter(_.wall < s1.wall).getOrElse(s1)
-      (name, best, s1, retry)
+    // Self-correcting retry pass, round-10 policy. The r9 gate (cpu/wall
+    // < 2 cores) caught STARVED queries but missed SLOWED ones — tasks
+    // competing with load-13 host activity still burn CPU, so cpu/wall
+    // stays high while wall inflates (q25e r9: cpu/wall ≈ 16 at load
+    // 13.5, 8× the quiet wall). It also fired for genuinely light
+    // single-threaded queries on a quiet host, and best-of-two is a
+    // one-sided estimator that biased headline walls low. New policy:
+    //   - TRIGGER on environment only: retry (up to twice) while the
+    //     load average observed at the sample's start OR end exceeds
+    //     cpus/4 (queries under 0.3 s stay single-sample noise);
+    //   - PICK by environment, not outcome: the reported sample is the
+    //     one with the LOWEST observed load (tie → shortest wall) — a
+    //     quiet-host sample beats a contended one regardless of which
+    //     wall happens to be smaller, and on a quiet host nothing ever
+    //     retries, so quiet-run numbers are methodology-identical to a
+    //     single pass;
+    //   - every sample is recorded in the detail JSON (`samples` +
+    //     `picked`), so a contended driver run stays self-adjudicating.
+    val loadThresh = math.max(4.0, nProc / 4.0)
+    def contended(s: Sample): Boolean =
+      math.max(s.loadAt, s.loadAfter) > loadThresh
+    val results = selected.map { case (name, fn) =>
+      val s1 = runOnce(name, fn, "")
+      val samples = scala.collection.mutable.ArrayBuffer(s1)
+      while (samples.size < 3 && contended(samples.last) &&
+          samples.last.wall >= 0.3)
+        samples += runOnce(name, fn, s", retry ${samples.size}")
+      val picked = samples.zipWithIndex.minBy { case (s, _) =>
+        (math.max(s.loadAt, s.loadAfter), s.wall)
+      }._2
+      (name, samples.toSeq, picked)
     }
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
-    val total = results.map(_._2.wall).sum
-    val times = results.map { case (k, best, _, _) => k -> best.wall }
+    val total = results.map { case (_, ss, p) => ss(p).wall }.sum
+    val times = results.map { case (k, ss, p) => k -> ss(p).wall }
     // Detail filename: explicit env override, else derived from the
     // driver's round number, else the round-agnostic default (driver or
     // builder renames on commit). No per-round source edit required.
@@ -159,29 +180,33 @@ object Bench {
         f"BENCH_DETAIL_r${scala.util.Try(n.toInt).getOrElse(0)}%02d.json"
       })
       .getOrElse("BENCH_DETAIL.json")
-    // Per-query diagnostics: epoch-ms start, the load average sampled
-    // right before the query began, stop-the-world GC seconds inside the
-    // query (gc ≈ wall ⇒ heap thrash), and process CPU seconds (cpu/wall
-    // ≪ 1 core ⇒ the process was starved by other host load and the wall
-    // time is not an engine number). Every non-retry field comes from the
-    // FIRST sample — mixing fields across samples would let a consumer
-    // correlate one run's load with the other's cpu. Retried queries
-    // carry the retry's full sample alongside; only the headline wall in
-    // `queries` is best-of-two.
+    // Per-query diagnostics. Top-level fields come from the PICKED
+    // sample (the one whose wall is the headline number in `queries`),
+    // so load/gc/cpu/jit always describe the reported measurement.
+    // Retried queries additionally carry EVERY sample (`samples`, in run
+    // order) and the picked index, so a contended run is fully
+    // re-adjudicable from the detail alone. cpu/wall ≪ 1 core ⇒ starved;
+    // gc ≈ wall ⇒ heap thrash; load > cpus/4 ⇒ contended environment.
+    def sampleJson(s: Sample): String =
+      "{\"wall\":" + f3(s.wall) + ",\"start_ms\":" + s.startedAt +
+        ",\"load\":" + f3(s.loadAt) +
+        ",\"load_after\":" + f3(s.loadAfter) +
+        ",\"gc_sec\":" + f3(s.gcSec) + ",\"cpu_sec\":" + f3(s.cpuSec) +
+        ",\"jit_sec\":" + f3(s.jitSec) + "}"
     val perQuery = results.map {
-      case (k, _, s1, retry) =>
-        val retryJson = retry.map { r =>
-          ",\"retried\":true,\"wall_first\":" + f3(s1.wall) +
-            ",\"wall_retry\":" + f3(r.wall) +
-            ",\"cpu_sec_retry\":" + f3(r.cpuSec) +
-            ",\"gc_sec_retry\":" + f3(r.gcSec) +
-            ",\"jit_sec_retry\":" + f3(r.jitSec) +
-            ",\"load_retry\":" + f3(r.loadAt)
-        }.getOrElse("")
-        "\"" + k + "\":{\"start_ms\":" + s1.startedAt +
-          ",\"load\":" + f3(s1.loadAt) + ",\"gc_sec\":" + f3(s1.gcSec) +
-          ",\"cpu_sec\":" + f3(s1.cpuSec) +
-          ",\"jit_sec\":" + f3(s1.jitSec) + retryJson + "}"
+      case (k, samples, picked) =>
+        val s = samples(picked)
+        val retryJson =
+          if (samples.size == 1) ""
+          else ",\"retried\":true,\"picked\":" + picked +
+            ",\"samples\":" +
+            samples.map(sampleJson).mkString("[", ",", "]")
+        "\"" + k + "\":{\"start_ms\":" + s.startedAt +
+          ",\"load\":" + f3(s.loadAt) +
+          ",\"load_after\":" + f3(s.loadAfter) +
+          ",\"gc_sec\":" + f3(s.gcSec) +
+          ",\"cpu_sec\":" + f3(s.cpuSec) +
+          ",\"jit_sec\":" + f3(s.jitSec) + retryJson + "}"
     }.mkString("{", ",", "}")
     // Streaming throughput (VERDICT r8 #6): sustained events/sec through
     // sessionize and watermarked dedup over a backlogged rate source —
