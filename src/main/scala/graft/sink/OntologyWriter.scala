@@ -56,6 +56,10 @@ private[sink] final case class RenderResult(
   */
 object OntologyWriter {
 
+  /** Max (code, error) pairs the distributed writer ships to the driver
+    * for the S6 error log; the total error COUNT stays exact past it. */
+  private[sink] val ErrorLogCap = 1000
+
   def write(
       spark: SparkSession,
       source: UmlsSource,
@@ -191,7 +195,8 @@ object OntologyWriter {
     val dupL = sc.longAccumulator("graft.dupLiteral")
     val dupO = sc.longAccumulator("graft.dupObject")
     val dupS = sc.longAccumulator("graft.dupSubclass")
-    val errRows = sc.collectionAccumulator[(String, String)]("graft.errRows")
+    val errRows = new CappedErrorAccumulator(ErrorLogCap)
+    sc.register(errRows, "graft.errRows")
     val propAcc = new MinMapAccumulator
     sc.register(propAcc, "graft.properties")
 
@@ -217,9 +222,13 @@ object OntologyWriter {
       .select(expr("substring(text, 1, length(text) - 1)").as("value"))
       .write.mode("overwrite").text(partsDir)
 
-    errRows.value.forEach { t =>
+    val (errKept, errTotal) = errRows.value
+    errKept.foreach { t =>
       System.err.println(s"ERROR dumping term ${t._1}: ${t._2}")
     }
+    if (errTotal > errKept.size)
+      System.err.println(s"... and ${errTotal - errKept.size} more term " +
+        s"errors (log capped at ${errKept.size}; full count in the report)")
     // The property block sorts by URI, so first-seen order is
     // irrelevant; the min(att) merge makes the pick deterministic (att
     // and uri are 1:1 — the uri is built FROM the fragment).
@@ -248,6 +257,50 @@ object OntologyWriter {
     rm(new File(partsDir))
     WriteReport(job.sab, outFile, terms.value, errors.value,
       dupL.value, dupO.value, dupS.value)
+  }
+}
+
+/** Capped collection accumulator for the per-term error log: keeps at
+  * most `cap` (code, error) pairs plus the EXACT total count, so a
+  * pathological export where most terms fail to render (S6
+  * catch-and-continue) cannot balloon driver memory — the r9 unbounded
+  * collectionAccumulator would have shipped every failing term's
+  * message back to the driver. Which `cap` entries survive a
+  * distributed run is arbitrary (task merge order); the count is not. */
+private[sink] class CappedErrorAccumulator(cap: Int)
+    extends org.apache.spark.util.AccumulatorV2[
+      (String, String), (Seq[(String, String)], Long)] {
+  private val kept =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val nKept = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val total = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def isZero: Boolean = total.get == 0L
+  override def copy(): CappedErrorAccumulator = {
+    val c = new CappedErrorAccumulator(cap)
+    kept.forEach { t => if (c.nKept.getAndIncrement() < cap) c.kept.add(t) }
+    c.total.set(total.get)
+    c
+  }
+  override def reset(): Unit = { kept.clear(); nKept.set(0); total.set(0L) }
+  override def add(v: (String, String)): Unit = {
+    total.incrementAndGet()
+    if (nKept.getAndIncrement() < cap) kept.add(v)
+    else nKept.decrementAndGet() // keep the counter from overflowing
+  }
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      (String, String), (Seq[(String, String)], Long)]): Unit = other match {
+    case o: CappedErrorAccumulator =>
+      total.addAndGet(o.total.get)
+      o.kept.forEach { t =>
+        if (nKept.getAndIncrement() < cap) kept.add(t)
+        else nKept.decrementAndGet()
+      }
+    case _ => throw new UnsupportedOperationException(
+      s"cannot merge ${other.getClass}")
+  }
+  override def value: (Seq[(String, String)], Long) = {
+    import scala.jdk.CollectionConverters._
+    (kept.asScala.toSeq, total.get)
   }
 }
 

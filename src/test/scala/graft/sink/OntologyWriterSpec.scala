@@ -221,4 +221,56 @@ class OntologyWriterSpec extends AnyFunSuite {
     assert(countOf("a owl:Class ;") == 4)
     assert(countOf(" .\n\n") >= 2) // each concept term closes the block
   }
+
+  test("CappedErrorAccumulator: bounded kept set, exact total, across " +
+    "add / merge / copy / a real distributed job") {
+    val acc = new CappedErrorAccumulator(10)
+    (1 to 2500).foreach(i => acc.add((s"C$i", "boom")))
+    val (kept, total) = acc.value
+    assert(kept.size === 10)
+    assert(total === 2500L)
+    // merge past the cap keeps the bound and sums the counts
+    val other = new CappedErrorAccumulator(10)
+    (1 to 7).foreach(i => other.add((s"D$i", "bang")))
+    acc.merge(other)
+    assert(acc.value._1.size === 10)
+    assert(acc.value._2 === 2507L)
+    val copied = acc.copy()
+    assert(copied.value._1.size === 10 && copied.value._2 === 2507L)
+    copied.reset()
+    assert(copied.isZero && copied.value._1.isEmpty)
+    // through real tasks: every row adds, driver sees bounded kept +
+    // exact count after the executor-side merges
+    val jobAcc = new CappedErrorAccumulator(25)
+    spark.sparkContext.register(jobAcc, "test.errCap")
+    spark.range(0, 5000, 1, 8).toDF("id").foreach(
+      r => jobAcc.add((s"R${r.getLong(0)}", "err")))
+    assert(jobAcc.value._1.size === 25)
+    assert(jobAcc.value._2 === 5000L)
+  }
+
+  test("mass render failure: errors past the log cap stay exactly " +
+    "counted and the export still writes (distributed S6)") {
+    // 1200 single-atom SY-only codes -> every one raises in prefLabel
+    // (no 'P' TTY, empty MRRANK) -> 1200 error rows, 200 past the
+    // ErrorLogCap of 1000; plus one good PT term.
+    val bad = (1 to 1200).map(i =>
+      conso(s"CUI_B$i", s"AUI_B$i", f"BAD$i%04d", s"Unlabelable $i", "SY"))
+    val good = conso("CUI_G", "AUI_G", "GOOD1", "Good label", "PT")
+    val massFixture = Map(
+      "MRCONSO" -> TestSpark.mkTable("MRCONSO", bad :+ good),
+      "MRSAB" -> fixture("MRSAB"))
+    val dir = Files.createTempDirectory("graft-ttl-mass").toString
+    val rep = OntologyWriter.write(spark,
+      TestSpark.fixedSource(massFixture),
+      OntologyJob("TEST", None, "TEST.ttl", loadOnCuis = false),
+      UmlsExportConfig(umlsVersion = "2025AB", distributedWrite = true),
+      s"$dir/TEST.ttl", Map.empty, "")
+    assert(rep.errors === 1200L)
+    assert(rep.terms === 1L)
+    val text = new String(Files.readAllBytes(Paths.get(s"$dir/TEST.ttl")),
+      StandardCharsets.UTF_8)
+    assert(text.contains("/TEST/GOOD1> a owl:Class"))
+    assert(!text.contains("BAD0001"))
+  }
 }
