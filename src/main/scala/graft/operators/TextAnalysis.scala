@@ -44,8 +44,23 @@ object TextAnalysis {
       1)
 
   /** Normalize for fingerprinting: lowercase, strip non [a-z0-9 ],
-    * collapse runs of whitespace. */
+    * collapse runs of whitespace.
+    *
+    * Implementation: a codegen'd single-pass char loop
+    * ([[graft.functions.NormalizeCollapse]]) — value-identical to the
+    * regex composition (property-pinned in NormalizeSpec against
+    * [[normalizeRegex]]) but ~10× cheaper: the round-10 streaming sweep
+    * measured the two NFA regex passes as the entire throughput wall of
+    * the windowed-dedup pipeline (167k vs 1.5M+ events/s). The DuckDB
+    * oracles replay the regex form; identical values keep them green. */
   def normalize(text: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.columnOf(
+      graft.functions.NormalizeCollapse(
+        org.apache.spark.sql.GraftSqlShims.expressionOf(lower(text))))
+
+  /** The portable two-regex form [[normalize]] is pinned against —
+    * exactly what the DuckDB oracles compute. */
+  private[graft] def normalizeRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

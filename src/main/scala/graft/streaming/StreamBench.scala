@@ -39,6 +39,20 @@ object StreamBench {
         : (String, Double) = {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_stream_bench_").toString
+      // Row counting rides a listener, not q.recentProgress — the
+      // progress ring buffer is capped at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+      // fast pipeline completing >100 micro-batches in the window would
+      // silently undercount through recentProgress.
+      val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          rowsSeen.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       val src = spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSec)
         .option("numPartitions", 32)
@@ -55,7 +69,11 @@ object StreamBench {
       val wall =
         try { Thread.sleep(seconds * 1000L); (System.nanoTime() - t0) / 1e9 }
         finally q.stop()
-      val rows = q.recentProgress.map(_.numInputRows).sum
+      // listener events are delivered asynchronously; give the last
+      // completed batch's event a beat to land before reading
+      Thread.sleep(1000)
+      spark.streams.removeListener(listener)
+      val rows = rowsSeen.get
       val rate = rows / wall
       System.err.println(
         f"[bench] streaming:$name%-20s ${rate / 1e3}%8.1f k events/s " +
