@@ -389,7 +389,79 @@ object UmlsQueries {
           .toDF("sab", "terms", "errors", "dup_literal", "dup_object",
             "dup_subclass", "file_nonempty")
       },
+      None),
+
+    // ----- q25m: MULTI-SAB export over the SHARED SCAN — the release
+    // sweep shape (the reference loops 35 SABs over the same MySQL
+    // tables; umls2rdf.py:860-895). Four SABs split the q25s volume;
+    // UmlsSource.sharedScan persists each fat table ONCE (SAB-pruned
+    // union filter) and the four exports run in parallel threads against
+    // it — the 12-SAB profile measured 5.4 s shared vs 11.0 s direct,
+    // and UmlsPipelineSpec pins both byte-identity with direct runs and
+    // job-count-independent inner scan counts (now load-bearing in this
+    // bench entry). Rows-only by design: the fixture e2e goldens +
+    // byte-identity spec pin the VALUES; this entry times the dataflow.
+    Q("q25m_export_multi_sab",
+      (s, d) => {
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_msab_").toFile
+        val sabs = (0 until 4).map(i => s"B$i")
+        val reports = multiSabExport(s, scaleSource(s, d, nSabs = 4),
+          sabs, outDir)
+        val sizes = sabs.map(sab =>
+          new java.io.File(outDir, s"$sab.ttl").length())
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(outDir)
+        import s.implicits._
+        reports.sortBy(_.sab).zip(sizes).map { case (r, sz) =>
+          (r.sab, r.terms, r.errors, sz > 0L)
+        }.toDF("sab", "terms", "errors", "file_nonempty").orderBy("sab")
+      },
       None))
+
+  /** The q25m dataflow, factored so UmlsPipelineSpec can drive it with a
+    * counting source: shared scan over `inner`, one distributed-write
+    * export per SAB on a fixed thread pool, reports returned in
+    * completion-independent (input) order. */
+  private[graft] def multiSabExport(s: SparkSession,
+      inner: UmlsSource, sabs: Seq[String], outDir: java.io.File,
+      parallelism: Int = 4): Seq[graft.sink.WriteReport] = {
+    import graft.model.OntologyJob
+    import graft.sink.{OntologyWriter, UmlsExportConfig}
+    import graft.assemble.PropertyDoc
+    // the q25e doc set: every predicate the synthetic SABs emit (J10
+    // raises on a missing doc by reference design)
+    val docs = Map(
+      "SIZE" -> PropertyDoc("ATN", Some("Size attribute"), None),
+      "part_of" -> PropertyDoc("RELA", Some("Part of"), None),
+      "RO" -> PropertyDoc("REL", Some("Related to"), None))
+    val shared = UmlsSource.sharedScan(inner, sabs)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, sabs.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = sabs.map { sab =>
+        scala.concurrent.Future {
+          val outFile = new java.io.File(outDir, s"$sab.ttl").getAbsolutePath
+          OntologyWriter.write(s, shared,
+            OntologyJob(sab, None, outFile, loadOnCuis = false),
+            UmlsExportConfig(umlsVersion = "2026AA",
+              includeSemanticTypes = false, distributedWrite = true),
+            outFile, docs, "")
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    } finally {
+      pool.shutdown()
+      shared.release()
+    }
+  }
 
   /** UMLS-shaped tables projected from the harness lake (TESTDATA.md):
     * lineitem lines become atoms (one per (order, line); code = part),
@@ -403,9 +475,12 @@ object UmlsQueries {
 
   /** `hotEvery > 0` collapses every partkey divisible by it into the
     * single code `X0` — a deliberately skewed SAB (hotEvery=10 → one code
-    * holds ~10% of all atoms and att rows) for the q25t skew evidence. */
+    * holds ~10% of all atoms and att rows) for the q25t skew evidence.
+    * `nSabs > 1` splits the same volume across `B0..B{n-1}` SABs (keyed
+    * by orderkey for atoms/rels/defs/sty, partkey for atts) — the
+    * multi-ontology lake shape the q25m shared-scan export sweeps. */
   private[graft] def scaleSource(s: SparkSession, dir: String,
-      hotEvery: Int = 0): UmlsSource = {
+      hotEvery: Int = 0, nSabs: Int = 1): UmlsSource = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     val ord = s.read.parquet(s"$dir/orders.parquet")
     val part = s.read.parquet(s"$dir/part.parquet")
@@ -414,13 +489,19 @@ object UmlsQueries {
       if (hotEvery <= 0) concat(lit("X"), partkey)
       else when(pmod(partkey, lit(hotEvery)) === 0, lit("X0"))
         .otherwise(concat(lit("X"), partkey))
+    val sabNames =
+      if (nSabs <= 1) Seq("BIG") else (0 until nSabs).map(i => s"B$i")
+    def sabOf(key: org.apache.spark.sql.Column) =
+      if (nSabs <= 1) lit("BIG")
+      else concat(lit("B"), pmod(key, lit(nSabs)))
     val atoms = li.select(
       concat(lit("C"), col("l_orderkey")).as("CUI"), lit("ENG").as("LAT"),
       lit("P").as("TS"), e.as("LUI"), lit("PF").as("STT"), e.as("SUI"),
       when(col("l_linenumber") === 1, "Y").otherwise("N").as("ISPREF"),
       concat(lit("A"), col("l_orderkey") * 100 + col("l_linenumber"))
         .as("AUI"),
-      e.as("SAUI"), e.as("SCUI"), e.as("SDUI"), lit("BIG").as("SAB"),
+      e.as("SAUI"), e.as("SCUI"), e.as("SDUI"),
+      sabOf(col("l_orderkey")).as("SAB"),
       when(col("l_linenumber") === 1, "PT").otherwise("SY").as("TTY"),
       codeOf(col("l_partkey")).as("CODE"),
       concat(lit("part "), col("l_partkey"), lit(" order "),
@@ -445,18 +526,20 @@ object UmlsQueries {
         lit("AUI").as("STYPE2"),
         when(col("l_linenumber") % 2 === 0, "part_of").otherwise(e)
           .as("RELA"),
-        e.as("RUI"), e.as("SRUI"), lit("BIG").as("SAB"), lit("BIG").as("SL"),
+        e.as("RUI"), e.as("SRUI"), sabOf(col("l_orderkey")).as("SAB"),
+        sabOf(col("l_orderkey")).as("SL"),
         e.as("RG"), e.as("DIR"), lit("N").as("SUPPRESS"), e.as("CVF"))
     val defs = ord.select(
       concat(lit("C"), col("o_orderkey")).as("CUI"),
       concat(lit("A"), col("o_orderkey") * 100 + 1).as("AUI"),
-      e.as("ATUI"), e.as("SATUI"), lit("BIG").as("SAB"),
+      e.as("ATUI"), e.as("SATUI"), sabOf(col("o_orderkey")).as("SAB"),
       col("o_orderpriority").as("DEF"), lit("N").as("SUPPRESS"), e.as("CVF"))
     val atts = part.select(
       concat(lit("C"), col("p_partkey")).as("CUI"), e.as("LUI"), e.as("SUI"),
       e.as("METAUI"), lit("AUI").as("STYPE"),
       concat(lit("X"), col("p_partkey")).as("CODE"), e.as("ATUI"),
-      e.as("SATUI"), lit("SIZE").as("ATN"), lit("BIG").as("SAB"),
+      e.as("SATUI"), lit("SIZE").as("ATN"),
+      sabOf(col("p_partkey")).as("SAB"),
       col("p_size").cast("string").as("ATV"), lit("N").as("SUPPRESS"),
       e.as("CVF"))
     val sty = ord.select(
@@ -464,19 +547,22 @@ object UmlsQueries {
       concat(lit("T"), col("o_custkey") % 50).as("TUI"),
       e.as("STN"), e.as("STY"), e.as("ATUI"), e.as("CVF"))
     val rank = s.createDataFrame(java.util.Arrays.asList(
-        org.apache.spark.sql.Row("0400", "BIG", "PT", "N"),
-        org.apache.spark.sql.Row("0300", "BIG", "SY", "N")),
+        sabNames.flatMap(sab => Seq(
+          org.apache.spark.sql.Row("0400", sab, "PT", "N"),
+          org.apache.spark.sql.Row("0300", sab, "SY", "N"))): _*),
       UmlsSource.schemaOf("MRRANK"))
-    // One current-version MRSAB row so the q25e full-export path can run
-    // its J11/F9 header lookup against the synthetic SAB.
-    val mrsabVals = UmlsSource.schemaOf("MRSAB").fieldNames.map {
-      case "RSAB" => "BIG"; case "VSAB" => "BIG2026"
+    // One current-version MRSAB row per SAB so the q25e/q25m full-export
+    // paths can run their J11/F9 header lookups against the synthetic
+    // SABs.
+    def mrsabValsOf(sab: String) = UmlsSource.schemaOf("MRSAB").fieldNames.map {
+      case "RSAB" => sab; case "VSAB" => s"${sab}2026"
       case "SON" => "Synthetic bench source"; case "SVER" => "2026"
       case "IMETA" => "2026AA"; case "LAT" => "ENG"; case "CURVER" => "Y"
       case "SSN" => "Synthetic bench source"; case _ => ""
     }
     val mrsab = s.createDataFrame(java.util.Arrays.asList(
-        org.apache.spark.sql.Row(mrsabVals: _*)),
+        sabNames.map(sab =>
+          org.apache.spark.sql.Row(mrsabValsOf(sab): _*)): _*),
       UmlsSource.schemaOf("MRSAB"))
     UmlsSource.fixed(Map(
       "MRCONSO" -> atoms, "MRREL" -> rels, "MRDEF" -> defs,

@@ -94,6 +94,43 @@ class UmlsPipelineSpec extends AnyFunSuite {
         s"$t scan count grew with the manifest: $one vs $two")
   }
 
+  test("q25m dataflow (multiSabExport): parallel shared-scan exports " +
+    "keep inner fat-table reads job-count-independent and write every " +
+    "SAB's file") {
+    import graft.sources.UmlsSource
+    import scala.collection.mutable
+    def countingSource(counts: mutable.Map[String, Int]): UmlsSource = {
+      val inner = TestSpark.fixedSource(fixture)
+      new UmlsSource {
+        def table(name: String) = {
+          counts.synchronized { counts(name) = counts.getOrElse(name, 0) + 1 }
+          inner.table(name)
+        }
+      }
+    }
+    def run(sabs: Seq[String], counts: mutable.Map[String, Int]) = {
+      val outDir = Files.createTempDirectory("msab-out").toFile
+      val reports = graft.catalog.UmlsQueries.multiSabExport(spark,
+        countingSource(counts), sabs, outDir, parallelism = 2)
+      sabs.foreach { sab =>
+        assert(new java.io.File(outDir, s"$sab.ttl").length() > 0L, sab)
+      }
+      reports
+    }
+    val one = mutable.Map.empty[String, Int]
+    val repOne = run(Seq("SABA"), one)
+    val two = mutable.Map.empty[String, Int]
+    val repTwo = run(Seq("SABA", "SABB"), two)
+    assert(repOne.map(_.sab) === Seq("SABA"))
+    assert(repTwo.map(_.sab) === Seq("SABA", "SABB"))
+    assert(repTwo.forall(r => r.terms > 0 && r.errors == 0))
+    // the shared scan's point: doubling the SAB manifest must NOT grow
+    // the number of inner-source reads of any fat table
+    for (t <- Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT"))
+      assert(two.getOrElse(t, 0) === one.getOrElse(t, 0),
+        s"$t read count grew with the manifest: $one vs $two")
+  }
+
   test("a completed run resumes as a no-op") {
     val out = Files.createTempDirectory("pipe-out").toString
     val work = Files.createTempDirectory("pipe-work").toString
