@@ -123,4 +123,36 @@ class PlanPinsSpec extends AnyFunSuite {
     val s = PlanAudit.summary(joined)
     assert(s.shuffles === 0, s"bucketed cojoin shuffled: $s")
   }
+
+  test("WARC read: ONE Hadoop RDD regardless of file count — no " +
+    "per-file driver work in the scan (r10 pin)") {
+    val dir = Files.createTempDirectory("graft_pins_warc")
+    val recs = graft.tools.WarcFixtureGen.records.filterNot(_.corrupt)
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"f$i.warc"),
+        graft.tools.WarcFixtureGen.serialize(recs.take(2 + i)))
+    }
+    val df = graft.sources.DocSource.warc(spark, dir.toString)
+    def hadoopRdds(r: org.apache.spark.rdd.RDD[_]): Int = {
+      val self = if (r.isInstanceOf[org.apache.spark.rdd.NewHadoopRDD[_, _]]) 1 else 0
+      self + r.dependencies.map(d => hadoopRdds(d.rdd)).sum
+    }
+    val n = hadoopRdds(df.queryExecution.toRdd)
+    assert(n === 1, s"WARC scan lineage holds $n Hadoop RDDs (expected " +
+      "one for the whole directory — per-file RDDs mean driver-side " +
+      "file iteration)")
+    // and the one RDD really covers all three files
+    assert(df.filter(col("_corrupt").isNull).count() === (2 + 3 + 4).toLong)
+  }
+
+  test("q184 bpeApplyLarge: zero Exchange — tokenization is one narrow " +
+    "mapPartitions pass over the corpus (r10 pin)") {
+    val docs = (1 to 50).map(i => (i.toLong, s"newest west $i"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("w", "e"))
+    val s = PlanAudit.summary(
+      graft.operators.Tokenizer.bpeApplyLarge(docs, merges))
+    assert(s.shuffles === 0, s"bpeApplyLarge shuffled: $s")
+    assert(s.cartesianProducts === 0 && s.globalWindows === 0)
+  }
 }

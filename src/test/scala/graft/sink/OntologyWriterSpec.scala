@@ -222,6 +222,53 @@ class OntologyWriterSpec extends AnyFunSuite {
     assert(countOf(" .\n\n") >= 2) // each concept term closes the block
   }
 
+  test("single-pass distributed export: ONE SQL execution over the " +
+    "rendered terms (metadata collects aside) — r10 pin") {
+    // The r9 single-pass rewrite's claim, now CI-asserted: counters /
+    // errors / properties ride accumulators on the write job, so the
+    // whole export issues exactly FOUR SQL executions — three bounded
+    // metadata collects (MRSAB record, SRC cui_roots, MRRANK map) plus
+    // the ONE write action over the rendered terms (AQE may split it
+    // into several jobs; they share an execution id). The pre-r9 writer
+    // ran extra aggregation actions over the rendered terms and would
+    // count 5+. Jobs are filtered by a dedicated job group so
+    // concurrently-running suites can't pollute the count.
+    val group = "graft-export-pin"
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val props = js.properties
+        if (props != null &&
+            group == props.getProperty("spark.jobGroup.id")) {
+          val id = props.getProperty("spark.sql.execution.id")
+          execIds.add(if (id == null) s"no-exec-${js.jobId}" else id)
+          ()
+        }
+      }
+    }
+    val docs = graft.assemble.PropertyDocs.collectMap(fixture("MRDOC"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "export single-pass pin")
+      val dir = Files.createTempDirectory("graft-ttl-pin").toString
+      val rep = OntologyWriter.write(spark, TestSpark.fixedSource(fixture),
+        OntologyJob("TEST", None, "TEST.ttl", loadOnCuis = false),
+        UmlsExportConfig(umlsVersion = "2025AB", distributedWrite = true),
+        s"$dir/TEST.ttl", docs, "")
+      assert(rep.terms === 2L)
+      // listener events are posted asynchronously; give them a beat
+      Thread.sleep(1500)
+      assert(execIds.size === 4,
+        s"distributed export issued ${execIds.size} SQL executions " +
+          s"(expected 4: MRSAB + cui_roots + MRRANK metadata collects " +
+          s"+ the single write pass): $execIds")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("CappedErrorAccumulator: bounded kept set, exact total, across " +
     "add / merge / copy / a real distributed job") {
     val acc = new CappedErrorAccumulator(10)
