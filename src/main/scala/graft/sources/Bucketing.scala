@@ -47,15 +47,60 @@ object Bucketing {
     * DataFrame is lazy and reads the catalog tables by name, so fixed
     * names would let a second cojoin (same session or a concurrent one
     * sharing `dir`) silently re-point an earlier, not-yet-evaluated
-    * result at the newer write's data. */
+    * result at the newer write's data.
+    *
+    * Resource lifecycle: every invocation registers its two catalog
+    * tables + on-disk copies and first RECLAIMS registered entries older
+    * than [[ReclaimGraceMs]] — so repeated bench/verify cycles in one
+    * long session cannot accumulate catalog entries or bucketed temp
+    * copies, while recent results (lazy, possibly unevaluated in a
+    * concurrent suite) keep their backing data. [[reclaimStale]] with
+    * `graceMs = 0` forces a full sweep once consumers are drained. */
   def cojoin(left: DataFrame, leftKey: String, right: DataFrame,
       rightKey: String, nBuckets: Int, dir: String): DataFrame = {
     val spark = left.sparkSession
+    reclaimStale(spark)
     val run = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val (lTab, rTab) = (s"graft_bkt_l_$run", s"graft_bkt_r_$run")
     writeBucketedAt(left, lTab, s"$dir/$lTab", leftKey, nBuckets)
     writeBucketedAt(right, rTab, s"$dir/$rTab", rightKey, nBuckets)
+    registry.add(BktEntry(lTab, s"$dir/$lTab", System.currentTimeMillis()))
+    registry.add(BktEntry(rTab, s"$dir/$rTab", System.currentTimeMillis()))
     spark.table(lTab).join(spark.table(rTab),
       spark.table(lTab)(leftKey) === spark.table(rTab)(rightKey))
+  }
+
+  /** How long a cojoin's tables outlive their creation before a later
+    * cojoin sweeps them (long enough for any lazy consumer to drain). */
+  val ReclaimGraceMs: Long = 10L * 60 * 1000
+
+  private final case class BktEntry(table: String, path: String, at: Long)
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[BktEntry]()
+
+  /** Drop registered cojoin tables (and delete their bucketed copies)
+    * older than `graceMs`; `only` restricts the sweep to named tables
+    * (tests reclaim their own without racing parallel suites).
+    * Returns how many tables were reclaimed. */
+  def reclaimStale(spark: org.apache.spark.sql.SparkSession,
+      graceMs: Long = ReclaimGraceMs,
+      only: Option[Set[String]] = None): Int = {
+    val now = System.currentTimeMillis()
+    var n = 0
+    val it = registry.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (now - e.at > graceMs && only.forall(_.contains(e.table))) {
+        spark.sql(s"DROP TABLE IF EXISTS ${e.table}")
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(e.path))
+        it.remove()
+        n += 1
+      }
+    }
+    n
   }
 }

@@ -46,6 +46,33 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("cojoin registers its tables and reclaimStale drops them + " +
+    "deletes the bucketed copies (no per-cycle accumulation)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bkt_reclaim").toString
+    val left = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("j", "rv")
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    val joined = Bucketing.cojoin(left, "k", right, "j", nBuckets = 2,
+      dir = dir)
+    assert(joined.count() === 2L) // drain the lazy consumer first
+    val tables = spark.catalog.listTables().collect()
+      .map(_.name).filter(t => t.startsWith("graft_bkt_") && !before(t))
+    assert(tables.length === 2,
+      s"cojoin should have registered two catalog tables: ${tables.toSeq}")
+    // scoped sweep: reclaim only THIS test's tables so parallel suites'
+    // in-flight cojoins keep their backing data
+    val reclaimed = Bucketing.reclaimStale(spark, graceMs = 0L,
+      only = Some(tables.toSet))
+    assert(reclaimed === 2, s"expected 2 reclaimed, got $reclaimed")
+    val after = spark.catalog.listTables().collect()
+      .map(_.name).filter(t => tables.contains(t))
+    assert(after.isEmpty, s"tables survived reclaim: ${after.toSeq}")
+    val leftovers = new java.io.File(dir).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"bucketed copies survived reclaim: ${leftovers.toSeq}")
+  }
+
   test("writeBucketedAt round-trips values and is re-entrant (overwrite)") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Bucketing.writeBucketedAt(df, "graft_bkt_t", "/tmp/graft_bkt_t", "k", 2)
