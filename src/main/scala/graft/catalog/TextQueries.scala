@@ -2648,6 +2648,25 @@ object TextQueries {
         FROM '/root/repo/fixtures/warc/expected.parquet/*.parquet'
         ORDER BY record_id""")),
 
+    // ----- q186: BINARY-payload WARC read (DocSource.warcRaw) — the
+    // multimodal front door the strict Content-Length InputFormat
+    // unlocks: payloads surface as untouched BYTES (the fixture's PNG
+    // payload is deliberately invalid UTF-8 — the text path would
+    // corrupt it), with content_type as the media-routing key. Oracle =
+    // the committed warc_bin golden, whose payload column is BinaryType
+    // so the comparison is byte-exact on both engines.
+    Q("q186_warc_binary",
+      (s, _) =>
+        graft.sources.DocSource.warcRaw(s,
+          "/root/repo/fixtures/warc_bin/sample.warc")
+          .filter(col("_corrupt").isNull).drop("_corrupt")
+          .orderBy("record_id"),
+      Some("""
+        SELECT warc_type, record_id, warc_date, target_uri, content_type,
+               payload, content_length
+        FROM '/root/repo/fixtures/warc_bin/expected.parquet/*.parquet'
+        ORDER BY record_id""")),
+
     // ----- q180: crawl → corpus ingestion (DocSource.warcDocs) — HTTP
     // response records de-enveloped (status line parsed, body split at
     // the first blank line) and markup-stripped to training text

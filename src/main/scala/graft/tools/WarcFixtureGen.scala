@@ -22,7 +22,13 @@ object WarcFixtureGen {
 
   final case class Rec(
       warcType: String, recordId: String, date: String, targetUri: String,
-      contentType: String, payload: String, corrupt: Boolean = false)
+      contentType: String, payload: String, corrupt: Boolean = false,
+      payloadBin: Option[Array[Byte]] = None) {
+    /** The on-wire payload bytes: explicit binary if set, else UTF-8 of
+      * the string payload. */
+    def payloadBytes: Array[Byte] =
+      payloadBin.getOrElse(payload.getBytes(StandardCharsets.UTF_8))
+  }
 
   val records: Seq[Rec] = Seq(
     Rec("warcinfo", "<urn:uuid:0001>", "2026-01-01T00:00:00Z", "",
@@ -66,13 +72,29 @@ object WarcFixtureGen {
       "http://example.org/f", "application/http;msgtype=response",
       "HTTP/1.1 204 No Content\r\nServer: fixture"))
 
+  /** Binary-payload fixture (`fixtures/warc_bin/`): a PNG-magic payload
+    * whose bytes are NOT valid UTF-8 (a text decode would corrupt them —
+    * the case `DocSource.warcRaw` exists for; note the payload also
+    * contains a bare `\r\n` run), a plain-text record sharing the binary
+    * plane, and a corrupt record. */
+  val binRecords: Seq[Rec] = Seq(
+    Rec("resource", "<urn:uuid:0101>", "2026-01-02T00:00:00Z",
+      "http://example.org/logo.png", "image/png", "",
+      payloadBin = Some(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        '\r', '\n', 0x1A, '\n', 0xFF.toByte, 0xFE.toByte, 0x00, 0x01,
+        0xC0.toByte, 0x80.toByte, 'e', 'n', 'd'))),
+    Rec("response", "<urn:uuid:0102>", "2026-01-02T00:00:01Z",
+      "http://example.org/t", "text/plain", "plain text in a binary plane"),
+    Rec("response", "<urn:uuid:0103>", "2026-01-02T00:00:02Z",
+      "http://example.org/u", "text/plain", "orphan", corrupt = true))
+
   /** The one WARC record serializer — the fixture bytes AND the property
     * test's generated files both come from here, so a framing change
     * cannot silently diverge between them. */
   def serialize(recs: Seq[Rec], version: String = "1.0"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     recs.foreach { r =>
-      val payloadBytes = r.payload.getBytes(StandardCharsets.UTF_8)
+      val payloadBytes = r.payloadBytes
       val headers = new StringBuilder()
       headers.append(s"WARC/$version\r\n")
       headers.append(s"WARC-Type: ${r.warcType}\r\n")
@@ -117,8 +139,25 @@ object WarcFixtureGen {
         "payload", "content_length")
       .coalesce(1)
       .write.mode("overwrite").parquet("fixtures/warc/expected.parquet")
+
+    // Binary fixture: same discipline, payload as raw BYTES (BinaryType
+    // in the golden so the comparison is byte-exact, never a decode).
+    val binDir = Paths.get("fixtures/warc_bin")
+    Files.createDirectories(binDir)
+    Files.write(binDir.resolve("sample.warc"), serialize(binRecords))
+    binRecords.filterNot(_.corrupt).map { r =>
+      (r.warcType, r.recordId, r.date,
+        if (r.targetUri.isEmpty) null else r.targetUri,
+        if (r.contentType.isEmpty) null else r.contentType,
+        r.payloadBytes,
+        r.payloadBytes.length.toLong)
+    }.toDF("warc_type", "record_id", "warc_date", "target_uri",
+        "content_type", "payload", "content_length")
+      .coalesce(1)
+      .write.mode("overwrite").parquet("fixtures/warc_bin/expected.parquet")
     spark.stop()
     println(s"wrote fixtures/warc/sample.warc (${warcBytes.length} bytes) " +
-      s"+ expected.parquet (${records.size} records)")
+      s"+ expected.parquet (${records.size} records) " +
+      s"+ warc_bin (${binRecords.size} records)")
   }
 }

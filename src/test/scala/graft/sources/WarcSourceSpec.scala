@@ -147,6 +147,39 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("warcRaw round-trips BINARY payloads byte-exactly (invalid-UTF-8 " +
+    "PNG bytes survive; text decode would corrupt them), under whole " +
+    "and sub-record splits") {
+    val dir = Files.createTempDirectory("graft_warc_bin")
+    val f = dir.resolve("b.warc")
+    Files.write(f, WarcFixtureGen.serialize(WarcFixtureGen.binRecords))
+    val png = WarcFixtureGen.binRecords.head
+    assert(new String(png.payloadBytes, StandardCharsets.UTF_8)
+      .getBytes(StandardCharsets.UTF_8) !== png.payloadBytes,
+      "fixture precondition: payload must not survive a UTF-8 round-trip")
+    def read() = DocSource.warcRaw(spark, f.toString)
+    val valid = read().filter(col("_corrupt").isNull)
+    assert(valid.count() === 2L)
+    assert(read().filter(col("_corrupt").isNotNull).count() === 1L)
+    val got = valid.filter(col("record_id") === png.recordId)
+      .select("payload", "content_type", "content_length").head()
+    assert(got.getAs[Array[Byte]](0).toSeq === png.payloadBytes.toSeq)
+    assert(got.getString(1) === "image/png")
+    assert(got.getLong(2) === png.payloadBytes.length.toLong)
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get(key))
+    try {
+      hc.set(key, "64")
+      val split = read().filter(col("record_id") === png.recordId)
+        .select("payload").head().getAs[Array[Byte]](0)
+      assert(split.toSeq === png.payloadBytes.toSeq)
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
   test("a headerless HTTP response yields NULL text from warcDocs, " +
     "not header garbage") {
     val row = DocSource.warcDocs(spark, warcPath)
