@@ -2667,6 +2667,25 @@ object TextQueries {
         FROM '/root/repo/fixtures/warc_bin/expected.parquet/*.parquet'
         ORDER BY record_id""")),
 
+    // ----- q187: crawl → media-plane ingestion (DocSource.warcMedia) —
+    // binary payloads routed by content_type into the Multimodal column
+    // convention (kind = decode-routing key, bytes untouched). Whole
+    // composition replayed in DuckDB over the warc_bin golden,
+    // byte-exact on the BLOB column.
+    Q("q187_warc_media",
+      (s, _) =>
+        graft.sources.DocSource.warcMedia(s,
+          "/root/repo/fixtures/warc_bin/sample.warc")
+          .orderBy("record_id"),
+      Some("""
+        SELECT record_id,
+               regexp_extract(content_type, '^([a-z]+)/', 1) AS kind,
+               content_type, target_uri AS url, warc_date AS fetched_at,
+               payload AS bytes, content_length AS n_bytes
+        FROM '/root/repo/fixtures/warc_bin/expected.parquet/*.parquet'
+        WHERE regexp_matches(content_type, '^(image|audio|video)/')
+        ORDER BY record_id""")),
+
     // ----- q180: crawl → corpus ingestion (DocSource.warcDocs) — HTTP
     // response records de-enveloped (status line parsed, body split at
     // the first blank line) and markup-stripped to training text

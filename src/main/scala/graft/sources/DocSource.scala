@@ -251,6 +251,26 @@ object DocSource {
       when(col("content_length").isNull, col("hdr_block")).as("_corrupt"))
   }
 
+  /** Crawl → MEDIA-plane ingestion: binary WARC payloads routed by
+    * `content_type` into the [[graft.operators.Multimodal]] column
+    * convention (opaque `bytes` + typed metadata beside them) — the
+    * composition that turns a CommonCrawl shard into a media table.
+    * `record_id` is the row identity (callers needing a numeric id hash
+    * it with whatever fingerprint their dedup plane uses); `kind` is the
+    * top-level media type (image/audio/video), the decode-routing key. */
+  def warcMedia(spark: SparkSession, path: String): DataFrame =
+    warcRaw(spark, path)
+      .filter(col("_corrupt").isNull &&
+        col("content_type").rlike("^(image|audio|video)/"))
+      .select(
+        col("record_id"),
+        regexp_extract(col("content_type"), "^([a-z]+)/", 1).as("kind"),
+        col("content_type"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetched_at"),
+        col("payload").as("bytes"),
+        col("content_length").as("n_bytes"))
+
   /** Crawl → corpus ingestion: HTTP response records reduced to
     * (url, fetched_at, http_status, text) with markup stripped — the
     * composition a crawl pipeline runs first ([[warcRecords]] ∘ HTTP

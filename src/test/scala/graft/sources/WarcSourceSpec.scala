@@ -180,6 +180,26 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("warcMedia routes binary payloads into the media plane and " +
+    "composes with Multimodal's metadata operators") {
+    val dir = Files.createTempDirectory("graft_warc_media")
+    val f = dir.resolve("m.warc")
+    Files.write(f, WarcFixtureGen.serialize(WarcFixtureGen.binRecords))
+    val media = DocSource.warcMedia(spark, f.toString)
+    val rows = media.collect()
+    assert(rows.length === 1) // only the image/png record routes
+    val r = rows.head
+    assert(r.getAs[String]("kind") === "image")
+    assert(r.getAs[String]("content_type") === "image/png")
+    assert(r.getAs[Array[Byte]]("bytes").toSeq ===
+      WarcFixtureGen.binRecords.head.payloadBytes.toSeq)
+    // the bridged frame feeds Multimodal's metadata plane directly
+    val fp = media.select(
+      graft.operators.Multimodal.byteFingerprint(col("bytes")).as("fp"))
+      .head().getString(0)
+    assert(fp != null && fp.nonEmpty)
+  }
+
   test("a headerless HTTP response yields NULL text from warcDocs, " +
     "not header garbage") {
     val row = DocSource.warcDocs(spark, warcPath)
