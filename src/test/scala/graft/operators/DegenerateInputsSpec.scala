@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -118,5 +119,44 @@ class DegenerateInputsSpec extends AnyFunSuite {
     assert(graft.operators.Similarity
       .semanticDecontaminate(noEval, corpus, tau = 0.5)
       .collect().isEmpty)
+  }
+
+  test("BPE training degenerate inputs: empty corpus, zero merges, " +
+    "single-char vocabulary — empty merge lists, never a crash") {
+    assert(Tokenizer.bpeTrain(emptyDocs, numMerges = 5) === Seq.empty)
+    assert(Tokenizer.bpeTrainLocal(Seq.empty, numMerges = 5) === Seq.empty)
+    assert(Tokenizer.bpeTrainLocal(Seq(("word", 3L)), 0) === Seq.empty)
+    // single-char words have no adjacent pairs: training exhausts at 0
+    assert(Tokenizer.bpeTrainLocal(
+      Seq(("a", 5L), ("b", 2L)), numMerges = 10) === Seq.empty)
+    // applying an empty merge list tokenizes to single chars
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Tokenizer.bpeApplyLarge(docs, Seq.empty)
+      .head().getSeq[String](1).toList === List("a", "b"))
+  }
+
+  test("WARC readers on an EMPTY file and an empty directory: zero " +
+    "rows, never a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_warc")
+    val empty = dir.resolve("empty.warc")
+    java.nio.file.Files.write(empty, Array.emptyByteArray)
+    assert(graft.sources.DocSource.warc(spark, empty.toString)
+      .collect().isEmpty)
+    assert(graft.sources.DocSource.warcRaw(spark, empty.toString)
+      .collect().isEmpty)
+    assert(graft.sources.DocSource.warcMedia(spark, empty.toString)
+      .collect().isEmpty)
+  }
+
+  test("normalize/fingerprint on NULL and empty text: NULL in, NULL " +
+    "out; empty in, empty out") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "  \t ")).toDF("id", "t")
+    val got = df.select(col("id"),
+      TextAnalysis.normalize(col("t")).as("n"),
+      TextAnalysis.fingerprint(col("t")).as("fp"))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).getString(1) === "" && got(1).getString(2) != null)
+    assert(got(2).getString(1) === "") // whitespace-only collapses away
   }
 }
