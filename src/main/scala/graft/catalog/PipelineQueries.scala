@@ -1397,11 +1397,15 @@ object PipelineQueries {
                  length(regexp_extract_all(lower(text), '[aeiouy]+'))
                    ::BIGINT AS n_syllables
           FROM documents)
+        -- flesch is UNROUNDED on both sides: the same left-associated
+        -- IEEE expression yields bit-identical doubles on both engines,
+        -- whereas round(x, 2) diverges at the exact half-values the
+        -- formula's 3-decimal constants produce (85.165, 9.205, ...)
         SELECT doc_id, n_words, n_sentences, n_syllables,
-               round(CASE WHEN n_words > 0
+               CASE WHEN n_words > 0
                  THEN 206.835
                       - 1.015 * (n_words / n_sentences::DOUBLE)
-                      - 84.6 * (n_syllables / n_words::DOUBLE) END, 2)
+                      - 84.6 * (n_syllables / n_words::DOUBLE) END
                  AS flesch
         FROM c
         ORDER BY doc_id""")),

@@ -2653,35 +2653,41 @@ object TextQueries {
     // unlocks: payloads surface as untouched BYTES (the fixture's PNG
     // payload is deliberately invalid UTF-8 — the text path would
     // corrupt it), with content_type as the media-routing key. Oracle =
-    // the committed warc_bin golden, whose payload column is BinaryType
-    // so the comparison is byte-exact on both engines.
+    // the committed warc_bin golden. The BLOB column is projected as
+    // upper(hex(payload)) on BOTH engines — the driver's pandas
+    // comparator cannot sort/hash raw bytes; hex equality is byte
+    // equality (both engines emit uppercase hex);
+    // raw-bytes verification stays in WarcSourceSpec + the golden.
     Q("q186_warc_binary",
       (s, _) =>
         graft.sources.DocSource.warcRaw(s,
           "/root/repo/fixtures/warc_bin/sample.warc")
           .filter(col("_corrupt").isNull).drop("_corrupt")
+          .withColumn("payload_hex", upper(hex(col("payload")))).drop("payload")
           .orderBy("record_id"),
       Some("""
         SELECT warc_type, record_id, warc_date, target_uri, content_type,
-               payload, content_length
+               content_length, upper(hex(payload)) AS payload_hex
         FROM '/root/repo/fixtures/warc_bin/expected.parquet/*.parquet'
         ORDER BY record_id""")),
 
     // ----- q187: crawl → media-plane ingestion (DocSource.warcMedia) —
     // binary payloads routed by content_type into the Multimodal column
     // convention (kind = decode-routing key, bytes untouched). Whole
-    // composition replayed in DuckDB over the warc_bin golden,
-    // byte-exact on the BLOB column.
+    // composition replayed in DuckDB over the warc_bin golden; the BLOB
+    // column compares as uppercase hex (pandas-sortable; hex equality =
+    // byte equality — raw bytes stay pinned in WarcSourceSpec + the golden).
     Q("q187_warc_media",
       (s, _) =>
         graft.sources.DocSource.warcMedia(s,
           "/root/repo/fixtures/warc_bin/sample.warc")
+          .withColumn("bytes_hex", upper(hex(col("bytes")))).drop("bytes")
           .orderBy("record_id"),
       Some("""
         SELECT record_id,
                regexp_extract(content_type, '^([a-z]+)/', 1) AS kind,
                content_type, target_uri AS url, warc_date AS fetched_at,
-               payload AS bytes, content_length AS n_bytes
+               content_length AS n_bytes, upper(hex(payload)) AS bytes_hex
         FROM '/root/repo/fixtures/warc_bin/expected.parquet/*.parquet'
         WHERE regexp_matches(content_type, '^(image|audio|video)/')
         ORDER BY record_id""")),

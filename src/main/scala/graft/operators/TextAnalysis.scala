@@ -1335,8 +1335,17 @@ object TextAnalysis {
     * pure column algebra both engines compute identically. Pure scalar
     * pass, no shuffle.
     *
-    * @return (idCol, n_words, n_sentences, n_syllables, flesch round 2)
-    *         — empty/degenerate docs yield NULL flesch */
+    * The score is emitted UNROUNDED: the formula's 3-decimal constants
+    * land exact round-half values (85.165, 9.205, …) whenever the
+    * divisions cancel, and no two engines agree on double round-half
+    * semantics (Spark BigDecimal-HALF_UP on the shortest decimal repr
+    * vs DuckDB's scaled-double round). The raw IEEE double, by
+    * contrast, is bit-identical on any engine evaluating the same
+    * left-associated expression — rounding is presentation, so it
+    * belongs to the caller.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, flesch) —
+    *         empty/degenerate docs yield NULL flesch */
   def readability(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val words = filter(split(trim(lower(col(textCol))), "\\s+"),
@@ -1351,9 +1360,9 @@ object TextAnalysis {
       lit("[aeiouy]+"), lit(0))).cast("long")
     docs.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
       nSyl.as("n_syllables"),
-      round(when(nWords > 0,
+      when(nWords > 0,
         lit(206.835) - lit(1.015) * (nWords / nSent.cast("double")) -
-          lit(84.6) * (nSyl / nWords.cast("double"))), 2).as("flesch"))
+          lit(84.6) * (nSyl / nWords.cast("double"))).as("flesch"))
   }
 
   /** Otsu auto-thresholding over a score column: pick the histogram cut

@@ -709,8 +709,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(0).getLong(1) === 6L)
     assert(got(0).getLong(2) === 2L)
     assert(got(0).getLong(3) === 6L)
-    // 206.835 − 1.015·3 − 84.6·1 = 119.19
-    assert(got(0).getDouble(4) === 119.19)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19 (unrounded score; FP sum is
+    // within an ulp of the exact rational)
+    assert(math.abs(got(0).getDouble(4) - 119.19) < 1e-9)
     assert(got(1).isNullAt(4))
   }
 
