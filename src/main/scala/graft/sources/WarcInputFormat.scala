@@ -27,12 +27,26 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   *   - sync candidates (`\r\n\r\nWARC/`) are VALIDATED before being
   *     trusted: the version line must parse (`WARC/d.d`), a header block
   *     terminated by a blank line must follow within 1 MB, and it must
-  *     carry a parseable Content-Length. Payload bytes that merely
-  *     contain the delimiter are rejected and scanning continues. The
-  *     residual (and documented) limit: a payload embedding a COMPLETE,
-  *     valid WARC header block AND straddling a split boundary can still
-  *     fool the sync — detecting that needs whole-file context no
-  *     splittable reader has.
+  *     carry a parseable Content-Length AND a `WARC-Type` header (both
+  *     mandatory per ISO 28500 — requiring the second shrinks the
+  *     false-sync window for payloads embedding partial WARC headers).
+  *     Payload bytes that merely contain the delimiter are rejected and
+  *     scanning continues;
+  *   - a rejected candidate that nonetheless carries a `WARC-Type`
+  *     header in a terminated block — the signature of a DAMAGED REAL
+  *     RECORD (truncated writes retain their WARC-* headers; payloads
+  *     embedding partial WARC heads typically carry version +
+  *     Content-Length at most) — is REMEMBERED: once the sync scan
+  *     proves the region by reaching a trusted boundary (or EOF), the
+  *     reader re-seeks to the first such candidate and reads
+  *     sequentially from it, recovering it as `_corrupt`. Without this,
+  *     a corrupt record whose START falls after the previous split's end
+  *     is silently lost (the previous reader stops at `pos > end`, this
+  *     reader's sync scans past it) and row counts become split-layout-
+  *     dependent. The residual (and documented) limit: a payload
+  *     embedding a COMPLETE, structurally-valid WARC header block AND
+  *     straddling a split boundary can still fool the sync/recovery —
+  *     detecting that needs whole-file context no splittable reader has.
   *
   * Malformed records (no parseable Content-Length) are RECOVERED, not
   * fatal: the reader scans to the next validated boundary (or EOF) and
@@ -68,6 +82,26 @@ private object WarcRecordReader {
   val VersionRe = "^WARC/[0-9]+\\.[0-9]+$".r
   val ContentLengthRe =
     "(?mi)^Content-Length:\\s*(\\d+)\\r?$".r
+  val WarcTypeRe = "(?mi)^WARC-Type:\\s*\\S".r
+
+  /** `validateHead` outcome bit flags. `NotAHead` (0) means the version
+    * line failed to parse or no blank-line terminator arrived within the
+    * cap — payload bytes that merely resemble a delimiter. Otherwise
+    * `HeadBit` is set, plus: */
+  final val NotAHead = 0
+  /** Version line parses and the header block terminates. */
+  final val HeadBit = 1
+  /** + parseable Content-Length: the sequential reader can FRAME from
+    * here, and a recovery scan realigns here. */
+  final val FrameBit = 2
+  /** + `WARC-Type` (mandatory per ISO 28500): the signature of a real
+    * record head — damaged records retain it, while real-world payloads
+    * embedding partial WARC headers (tutorials, mirrored WARC files
+    * served over HTTP) typically carry version + Content-Length at
+    * most. Sync REMEMBERS typed heads for recovery. */
+  final val TypeBit = 4
+  /** All three: a trusted mid-file sync anchor. */
+  final val SyncOk = HeadBit | FrameBit | TypeBit
 }
 
 private class WarcRecordReader
@@ -75,6 +109,7 @@ private class WarcRecordReader
   import WarcRecordReader._
 
   private var in: PushbackInputStream = _
+  private var fsIn: org.apache.hadoop.fs.FSDataInputStream = _
   private var pos: Long = 0L
   private var start: Long = 0L
   private var end: Long = 0L
@@ -91,7 +126,7 @@ private class WarcRecordReader
     val codec = new CompressionCodecFactory(conf).getCodec(file)
     start = split.getStart
     end = start + split.getLength
-    val fsIn = fs.open(file)
+    fsIn = fs.open(file)
     val base: InputStream =
       if (codec != null) {
         // non-splittable: one split covers the whole file; positions
@@ -149,35 +184,61 @@ private class WarcRecordReader
     }
   }
 
+  /** Re-seek the (uncompressed) stream to an absolute offset, discarding
+    * any pushback state. Only legal on the uncompressed path — sync (the
+    * sole caller's context) never runs for compressed splits. */
+  private def reseek(to: Long): Unit = {
+    fsIn.seek(to)
+    pos = to
+    in = new PushbackInputStream(fsIn, HeaderCap + 64)
+  }
+
   /** Scan for `\r\n\r\nWARC/`; on each hit, validate the candidate
-    * record head. On success the stream is positioned AT the record
-    * start (the 'W') and true is returned; at EOF false. Candidates
-    * starting before `minStart` are rejected (they belong to the
-    * previous split). */
+    * record head. A [[WarcRecordReader.SyncOk]] head anchors the sync:
+    * the stream is positioned AT the record start (the 'W') and true is
+    * returned. A TYPED but untrusted head (carries `WARC-Type` but its
+    * Content-Length is missing/unparseable — the damaged-record
+    * signature) is remembered; once the scan proves the region by
+    * reaching a trusted anchor or EOF, the reader re-seeks to the FIRST
+    * such candidate so the sequential read path emits it (recovered as
+    * `_corrupt`) instead of losing the bytes — without this, a corrupt
+    * record whose start falls after the previous split's end is owned by
+    * nobody and row counts become split-layout-dependent. Untyped heads
+    * (version + Content-Length at most — the shape real payloads embed)
+    * and plain delimiter-lookalikes are never remembered or trusted.
+    * Candidates starting before `minStart` belong to the previous split
+    * and are skipped. False only at EOF with nothing owned. */
   private def syncToBoundary(minStart: Long): Boolean = {
+    var pending = -1L
     val w = new BoundaryWindow
     var b = read1()
     while (b >= 0) {
       w.push(b)
       if (w.matches) {
         val candidate = pos - Magic.length
-        if (candidate >= minStart && validateHead()) {
-          unread(Magic, 0, Magic.length)
-          return true
+        if (candidate >= minStart) {
+          val grade = validateHead()
+          if (grade == SyncOk) {
+            if (pending >= 0) { reseek(pending); return true }
+            unread(Magic, 0, Magic.length)
+            return true
+          }
+          if ((grade & TypeBit) != 0 && pending < 0) pending = candidate
         }
         // rejected — keep scanning (window state carries on naturally)
       }
       b = read1()
     }
-    false
+    if (pending >= 0) { reseek(pending); true } else false
   }
 
   /** With the stream positioned just after `WARC/`, look ahead for a
-    * version line + header block + Content-Length; push every byte back
-    * regardless of outcome. */
-  private def validateHead(): Boolean = {
+    * version line + terminated header block and grade the candidate
+    * ([[WarcRecordReader.NotAHead]] … [[WarcRecordReader.SyncOk]]);
+    * push every byte back regardless of outcome. */
+  private def validateHead(): Int = {
     val buf = new ByteArrayOutputStream(512)
-    var ok = false
+    var grade = NotAHead
     var terminated = false
     // read until header-block terminator or cap
     var m = 0
@@ -194,12 +255,17 @@ private class WarcRecordReader
       val head = new String(buf.toByteArray, StandardCharsets.ISO_8859_1)
       val nl = head.indexOf("\r\n")
       val version = if (nl < 0) "" else "WARC/" + head.substring(0, nl)
-      ok = VersionRe.findFirstIn(version).isDefined &&
-        ContentLengthRe.findFirstMatchIn(head).isDefined
+      if (VersionRe.findFirstIn(version).isDefined) {
+        grade = HeadBit
+        if (ContentLengthRe.findFirstMatchIn(head).isDefined)
+          grade |= FrameBit
+        if (WarcTypeRe.findFirstMatchIn(head).isDefined)
+          grade |= TypeBit
+      }
     }
     val arr = buf.toByteArray
     if (arr.length > 0) unread(arr, 0, arr.length)
-    ok
+    grade
   }
 
   /** Read exactly n bytes (short read at EOF returns what exists). */
@@ -235,17 +301,27 @@ private class WarcRecordReader
     Some(buf.toByteArray) // EOF mid-headers — malformed
   }
 
-  /** Malformed record recovery: collect bytes until the next VALIDATED
-    * boundary (stream left at the next record start) or EOF. */
+  /** Malformed record recovery: collect bytes until the next FRAMEABLE
+    * boundary (stream left at the next record start) or EOF. The stop
+    * condition is [[WarcRecordReader.FrameBit]], not SyncOk — a
+    * Content-Length-bearing head realigns the sequential reader whether
+    * or not it carries WARC-Type, matching the pre-tightening recovery
+    * behavior. */
   private def recoverChunk(prefix: Array[Byte]): Array[Byte] = {
     val buf = new ByteArrayOutputStream(prefix.length + 512)
     buf.write(prefix, 0, prefix.length)
     val w = new BoundaryWindow
+    // seed with the prefix tail: an empty-payload malformed head is
+    // DIRECTLY followed by the next record, so the boundary's \r\n\r\n
+    // lives in the prefix — an unseeded window would scan past that
+    // record start and swallow everything to the next boundary or EOF
+    var i = math.max(0, prefix.length - (Boundary.length - 1))
+    while (i < prefix.length) { w.push(prefix(i) & 0xff); i += 1 }
     var b = read1()
     while (b >= 0) {
       buf.write(b)
       w.push(b)
-      if (w.matches && validateHead()) {
+      if (w.matches && (validateHead() & FrameBit) != 0) {
         // drop the consumed boundary from the chunk, reposition at the
         // record start
         unread(Magic, 0, Magic.length)

@@ -24,7 +24,12 @@ class WarcPropertySpec extends AnyFunSuite {
   private val genPayload: Gen[String] = Gen.oneOf(
     // prose with newlines and CRLF
     Gen.listOf(Gen.oneOf("word", "línea", "日本語", "a&b<c>", "\r\n", "\n",
-      " ", "é", "\r\n\r\nWARC/1.0\r\n")).map(_.mkString),
+      " ", "é", "\r\n\r\nWARC/1.0\r\n",
+      // partial embedded WARC heads (version + Content-Length, even a
+      // terminated block) — the false-sync shapes the WARC-Type trust
+      // requirement exists for
+      "\r\n\r\nWARC/1.0\r\nContent-Length: 4\r\n\r\nGOTC",
+      "WARC/1.1\r\nContent-Length: 0\r\n")).map(_.mkString),
     // HTTP-ish envelope
     Gen.alphaNumStr.map(b =>
       s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$b"),

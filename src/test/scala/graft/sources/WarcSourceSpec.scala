@@ -200,6 +200,101 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(fp != null && fp.nonEmpty)
   }
 
+  test("a corrupt record whose start falls after a split's end is " +
+    "recovered, not lost — valid AND corrupt counts match whole-file " +
+    "at every split size") {
+    // Clean payloads (no embedded WARC-ish text), one Content-Length-
+    // less record mid-file. Sweeping split.maxsize moves the corrupt
+    // record's start across every ownership position relative to split
+    // edges; the '_corrupt surfaces, never lost' contract demands
+    // (12 valid, 1 corrupt) regardless of layout.
+    val recs = (1 to 12).map { i =>
+      WarcFixtureGen.Rec("response", f"<urn:uuid:c$i%03d>",
+        "2026-01-02T00:00:00Z", s"http://example.org/c$i", "text/plain",
+        s"payload body number $i with some filler text to vary offsets")
+    }
+    val all = (recs.take(6) :+
+      WarcFixtureGen.Rec("response", "<urn:uuid:cbad>",
+        "2026-01-02T00:00:06Z", "http://example.org/bad", "text/plain",
+        "damaged record: headers present, Content-Length missing",
+        corrupt = true)) ++ recs.drop(6)
+    val dir = Files.createTempDirectory("graft_warc_lossless")
+    val f = dir.resolve("c.warc")
+    Files.write(f, WarcFixtureGen.serialize(all))
+    def counts(): (Seq[String], Long) = {
+      val df = DocSource.warc(spark, f.toString)
+      (df.filter(col("_corrupt").isNull).select("record_id")
+        .collect().map(_.getString(0)).sorted.toSeq,
+        df.filter(col("_corrupt").isNotNull).count())
+    }
+    val (wholeIds, wholeCorrupt) = counts()
+    assert(wholeIds.size === 12 && wholeCorrupt === 1L)
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get(key))
+    try {
+      for (ms <- Seq(40, 80, 150, 200, 300, 500)) {
+        hc.set(key, ms.toString)
+        val (ids, corrupt) = counts()
+        assert(ids === wholeIds, s"valid records diverged at maxsize=$ms")
+        assert(corrupt === 1L, s"corrupt count $corrupt at maxsize=$ms")
+      }
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
+  test("a payload embedding a PARTIAL WARC header (version + " +
+    "Content-Length, no WARC-Type) neither fools the split sync nor " +
+    "spawns phantom records") {
+    // The real-world false-sync shape: crawled WARC tutorials / mirrored
+    // WARC files carry version lines and Content-Length in payload
+    // bytes. WARC-Type is the sync-trust discriminator (ISO 28500
+    // mandatory), so these embeds must be invisible at every layout.
+    val embed = "see: a record head looks like\r\n\r\nWARC/1.0\r\n" +
+      "Content-Length: 4\r\n\r\nGOTC and framing follows it"
+    val recs = Seq(
+      WarcFixtureGen.Rec("response", "<urn:uuid:e001>",
+        "2026-01-03T00:00:00Z", "http://example.org/e1", "text/plain",
+        "plain first record"),
+      WarcFixtureGen.Rec("response", "<urn:uuid:e002>",
+        "2026-01-03T00:00:01Z", "http://example.org/e2", "text/plain",
+        embed),
+      WarcFixtureGen.Rec("response", "<urn:uuid:e003>",
+        "2026-01-03T00:00:02Z", "http://example.org/e3", "text/plain",
+        "plain last record"))
+    val dir = Files.createTempDirectory("graft_warc_embed")
+    val f = dir.resolve("e.warc")
+    Files.write(f, WarcFixtureGen.serialize(recs))
+    def parse(): (Seq[(String, String)], Long) = {
+      val df = DocSource.warc(spark, f.toString)
+      (df.filter(col("_corrupt").isNull)
+        .select("record_id", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq,
+        df.filter(col("_corrupt").isNotNull).count())
+    }
+    val (wholeRows, wholeCorrupt) = parse()
+    assert(wholeRows.map(_._1) ===
+      Seq("<urn:uuid:e001>", "<urn:uuid:e002>", "<urn:uuid:e003>"))
+    assert(wholeRows(1)._2 === embed)
+    assert(wholeCorrupt === 0L)
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get(key))
+    try {
+      for (ms <- Seq(40, 64, 100, 150, 250)) {
+        hc.set(key, ms.toString)
+        val (rows, corrupt) = parse()
+        assert(rows === wholeRows, s"parse diverged at maxsize=$ms")
+        assert(corrupt === 0L, s"phantom corrupt rows at maxsize=$ms")
+      }
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
   test("a headerless HTTP response yields NULL text from warcDocs, " +
     "not header garbage") {
     val row = DocSource.warcDocs(spark, warcPath)
