@@ -61,6 +61,124 @@ object Bench {
     val nProc = osBean.getAvailableProcessors
     val loadStart = osBean.getSystemLoadAverage
     val wallStart = java.time.Instant.now().toString
+
+    // Rolling estimate of THIS process's own contribution to the 1-min
+    // load average: process-CPU delta over (up to) the trailing 60 s,
+    // in cores. loadavg − own ≈ FOREIGN load — the only kind that makes
+    // a wall time an environment number. Seeded HERE — before the
+    // warmup block — so the warmup's JIT/CPU is attributed to the
+    // process and the first query's foreign_load is not raw loadavg.
+    val cpuHist = scala.collection.mutable.ArrayDeque[(Long, Long)](
+      (System.currentTimeMillis(), cpuNanos))
+    def ownCores(): Double = {
+      val nowMs = System.currentTimeMillis()
+      val cpuNow = cpuNanos
+      cpuHist += ((nowMs, cpuNow))
+      while (cpuHist.size > 1 && nowMs - cpuHist.head._1 > 60000L)
+        cpuHist.removeHead()
+      val (t0, c0) = cpuHist.head
+      val dtSec = (nowMs - t0) / 1e3
+      if (dtSec < 5 || cpuNow < 0 || c0 < 0) 0.0
+      else (cpuNow - c0) / 1e9 / dtSec
+    }
+
+    // --- Per-entry Spark-measured metrics (round-11) ------------------
+    // The r10 driver run burned 980 cpu-s on q25e where the same binary
+    // burned 81 in a quiet run, and nothing in the detail JSON could
+    // attribute it (foreign load < 1.5, jit 16 s, gc 1 s). These
+    // listener-sourced fields make such a gap self-adjudicating: task
+    // counts and failed/retried tasks expose silent task retries,
+    // executor run/cpu time separates scheduled compute from driver
+    // stalls, shuffle/spill bytes expose plan-shape and memory changes,
+    // and the physical-plan fingerprints expose nondeterministic plan
+    // flips (e.g. AQE picking SMJ over broadcast on the export spine).
+    final class TaskAgg {
+      var tasks = 0L; var failed = 0L; var execRunMs = 0L
+      var execCpuNs = 0L; var shufReadB = 0L; var shufWriteB = 0L
+      var memSpillB = 0L; var diskSpillB = 0L
+      def snap(): (Long, Long, Long, Long, Long, Long, Long, Long) =
+        synchronized((tasks, failed, execRunMs, execCpuNs, shufReadB,
+          shufWriteB, memSpillB, diskSpillB))
+    }
+    val taskAgg = new TaskAgg
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskAgg.synchronized {
+            taskAgg.tasks += 1
+            if (te.reason != org.apache.spark.Success) taskAgg.failed += 1
+            val m = te.taskMetrics
+            if (m != null) {
+              taskAgg.execRunMs += m.executorRunTime
+              taskAgg.execCpuNs += m.executorCpuTime
+              taskAgg.shufReadB += m.shuffleReadMetrics.totalBytesRead
+              taskAgg.shufWriteB += m.shuffleWriteMetrics.bytesWritten
+              taskAgg.memSpillB += m.memoryBytesSpilled
+              taskAgg.diskSpillB += m.diskBytesSpilled
+            }
+          }
+      })
+    // Listener events deliver asynchronously; drain the bus before each
+    // snapshot so a sample's delta covers exactly its own tasks. The
+    // bus accessor is private[spark] (public in bytecode) — reflection,
+    // with a short sleep as the degraded fallback.
+    val drainBus: () => Unit =
+      try {
+        val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(spark.sparkContext)
+        val waitM = bus.getClass.getMethod("waitUntilEmpty")
+        val probe = () => { waitM.invoke(bus); () }
+        probe() // fail now, not mid-run, if the contract moved
+        probe
+      } catch {
+        case _: Throwable => () => Thread.sleep(100)
+      }
+    // Internal SQL executions (the export entries run write jobs inside
+    // their query function): fingerprint every execution's final
+    // physical plan. Normalized for exprIds / plan ids / temp paths so
+    // the same plan shape hashes identically across runs — a changed
+    // fingerprint between two detail JSONs IS a plan flip.
+    def planFp(plan: String): String = {
+      val norm = plan
+        .replaceAll("#\\d+", "#")
+        .replaceAll("[A-Za-z_]*id=#?\\d+", "id=")
+        .replaceAll("@[0-9a-fA-F]{4,}", "@")
+        .replaceAll("/tmp/[^\\s,)\\]]+", "/tmp/_")
+        .replaceAll("graft_[a-z_]+\\d+", "graft_")
+        // run-order noise, not plan shape: codegen span ids, AQE query-
+        // stage materialization ids, and lambda class counters/addresses
+        // all depend on concurrent stage completion order
+        .replaceAll("\\*\\(\\d+\\)", "*(c)")
+        .replaceAll("QueryStage \\d+", "QueryStage")
+        .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(norm.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+    }
+    val subPlans = new scala.collection.mutable.ArrayBuffer[String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val fp = scala.util.Try(planFp(qe.executedPlan.toString))
+            .getOrElse("err")
+          val idx = subPlans.synchronized { subPlans += fp; subPlans.size }
+          sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
+            scala.util.Try {
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(dir))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, f"sub_$idx%03d_$fp.plan.txt"),
+                qe.executedPlan.toString.getBytes("UTF-8"))
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     // Warm up JVM/codegen/parquet-reader paths so the first timed query
     // isn't charged for JIT + class loading. The synthetic second block
     // exercises the engine's common physical machinery — shuffle,
@@ -153,28 +271,11 @@ object Bench {
 
     case class Sample(wall: Double, startedAt: Long, loadAt: Double,
         loadAfter: Double, foreign: Double, gcSec: Double, cpuSec: Double,
-        jitSec: Double)
+        jitSec: Double, tasks: Long, failedTasks: Long,
+        execRunSec: Double, execCpuSec: Double, shufReadMb: Double,
+        shufWriteMb: Double, spillMemMb: Double, spillDiskMb: Double,
+        planFp: String, subPlanFps: Seq[String])
 
-    // Rolling estimate of THIS process's own contribution to the 1-min
-    // load average: process-CPU delta over (up to) the trailing 60 s,
-    // in cores. loadavg − own ≈ FOREIGN load — the only kind that makes
-    // a wall time an environment number. Gating on raw loadavg made the
-    // bench retry ITSELF after heavy stretches (a 32-thread run pushes
-    // its own 1-min load past cpus/4), and those warm self-retries bias
-    // results low.
-    val cpuHist = scala.collection.mutable.ArrayDeque[(Long, Long)](
-      (System.currentTimeMillis(), cpuNanos))
-    def ownCores(): Double = {
-      val nowMs = System.currentTimeMillis()
-      val cpuNow = cpuNanos
-      cpuHist += ((nowMs, cpuNow))
-      while (cpuHist.size > 1 && nowMs - cpuHist.head._1 > 60000L)
-        cpuHist.removeHead()
-      val (t0, c0) = cpuHist.head
-      val dtSec = (nowMs - t0) / 1e3
-      if (dtSec < 5 || cpuNow < 0 || c0 < 0) 0.0
-      else (cpuNow - c0) / 1e9 / dtSec
-    }
     // HotSpot compiler-thread time: a one-shot query's generated classes
     // are Janino'd + C2-compiled DURING the query, and those compiler
     // threads land in process CPU. Profiling q25s cold: 107 cpu-sec =
@@ -184,6 +285,9 @@ object Bench {
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tag: String): Sample = {
+      drainBus()
+      val (tk0, fl0, er0, ec0, sr0, sw0, sm0, sd0) = taskAgg.snap()
+      val sub0 = subPlans.synchronized(subPlans.size)
       val startedAt = System.currentTimeMillis()
       val loadAt = osBean.getSystemLoadAverage
       val ownAt = ownCores()
@@ -191,9 +295,30 @@ object Bench {
       val cpu0 = cpuNanos
       val jit0 = jitBean.getTotalCompilationTime
       val t0 = System.nanoTime()
+      var mainFp = ""
       val n =
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          val rows = df.queryExecution.toRdd.count()
+          // fingerprint AFTER execution so AQE's FINAL plan (not the
+          // initial one) is what hashes — a run-to-run fingerprint
+          // change is exactly the plan flip we want to catch
+          mainFp = scala.util.Try(
+            planFp(df.queryExecution.executedPlan.toString))
+            .getOrElse("err")
+          // raw-plan dump for fingerprint-diff diagnosis:
+          // SPARK_GRAFT_PLAN_DUMP=<dir> writes <entry>.plan.txt
+          sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
+            scala.util.Try {
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(dir))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"$name.plan.txt"),
+                df.queryExecution.executedPlan.toString.getBytes("UTF-8"))
+            }
+          }
+          rows
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -204,12 +329,24 @@ object Bench {
       val gcSec = (gcMillis - gc0) / 1e3
       val cpuSec = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
       val jitSec = (jitBean.getTotalCompilationTime - jit0) / 1e3
+      drainBus()
+      val (tk1, fl1, er1, ec1, sr1, sw1, sm1, sd1) = taskAgg.snap()
+      val subFps = subPlans.synchronized(subPlans.drop(sub0).toList)
+      val sample = Sample(sec, startedAt, loadAt, loadAfter, foreign,
+        gcSec, cpuSec, jitSec, tk1 - tk0, fl1 - fl0,
+        (er1 - er0) / 1e3, (ec1 - ec0) / 1e9,
+        (sr1 - sr0) / 1048576.0, (sw1 - sw0) / 1048576.0,
+        (sm1 - sm0) / 1048576.0, (sd1 - sd0) / 1048576.0,
+        mainFp, subFps)
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  " +
         f"(cpu $cpuSec%.1f s, jit $jitSec%.1f s, gc $gcSec%.1f s, " +
         f"load $loadAt%.1f→$loadAfter%.1f, foreign $foreign%.1f, " +
+        f"tasks ${sample.tasks}%d/${sample.failedTasks}%d failed, " +
+        f"exec ${sample.execRunSec}%.1f s, " +
+        f"shuf ${sample.shufReadMb}%.0f/${sample.shufWriteMb}%.0f MB, " +
+        f"spill ${sample.spillDiskMb}%.0f MB, plan $mainFp%s, " +
         f"$n rows$tag)")
-      Sample(sec, startedAt, loadAt, loadAfter, foreign, gcSec, cpuSec,
-        jitSec)
+      sample
     }
 
     // Self-correcting retry pass, round-10 policy. The r9 gate (cpu/wall
@@ -267,13 +404,33 @@ object Bench {
     // order) and the picked index, so a contended run is fully
     // re-adjudicable from the detail alone. cpu/wall ≪ 1 core ⇒ starved;
     // gc ≈ wall ⇒ heap thrash; load > cpus/4 ⇒ contended environment.
+    // Spark-measured fields (per sample): tasks + failed task count
+    // expose silent retries; exec_run/exec_cpu are executor-side
+    // scheduled time (≫ quiet-run values with no failed tasks ⇒ genuine
+    // extra compute, e.g. a plan flip); shuffle/spill MB pin data
+    // volume; plan_fp is the normalized hash of the entry's FINAL
+    // physical plan and sub_plans the hashes of internal SQL executions
+    // (export write jobs), SORTED because parallel exports complete in
+    // nondeterministic order — diff them across runs to attribute a
+    // wall gap to a plan change in one line.
+    def sparkMeasured(s: Sample): String =
+      ",\"tasks\":" + s.tasks + ",\"failed_tasks\":" + s.failedTasks +
+        ",\"exec_run_sec\":" + f3(s.execRunSec) +
+        ",\"exec_cpu_sec\":" + f3(s.execCpuSec) +
+        ",\"shuffle_read_mb\":" + f3(s.shufReadMb) +
+        ",\"shuffle_write_mb\":" + f3(s.shufWriteMb) +
+        ",\"spill_mem_mb\":" + f3(s.spillMemMb) +
+        ",\"spill_disk_mb\":" + f3(s.spillDiskMb) +
+        ",\"plan_fp\":\"" + s.planFp + "\"" +
+        ",\"sub_plans\":" + s.subPlanFps.sorted.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")
     def sampleJson(s: Sample): String =
       "{\"wall\":" + f3(s.wall) + ",\"start_ms\":" + s.startedAt +
         ",\"load\":" + f3(s.loadAt) +
         ",\"load_after\":" + f3(s.loadAfter) +
         ",\"foreign_load\":" + f3(s.foreign) +
         ",\"gc_sec\":" + f3(s.gcSec) + ",\"cpu_sec\":" + f3(s.cpuSec) +
-        ",\"jit_sec\":" + f3(s.jitSec) + "}"
+        ",\"jit_sec\":" + f3(s.jitSec) + sparkMeasured(s) + "}"
     val perQuery = results.map {
       case (k, samples, picked) =>
         val s = samples(picked)
@@ -288,7 +445,8 @@ object Bench {
           ",\"foreign_load\":" + f3(s.foreign) +
           ",\"gc_sec\":" + f3(s.gcSec) +
           ",\"cpu_sec\":" + f3(s.cpuSec) +
-          ",\"jit_sec\":" + f3(s.jitSec) + retryJson + "}"
+          ",\"jit_sec\":" + f3(s.jitSec) + sparkMeasured(s) +
+          retryJson + "}"
     }.mkString("{", ",", "}")
     // Streaming throughput (VERDICT r8 #6): sustained events/sec through
     // sessionize and watermarked dedup over a backlogged rate source —
