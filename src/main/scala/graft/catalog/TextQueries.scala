@@ -2774,6 +2774,27 @@ object TextQueries {
           .orderBy("step"),
       None),
 
+    // ----- q188: VOCABULARY-SCALE BPE training — the design claim
+    // under timing: a real tokenizer's merge count (12,000 — GPT-2's
+    // vocabulary is ~50k total symbols, of which merges are the learned
+    // part; 12k is the scale class where a per-merge-job loop is
+    // hopeless at ~0.5 s/job ≈ 100 min) over the sf0.1 corpus. Same
+    // shape as q185: ONE distributed corpus pass collects the
+    // vocabulary-bounded (unit, freq) table, then the driver-local
+    // incremental trainer (pair counts + ordered argmax, O(affected
+    // units) per merge) runs the full 12k-merge loop in a few seconds.
+    // Rows-only BY DESIGN with the q182/q185 discipline: TokenizerSpec
+    // property-pins the merge trajectory against an independent
+    // reference and the routed path against the forced-distributed
+    // loop; q183/q183b/q184 value-verify merge application in SQL.
+    Q("q188_bpe_train_vocab",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeMergeTable(documents(s, d), numMerges = 12000,
+            wordsPerUnit = 3)
+          .orderBy("step"),
+      None),
+
     // ----- q183: BPE single-merge tokenization effect — the one merge
     // configuration an external engine CAN replay exactly: applying
     // merge (e,s) greedily left-to-right collapses exactly the
