@@ -26,9 +26,18 @@ object StreamBench {
     * swamp the driver's captured output tail. The throughput lines
     * print via System.err directly, unaffected.
     *
-    * @return (pipeline name, sustained events/sec) pairs. */
+    * The offered rate is reported alongside the measured rates
+    * (`offered` pair) so a run is self-adjudicating: measured ≪ offered
+    * proves the source over-provisioned and the numbers engine-bound.
+    * At 2M offered, both pipelines once reported the IDENTICAL
+    * 1,733,320 ev/s — the measurement had become the source/batching
+    * ceiling, honest as a lower bound but no longer diagnostic; 8M
+    * keeps the ~1.8M-class engines saturated with 4× headroom.
+    *
+    * @return (pipeline name, sustained events/sec) pairs, plus
+    *         ("offered", rowsPerSec). */
   def run(spark: SparkSession, seconds: Int = 15,
-      rowsPerSec: Long = 2000000L): Seq[(String, Double)] = {
+      rowsPerSec: Long = 8000000L): Seq[(String, Double)] = {
     import spark.implicits._
     val rootLogger = org.apache.logging.log4j.LogManager.getRootLogger
       .asInstanceOf[org.apache.logging.log4j.core.Logger]
@@ -45,11 +54,17 @@ object StreamBench {
       // fast pipeline completing >100 micro-batches in the window would
       // silently undercount through recentProgress.
       val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      // The listener is session-global: filter by the benched query's
+      // id, or anything else streaming in the session (caller state,
+      // a concurrent bench) would inflate the count.
+      val qid = new java.util.concurrent.atomic.AtomicReference[
+        java.util.UUID](null)
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit =
-          rowsSeen.addAndGet(e.progress.numInputRows)
+          if (e.progress.id == qid.get)
+            rowsSeen.addAndGet(e.progress.numInputRows)
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(listener)
@@ -61,6 +76,8 @@ object StreamBench {
         .format("noop")
         .option("checkpointLocation", ckpt)
         .start()
+      qid.set(q.id) // set before the first batch can complete — progress
+      // events need a finished micro-batch, which takes ≫ this gap
       val t0 = System.nanoTime()
       // The measurement window ends BEFORE stop(): stopping a backlogged
       // stream waits for the in-flight batch to cancel, and rows only
@@ -69,9 +86,18 @@ object StreamBench {
       val wall =
         try { Thread.sleep(seconds * 1000L); (System.nanoTime() - t0) / 1e9 }
         finally q.stop()
-      // listener events are delivered asynchronously; give the last
-      // completed batch's event a beat to land before reading
-      Thread.sleep(1000)
+      // listener events deliver asynchronously and a fixed sleep can
+      // still miss the final batch's event: wait until the count is
+      // stable across a 200 ms quiet period (bounded at 5 s)
+      locally {
+        var last = -1L
+        var spins = 0
+        while (rowsSeen.get != last && spins < 25) {
+          last = rowsSeen.get
+          Thread.sleep(200)
+          spins += 1
+        }
+      }
       spark.streams.removeListener(listener)
       val rows = rowsSeen.get
       val rate = rows / wall
@@ -108,7 +134,7 @@ object StreamBench {
     // Give the killed batches' async task-failure logging a beat to
     // drain while the level is still OFF.
     Thread.sleep(2000)
-    Seq(sessionize, dedup)
+    Seq(sessionize, dedup, ("offered", rowsPerSec.toDouble))
     } finally {
       // Restore the CALLER'S level even when a pipeline throws —
       // leaving the shared context at OFF would suppress exactly the
