@@ -27,30 +27,107 @@ object UmlsQueries {
   private def fx(table: String) =
     s"'$FixtureDir/$table.parquet/*.parquet'"
 
-  private[graft] def umls: Seq[Q] = Seq(
+  /** q25's flattening of the assembled concepts to hash-comparable
+    * strings — shared by the parquet-sourced (q25) and JDBC-sourced
+    * (q189) entries so both verify against the SAME oracle SQL. */
+  private def flatConcepts(asm: ConceptAssembler): DataFrame =
+    asm.concepts().toDF()
+      .select(
+        col("code"),
+        col("prefLabel").as("pref_label"),
+        array_join(col("altLabels"), "|").as("alt_labels"),
+        array_join(col("defs"), "|").as("defs"),
+        array_join(col("cuis"), "|").as("cuis"),
+        array_join(col("tuis"), "|").as("tuis"),
+        array_join(array_sort(transform(col("rels"), r =>
+          concat_ws(":", r("rel"), r("rela"), r("codeSource"),
+            r("codeTarget")))), "|").as("rels"),
+        array_join(array_sort(transform(col("atts"), a =>
+          concat_ws("=", a("atn"), a("atv")))), "|").as("atts"),
+        col("isRoot").as("is_root"))
+      .orderBy("code")
+
+  /** In-memory Derby loaded once per JVM from the committed UMLS
+    * fixture parquet (explicit VARCHAR DDL — Spark's Derby dialect maps
+    * StringType to CLOB, which Derby won't compare with string
+    * literals). Backs the JDBC-sourced bench entry (q189): the one
+    * catalog path that times [[UmlsSource.jdbc]]'s partitioned
+    * predicate reads instead of parquet scans. */
+  private[catalog] object DerbyUmls {
+    val url = "jdbc:derby:memory:graftbench;create=true"
+    lazy val props: java.util.Properties = {
+      System.setProperty("derby.system.home",
+        java.nio.file.Files.createTempDirectory("graft-derby-bench")
+          .toString)
+      val p = new java.util.Properties()
+      p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      p
+    }
+    @volatile private var loaded = false
+    def ensure(spark: SparkSession): Unit =
+      if (!loaded) synchronized {
+        if (!loaded) {
+          props // set derby.system.home before the engine boots
+          // Spark's built-in Derby dialect maps StringType to CLOB,
+          // which Derby neither compares with string literals (breaking
+          // the partition predicates) nor accepts as the null type for
+          // a VARCHAR column (MRSAT's CODE is NULL by design — F5's
+          // filter subject): override to VARCHAR for both DDL and
+          // setNull.
+          org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+            new org.apache.spark.sql.jdbc.JdbcDialect {
+              override def canHandle(u: String): Boolean =
+                u.startsWith("jdbc:derby:")
+              override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+                  : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+                case org.apache.spark.sql.types.StringType =>
+                  Some(org.apache.spark.sql.jdbc.JdbcType(
+                    "VARCHAR(4000)", java.sql.Types.VARCHAR))
+                case _ => None
+              }
+            })
+          for (t <- Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK",
+              "MRSAB", "MRSTY", "MRDOC")) {
+            spark.read.parquet(s"$FixtureDir/$t.parquet")
+              .write.mode("append").jdbc(url, t, props)
+          }
+          loaded = true
+        }
+      }
+  }
+
+  private[graft] def umls: Seq[Q] = {
+    val base = umlsBase
+    val q25Oracle = base.find(_.name == "q25_concept_assemble").get.oracle
+    // ----- q189: the SAME codes-mode assembly as q25, sourced through
+    // the partitioned-JDBC reader (S1's production path) against an
+    // in-memory Derby loaded from the same fixture — the one catalog
+    // entry that puts UmlsSource.jdbc under the driver's timing and
+    // oracle. It verifies against q25's EXACT oracle SQL (value
+    // identity parquet-path ≡ JDBC-path), and JdbcSourceSpec pins that
+    // the assembly's SAB/SUPPRESS filters reach the JDBC scan as
+    // PushedFilters rather than running in Spark.
+    base :+ Q("q189_jdbc_assembly",
+      (s, _) => {
+        DerbyUmls.ensure(s)
+        flatConcepts(new ConceptAssembler(s,
+          UmlsSource.jdbc(s, DerbyUmls.url, DerbyUmls.props,
+            numPartitions = 3,
+            split = UmlsSource.rangeSplit(Seq("C2", "C6"))), "FIX"))
+      },
+      q25Oracle)
+  }
+
+  private def umlsBase: Seq[Q] = Seq(
 
     // ----- q25: the full codes-mode concept assembly (F1/F2/F15/F16/F17,
     // J3-J9, A1/A3/A5-A7, C5) flattened to hash-comparable strings.
     // Reference dataflow: umls2rdf.py:586-743.
     Q("q25_concept_assemble",
-      (s, _) => {
-        val asm = new ConceptAssembler(s, UmlsSource.parquet(s, FixtureDir), "FIX")
-        asm.concepts().toDF()
-          .select(
-            col("code"),
-            col("prefLabel").as("pref_label"),
-            array_join(col("altLabels"), "|").as("alt_labels"),
-            array_join(col("defs"), "|").as("defs"),
-            array_join(col("cuis"), "|").as("cuis"),
-            array_join(col("tuis"), "|").as("tuis"),
-            array_join(array_sort(transform(col("rels"), r =>
-              concat_ws(":", r("rel"), r("rela"), r("codeSource"),
-                r("codeTarget")))), "|").as("rels"),
-            array_join(array_sort(transform(col("atts"), a =>
-              concat_ws("=", a("atn"), a("atv")))), "|").as("atts"),
-            col("isRoot").as("is_root"))
-          .orderBy("code")
-      },
+      (s, _) =>
+        flatConcepts(
+          new ConceptAssembler(s, UmlsSource.parquet(s, FixtureDir),
+            "FIX")),
       Some(s"""
         WITH atoms AS (
           SELECT CUI, AUI, TTY, CODE, STR

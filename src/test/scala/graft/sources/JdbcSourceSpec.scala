@@ -90,6 +90,25 @@ class JdbcSourceSpec extends AnyFunSuite {
       consoParquet.filter(col("SAB") === "FIX").count())
   }
 
+  test("q189 (the benched JDBC assembly) pushes its SAB filters into " +
+    "the JDBC scans — pushdown holds on the timed path, not just the " +
+    "toy plan above") {
+    val q = graft.catalog.Queries.all
+      .find(_.name == "q189_jdbc_assembly").get
+    val df = q.run(spark, "")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation"), plan.take(500))
+    val scanLines = plan.split('\n').filter(_.contains("JDBCRelation"))
+    assert(scanLines.nonEmpty)
+    assert(scanLines.exists(l =>
+      l.contains("PushedFilters") && l.contains("SAB")),
+      scanLines.mkString("\n"))
+    // and the entry stays value-identical to the parquet-path q25
+    val q25 = graft.catalog.Queries.all
+      .find(_.name == "q25_concept_assemble").get
+    assert(sortedRows(df) === sortedRows(q25.run(spark, "")))
+  }
+
   test("crc32Split and rangeSplit emit complete, disjoint predicate sets") {
     assert(UmlsSource.crc32Split("CUI", 4, 2) === "crc32(CUI) % 4 = 2")
     val split = UmlsSource.rangeSplit(Seq("C0002", "C0005"))
