@@ -92,11 +92,16 @@ object Bucketing {
       val e = it.next()
       if (now - e.at > graceMs && only.forall(_.contains(e.table))) {
         spark.sql(s"DROP TABLE IF EXISTS ${e.table}")
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(); ()
+        // delete through the Hadoop FileSystem API, not java.io.File:
+        // local-File recursion is a silent no-op for non-local URIs
+        // (hdfs://, s3a://), which would drop the catalog table but
+        // leak the bucketed data — defeating the accumulation guarantee
+        // this registry exists for
+        scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(e.path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
         }
-        rm(new java.io.File(e.path))
         it.remove()
         n += 1
       }
