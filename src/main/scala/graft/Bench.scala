@@ -460,8 +460,10 @@ object Bench {
           only.isDefined) ""
       else scala.util.Try {
         val rates = graft.streaming.StreamBench.run(spark)
+        // keys arrive fully named: <pipeline>_events_per_sec (steady),
+        // <pipeline>_steady_batches, rows_per_batch
         ",\"streaming_throughput\":" + rates.map { case (k, v) =>
-          "\"" + k + "_events_per_sec\":" + f3(v)
+          "\"" + k + "\":" + f3(v)
         }.mkString("{", ",", "}")
       }.recover { case e =>
         System.err.println(s"[bench] streaming bench FAILED: ${e.getMessage}")

@@ -3,17 +3,20 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Structured-Streaming throughput micro-bench: rate-source events driven
+/** Structured-Streaming throughput micro-bench: generated events driven
   * through the two stateful operators that gate any streaming deployment —
   * keyed sessionization (`flatMapGroupsWithState`) and watermarked exact
   * dedup (`dropDuplicatesWithinWatermark`) — for a fixed wall-clock
   * window, reporting sustained events/sec actually processed.
   *
-  * The rate source is deliberately over-provisioned (rowsPerSecond far
-  * above single-box capacity) so every micro-batch drains a backlog and
-  * the measured rate is the ENGINE'S ceiling, not the generator's. The
-  * sink is Spark's `noop` writer — the number excludes sink I/O by
-  * design (state-store update cost dominates both pipelines).
+  * The source is `rate-micro-batch`: every micro-batch is a FIXED
+  * `rowsPerBatch` rows, available instantly, with event time advancing
+  * 1 s per batch — so the engine runs batches back-to-back and the
+  * measurement is STRUCTURALLY engine-bound (no generator ceiling, no
+  * backlog dynamics producing 2-4 giant variable batches per window,
+  * which is what the plain over-provisioned `rate` source degenerated
+  * to). The sink is Spark's `noop` writer — the number excludes sink
+  * I/O by design (state-store update cost dominates both pipelines).
   */
 object StreamBench {
 
@@ -26,18 +29,19 @@ object StreamBench {
     * swamp the driver's captured output tail. The throughput lines
     * print via System.err directly, unaffected.
     *
-    * The offered rate is reported alongside the measured rates
-    * (`offered` pair) so a run is self-adjudicating: measured ≪ offered
-    * proves the source over-provisioned and the numbers engine-bound.
-    * At 2M offered, both pipelines once reported the IDENTICAL
-    * 1,733,320 ev/s — the measurement had become the source/batching
-    * ceiling, honest as a lower bound but no longer diagnostic; 8M
-    * keeps the ~1.8M-class engines saturated with 4× headroom.
+    * The reported rate is STEADY-STATE: batches completing in the first
+    * third of the window (JIT/codegen warmup, state-store bootstrap)
+    * are excluded, and both endpoints sit on batch boundaries. The
+    * whole-window rate swung >2x between cold and warm JVMs; the
+    * steady-state form is what a cross-round comparison can trust. The
+    * per-batch row count and the steady batch count are reported
+    * alongside so a run is self-adjudicating.
     *
-    * @return (pipeline name, sustained events/sec) pairs, plus
-    *         ("offered", rowsPerSec). */
+    * @return fully-named (key, value) pairs ready for the bench JSON:
+    *         `<pipeline>_events_per_sec` (steady),
+    *         `<pipeline>_steady_batches`, and `rows_per_batch`. */
   def run(spark: SparkSession, seconds: Int = 15,
-      rowsPerSec: Long = 8000000L): Seq[(String, Double)] = {
+      rowsPerBatch: Long = 2000000L): Seq[(String, Double)] = {
     import spark.implicits._
     val rootLogger = org.apache.logging.log4j.LogManager.getRootLogger
       .asInstanceOf[org.apache.logging.log4j.core.Logger]
@@ -45,7 +49,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("OFF")
 
     def measure(name: String)(build: DataFrame => DataFrame)
-        : (String, Double) = {
+        : Seq[(String, Double)] = {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_stream_bench_").toString
       // Row counting rides a listener, not q.recentProgress — the
@@ -54,6 +58,10 @@ object StreamBench {
       // fast pipeline completing >100 micro-batches in the window would
       // silently undercount through recentProgress.
       val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      // (completion nanoTime, rows in that batch) per completed batch —
+      // the steady-state rate below needs batch-aligned timestamps.
+      val batches =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       // The listener is session-global: filter by the benched query's
       // id, or anything else streaming in the session (caller state,
       // a concurrent bench) would inflate the count.
@@ -63,13 +71,19 @@ object StreamBench {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit =
-          if (e.progress.id == qid.get)
+          if (e.progress.id == qid.get) {
             rowsSeen.addAndGet(e.progress.numInputRows)
+            batches.add((System.nanoTime(), e.progress.numInputRows))
+            ()
+          }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(listener)
-      val src = spark.readStream.format("rate")
-        .option("rowsPerSecond", rowsPerSec)
+      // fixed-size instantly-available batches; event time advances 1 s
+      // per batch (the default), so watermarks progress and session/
+      // dedup state actually closes and reclaims during the run
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
         .option("numPartitions", 32)
         .load()
       val q = build(src).writeStream
@@ -100,11 +114,37 @@ object StreamBench {
       }
       spark.streams.removeListener(listener)
       val rows = rowsSeen.get
-      val rate = rows / wall
+      val wholeRate = rows / wall
+      // STEADY-STATE rate: the whole-window rate carries the first
+      // batches' JIT/codegen warmup and state-store bootstrap, which
+      // made the committed number swing >2x between cold and warm JVMs.
+      // Measure batch-aligned instead — rows completed strictly after
+      // the first post-cutoff batch, over the span from that batch's
+      // completion to the last batch's completion — so both endpoints
+      // sit on batch boundaries and warmup is excluded. Falls back to
+      // the whole-window rate when fewer than 3 batches land after the
+      // cutoff (a stalled pipeline should not report a flattering
+      // cherry-picked slice).
+      val cutoff = t0 + (seconds * 1e9 / 3).toLong
+      val post = {
+        val it = batches.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        while (it.hasNext) { val b = it.next(); if (b._1 >= cutoff) buf += b }
+        buf.sortBy(_._1)
+      }
+      val steadyN = math.max(0, post.length - 1)
+      val rate =
+        if (post.length >= 3) {
+          val span = (post.last._1 - post.head._1) / 1e9
+          if (span > 1.0) post.drop(1).map(_._2).sum / span else wholeRate
+        } else wholeRate
       System.err.println(
         f"[bench] streaming:$name%-20s ${rate / 1e3}%8.1f k events/s " +
-          f"($rows rows in $wall%.1f s)")
-      (name, rate)
+          f"steady over $steadyN%d batches (${wholeRate / 1e3}%8.1f k " +
+          f"whole-window; $rows rows in $wall%.1f s, " +
+          f"${batches.size}%d batches)")
+      Seq(s"${name}_events_per_sec" -> rate,
+        s"${name}_steady_batches" -> steadyN.toDouble)
     }
 
     try {
@@ -134,7 +174,7 @@ object StreamBench {
     // Give the killed batches' async task-failure logging a beat to
     // drain while the level is still OFF.
     Thread.sleep(2000)
-    Seq(sessionize, dedup, ("offered", rowsPerSec.toDouble))
+    sessionize ++ dedup :+ ("rows_per_batch" -> rowsPerBatch.toDouble)
     } finally {
       // Restore the CALLER'S level even when a pipeline throws —
       // leaving the shared context at OFF would suppress exactly the
