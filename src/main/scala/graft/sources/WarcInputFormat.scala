@@ -302,11 +302,18 @@ private class WarcRecordReader
   }
 
   /** Malformed record recovery: collect bytes until the next FRAMEABLE
-    * boundary (stream left at the next record start) or EOF. The stop
-    * condition is [[WarcRecordReader.FrameBit]], not SyncOk — a
-    * Content-Length-bearing head realigns the sequential reader whether
-    * or not it carries WARC-Type, matching the pre-tightening recovery
-    * behavior. */
+    * or TYPED boundary (stream left at the next record start) or EOF.
+    * A Content-Length-bearing head realigns the sequential reader
+    * whether or not it carries WARC-Type; a TYPED-but-unframeable head
+    * STARTS A NEW corrupt chunk rather than being swallowed into this
+    * one — consecutive damaged records each surface as their own
+    * `_corrupt` row. That decomposition is also what keeps split reads
+    * consistent with whole-file reads: the split sync independently
+    * remembers the first typed head after its start, so if recovery
+    * swallowed a following typed head into the previous chunk, a split
+    * landing between two damaged records would emit the second one
+    * TWICE (once inside the previous split's merged chunk, once from
+    * its own sync-remembered recovery). */
   private def recoverChunk(prefix: Array[Byte]): Array[Byte] = {
     val buf = new ByteArrayOutputStream(prefix.length + 512)
     buf.write(prefix, 0, prefix.length)
@@ -321,7 +328,7 @@ private class WarcRecordReader
     while (b >= 0) {
       buf.write(b)
       w.push(b)
-      if (w.matches && (validateHead() & FrameBit) != 0) {
+      if (w.matches && (validateHead() & (FrameBit | TypeBit)) != 0) {
         // drop the consumed boundary from the chunk, reposition at the
         // record start
         unread(Magic, 0, Magic.length)

@@ -42,6 +42,67 @@ class WarcPropertySpec extends AnyFunSuite {
   } yield Rec(t, "<urn:uuid:0>", "2026-01-01T00:00:00Z", u,
     "application/octet-stream", p)
 
+  test("corrupt-record recovery is split-layout-independent: random " +
+    "corrupt positions (first/last/consecutive) x random split sizes " +
+    "give the whole-file parse — valid rows AND corrupt chunks") {
+    val spark2 = spark
+    val genCase = for {
+      n <- Gen.choose(3, 8)
+      k <- Gen.choose(1, 2)
+      badIdx <- Gen.pick(k, 0 until n)
+      maxsize <- Gen.oneOf(40, 97, 150, 211, 400)
+      payloads <- Gen.listOfN(n,
+        Gen.listOfN(6, Gen.alphaNumStr.map(_.take(8))).map(_.mkString(" ")))
+    } yield (n, badIdx.toSet, maxsize, payloads)
+    val prop = Prop.forAll(genCase) { case (n, bad, maxsize, payloads) =>
+      Prop.secure {
+        val recs = (0 until n).map { i =>
+          Rec("response", s"<urn:uuid:p$i>", "2026-01-04T00:00:00Z",
+            s"http://ex.org/$i", "text/plain", payloads(i),
+            corrupt = bad.contains(i))
+        }
+        val dir = Files.createTempDirectory("graft_warc_corrupt_prop")
+        val f = dir.resolve("c.warc")
+        Files.write(f, WarcFixtureGen.serialize(recs))
+        val key = "mapreduce.input.fileinputformat.split.maxsize"
+        val hc = spark2.sparkContext.hadoopConfiguration
+        def parse(): (Seq[(String, String)], Seq[String]) = {
+          val df = DocSource.warc(spark2, f.toString)
+          val valid = df
+            .filter(org.apache.spark.sql.functions.col("_corrupt").isNull)
+            .select("record_id", "payload").collect()
+            .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+          val chunks = df
+            .filter(org.apache.spark.sql.functions.col("_corrupt")
+              .isNotNull)
+            .select("_corrupt").collect().map(_.getString(0)).sorted.toSeq
+          (valid, chunks)
+        }
+        val before = Option(hc.get(key))
+        try {
+          hc.unset(key)
+          val (wholeValid, wholeChunks) = parse()
+          // every damaged record is its own chunk, even consecutive ones
+          val sameCount = wholeChunks.size == bad.size
+          hc.set(key, maxsize.toString)
+          val (splitValid, splitChunks) = parse()
+          val same = wholeValid == splitValid && wholeChunks == splitChunks
+          if (!same || !sameCount)
+            println(s"MISMATCH maxsize=$maxsize bad=$bad " +
+              s"whole=(${wholeValid.map(_._1)}, ${wholeChunks.size}) " +
+              s"split=(${splitValid.map(_._1)}, ${splitChunks.size})")
+          same && sameCount
+        } finally before match {
+          case Some(v) => hc.set(key, v)
+          case None => hc.unset(key)
+        }
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("serialize → parse round-trips arbitrary record lists exactly, " +
     "for both WARC/1.0 and WARC/1.1 files") {
     val gen = for {
