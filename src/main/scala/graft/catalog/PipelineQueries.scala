@@ -233,10 +233,14 @@ object PipelineQueries {
         val del = o.filter(col("o_orderkey") % 10 === 0)
           .select(col("o_orderkey"), lit("D").as("op"),
             col("o_orderstatus"), col("o_totalprice"))
+        // the ×1.1 update is emitted UNROUNDED: o_totalprice is a
+        // parquet double, so both engines multiply identical bits by
+        // the identical 1.1 double — round(·, 2) here lands on decimal
+        // .5 boundaries where the two engines' rounding modes diverge.
         val upd = o.filter((col("o_orderkey") % 10).isin(1, 2))
           .select(col("o_orderkey"), lit("U").as("op"),
             col("o_orderstatus"),
-            round(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
         val ins = o.filter(col("o_orderkey") % 10 === 3)
           .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
             lit("I").as("op"), col("o_orderstatus"), col("o_totalprice"))
@@ -244,7 +248,7 @@ object PipelineQueries {
         Warehouse.cdcMerge(o, changes, "o_orderkey",
             Seq("o_orderstatus", "o_totalprice"))
           .select(col("o_orderkey"), col("o_orderstatus"),
-            round(col("o_totalprice"), 2).as("o_totalprice"))
+            col("o_totalprice"))
           .orderBy("o_orderkey")
       },
       Some("""
@@ -253,7 +257,7 @@ object PipelineQueries {
           FROM orders WHERE o_orderkey % 10 = 0
           UNION ALL
           SELECT o_orderkey, 'U', o_orderstatus,
-                 round(o_totalprice * 1.1, 2)
+                 o_totalprice * 1.1
           FROM orders WHERE o_orderkey % 10 IN (1, 2)
           UNION ALL
           SELECT o_orderkey + 100000000, 'I', o_orderstatus, o_totalprice
@@ -261,8 +265,8 @@ object PipelineQueries {
         SELECT o_orderkey,
                CASE WHEN c.op IN ('U', 'I') THEN c.o_orderstatus
                     ELSE b.o_orderstatus END AS o_orderstatus,
-               round(CASE WHEN c.op IN ('U', 'I') THEN c.o_totalprice
-                          ELSE b.o_totalprice END, 2) AS o_totalprice
+               CASE WHEN c.op IN ('U', 'I') THEN c.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
         FROM orders b FULL JOIN changes c USING (o_orderkey)
         WHERE coalesce(c.op != 'D', true)
         ORDER BY o_orderkey""")),

@@ -2582,9 +2582,9 @@ object TextQueries {
           SELECT source, quantile_cont(abs(n_tokens - med), 0.5) AS mad
           FROM dm GROUP BY 1)
         SELECT doc_id, source, n_tokens,
-               round(CASE WHEN mad > 0
-                          THEN 0.6745 * (n_tokens - med) / mad
-                          ELSE 0 END, 4) AS z,
+               CASE WHEN mad > 0
+                    THEN 0.6745 * (n_tokens - med) / mad
+                    ELSE 0 END AS z,
                abs(CASE WHEN mad > 0
                         THEN 0.6745 * (n_tokens - med) / mad
                         ELSE 0 END) <= 3.5 AS keep

@@ -1205,9 +1205,14 @@ object TextAnalysis {
     val z = when(col("mad") > 0,
       lit(0.6745) * (col("n_tokens") - col("med")) / col("mad"))
       .otherwise(lit(0.0))
+    // z is emitted UNROUNDED: med/mad are exact half-integers (medians
+    // of integer token counts), so both engines compute the identical
+    // IEEE double — a round(z, 4) here lands on decimal .5 boundaries
+    // where Spark's BigDecimal HALF_UP and DuckDB's scaled-double
+    // rounding disagree by 1 ulp of the last kept digit.
     withMed.join(broadcast(mad), groupCol)
       .select(col(idCol), col(groupCol), col("n_tokens"),
-        round(z, 4).as("z"), (abs(z) <= zMax).as("keep"))
+        z.as("z"), (abs(z) <= zMax).as("keep"))
   }
 
   /** Cross-document paragraph dedup with KEEP-FIRST semantics (the
