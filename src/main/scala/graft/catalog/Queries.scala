@@ -878,7 +878,7 @@ object Queries {
     // (q63b discipline).
     Q("q95_profile",
       (s, d) => {
-        graft.operators.Layout.profile(orders(s, d),
+        graft.operators.Layout.profile(fanOut(orders(s, d)),
           Seq("o_orderkey", "o_custkey", "o_orderstatus",
             "o_orderpriority", "o_orderdate"))
           .orderBy("column")

@@ -488,7 +488,8 @@ object TextQueries {
     // narrow codegen'd pass, no shuffle.
     Q("q48_repetition_stats",
       (s, d) =>
-        TextAnalysis.repetitionStats(documents(s, d)).orderBy("doc_id"),
+        TextAnalysis.repetitionStats(fanOut(documents(s, d)))
+          .orderBy("doc_id"),
       Some("""
         WITH f AS (
           SELECT doc_id,
@@ -1456,7 +1457,8 @@ object TextQueries {
     // projection: the corpus's one pre-filter read at 100 TB.
     Q("q78_quality_signals",
       (s, d) =>
-        TextAnalysis.qualitySignals(documents(s, d)).orderBy("doc_id"),
+        TextAnalysis.qualitySignals(fanOut(documents(s, d)))
+          .orderBy("doc_id"),
       Some("""
         WITH base AS (
           SELECT doc_id, text,
@@ -2531,7 +2533,7 @@ object TextQueries {
               .otherwise(lit("")),
             when(col("doc_id") % 10 === 0, lit(" 4212")).otherwise(lit("")))
             .as("text"))
-        TextAnalysis.scriptMix(synth).orderBy("doc_id")
+        TextAnalysis.scriptMix(fanOut(synth)).orderBy("doc_id")
       },
       Some("""
         WITH synth AS (
@@ -2803,7 +2805,7 @@ object TextQueries {
     Q("q183_bpe_tokenize",
       (s, d) =>
         graft.operators.Tokenizer
-          .bpeApply(documents(s, d), Seq(("e", "s")))
+          .bpeApply(fanOut(documents(s, d)), Seq(("e", "s")))
           .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
           .orderBy("doc_id"),
       Some("""
@@ -2823,10 +2825,14 @@ object TextQueries {
     // non-overlapping pass as the per-word fold, and chr(1)/chr(2) do
     // not occur in the corpus (checked), so tokens = nonspace chars −
     // round-1 collapses − round-2 collapses.
+    // The nested-aggregate fold is pure CPU per row — task metrics
+    // showed 8 s of executor time on 4 tasks (row-group-capped splits);
+    // fanned out it runs in 1.4 s.
     Q("q183b_bpe_merge_chain",
       (s, d) =>
         graft.operators.Tokenizer
-          .bpeApply(documents(s, d), Seq(("e", "s"), ("es", "t")))
+          .bpeApply(fanOut(documents(s, d)),
+            Seq(("e", "s"), ("es", "t")))
           .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
           .orderBy("doc_id"),
       Some("""

@@ -283,10 +283,17 @@ object Similarity {
 
   def cosineNearDupPairsExact(emb: DataFrame, threshold: Double,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // O(n²) dot products against an O(n)-row input: the stream side of
+    // the broadcast nested-loop join bounds parallelism, and a few-split
+    // source caps it at its row groups. Fan the stream side out to the
+    // cluster's cores — the row shuffle is noise against the pairwise
+    // compute it spreads.
     val withNorm = emb.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("nrm").as("n_a"))
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val a = withNorm.repartition(para)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("nrm").as("n_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       col("nrm").as("n_b"))
     a.crossJoin(b)
