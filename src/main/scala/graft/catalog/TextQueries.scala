@@ -186,8 +186,11 @@ object TextQueries {
     // (Dedup.lshCandidatePairs).
     Q("q35_minhash_lsh",
       (s, d) =>
-        Dedup.lshCandidatePairs(documents(s, d), numHashes = 16, bands = 4,
-          portable = true)
+        // 16 md5 invocations per shingle is pure CPU — fan past the
+        // row-group split cap (q35b's xxhash64 path is cheap enough
+        // that its input splits suffice).
+        Dedup.lshCandidatePairs(fanOut(documents(s, d)), numHashes = 16,
+          bands = 4, portable = true)
           .orderBy("id_a", "id_b"),
       Some(minhashOracle)),
 
@@ -207,7 +210,7 @@ object TextQueries {
     // the result is deterministic even when no near-dup pairs exist.
     Q("q36_simhash",
       (s, d) =>
-        Dedup.simhash64(documents(s, d)).orderBy("doc_id"),
+        Dedup.simhash64(fanOut(documents(s, d))).orderBy("doc_id"),
       None),
 
     // ----- the portable 16-bit simhash — bit votes from md5 nibbles, so
