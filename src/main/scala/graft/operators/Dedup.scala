@@ -326,15 +326,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("n_min"))
+      // The change flag rides the materialized frame (a label changed
+      // iff a neighbor proposed a strictly smaller one), so convergence
+      // detection is a no-shuffle count over the just-checkpointed rows
+      // instead of a join-against-previous-labels job per round.
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          coalesce(col("n_min") < col("component"), lit(false)).as("chg"))
         .transform(Materialize.cut)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
