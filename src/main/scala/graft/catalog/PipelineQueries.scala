@@ -1109,7 +1109,7 @@ object PipelineQueries {
     // anywhere.
     Q("q156_quality_dup_auc",
       (s, d) => {
-        val docs = documents(s, d)
+        val docs = fanOut(documents(s, d))
         val pairs = graft.operators.Dedup.lshCandidatePairs(docs,
           numHashes = 16, bands = 4, portable = true)
         val members = pairs.select(col("id_a").as("doc_id"))
@@ -1215,7 +1215,7 @@ object PipelineQueries {
     // rate and lift over base rate for the same near-dup label.
     Q("q158_score_lift",
       (s, d) => {
-        val docs = documents(s, d)
+        val docs = fanOut(documents(s, d))
         val pairs = graft.operators.Dedup.lshCandidatePairs(docs,
           numHashes = 16, bands = 4, portable = true)
         val members = pairs.select(col("id_a").as("doc_id"))
@@ -1592,7 +1592,7 @@ object PipelineQueries {
     // verification gate, next to q168's theory curve.
     Q("q170_threshold_sweep",
       (s, d) => {
-        val docs = documents(s, d)
+        val docs = fanOut(documents(s, d))
         val cand = graft.operators.Dedup.lshCandidatePairs(docs,
           numHashes = 16, bands = 4, portable = true)
         graft.operators.Dedup.thresholdSweep(

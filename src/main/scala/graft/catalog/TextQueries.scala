@@ -935,7 +935,7 @@ object TextQueries {
     // its true shingle Jaccard, value-checked by DuckDB.
     Q("q61_verified_pairs",
       (s, d) => {
-        val docs = documents(s, d)
+        val docs = fanOut(documents(s, d))
         val cand = Dedup.lshCandidatePairs(docs, numHashes = 16, bands = 4,
           portable = true)
         Dedup.pairJaccard(cand, docs, portable = true)
