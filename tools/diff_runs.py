@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compare two graft.Verify output dirs entry-by-entry.
+
+Usage: python3 tools/diff_runs.py <dirA> <dirB>
+
+For every query subdir present in both runs, loads each parquet result,
+canonicalizes it exactly like the driver's gate (columns sorted by name,
+rows sorted by stringified values, floats rounded to 6), and reports
+EQUAL or DIFFER. This is the LAYOUT-INVARIANCE check: run Verify twice
+under different parallelism/shuffle configs and diff — it covers the
+rows-only (no-oracle) entries that the DuckDB gate cannot see.
+"""
+import sys, os, glob
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+def load(con, d):
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        return None, None
+    rel = con.sql(f"SELECT * FROM '{files[0]}'")
+    return [c.lower() for c in rel.columns], rel.fetchall()
+
+def main(a_dir, b_dir):
+    con = duckdb.connect()
+    names = sorted(set(os.listdir(a_dir)) & set(os.listdir(b_dir)))
+    names = [n for n in names if os.path.isdir(f"{a_dir}/{n}")]
+    n_eq = n_diff = 0
+    for name in names:
+        ca, ra = load(con, f"{a_dir}/{name}")
+        cb, rb = load(con, f"{b_dir}/{name}")
+        if ra is None or rb is None:
+            print(f"MISSING {name}"); n_diff += 1; continue
+        if sorted(ca) != sorted(cb):
+            print(f"DIFFER {name}: schema {sorted(ca)} vs {sorted(cb)}")
+            n_diff += 1; continue
+        ga, gb = canon(ra, ca), canon(rb, cb)
+        if ga != gb:
+            bad = next((i for i in range(min(len(ga), len(gb)))
+                        if ga[i] != gb[i]), None)
+            print(f"DIFFER {name}: rows {len(ga)} vs {len(gb)}"
+                  + (f"; first diff at sorted-row {bad}:"
+                     f"\n   A: {ga[bad]}\n   B: {gb[bad]}"
+                     if bad is not None else ""))
+            n_diff += 1; continue
+        n_eq += 1
+    print(f"\n{n_eq} equal, {n_diff} differ, {len(names)} compared")
+    return 1 if n_diff else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
