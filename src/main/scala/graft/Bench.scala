@@ -128,8 +128,15 @@ object Bench {
         val busM = spark.sparkContext.getClass.getMethod("listenerBus")
         val bus = busM.invoke(spark.sparkContext)
         val waitM = bus.getClass.getMethod("waitUntilEmpty")
-        val probe = () => { waitM.invoke(bus); () }
-        probe() // fail now, not mid-run, if the contract moved
+        // waitUntilEmpty throws TimeoutException (10 s default) when the
+        // listener thread lags — on a contended host, exactly when this
+        // instrumentation matters. A timed-out drain must degrade to the
+        // sleep fallback, never abort the run and lose its results.
+        val probe = () => {
+          try { waitM.invoke(bus); () }
+          catch { case _: Throwable => Thread.sleep(100) }
+        }
+        probe() // exercise the reflective contract now, not mid-run
         probe
       } catch {
         case _: Throwable => () => Thread.sleep(100)
@@ -156,6 +163,18 @@ object Bench {
       md.digest(norm.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
     }
+    // raw-plan dump for fingerprint-diff diagnosis:
+    // SPARK_GRAFT_PLAN_DUMP=<dir> writes one <file>.plan.txt per plan
+    def dumpPlan(fileName: String, plan: => String): Unit =
+      sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
+        scala.util.Try {
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dir))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$fileName.plan.txt"),
+            plan.getBytes("UTF-8"))
+        }
+      }
     val subPlans = new scala.collection.mutable.ArrayBuffer[String]()
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
@@ -165,15 +184,7 @@ object Bench {
           val fp = scala.util.Try(planFp(qe.executedPlan.toString))
             .getOrElse("err")
           val idx = subPlans.synchronized { subPlans += fp; subPlans.size }
-          sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
-            scala.util.Try {
-              java.nio.file.Files.createDirectories(
-                java.nio.file.Paths.get(dir))
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(dir, f"sub_$idx%03d_$fp.plan.txt"),
-                qe.executedPlan.toString.getBytes("UTF-8"))
-            }
-          }
+          dumpPlan(f"sub_$idx%03d_$fp", qe.executedPlan.toString)
         }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -268,6 +279,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // q189's Derby fixture load is one-time setup, not the partitioned-
+    // JDBC read the entry times — bootstrap it before the clock so the
+    // entry's samples all measure the same (loaded) work.
+    if (selected.exists(_._1.startsWith("q189")))
+      scala.util.Try(graft.catalog.UmlsQueries.prewarmJdbc(spark))
+        .failed.foreach(e =>
+          System.err.println(s"[bench] jdbc prewarm skipped: ${e.getMessage}"))
 
     case class Sample(wall: Double, startedAt: Long, loadAt: Double,
         loadAfter: Double, foreign: Double, gcSec: Double, cpuSec: Double,
@@ -306,17 +324,7 @@ object Bench {
           mainFp = scala.util.Try(
             planFp(df.queryExecution.executedPlan.toString))
             .getOrElse("err")
-          // raw-plan dump for fingerprint-diff diagnosis:
-          // SPARK_GRAFT_PLAN_DUMP=<dir> writes <entry>.plan.txt
-          sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
-            scala.util.Try {
-              java.nio.file.Files.createDirectories(
-                java.nio.file.Paths.get(dir))
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(dir, s"$name.plan.txt"),
-                df.queryExecution.executedPlan.toString.getBytes("UTF-8"))
-            }
-          }
+          dumpPlan(name, df.queryExecution.executedPlan.toString)
           rows
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L

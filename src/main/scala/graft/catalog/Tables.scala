@@ -43,14 +43,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Fan a few-split input out to the session's full parallelism before a
-    * compute-bound per-row operator. Parquet cannot split below row-group
-    * granularity, so a small compressed file caps an expensive map at its
-    * 3-4 row groups regardless of cores (task metrics: q183b spent 8 s of
-    * executor time on 4 tasks). The row shuffle is O(input bytes) — noise
-    * against the per-row compute it spreads 32-ways. Only for entries
-    * whose cost is CPU per row; scan-bound entries keep the raw table
-    * (at production scale the input's own splits provide parallelism). */
+  /** Fan a few-split input out to full parallelism before a
+    * compute-bound per-row operator (task metrics: q183b spent 8 s of
+    * executor time on 4 row-group-capped tasks). The policy lives in
+    * [[graft.operators.Materialize.fanOut]] so operators and catalog
+    * entries share one definition. */
   def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.operators.Materialize.fanOut(df)
 }

@@ -86,15 +86,25 @@ object UmlsQueries {
                 case _ => None
               }
             })
+          // overwrite, not append: a partial load (failure mid-table-
+          // list) leaves loaded=false, and the re-entry must replace the
+          // already-written tables rather than double their rows
           for (t <- Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK",
               "MRSAB", "MRSTY", "MRDOC")) {
             spark.read.parquet(s"$FixtureDir/$t.parquet")
-              .write.mode("append").jdbc(url, t, props)
+              .write.mode("overwrite").jdbc(url, t, props)
           }
           loaded = true
         }
       }
   }
+
+  /** One-time Derby bootstrap, exposed so Bench can run it OUTSIDE
+    * q189's timed window: the fixture load is setup, not the
+    * partitioned-JDBC read the entry times. Safe to call twice — the
+    * in-query ensure() then reduces to a volatile-flag check. */
+  private[graft] def prewarmJdbc(spark: SparkSession): Unit =
+    DerbyUmls.ensure(spark)
 
   private[graft] def umls: Seq[Q] = {
     val base = umlsBase

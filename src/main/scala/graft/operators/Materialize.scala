@@ -27,6 +27,17 @@ object Materialize {
 
   private val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** Fan a few-split input out to the session's full parallelism before
+    * a compute-bound per-row (or per-pair) operator. Parquet cannot
+    * split below row-group granularity, so a small compressed file caps
+    * an expensive map at its 3-4 row groups regardless of cores. The
+    * row shuffle is O(input bytes) — noise against the per-row compute
+    * it spreads. Only for CPU-per-row paths; scan-bound plans keep the
+    * source's own splits (which at production scale provide the
+    * parallelism themselves). */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Materialize `df` eagerly and truncate its lineage — reliable
     * `checkpoint()` when `spark.graft.checkpoint.reliable=true` (requires
     * a checkpoint dir), `localCheckpoint()` otherwise. See the class doc

@@ -290,8 +290,7 @@ object Similarity {
     // compute it spreads.
     val withNorm = emb.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"))
-    val para = emb.sparkSession.sparkContext.defaultParallelism
-    val a = withNorm.repartition(para)
+    val a = Materialize.fanOut(withNorm)
       .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
         col("nrm").as("n_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),

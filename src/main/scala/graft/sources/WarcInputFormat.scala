@@ -203,14 +203,21 @@ private class WarcRecordReader
     * such candidate so the sequential read path emits it (recovered as
     * `_corrupt`) instead of losing the bytes — without this, a corrupt
     * record whose start falls after the previous split's end is owned by
-    * nobody and row counts become split-layout-dependent. Untyped heads
-    * (version + Content-Length at most — the shape real payloads embed)
-    * and plain delimiter-lookalikes are never remembered or trusted.
-    * Candidates starting before `minStart` belong to the previous split
-    * and are skipped. False only at EOF with nothing owned. */
+    * nobody and row counts become split-layout-dependent. A FRAMED but
+    * untyped head (version + Content-Length, no `WARC-Type` — a
+    * spec-violating record the sequential reader nonetheless frames and
+    * emits) is neither trusted outright (payloads embedding
+    * version+Content-Length heads are the common false-sync shape) nor
+    * skipped (whole-file and split reads would then disagree): it is
+    * resolved by PROOF — [[verifyFramedChain]] follows its
+    * Content-Length hops, and only a chain that lands exactly on a
+    * typed head or a clean EOF anchors the sync there. Plain
+    * delimiter-lookalikes are never remembered or trusted. Candidates
+    * starting before `minStart` belong to the previous split and are
+    * skipped. False only at EOF with nothing owned. */
   private def syncToBoundary(minStart: Long): Boolean = {
     var pending = -1L
-    val w = new BoundaryWindow
+    var w = new BoundaryWindow
     var b = read1()
     while (b >= 0) {
       w.push(b)
@@ -223,13 +230,77 @@ private class WarcRecordReader
             unread(Magic, 0, Magic.length)
             return true
           }
-          if ((grade & TypeBit) != 0 && pending < 0) pending = candidate
+          else if ((grade & (HeadBit | FrameBit)) == (HeadBit | FrameBit)) {
+            if (verifyFramedChain(candidate)) {
+              reseek(if (pending >= 0) pending else candidate)
+              return true
+            }
+            // disproven framed-untyped candidate: verifyFramedChain
+            // moved the stream; resume the scan just past the candidate
+            // ("WARC/" contains no CR/LF, so no overlapping boundary
+            // pattern can start within it — a fresh window at
+            // candidate+1 misses nothing)
+            reseek(candidate + 1)
+            w = new BoundaryWindow
+          } else if ((grade & TypeBit) != 0 && pending < 0)
+            pending = candidate
         }
         // rejected — keep scanning (window state carries on naturally)
       }
       b = read1()
     }
     if (pending >= 0) { reseek(pending); true } else false
+  }
+
+  /** Prove or refute a framed-but-untyped sync candidate by following
+    * its Content-Length chain: from `candidateStart`, repeatedly read a
+    * header block, require a parsing version line + terminator, and hop
+    * exactly Content-Length payload bytes (+ the record separator).
+    * TRUE when the chain lands on a TYPED head (a trusted anchor — the
+    * hops walked record boundaries, so the candidate is one) or ends
+    * cleanly at EOF; FALSE on any misalignment (no version line, no
+    * terminator, unparseable or overrunning Content-Length) — the
+    * signature of payload bytes that merely embed a WARC head. Bytes
+    * that embed a COMPLETE chained copy of the tail of a real WARC file
+    * could still pass, the residual limit inherent to any splittable
+    * sync. The stream position is clobbered either way; callers reseek. */
+  private def verifyFramedChain(candidateStart: Long,
+      maxHops: Int = 8): Boolean = {
+    reseek(candidateStart)
+    var hop = 0
+    while (hop < maxHops) {
+      val headOpt = readHeaderBlock()
+      if (headOpt.isEmpty) return true // clean EOF on a record boundary
+      // the stream sits at a record start, so the block carries the
+      // full version line ("WARC/d.d") as its first line
+      val head = new String(headOpt.get, StandardCharsets.ISO_8859_1)
+      val nl = head.indexOf("\r\n")
+      val versionOk = nl >= 0 &&
+        VersionRe.findFirstIn(head.substring(0, nl)).isDefined
+      if (!head.endsWith("\r\n\r\n") || !versionOk) return false
+      if (WarcTypeRe.findFirstMatchIn(head).isDefined)
+        return true // chained onto a trusted anchor
+      val cl = ContentLengthRe.findFirstMatchIn(head).map(_.group(1).toLong)
+      if (cl.isEmpty) return false
+      val payload = readFully(cl.get)
+      if (payload.length < cl.get) return false // CL overran the file
+      val sep = readFully(4L)
+      if (sep.length == 0) return true // chain ends exactly at EOF
+      if (sep.length < 4) {
+        // trailing partial separator then EOF is a (sloppy) clean end;
+        // anything else is misalignment
+        return java.util.Arrays.equals(sep,
+          java.util.Arrays.copyOf(CrLfCrLf, sep.length))
+      }
+      if (!java.util.Arrays.equals(sep, CrLfCrLf))
+        unread(sep, 0, sep.length) // separator-less record: tolerate,
+      // the next header read decides
+      hop += 1
+    }
+    // maxHops aligned untyped frames in a row, none typed: every hop
+    // landed a Content-Length exactly on a version line — coincidence
+    // is not a realistic shape; trust the candidate.
+    true
   }
 
   /** With the stream positioned just after `WARC/`, look ahead for a

@@ -132,12 +132,16 @@ object StreamBench {
         while (it.hasNext) { val b = it.next(); if (b._1 >= cutoff) buf += b }
         buf.sortBy(_._1)
       }
-      val steadyN = math.max(0, post.length - 1)
-      val rate =
+      // steadyN reports the PROVENANCE of the published number: the
+      // batch count behind the steady-state slice, or 0 when the rate
+      // fell back to the whole-window measurement — an adjudicator must
+      // never read a fallback value as batch-aligned.
+      val (rate, steadyN) =
         if (post.length >= 3) {
           val span = (post.last._1 - post.head._1) / 1e9
-          if (span > 1.0) post.drop(1).map(_._2).sum / span else wholeRate
-        } else wholeRate
+          if (span > 1.0) (post.drop(1).map(_._2).sum / span, post.length - 1)
+          else (wholeRate, 0)
+        } else (wholeRate, 0)
       System.err.println(
         f"[bench] streaming:$name%-20s ${rate / 1e3}%8.1f k events/s " +
           f"steady over $steadyN%d batches (${wholeRate / 1e3}%8.1f k " +

@@ -23,7 +23,11 @@ object WarcFixtureGen {
   final case class Rec(
       warcType: String, recordId: String, date: String, targetUri: String,
       contentType: String, payload: String, corrupt: Boolean = false,
-      payloadBin: Option[Array[Byte]] = None) {
+      payloadBin: Option[Array[Byte]] = None,
+      /** Omit the (ISO-mandatory) WARC-Type header: a spec-violating
+        * but still Content-Length-framed record — the sequential reader
+        * frames it, so split sync must recover it by chain proof. */
+      untyped: Boolean = false) {
     /** The on-wire payload bytes: explicit binary if set, else UTF-8 of
       * the string payload. */
     def payloadBytes: Array[Byte] =
@@ -97,7 +101,8 @@ object WarcFixtureGen {
       val payloadBytes = r.payloadBytes
       val headers = new StringBuilder()
       headers.append(s"WARC/$version\r\n")
-      headers.append(s"WARC-Type: ${r.warcType}\r\n")
+      if (!r.untyped)
+        headers.append(s"WARC-Type: ${r.warcType}\r\n")
       headers.append(s"WARC-Record-ID: ${r.recordId}\r\n")
       headers.append(s"WARC-Date: ${r.date}\r\n")
       if (r.targetUri.nonEmpty)

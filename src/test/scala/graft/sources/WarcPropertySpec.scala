@@ -103,6 +103,66 @@ class WarcPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("framed-but-untyped records (no WARC-Type, spec-violating but " +
+    "Content-Length-framed) survive every split layout: whole-file and " +
+    "split reads emit the same rows, with misaligned embedded heads " +
+    "rejected by the chain proof") {
+    val spark2 = spark
+    val genCase = for {
+      n <- Gen.choose(3, 8)
+      k <- Gen.choose(1, 3)
+      untypedIdx <- Gen.pick(k, 0 until n)
+      maxsize <- Gen.oneOf(40, 97, 150, 211, 400)
+      payloads <- Gen.listOfN(n, Gen.oneOf(
+        // plain prose
+        Gen.listOfN(6, Gen.alphaNumStr.map(_.take(8))).map(_.mkString(" ")),
+        // a MISALIGNED embedded head (Content-Length overruns): the
+        // false-sync shape the chain proof must reject
+        Gen.alphaNumStr.map(s =>
+          s"x$s\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\ntail$s")))
+    } yield (n, untypedIdx.toSet, maxsize, payloads)
+    val prop = Prop.forAll(genCase) { case (n, untyped, maxsize, payloads) =>
+      Prop.secure {
+        val recs = (0 until n).map { i =>
+          Rec("response", s"<urn:uuid:u$i>", "2026-01-05T00:00:00Z",
+            s"http://ex.org/$i", "text/plain", payloads(i),
+            untyped = untyped.contains(i))
+        }
+        val dir = Files.createTempDirectory("graft_warc_untyped_prop")
+        val f = dir.resolve("u.warc")
+        Files.write(f, WarcFixtureGen.serialize(recs))
+        val key = "mapreduce.input.fileinputformat.split.maxsize"
+        val hc = spark2.sparkContext.hadoopConfiguration
+        def parse(): Seq[(String, String)] =
+          DocSource.warc(spark2, f.toString)
+            .filter(org.apache.spark.sql.functions.col("_corrupt").isNull)
+            .select("record_id", "payload").collect()
+            .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        val before = Option(hc.get(key))
+        try {
+          hc.unset(key)
+          val whole = parse()
+          // every record (typed or not) must be framed by the whole read
+          val allThere = whole.map(_._1).toSet ==
+            (0 until n).map(i => s"<urn:uuid:u$i>").toSet
+          hc.set(key, maxsize.toString)
+          val split = parse()
+          val same = whole == split
+          if (!same || !allThere)
+            println(s"MISMATCH maxsize=$maxsize untyped=$untyped " +
+              s"whole=${whole.map(_._1)} split=${split.map(_._1)}")
+          same && allThere
+        } finally before match {
+          case Some(v) => hc.set(key, v)
+          case None => hc.unset(key)
+        }
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("serialize → parse round-trips arbitrary record lists exactly, " +
     "for both WARC/1.0 and WARC/1.1 files") {
     val gen = for {

@@ -15,6 +15,9 @@ import duckdb
 
 def norm(v):
     if isinstance(v, float):
+        # NaN != NaN would flag bit-identical runs as DIFFER
+        if v != v:
+            return "nan"
         return round(v, 6)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
