@@ -12,6 +12,63 @@ import graft.operators.{Dedup, Packing, TextAnalysis, WebText}
 object TextQueries {
   import Tables._
 
+  // --- q190-family unigram-Viterbi fixtures: one literal drives BOTH
+  // engines (the Scala vocab and the DuckDB VALUES list are rendered
+  // from the same Seq), so the two sides cannot drift. All logprobs are
+  // multiples of 0.25 — binary-exact doubles on both sides.
+  private val uniMultis: Seq[(String, Double)] = Seq(
+    "th" -> -1.5, "he" -> -1.75, "in" -> -2.0, "er" -> -2.25,
+    "an" -> -2.5, "re" -> -2.75, "on" -> -2.25, "st" -> -2.0,
+    "or" -> -2.25, "ar" -> -2.5, "ta" -> -2.75, "ab" -> -2.5,
+    "row" -> -2.0, "the" -> -1.25, "ing" -> -2.0, "sca" -> -2.75,
+    "tab" -> -2.25, "que" -> -2.25, "ort" -> -2.5, "lum" -> -2.75,
+    "rea" -> -2.75, "ream" -> -2.5, "alue" -> -2.75, "ndow" -> -2.75,
+    "ustom" -> -3.0)
+  private val uniVocabFull: Seq[(String, Double)] =
+    ('a' to 'z').map(c => c.toString -> -3.5) ++ uniMultis
+  private val uniVocabAtoM: Seq[(String, Double)] =
+    ('a' to 'm').map(c => c.toString -> -3.5) ++ uniMultis
+
+  /** The deterministic word population both engines score: distinct
+    * lowercase `[a-z]+` corpus words, 2-12 chars, first 60 by name. */
+  private def viterbiWords(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")).between(2, 12))
+      .distinct().orderBy("w").limit(60)
+
+  /** DuckDB replay of the Viterbi max: enumerate every segmentation
+    * path with a recursive CTE (each path's score accumulates
+    * left-to-right, the same association as the DP), take the max at
+    * pos = length(w). */
+  private def viterbiOracle(vocab: Seq[(String, Double)]): String = {
+    val values = vocab
+      .map { case (p, lp) => s"('$p', ${lp}::DOUBLE)" }.mkString(", ")
+    s"""
+        WITH RECURSIVE words AS (
+          SELECT w FROM (
+            SELECT DISTINCT
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$$')
+            AND length(w) BETWEEN 2 AND 12
+          ORDER BY w LIMIT 60),
+        vocab(p, lp) AS (VALUES $values),
+        reach AS (
+          SELECT w, 0 AS pos, 0.0::DOUBLE AS score FROM words
+          UNION ALL
+          SELECT r.w, r.pos + length(v.p), r.score + v.lp
+          FROM reach r JOIN vocab v
+            ON substr(r.w, r.pos + 1, length(v.p)) = v.p
+          WHERE r.pos < length(r.w))
+        SELECT w, round(max(score), 4) AS best_lp
+        FROM reach WHERE pos = length(w)
+        GROUP BY w ORDER BY w"""
+  }
+
   /** The incremental-dedup composition at FULL corpus volume, in either
     * hash configuration: `portable = false` is the production xxhash64
     * path (q53b); `portable = true` is the same dataflow with md5
@@ -2882,6 +2939,94 @@ object TextQueries {
                 - (length(t1) - length(t2)))::INT AS n_tokens
         FROM r2
         ORDER BY doc_id""")),
+
+    // ----- q190: unigram-LM Viterbi scoring (Unigram.viterbiTable) —
+    // the SQL-adjudicable surface of the lattice DP behind the
+    // SentencePiece-style tokenizer (Kudo 2018): under a FIXED literal
+    // vocabulary, the best segmentation's total logprob per corpus word.
+    // DuckDB replays it exactly with a recursive path enumeration — both
+    // engines accumulate every path's logps left-to-right (the DP's
+    // best(i)+lp is itself a left-associated path sum), so the max is
+    // bit-identical; all logps are multiples of 0.25 (binary-exact), so
+    // decimal parsing introduces no error. Vocabulary covers all 26
+    // single chars, so no unknown fallback fires here (q190b pins that).
+    Q("q190_unigram_viterbi",
+      (s, d) =>
+        graft.operators.Unigram
+          .viterbiTable(viterbiWords(s, d), uniVocabFull)
+          .select(col("w"), round(col("best_lp"), 4).as("best_lp"))
+          .orderBy("w"),
+      Some(viterbiOracle(uniVocabFull))),
+
+    // ----- q190b: unigram Viterbi with UNKNOWN-character fallback —
+    // the vocabulary keeps only single chars a-m, so words containing
+    // n-z route those positions through the engine's per-char fallback
+    // (min vocab logprob − 10 = −13.5 here); the oracle pins the
+    // fallback CONSTANT and its interaction with real multi-char pieces
+    // by listing the missing chars explicitly at −13.5 in its replay
+    // vocabulary. Multi-char pieces spanning n-z letters stay available
+    // to both engines — the DP must mix fallback chars and real pieces
+    // in one lattice.
+    Q("q190b_unigram_viterbi_unk",
+      (s, d) =>
+        graft.operators.Unigram
+          .viterbiTable(viterbiWords(s, d), uniVocabAtoM)
+          .select(col("w"), round(col("best_lp"), 4).as("best_lp"))
+          .orderBy("w"),
+      Some(viterbiOracle(
+        uniVocabAtoM ++ ('n' to 'z').map(c => c.toString -> -13.5)))),
+
+    // ----- q191: unigram-LM tokenizer training (Unigram.unigramTrain)
+    // — the seed-then-shrink counterpart of BPE's q182: ONE distributed
+    // corpus pass builds the (word, freq) table, then the driver-local
+    // EM/prune loop estimates piece probabilities under the
+    // mixture-of-all-segmentations likelihood and prunes to the target
+    // vocabulary. Rows-only BY DESIGN with the q182 discipline —
+    // iterative EM is not tractably replayable in SQL; UnigramSpec pins
+    // the lattice statistics (partition function, expected counts,
+    // Viterbi max) against brute-force enumeration of EVERY
+    // segmentation, and q190/q190b value-verify the scoring surface.
+    Q("q191_unigram_train",
+      (s, d) =>
+        graft.operators.Unigram
+          .unigramVocabTable(documents(s, d), vocabSize = 120,
+            maxPieceLen = 6)
+          .orderBy("rank"),
+      None),
+
+    // ----- q192: VOCABULARY-SCALE unigram training — the production
+    // configuration (multi-word units like q185/q188, a 4k-piece target
+    // from a 16k-candidate seed) under timing. Same shape: one corpus
+    // pass collects the vocabulary-bounded (unit, freq) table; each EM
+    // sweep is O(units x len x maxPieceLen) lattice forward-backward
+    // driver-local — the loop SentencePiece itself runs single-machine.
+    // Rows-only BY DESIGN with the q191 discipline.
+    Q("q192_unigram_train_vocab",
+      (s, d) =>
+        graft.operators.Unigram
+          .unigramVocabTable(documents(s, d), vocabSize = 4000,
+            wordsPerUnit = 3, maxPieceLen = 8, seedSize = 16000)
+          .orderBy("rank"),
+      None),
+
+    // ----- q193: production-scale unigram tokenization (Unigram
+    // .unigramApplyLarge) — Viterbi over a TRAINED vocabulary as a
+    // broadcast + mapPartitions + distinct-word-memo pass (the
+    // bpeApplyLarge shape; per-word lattice DP over a trained piece
+    // table is genuine per-partition imperative logic). Rows-only BY
+    // DESIGN: the trained vocabulary is engine-internal; UnigramSpec
+    // pins applyLarge equal to the driver-local Viterbi per word, and
+    // q190/q190b value-verify the same DP under fixed vocabularies.
+    Q("q193_unigram_tokenize_large",
+      (s, d) => {
+        val docs = documents(s, d)
+        val vocab = graft.operators.Unigram
+          .unigramTrain(docs, vocabSize = 120, maxPieceLen = 6)
+        graft.operators.Unigram.unigramApplyLarge(docs, vocab)
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      None),
 
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list

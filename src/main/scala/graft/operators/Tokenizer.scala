@@ -53,7 +53,7 @@ object Tokenizer {
     * capture space-adjacent context" setup, with ' ' as an ordinary
     * symbol). A coarser unit grows the trainable vocabulary without
     * changing the algorithm. */
-  private def wordTable(docs: DataFrame, textCol: String,
+  private[operators] def wordTable(docs: DataFrame, textCol: String,
       wordsPerUnit: Int): DataFrame = {
     val ws = filter(split(trim(lower(col(textCol))), "\\s+"),
       s => length(s) > 0)
