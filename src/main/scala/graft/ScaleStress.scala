@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis, Tokenizer}
+import graft.operators.{Dedup, TextAnalysis, Tokenizer, Unigram}
 
 /** Scale-stress harness: derive a `factor`× corpus (default 100× → 500k
   * docs at sf0.1) from the shipped documents table and drive the heavy
@@ -135,6 +135,12 @@ object ScaleStress {
     facts += "bpe_merges" -> timed("bpe_train_4k") {
       Tokenizer.bpeMergeTable(corpus, numMerges = 4000, wordsPerUnit = 3)
         .count()
+    }
+
+    // ---- unigram-LM training (one corpus pass + driver-local EM) --------
+    facts += "unigram_pieces" -> timed("unigram_train_4k") {
+      Unigram.unigramTrain(corpus, vocabSize = 4000,
+        wordsPerUnit = 3, maxPieceLen = 8, seedSize = 16000).size.toLong
     }
 
     // ---- corpus-wide stats (sketched) -----------------------------------
