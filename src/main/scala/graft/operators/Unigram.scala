@@ -199,7 +199,8 @@ object Unigram {
     * (occurrence-weight desc, piece asc) plus ALL single chars (never
     * pruned — coverage); each round runs `emIters` full EM sweeps, then
     * prunes the lowest-expected-count multi-char pieces down to
-    * max(vocabSize, ceil(size * shrink)); a final EM sweep re-estimates
+    * max(vocabSize, ceil(size * shrink)), clamped to size-1 so each
+    * round makes progress; a final EM sweep re-estimates
     * the surviving probabilities. Returns (piece, logProb) ordered by
     * (logProb desc, piece asc). */
   def unigramTrainLocal(wordFreqs: Seq[(String, Long)], vocabSize: Int,
@@ -208,6 +209,8 @@ object Unigram {
     import scala.collection.mutable
     val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
       .sortBy(_._1) // fixed accumulation order
+    if (wf.isEmpty || !wf.exists(_._1.nonEmpty))
+      return Seq.empty // no text → no vocabulary (maxLen .max would throw)
     val cap = if (seedSize > 0) seedSize else math.max(8 * vocabSize, 1024)
 
     // --- seed: substring occurrence weights (freq-weighted)
@@ -279,7 +282,12 @@ object Unigram {
     while (vocab.size > target) {
       var it = 1
       while (it < emIters) { lastCounts = emSweep(); it += 1 }
-      val keep = math.max(target, math.ceil(vocab.size * shrink).toInt)
+      // clamp to size-1 so tiny vocabularies still make progress:
+      // ceil(2*0.75)=2 and ceil(3*0.75)=3 equal size, and an unclamped
+      // keep would drop nothing and spin forever
+      val keep = math.min(
+        math.max(target, math.ceil(vocab.size * shrink).toInt),
+        vocab.size - 1)
       val dropN = vocab.size - keep
       if (dropN > 0) {
         val victims = vocab.keysIterator.filter(_.length > 1).toArray

@@ -84,6 +84,17 @@ private object WarcRecordReader {
     "(?mi)^Content-Length:\\s*(\\d+)\\r?$".r
   val WarcTypeRe = "(?mi)^WARC-Type:\\s*\\S".r
 
+  /** Content-Length parsed defensively: the value is payload-controlled
+    * on the recovery/sync paths, so a digit run overflowing Long (20+
+    * digits) is noise, not a length — None, never a thrown
+    * NumberFormatException (which would turn corrupt input into a fatal
+    * task failure). */
+  def parseContentLength(head: String): Option[Long] =
+    ContentLengthRe.findFirstMatchIn(head).flatMap { m =>
+      try Some(m.group(1).toLong)
+      catch { case _: NumberFormatException => None }
+    }
+
   /** `validateHead` outcome bit flags. `NotAHead` (0) means the version
     * line failed to parse or no blank-line terminator arrived within the
     * cap — payload bytes that merely resemble a delimiter. Otherwise
@@ -113,6 +124,9 @@ private class WarcRecordReader
   private var pos: Long = 0L
   private var start: Long = 0L
   private var end: Long = 0L
+  /** On-disk file length; valid bound for `pos` only on the
+    * uncompressed path (positions are raw offsets there). */
+  private var fileLen: Long = Long.MaxValue
   private var done = false
   private val key = new LongWritable()
   private val value = new BytesWritable()
@@ -126,6 +140,7 @@ private class WarcRecordReader
     val codec = new CompressionCodecFactory(conf).getCodec(file)
     start = split.getStart
     end = start + split.getLength
+    fileLen = fs.getFileStatus(file).getLen
     fsIn = fs.open(file)
     val base: InputStream =
       if (codec != null) {
@@ -280,10 +295,17 @@ private class WarcRecordReader
       if (!head.endsWith("\r\n\r\n") || !versionOk) return false
       if (WarcTypeRe.findFirstMatchIn(head).isDefined)
         return true // chained onto a trusted anchor
-      val cl = ContentLengthRe.findFirstMatchIn(head).map(_.group(1).toLong)
+      val cl = parseContentLength(head)
       if (cl.isEmpty) return false
-      val payload = readFully(cl.get)
-      if (payload.length < cl.get) return false // CL overran the file
+      // The CL is payload-controlled: a value overrunning the file's
+      // remaining bytes refutes the candidate outright (the old
+      // "buffer then check short read" did the same test but allocated
+      // the full claimed length first — a hostile CL near 2 GB OOMs and
+      // one above it threw, turning corrupt input into a fatal task).
+      // Hop by seek; nothing is buffered. Sync runs only on the
+      // uncompressed path, where fileLen bounds pos.
+      if (cl.get > fileLen - pos) return false
+      reseek(pos + cl.get)
       val sep = readFully(4L)
       if (sep.length == 0) return true // chain ends exactly at EOF
       if (sep.length < 4) {
@@ -418,10 +440,13 @@ private class WarcRecordReader
     if (headOpt.isEmpty) { done = true; return false }
     val head = headOpt.get
     val headStr = new String(head, StandardCharsets.ISO_8859_1)
-    val lenOpt = ContentLengthRe.findFirstMatchIn(headStr)
-      .map(_.group(1).toLong)
+    val lenOpt = parseContentLength(headStr)
+    // a CL too large to materialize alongside its header in one record
+    // value is treated as unframed (recovery scan), never a thrown
+    // require from readFully — corrupt input must not fail the task
     val framed = headStr.endsWith("\r\n\r\n") &&
-      headStr.startsWith("WARC/") && lenOpt.isDefined
+      headStr.startsWith("WARC/") &&
+      lenOpt.exists(_ <= (Int.MaxValue - head.length - 8).toLong)
     val recordBytes: Array[Byte] =
       if (framed) {
         val payload = readFully(lenOpt.get)

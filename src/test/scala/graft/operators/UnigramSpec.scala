@@ -147,6 +147,21 @@ class UnigramSpec extends AnyFunSuite {
     assert(math.abs(vocab.map(v => math.exp(v._2)).sum - 1.0) < 1e-9)
   }
 
+  test("degenerate trainer inputs terminate: tiny vocab above target " +
+    "prunes to the target (no infinite shrink loop) and an empty word " +
+    "table yields an empty vocabulary") {
+    // ceil(3 * 0.75) == 3: without the size-1 clamp the prune loop
+    // drops nothing and spins forever on this input
+    val tiny = Unigram.unigramTrainLocal(Seq(("ab", 5L)), vocabSize = 2,
+      maxPieceLen = 2)
+    assert(tiny.map(_._1).toSet === Set("a", "b"),
+      s"chars survive, 'ab' pruned: $tiny")
+    assert(Unigram.unigramTrainLocal(Seq.empty, vocabSize = 8) ===
+      Seq.empty)
+    assert(Unigram.unigramTrainLocal(Seq(("", 3L)), vocabSize = 8) ===
+      Seq.empty, "empty-string words carry no pieces")
+  }
+
   test("training is deterministic and the DataFrame route equals the " +
     "local trainer on the same word-frequency table") {
     val corpus = Seq("spark spark scan", "sort merge join join",

@@ -295,6 +295,64 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a payload embedding an untyped WARC head with a HOSTILE " +
+    "Content-Length (Long-overflowing or near-2GB) is refuted during " +
+    "split sync — no fatal parse error, no giant allocation") {
+    // Two hostile shapes the chain-proof must refuse without throwing:
+    // a 20-digit CL (Long.parseLong throws raw) and a CL just under
+    // Int.MaxValue (the old chain-proof allocated the full claimed
+    // buffer before noticing the short read). Both heads are framed
+    // (version + CL + terminator) and untyped, the exact
+    // verifyFramedChain trigger.
+    val overflowCl = "tutorial text\r\n\r\nWARC/1.0\r\n" +
+      "Content-Length: 99999999999999999999\r\n\r\nand trailing bytes"
+    val giantCl = "mirror text\r\n\r\nWARC/1.0\r\n" +
+      "Content-Length: 2147483000\r\n\r\nand more trailing bytes"
+    val recs = Seq(
+      WarcFixtureGen.Rec("response", "<urn:uuid:h001>",
+        "2026-01-04T00:00:00Z", "http://example.org/h1", "text/plain",
+        "plain first record"),
+      WarcFixtureGen.Rec("response", "<urn:uuid:h002>",
+        "2026-01-04T00:00:01Z", "http://example.org/h2", "text/plain",
+        overflowCl),
+      WarcFixtureGen.Rec("response", "<urn:uuid:h003>",
+        "2026-01-04T00:00:02Z", "http://example.org/h3", "text/plain",
+        giantCl),
+      WarcFixtureGen.Rec("response", "<urn:uuid:h004>",
+        "2026-01-04T00:00:03Z", "http://example.org/h4", "text/plain",
+        "plain last record"))
+    val dir = Files.createTempDirectory("graft_warc_hostile")
+    val f = dir.resolve("h.warc")
+    Files.write(f, WarcFixtureGen.serialize(recs))
+    def parse(): (Seq[(String, String)], Long) = {
+      val df = DocSource.warc(spark, f.toString)
+      (df.filter(col("_corrupt").isNull)
+        .select("record_id", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq,
+        df.filter(col("_corrupt").isNotNull).count())
+    }
+    val (wholeRows, wholeCorrupt) = parse()
+    assert(wholeRows.map(_._1) === Seq("<urn:uuid:h001>",
+      "<urn:uuid:h002>", "<urn:uuid:h003>", "<urn:uuid:h004>"))
+    assert(wholeRows(1)._2 === overflowCl)
+    assert(wholeRows(2)._2 === giantCl)
+    assert(wholeCorrupt === 0L)
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get(key))
+    try {
+      for (ms <- Seq(40, 64, 100, 150, 250)) {
+        hc.set(key, ms.toString)
+        val (rows, corrupt) = parse()
+        assert(rows === wholeRows, s"parse diverged at maxsize=$ms")
+        assert(corrupt === 0L, s"phantom corrupt rows at maxsize=$ms")
+      }
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
   test("a headerless HTTP response yields NULL text from warcDocs, " +
     "not header garbage") {
     val row = DocSource.warcDocs(spark, warcPath)

@@ -35,7 +35,9 @@ def load(con, d):
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         return None, None
-    rel = con.sql(f"SELECT * FROM '{files[0]}'")
+    # read the whole directory glob, not files[0]: Verify coalesces to one
+    # part today, but a multi-part output must not silently compare partial
+    rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
     return [c.lower() for c in rel.columns], rel.fetchall()
 
 def main(a_dir, b_dir):
