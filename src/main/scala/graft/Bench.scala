@@ -323,7 +323,23 @@ object Bench {
             case JLong(x) => x.toDouble
             case _ => 0.0
           }
-          JsonMethods.parse(f) \ "entries" match {
+          val root = JsonMethods.parse(f)
+          // Config-skew guard (the r11 "plan flip" was a 4-cpu profile
+          // compared against a 32-cpu run — see BENCH_NOTES.md): a
+          // profile generated at a different cpu count describes
+          // different physical plans (defaultParallelism drives fanOut
+          // and shuffle.partitions), so its gates must disarm, loudly.
+          val profCpus = root \ "cpus" match {
+            case JInt(x) => Some(x.toString)
+            case JString(s) => Some(s)
+            case JLong(x) => Some(x.toString)
+            case _ => None
+          }
+          if (profCpus.exists(_ != cpus)) {
+            System.err.println(s"[bench] perf profile DISARMED: " +
+              s"generated at cpus=${profCpus.get}, running at cpus=$cpus")
+            Map.empty
+          } else root \ "entries" match {
             case JObject(fields) => fields.map { case (name, v) =>
               val fps = v \ "plan_fps" match {
                 case JArray(xs) => xs.collect { case JString(s) => s }.toSet

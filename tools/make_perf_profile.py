@@ -29,7 +29,10 @@ def main(out_path, detail_paths):
             "generated_from": detail_paths,
             "wall_start": d.get("host", {}).get("wall_start"),
             "sf": d.get("sf"),
-            "cpus": d.get("host", {}).get("available_processors"),
+            # the REQUESTED cpu count, not available_processors: Bench
+            # disarms the profile when its SPARK_GRAFT_CPUS differs
+            # (plans depend on defaultParallelism — see BENCH_NOTES.md)
+            "cpus": d.get("host", {}).get("cpus_requested"),
         }
         walls = d.get("queries", {})
         for name, m in d.get("query_meta", {}).items():
