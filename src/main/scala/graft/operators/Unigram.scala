@@ -358,9 +358,7 @@ object Unigram {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val vm = bc.value.toMap
-        val maxLen = if (vm.isEmpty) 1 else vm.keysIterator.map(_.length).max
-        val unk = unkFallbackLocal(bc.value)
+        val (vm, maxLen, unk) = applyState(bc)
         val memo = new java.util.HashMap[String, Array[String]]()
         def tok(w: String): Array[String] = {
           val cached = memo.get(w)
@@ -386,6 +384,28 @@ object Unigram {
   private def unkFallbackLocal(vocab: Array[(String, Double)]): Double =
     (if (vocab.isEmpty) 0.0 else vocab.iterator.map(_._2).min) - 10.0
 
+  /** Executor-memoized apply state, keyed by broadcast id: the hash-map
+    * view, max piece length and unk logprob are derived ONCE per
+    * executor JVM per vocabulary, not once per partition — with 32
+    * partitions per core-wave a 50k-piece vocab otherwise rebuilds its
+    * map 32× per stage. Bounded: distinct vocabularies per JVM are few
+    * (one per trained tokenizer); clear defensively past 16 to keep a
+    * pathological many-vocab driver loop from pinning heap. */
+  private val applyStateCache =
+    new java.util.concurrent.ConcurrentHashMap[Long,
+      (Map[String, Double], Int, Double)]()
+  private def applyState(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(String, Double)]])
+      : (Map[String, Double], Int, Double) = {
+    if (applyStateCache.size > 16) applyStateCache.clear()
+    applyStateCache.computeIfAbsent(bc.id, _ => {
+      val arr = bc.value
+      val vm = arr.toMap
+      val maxLen = if (vm.isEmpty) 1 else vm.keysIterator.map(_.length).max
+      (vm, maxLen, unkFallbackLocal(arr))
+    })
+  }
+
   /** Per-word Viterbi scores as a relation — the SQL-adjudicable surface
     * of the lattice DP: for each input word the best segmentation's
     * total logprob and token count under a FIXED vocabulary. An external
@@ -400,9 +420,7 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(vocab.toArray)
     words.select(col(wordCol)).as[String]
       .mapPartitions { it =>
-        val vm = bc.value.toMap
-        val maxLen = if (vm.isEmpty) 1 else vm.keysIterator.map(_.length).max
-        val unk = unkFallbackLocal(bc.value)
+        val (vm, maxLen, unk) = applyState(bc)
         it.map { w =>
           val (toks, score) = viterbiWord(w, vm, maxLen, unk)
           (w, toks.length, score)
