@@ -46,6 +46,14 @@ object TextQueries {
   private def viterbiOracle(vocab: Seq[(String, Double)]): String = {
     val values = vocab
       .map { case (p, lp) => s"('$p', ${lp}::DOUBLE)" }.mkString(", ")
+    viterbiOracleFrom(s"vocab(p, lp) AS (VALUES $values)")
+  }
+
+  /** Same replay with the vocabulary read from an arbitrary relation —
+    * the loaded-artifact entries (q194) point this at the SAME parquet
+    * file the engine loads, so the agreement check covers the stored
+    * vocabulary itself. */
+  private def viterbiOracleFrom(vocabCte: String): String = {
     s"""
         WITH RECURSIVE words AS (
           SELECT w FROM (
@@ -56,7 +64,7 @@ object TextQueries {
           WHERE regexp_matches(w, '^[a-z]+$$')
             AND length(w) BETWEEN 2 AND 12
           ORDER BY w LIMIT 60),
-        vocab(p, lp) AS (VALUES $values),
+        $vocabCte,
         reach AS (
           SELECT w, 0 AS pos, 0.0::DOUBLE AS score FROM words
           UNION ALL
@@ -3027,6 +3035,64 @@ object TextQueries {
           .orderBy("doc_id")
       },
       None),
+
+    // ----- q194: unigram Viterbi under a LOADED vocabulary artifact —
+    // the production train-once / apply-many split (VERDICT r11 #4):
+    // the committed fixtures/tokenizer/unigram_vocab.parquet
+    // (TokenizerFixtureGen — trained by unigramTrainLocal from a
+    // literal word table) is loaded via TokenizerStore.loadUnigram and
+    // scored with the q190 lattice DP. The oracle replays the
+    // recursive-CTE path enumeration reading its vocabulary FROM THE
+    // SAME PARQUET ARTIFACT, so the agreement check verifies the
+    // stored vocabulary itself, not a re-declared literal. The fixture
+    // corpus is pangram-seeded — every a-z single survives (chars are
+    // never pruned) — so no word routes through the unk fallback and
+    // the oracle needs no fallback constant.
+    Q("q194_unigram_apply_loaded",
+      (s, d) => {
+        val vocab = graft.operators.TokenizerStore.loadUnigram(s,
+          "/root/repo/fixtures/tokenizer/unigram_vocab.parquet")
+        graft.operators.Unigram.viterbiTable(viterbiWords(s, d), vocab)
+          .select(col("w"), round(col("best_lp"), 4).as("best_lp"))
+          .orderBy("w")
+      },
+      Some(viterbiOracleFrom(
+        """vocab AS (
+          SELECT piece AS p, lp FROM (
+            SELECT piece, logp::DOUBLE AS lp
+            FROM '/root/repo/fixtures/tokenizer/unigram_vocab.parquet/*.parquet'))"""))),
+
+    // ----- q195: BPE application under a LOADED merge-list artifact —
+    // TokenizerStore.loadBpe reads the committed rank-ordered
+    // fixtures/tokenizer/bpe_merges.parquet (the q183b chain: (e,s)
+    // then (es,t), order-dependent) and bpeApply runs it. The oracle
+    // replays the chain with the proven q183b sentinel-replace SQL;
+    // if the committed artifact ever drifts from that chain, the
+    // replay mismatches and the gate fails — the fixture is pinned by
+    // the oracle, the load path by the entry.
+    Q("q195_bpe_apply_loaded",
+      (s, d) => {
+        val merges = graft.operators.TokenizerStore.loadBpe(s,
+          "/root/repo/fixtures/tokenizer/bpe_merges.parquet")
+        graft.operators.Tokenizer.bpeApply(fanOut(documents(s, d)), merges)
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        r1 AS (
+          SELECT doc_id, t, replace(t, 'es', chr(1)) AS t1 FROM w),
+        r2 AS (
+          SELECT doc_id, t, t1,
+                 replace(t1, chr(1) || 't', chr(2)) AS t2
+          FROM r1)
+        SELECT doc_id,
+               (length(regexp_replace(t, '\s', '', 'g'))
+                - (length(t) - length(t1))
+                - (length(t1) - length(t2)))::INT AS n_tokens
+        FROM r2
+        ORDER BY doc_id""")),
 
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list

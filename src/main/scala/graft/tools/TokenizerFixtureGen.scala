@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{BpeModel, TokenizerStore, Unigram, UnigramModel}
+
+/** Writes the committed tokenizer-vocabulary fixtures
+  * (`fixtures/tokenizer/`): a TRAINED unigram vocabulary and a literal
+  * BPE merge list, each in both persistence formats
+  * ([[TokenizerStore]] parquet + HF-shape JSON). The q194/q195 catalog
+  * entries apply the LOADED parquet artifacts — the production
+  * train-once / apply-many split — and their DuckDB oracles replay from
+  * the SAME parquet files, so the artifact itself is what both engines
+  * agree on.
+  *
+  * Determinism: the unigram vocabulary is trained from a LITERAL
+  * (word, freq) table (unigramTrainLocal is deterministic), and the
+  * pangram rows guarantee every letter a-z survives as a single-char
+  * piece (chars are never pruned), so the q194 viterbi scoring of
+  * `[a-z]+` corpus words never routes through the unk fallback — the
+  * recursive-CTE oracle needs no fallback constant. */
+object TokenizerFixtureGen {
+
+  /** Literal training table; the two pangrams cover all 26 letters. */
+  val wordFreqs: Seq[(String, Long)] = Seq(
+    "the" -> 120L, "quick" -> 30L, "brown" -> 25L, "fox" -> 20L,
+    "jumps" -> 18L, "over" -> 40L, "lazy" -> 15L, "dog" -> 22L,
+    "pack" -> 12L, "my" -> 28L, "box" -> 14L, "with" -> 45L,
+    "five" -> 16L, "dozen" -> 9L, "liquor" -> 7L, "jugs" -> 8L,
+    "vexing" -> 5L, "wizards" -> 6L, "quartz" -> 4L, "sphinx" -> 3L,
+    "of" -> 90L, "black" -> 11L, "judge" -> 10L, "vow" -> 5L,
+    "stream" -> 13L, "scan" -> 17L, "filter" -> 14L, "join" -> 19L)
+
+  /** Trained once at generation time; committed as the artifact. */
+  def unigramVocab: Seq[(String, Double)] =
+    Unigram.unigramTrainLocal(wordFreqs, vocabSize = 60, maxPieceLen = 5)
+
+  /** The proven q183b merge chain — the second merge consumes the
+    * first's output symbol, so the loaded-artifact apply exercises
+    * order-dependence. */
+  val bpeMerges: Seq[(String, String)] = Seq(("e", "s"), ("es", "t"))
+
+  def write(spark: SparkSession, dir: String): Unit = {
+    val vocab = unigramVocab
+    require(('a' to 'z').forall(c => vocab.exists(_._1 == c.toString)),
+      "fixture vocabulary must keep every single letter")
+    TokenizerStore.saveUnigram(spark, vocab, s"$dir/unigram_vocab.parquet")
+    TokenizerStore.saveJson(spark, UnigramModel(vocab),
+      s"$dir/unigram_vocab.json")
+    TokenizerStore.saveBpe(spark, bpeMerges, s"$dir/bpe_merges.parquet")
+    TokenizerStore.saveJson(spark, BpeModel(bpeMerges),
+      s"$dir/bpe_merges.json")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir =
+      if (args.nonEmpty) args(0) else "fixtures/tokenizer"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("tokenizer-fixture-gen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, dir)
+    spark.stop()
+  }
+}
