@@ -3094,6 +3094,82 @@ object TextQueries {
         FROM r2
         ORDER BY doc_id""")),
 
+    // ----- q196: WordPiece training (WordPiece.wordPieceTrain) — the
+    // THIRD production subword family (Schuster & Nakajima 2012, the
+    // BERT tokenizer) beside BPE (q182/q185/q188) and unigram
+    // (q191/q192): BPE-shaped iterative merging over the one-pass
+    // (word, freq) table, scored by likelihood gain
+    // count(ab)/(count(a)·count(b)) instead of raw pair frequency.
+    // Rows-only with the q191 discipline — the iterative argmax is not
+    // tractably replayable in SQL; WordPieceSpec pins the trainer
+    // against a hand-computed merge trajectory and the apply surface
+    // is value-verified by q197's greedy-walk replay.
+    Q("q196_wordpiece_train",
+      (s, d) =>
+        graft.operators.WordPiece
+          .wordPieceVocabTable(documents(s, d), vocabSize = 400)
+          .orderBy("rank"),
+      None),
+
+    // ----- q197: WordPiece greedy tokenization under a LOADED
+    // vocabulary artifact — greedy longest-match-first with ##
+    // continuation is trivially SQL-replayable BECAUSE the transition
+    // at each (word, pos) is a deterministic function (the longest
+    // matching piece): the oracle precomputes that function as a
+    // (w, pos) → next-pos table (plain aggregation, no recursion
+    // tricks) and walks it with a recursive CTE — each row has at most
+    // one successor, so the walk IS the greedy parse. A word whose walk
+    // strands before the end is the whole-word [UNK] (no backtracking,
+    // per the BERT reference). Vocabulary read from the committed
+    // fixtures/tokenizer/wordpiece_vocab.parquet by BOTH engines.
+    Q("q197_wordpiece_tokenize",
+      (s, d) => {
+        val vocab = graft.operators.TokenizerStore.loadWordPiece(s,
+          "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+        graft.operators.WordPiece
+          .wordPieceTable(viterbiWords(s, d), vocab)
+          .orderBy("w")
+      },
+      Some("""
+        WITH RECURSIVE words AS (
+          SELECT w FROM (
+            SELECT DISTINCT
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$')
+            AND length(w) BETWEEN 2 AND 12
+          ORDER BY w LIMIT 60),
+        vocab AS (
+          SELECT piece,
+                 CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                      ELSE piece END AS pc,
+                 (piece LIKE '##%') AS cont
+          FROM '/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet/*.parquet'),
+        positions AS (
+          SELECT w, unnest(range(0, length(w))) AS pos FROM words),
+        nexts AS (
+          SELECT p.w, p.pos, p.pos + max(length(v.pc)) AS npos
+          FROM positions p JOIN vocab v
+            ON substr(p.w, p.pos + 1, length(v.pc)) = v.pc
+           AND v.cont = (p.pos > 0)
+          GROUP BY p.w, p.pos),
+        walk AS (
+          SELECT w, 0 AS pos, 0 AS n FROM words
+          UNION ALL
+          SELECT wk.w, nx.npos::INT, wk.n + 1
+          FROM walk wk JOIN nexts nx ON nx.w = wk.w AND nx.pos = wk.pos
+          WHERE wk.pos < length(wk.w)),
+        fin AS (
+          SELECT w, max(pos) AS reached, arg_max(n, pos) AS n_at
+          FROM walk GROUP BY w)
+        SELECT f.w,
+               (CASE WHEN f.reached = length(f.w) THEN n_at
+                     ELSE 1 END)::INT AS n_tokens,
+               (f.reached < length(f.w)) AS is_unk
+        FROM fin f
+        ORDER BY w""")),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+  * the third production subword family next to BPE ([[Tokenizer]]) and
+  * unigram-LM ([[Unigram]]).
+  *
+  * **Training** is BPE-shaped (iterative pair merging over a (word,
+  * freq) table) with a different objective: the merged pair maximizes
+  * the likelihood GAIN `count(ab) / (count(a) * count(b))` rather than
+  * raw pair frequency, so rare-but-exclusive pairs win over frequent-
+  * but-independent ones. Word-internal symbols carry the `##`
+  * continuation prefix; a merge concatenates the left symbol with the
+  * right symbol's unprefixed text (prefix status is positional and
+  * inherited from the left).
+  *
+  * **Application** is greedy longest-match-first: at each position take
+  * the longest vocabulary piece matching the remaining word (with `##`
+  * lookup past position 0); if no piece matches, the WHOLE word becomes
+  * the unknown token — no backtracking, per the BERT reference
+  * implementation. This makes apply trivially SQL-replayable (the
+  * greedy transition per (word, pos) is a deterministic function, so an
+  * external engine replays the walk exactly — q197), unlike BPE's
+  * merge-order fold or unigram's lattice DP.
+  *
+  * Scale shape: training is ONE distributed corpus pass into the
+  * vocabulary-bounded (word, freq) table ([[Tokenizer.wordTable]] — the
+  * same route as BPE/unigram), then a driver-local merge loop;
+  * application is a broadcast vocabulary + `mapPartitions` with a
+  * distinct-word memo (the [[Tokenizer.bpeApplyLarge]] shape). */
+object WordPiece {
+
+  val UnkToken = "[UNK]"
+
+  // ------------------------------------------------------------------
+  // Training
+  // ------------------------------------------------------------------
+
+  /** Driver-local WordPiece training over a (word, freq) table: start
+    * from the character alphabet (word-initial chars bare, internal
+    * chars `##`-prefixed, lexicographic rank), then repeatedly merge
+    * the adjacent symbol pair with the highest likelihood gain
+    * `c(ab) / (c(a)·c(b))` (tie → pair asc, deterministic) until
+    * `vocabSize` pieces exist or no pair remains. Pair/symbol counts
+    * are recomputed per merge — O(words · len) a round; WordPiece
+    * vocabularies here are hundreds-to-thousands of merges over a
+    * vocabulary-bounded word table, where the simple loop is seconds
+    * (the incremental-maintenance upgrade exists in [[Tokenizer
+    * .bpeTrainLocal]] if profiles ever demand it).
+    *
+    * @return pieces in rank order: alphabet first, merges in creation
+    *         order. */
+  def wordPieceTrainLocal(wordFreqs: Seq[(String, Long)],
+      vocabSize: Int): Seq[String] = {
+    import scala.collection.mutable
+    val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
+      .filter(_._1.nonEmpty).sortBy(_._1)
+    if (wf.isEmpty) return Seq.empty
+    // per-word symbol sequences: first char bare, rest ##-prefixed
+    val syms: Array[Array[String]] = wf.map { case (w, _) =>
+      w.split("").filter(_.nonEmpty).zipWithIndex
+        .map { case (c, i) => if (i == 0) c else "##" + c }
+    }
+    val freqs = wf.map(_._2)
+    val alphabet = syms.flatten.distinct.sorted
+    val vocab = mutable.LinkedHashSet[String](alphabet: _*)
+    while (vocab.size < vocabSize) {
+      // recount symbols and adjacent pairs, frequency-weighted
+      val symCount = mutable.HashMap.empty[String, Long]
+      val pairCount = mutable.HashMap.empty[(String, String), Long]
+      var k = 0
+      while (k < syms.length) {
+        val s = syms(k); val f = freqs(k)
+        var i = 0
+        while (i < s.length) {
+          symCount.update(s(i), symCount.getOrElse(s(i), 0L) + f)
+          if (i + 1 < s.length) {
+            val p = (s(i), s(i + 1))
+            pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
+          }
+          i += 1
+        }
+        k += 1
+      }
+      if (pairCount.isEmpty) return vocab.toSeq
+      // argmax by score; ties go to the lexicographically smallest pair
+      var bestPair: (String, String) = null
+      var bestScore = -1.0
+      val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+      pairCount.foreach { case (p, c) =>
+        val score = c.toDouble / (symCount(p._1).toDouble * symCount(p._2))
+        if (score > bestScore ||
+            (score == bestScore && pairOrd.lt(p, bestPair))) {
+          bestPair = p; bestScore = score
+        }
+      }
+      val (a, b) = bestPair
+      val merged = a + b.stripPrefix("##")
+      vocab += merged
+      // greedy-left merge pass over every word (same fold as BPE)
+      k = 0
+      while (k < syms.length) {
+        val s = syms(k)
+        if (s.length > 1) {
+          val out = new mutable.ArrayBuffer[String](s.length)
+          s.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b) {
+              out.remove(out.length - 1); out += merged
+            } else out += x
+          }
+          syms(k) = out.toArray
+        }
+        k += 1
+      }
+    }
+    vocab.toSeq
+  }
+
+  /** Learn a WordPiece vocabulary over `docs`: one distributed corpus
+    * pass builds the (word, freq) table ([[Tokenizer.wordTable]], same
+    * normalization as BPE/unigram), frequency-truncated to
+    * `maxLocalWords` like [[Unigram.unigramTrain]], then
+    * [[wordPieceTrainLocal]]. */
+  def wordPieceTrain(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text", wordsPerUnit: Int = 1,
+      maxLocalWords: Int = 2000000): Seq[String] = {
+    val words = Tokenizer.wordTable(docs, textCol, wordsPerUnit)
+      .select(col("w"), col("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxLocalWords)
+    val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    wordPieceTrainLocal(wf, vocabSize)
+  }
+
+  /** Trained vocabulary as a relation: (rank, piece). */
+  def wordPieceVocabTable(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text", wordsPerUnit: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordPieceTrain(docs, vocabSize, textCol, wordsPerUnit).zipWithIndex
+      .map { case (p, i) => (i, p) }
+      .toDF("rank", "piece")
+  }
+
+  // ------------------------------------------------------------------
+  // Application
+  // ------------------------------------------------------------------
+
+  /** Greedy longest-match-first tokenization of one word. None ⇒ no
+    * piece matched at some position (the caller emits the unknown
+    * token for the whole word). `maxLen` is the longest UNPREFIXED
+    * piece text; `maxWordLen` is the BERT-style long-word bailout. */
+  private[operators] def tokenizeGreedy(w: String, vocab: Set[String],
+      maxLen: Int, maxWordLen: Int): Option[Array[String]] = {
+    if (w.isEmpty) return Some(Array.empty)
+    if (w.length > maxWordLen) return None
+    val out = new scala.collection.mutable.ArrayBuffer[String](4)
+    var pos = 0
+    while (pos < w.length) {
+      var len = math.min(maxLen, w.length - pos)
+      var found: String = null
+      while (len > 0 && found == null) {
+        val cand = w.substring(pos, pos + len)
+        val key = if (pos > 0) "##" + cand else cand
+        if (vocab.contains(key)) found = key
+        len -= 1
+      }
+      if (found == null) return None
+      out += found
+      pos += found.length - (if (pos > 0) 2 else 0)
+    }
+    Some(out.toArray)
+  }
+
+  /** Executor-memoized apply state keyed by broadcast id (the
+    * [[Unigram]] applyState discipline): (piece set, max unprefixed
+    * piece length) derived once per executor JVM per vocabulary. */
+  private val applyStateCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Set[String], Int)]()
+  private def applyState(
+      bc: org.apache.spark.broadcast.Broadcast[Array[String]])
+      : (Set[String], Int) = {
+    if (applyStateCache.size > 16) applyStateCache.clear()
+    applyStateCache.computeIfAbsent(bc.id, _ => {
+      val set = bc.value.toSet
+      val maxLen =
+        if (set.isEmpty) 1
+        else set.iterator.map(p => p.stripPrefix("##").length).max
+      (set, maxLen)
+    })
+  }
+
+  /** Tokenize a corpus under a (possibly loaded) vocabulary — broadcast
+    * set + per-partition distinct-word memo. Emits (idCol, tokens);
+    * unmatched words contribute the single [[UnkToken]]. */
+  def wordPieceApply(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordLen: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toArray)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (set, maxLen) = applyState(bc)
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def tok(w: String): Array[String] = {
+          val cached = memo.get(w)
+          if (cached != null) return cached
+          val t = tokenizeGreedy(w, set, maxLen, maxWordLen)
+            .getOrElse(Array(UnkToken))
+          memo.put(w, t)
+          t
+        }
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").trim
+            .toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+            .flatMap(tok)
+          (id, toks.toSeq)
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
+
+  /** Per-word greedy tokenization as a relation — the SQL-adjudicable
+    * surface: for each input word the token count and whether the
+    * greedy walk failed (whole word → unknown). The greedy transition
+    * at each (word, pos) is a deterministic function (longest matching
+    * piece), so an external engine replays the walk exactly (q197).
+    * Emits (wordCol, n_tokens, is_unk). */
+  def wordPieceTable(words: DataFrame, vocab: Seq[String],
+      wordCol: String = "w", maxWordLen: Int = 200): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toArray)
+    words.select(col(wordCol)).as[String]
+      .mapPartitions { it =>
+        val (set, maxLen) = applyState(bc)
+        it.map { w =>
+          tokenizeGreedy(w, set, maxLen, maxWordLen) match {
+            case Some(toks) => (w, toks.length, false)
+            case None => (w, 1, true)
+          }
+        }
+      }
+      .toDF(wordCol, "n_tokens", "is_unk")
+  }
+}

@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{BpeModel, TokenizerStore, Unigram, UnigramModel}
+import graft.operators.{BpeModel, TokenizerStore, Unigram, UnigramModel,
+  WordPiece, WordPieceModel}
 
 /** Writes the committed tokenizer-vocabulary fixtures
   * (`fixtures/tokenizer/`): a TRAINED unigram vocabulary and a literal
@@ -40,6 +41,14 @@ object TokenizerFixtureGen {
     * order-dependence. */
   val bpeMerges: Seq[(String, String)] = Seq(("e", "s"), ("es", "t"))
 
+  /** WordPiece vocabulary trained from the same literal table
+    * (likelihood-gain merges; deterministic). 80 pieces past the
+    * ~50-symbol alphabet leaves corpus words that need multi-piece
+    * segmentation AND words that fail entirely ([UNK]) — both branches
+    * of the greedy walk stay covered in q197. */
+  def wordPieceVocab: Seq[String] =
+    WordPiece.wordPieceTrainLocal(wordFreqs, vocabSize = 80)
+
   def write(spark: SparkSession, dir: String): Unit = {
     val vocab = unigramVocab
     require(('a' to 'z').forall(c => vocab.exists(_._1 == c.toString)),
@@ -50,6 +59,10 @@ object TokenizerFixtureGen {
     TokenizerStore.saveBpe(spark, bpeMerges, s"$dir/bpe_merges.parquet")
     TokenizerStore.saveJson(spark, BpeModel(bpeMerges),
       s"$dir/bpe_merges.json")
+    val wp = wordPieceVocab
+    TokenizerStore.saveWordPiece(spark, wp, s"$dir/wordpiece_vocab.parquet")
+    TokenizerStore.saveJson(spark, WordPieceModel(wp),
+      s"$dir/wordpiece_vocab.json")
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** WordPiece pinned against hand-computed references: the likelihood-
+  * gain merge trajectory (worked by hand below), the BERT-canonical
+  * greedy longest-match segmentation, the no-backtracking [UNK]
+  * contract, and DataFrame-route ≡ local-trainer parity. */
+class WordPieceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("greedy longest-match-first reproduces the BERT-canonical " +
+    "segmentation and prefers the LONGEST piece, not the first found") {
+    val vocab = Seq("un", "##aff", "##able", "##a", "a", "u", "##n",
+      "##affab", "hug", "##s", "h")
+    def tok(w: String): Option[Seq[String]] =
+      WordPiece.tokenizeGreedy(w, vocab.toSet, 6, 200).map(_.toSeq)
+    // un|##affab fails midway? No: greedy takes ##affab (6 > 4), then
+    // ##le is absent… no backtracking would [UNK. Check: "unaffable"
+    // pos0 takes "un"; pos2 longest is "##affab"; pos8 remaining "le"
+    // has no piece → whole word [UNK] — the no-backtracking trap, even
+    // though un|##aff|##able exists.
+    assert(tok("unaffable") === None)
+    assert(tok("hugs") === Some(Seq("hug", "##s")))
+    assert(tok("ua") === Some(Seq("u", "##a")))
+    assert(tok("zq") === None)
+    assert(tok("") === Some(Seq.empty))
+  }
+
+  test("a word longer than maxWordLen is [UNK] without scanning") {
+    val vocab = Set("a", "##a")
+    assert(WordPiece.tokenizeGreedy("a" * 201, vocab, 1, 200) === None)
+    assert(WordPiece.tokenizeGreedy("a" * 200, vocab, 1, 200)
+      .map(_.length) === Some(200))
+  }
+
+  test("training follows the hand-computed likelihood-gain trajectory " +
+    "(rare-but-exclusive pair beats the frequent one)") {
+    // corpus: "ab" x 10, "cd" x 2 — symbol counts: a=10,##b=10,c=2,##d=2
+    // pair scores: (a,##b) = 10/(10*10) = 0.1; (c,##d) = 2/(2*2) = 0.5
+    // WordPiece merges (c,##d) FIRST (likelihood gain), where BPE's
+    // frequency rule would merge (a,##b).
+    val wf = Seq(("ab", 10L), ("cd", 2L))
+    val vocab = WordPiece.wordPieceTrainLocal(wf, vocabSize = 6)
+    assert(vocab.take(4) === Seq("##b", "##d", "a", "c"), "alphabet lex")
+    assert(vocab(4) === "cd", "first merge is the exclusive pair")
+    assert(vocab(5) === "ab")
+    // BPE on the same table merges the frequent pair first — the two
+    // objectives genuinely diverge on this input
+    val bpe = Tokenizer.bpeTrainLocal(wf, numMerges = 1)
+    assert(bpe === Seq(("a", "b")))
+  }
+
+  test("equal scores tie-break to the lexicographically smallest pair " +
+    "and training is deterministic") {
+    // "xy" and "xz" with equal freq: scores equal; (x,##y) < (x,##z)
+    val wf = Seq(("xy", 3L), ("xz", 3L))
+    val a = WordPiece.wordPieceTrainLocal(wf, vocabSize = 4)
+    val b = WordPiece.wordPieceTrainLocal(wf, vocabSize = 4)
+    assert(a === b)
+    assert(a(3) === "xy", s"lexicographic tie-break: $a")
+  }
+
+  test("merged symbols inherit the left side's continuation status") {
+    // "abc" x 5: first merge argmax: pairs (a,##b) and (##b,##c) both
+    // 5/(5*5) — tie-break picks (##b,##c)? No: pair ordering compares
+    // ("a","##b") vs ("##b","##c"); '#' < 'a' so ("##b",…) is smaller…
+    // merged "##bc" keeps the ## prefix (word-internal), then (a,##bc)
+    // merges to bare "abc".
+    val wf = Seq(("abc", 5L))
+    val vocab = WordPiece.wordPieceTrainLocal(wf, vocabSize = 5)
+    assert(vocab.contains("##bc"))
+    assert(vocab.contains("abc"))
+    assert(!vocab.contains("bc"), "internal merge must stay ##-prefixed")
+  }
+
+  test("empty and degenerate inputs: empty table, empty words, " +
+    "vocabSize below alphabet") {
+    assert(WordPiece.wordPieceTrainLocal(Seq.empty, 10) === Seq.empty)
+    assert(WordPiece.wordPieceTrainLocal(Seq(("", 5L)), 10) === Seq.empty)
+    // vocabSize below the alphabet: alphabet is never truncated
+    val v = WordPiece.wordPieceTrainLocal(Seq(("ab", 1L)), vocabSize = 1)
+    assert(v === Seq("##b", "a"))
+  }
+
+  test("DataFrame train route equals the local trainer; apply equals " +
+    "per-word greedy with [UNK] fill") {
+    val corpus = Seq((1L, "the quick fox"), (2L, "the lazy dog dog"),
+      (3L, "quick quick the"))
+    val docs = corpus.toDF("doc_id", "text")
+    val wf = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toSeq
+    val fromDf = WordPiece.wordPieceTrain(docs, vocabSize = 30)
+    val local = WordPiece.wordPieceTrainLocal(wf, vocabSize = 30)
+    assert(fromDf === local)
+    val applied = WordPiece.wordPieceApply(docs, local)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val maxLen = local.map(_.stripPrefix("##").length).max
+    def ref(text: String): Seq[String] =
+      text.split(" ").toSeq.flatMap(w =>
+        WordPiece.tokenizeGreedy(w, local.toSet, maxLen, 200)
+          .getOrElse(Array(WordPiece.UnkToken)).toSeq)
+    corpus.foreach { case (id, text) =>
+      assert(applied(id) === ref(text), s"doc $id")
+    }
+  }
+
+  test("the committed WordPiece fixture matches its generator and " +
+    "covers both greedy-walk branches on the fixture words") {
+    val vocab = TokenizerStore.loadWordPiece(spark,
+      "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+    assert(vocab === graft.tools.TokenizerFixtureGen.wordPieceVocab)
+    val maxLen = vocab.map(_.stripPrefix("##").length).max
+    // training words all tokenize without [UNK]; an out-of-alphabet
+    // word hits the [UNK] branch
+    graft.tools.TokenizerFixtureGen.wordFreqs.foreach { case (w, _) =>
+      assert(WordPiece.tokenizeGreedy(w, vocab.toSet, maxLen, 200)
+        .isDefined, s"trained word $w must segment")
+    }
+    assert(WordPiece.tokenizeGreedy("née", vocab.toSet, maxLen, 200)
+      .isEmpty)
+  }
+}
