@@ -3170,6 +3170,23 @@ object TextQueries {
         FROM fin f
         ORDER BY w""")),
 
+    // ----- q198: FORCED-DISTRIBUTED unigram training — the
+    // beyond-maxLocalWords route (Unigram.unigramTrainDistributed)
+    // exercised end-to-end under timing: maxLocalWords=1 forces every
+    // E-step through the Spark path (hash-partitioned word table,
+    // per-partition partial expected-count maps bounded by VOCAB size,
+    // (partition id, piece)-ordered driver merge). Rows-only with the
+    // q191 discipline; UnigramSpec pins distributed ≡ local parity and
+    // run-to-run determinism, and the r11 truncation (which silently
+    // dropped tail mass here) is gone — the full table trains.
+    Q("q198_unigram_train_distributed",
+      (s, d) =>
+        graft.operators.Unigram
+          .unigramVocabTable(documents(s, d), vocabSize = 120,
+            maxPieceLen = 6, maxLocalWords = 1L)
+          .orderBy("rank"),
+      None),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,

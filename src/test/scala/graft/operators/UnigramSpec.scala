@@ -177,18 +177,58 @@ class UnigramSpec extends AnyFunSuite {
     assert(b === c, "deterministic")
   }
 
-  test("vocabulary beyond maxLocalWords is frequency-truncated " +
-    "deterministically: top words by (freq desc, word asc)") {
+  test("a word table beyond maxLocalWords routes to the DISTRIBUTED " +
+    "E-step trainer over the FULL table (no tail truncation) — " +
+    "parity-pinned against the local trainer") {
     val corpus = Seq.fill(9)("aaa") ++ Seq.fill(9)("bbb") ++
       Seq.fill(4)("ccc") ++ Seq.fill(2)("ddd") ++ Seq("eee")
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val got = Unigram.unigramTrain(docs, vocabSize = 6, maxPieceLen = 3,
-      maxLocalWords = 3L)
-    val top3 = Seq(("aaa", 9L), ("bbb", 9L), ("ccc", 4L))
-    val want = Unigram.unigramTrainLocal(top3, vocabSize = 6,
+      maxLocalWords = 3L) // 5 distinct words > 3 → forced distributed
+    val full = Seq(("aaa", 9L), ("bbb", 9L), ("ccc", 4L), ("ddd", 2L),
+      ("eee", 1L))
+    val local = Unigram.unigramTrainLocal(full, vocabSize = 6,
       maxPieceLen = 3)
-    assert(got === want)
+    // full-table parity: identical piece set and ordering; logps equal
+    // to 1e-9 (the two routes sum float expectations in different but
+    // each-deterministic orders)
+    assert(got.map(_._1) === local.map(_._1))
+    got.zip(local).foreach { case ((p, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"logp parity for $p")
+    }
+    // the truncated-table result would DIFFER (ddd/eee mass missing) —
+    // the r11 truncation behavior is genuinely gone
+    val truncated = Unigram.unigramTrainLocal(full.take(3), vocabSize = 6,
+      maxPieceLen = 3)
+    val differs = truncated.map(_._1).toSet != got.map(_._1).toSet ||
+      truncated.exists { case (p, lp) =>
+        math.abs(got.toMap.getOrElse(p, Double.NaN) - lp) > 1e-9 }
+    assert(differs, "truncated-table result must differ from full-table")
+  }
+
+  test("the distributed trainer is run-to-run deterministic and " +
+    "matches the local route on a multi-partition corpus") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq("spark", "scan", "filter", "join", "merge", "sort",
+      "shuffle", "window", "stream", "batch")
+    val corpus = Seq.tabulate(300)(i =>
+      Seq.fill(3)(base(rnd.nextInt(base.size))).mkString(" "))
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(8)
+    val wf = corpus.flatMap(_.split(" ")).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+    val d1 = Unigram.unigramTrain(docs, vocabSize = 20, maxPieceLen = 4,
+      maxLocalWords = 1L) // forced distributed
+    val d2 = Unigram.unigramTrain(docs, vocabSize = 20, maxPieceLen = 4,
+      maxLocalWords = 1L)
+    assert(d1 === d2, "distributed run-to-run determinism")
+    val local = Unigram.unigramTrainLocal(wf, vocabSize = 20,
+      maxPieceLen = 4)
+    assert(d1.map(_._1) === local.map(_._1), "piece set + order parity")
+    d1.zip(local).foreach { case ((p, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"logp parity for $p")
+    }
   }
 
   // --- application ---------------------------------------------------------
