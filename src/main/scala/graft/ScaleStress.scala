@@ -25,11 +25,19 @@ import graft.operators.{Dedup, TextAnalysis, Tokenizer, Unigram}
   *   - ⇒ copies across decades differ in every 8th token (Jaccard ≈ 0.5
   *     — band collisions happen, but the exact-Jaccard verify gate must
   *     reject them, keeping components decade-sized).
-  * Expected: exactDups = n_base·factor/10, components of size ≈ 10, and
-  * an e2e survivor count near n_base·factor/10 (one keeper per clique).
+  * Expected: exactDups has an EXACT closed-form count derived from the
+  * base table (see the k0-class computation below — short docs that never
+  * reach a marker position collapse whole decades, which the naive
+  * n_base·factor/10 estimate missed); components of size ≈ 10 and an e2e
+  * survivor count near n_base·factor/10 (one keeper per clique) hold to
+  * tolerance.
   *
-  * Emits ONE JSON line: per-step wall seconds + observed vs expected
-  * counts. Run:
+  * Emits ONE JSON line (also written to `SCALESTRESS.json`, or
+  * `SPARK_GRAFT_SCALESTRESS_OUT`): per-step wall seconds + observed vs
+  * expected counts + a `violations` array. The known-answer structure is
+  * ASSERTED in-run — any violated expectation lands in `violations` and
+  * the process exits non-zero, so a dedup regression at scale fails
+  * loudly instead of hiding in a commit-message claim. Run:
   * {{{
   * SPARK_GRAFT_CPUS=32 sbt -batch 'runMain graft.ScaleStress \
   *   /root/testdata/sf0.1 100 /tmp/graft_scale'
@@ -89,7 +97,39 @@ object ScaleStress {
     }
     val corpus = spark.read.parquet(corpusPath)
     facts += "n_docs" -> nBase * factor
-    facts += "expect_exact_dups" -> nBase * (factor / 10)
+
+    // Exact expected duplicate count, derived from the BASE table (not the
+    // code under test). Exact-dedup groups by fingerprint = md5(normalize),
+    // so two copies collide iff their edited texts normalize equally; the
+    // edit differs across copies only in the marker VALUES (d<decade>,
+    // c<tag>) at fixed raw-token positions, so copies of two base docs are
+    // fingerprint-equal for every k iff they are equal at k = 0. Per
+    // normalized k0-class of size m, the closed form by marker type:
+    //   n < 8   (no markers):     all factor*m copies equal -> factor*m - 1
+    //   n < 25  (d marker only):  per decade all 10m equal  -> 10m - 1
+    //   n >= 25 (d + c markers):  per decade the two ctag=x copies of each
+    //           doc collapse with every other doc's (2m -> 1) and the 8
+    //           k-tagged copies collapse across docs (8*(m-1)) -> 10m - 9
+    // This is what the naive nBase*factor/10 formula missed (822 base docs
+    // in sf0.1 are 8-24 tokens long: 9 dups per decade, not 1).
+    require(factor % 10 == 0, s"factor must be a multiple of 10, got $factor")
+    val decades = factor / 10
+    val k0edit = expr(
+      "array_join(transform(split(text, '\\\\s+'), (t, i) -> " +
+        "CASE WHEN i % 8 = 7 THEN concat(t, ' d0') " +
+        "WHEN i % 25 = 24 THEN concat(t, ' cx') ELSE t END), ' ')")
+    val expectExact = base
+      .select(TextAnalysis.fingerprint(k0edit).as("key"),
+        size(split(col("text"), "\\s+")).as("n"))
+      .groupBy("key").agg(count(lit(1)).as("m"), max("n").as("n"))
+      .select(sum(
+        when(col("n") < 8, lit(factor.toLong) * col("m") - 1)
+          .when(col("n") < 25,
+            lit(decades.toLong) * (lit(10L) * col("m") - 1))
+          .otherwise(lit(decades.toLong) * (lit(10L) * col("m") - 9)))
+        .as("e"))
+      .head().getLong(0)
+    facts += "expect_exact_dups" -> expectExact
 
     // ---- exact dedup ----------------------------------------------------
     facts += "exact_dups" -> timed("exact_dedup") {
@@ -148,6 +188,36 @@ object ScaleStress {
       TextAnalysis.corpusStats(corpus, approximate = true).collect()
     }
 
+    // ---- in-run structural asserts --------------------------------------
+    // Tolerances calibrated on the r11 factor-100 run: components landed
+    // 47.6k vs 50k structural (natural cross-base dups merge some decade
+    // cliques; max merged component observed = 4 decades = 40).
+    val fm = facts.toMap
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    def within(name: String, obs: Long, exp: Long, tol: Double): Unit =
+      if (math.abs(obs - exp) > tol * exp)
+        violations += s"$name=$obs outside ${(tol * 100).toInt}% of $exp"
+    // exact_dups has an EXACT closed-form expectation (derived above from
+    // the base table's normalized k0-classes) — no tolerance.
+    if (fm("exact_dups") != fm("expect_exact_dups"))
+      violations += s"exact_dups=${fm("exact_dups")} != exact expectation" +
+        s" ${fm("expect_exact_dups")}"
+    within("n_components", fm("n_components"), fm("expect_components"), 0.15)
+    within("e2e_survivors", fm("e2e_survivors"),
+      fm("expect_survivors_approx"), 0.15)
+    if (fm("max_component_size") > 100L)
+      violations += s"max_component_size=${fm("max_component_size")} > 100" +
+        " (decades are size 10; a merge past 10 decades means the" +
+        " Jaccard gate stopped cutting cross-decade strays)"
+    if (fm("n_components_ge8") < (0.8 * fm("expect_components")).toLong)
+      violations += s"n_components_ge8=${fm("n_components_ge8")} < 80% of" +
+        s" ${fm("expect_components")} (components no longer decade-sized)"
+    if (fm("verified_pairs") <= 0L || fm("candidate_pairs") < fm("verified_pairs"))
+      violations += "candidate/verified pair counts inconsistent"
+    if (fm("bpe_merges") != 4000L)
+      violations += s"bpe_merges=${fm("bpe_merges")} != 4000"
+    within("unigram_pieces", fm("unigram_pieces"), 4000L, 0.05)
+
     val total = steps.map(_._2).sum
     val json = "{" +
       s""""metric":"scale_stress","factor":$factor,""" +
@@ -155,8 +225,18 @@ object ScaleStress {
       s""""steps":${steps.map { case (k, v) => s""""$k":${f3(v)}""" }
         .mkString("{", ",", "}")},""" +
       s""""facts":${facts.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}")}}"""
+        .mkString("{", ",", "}")},""" +
+      s""""violations":${violations.map(v => "\"" + v + "\"")
+        .mkString("[", ",", "]")}}"""
     println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALESTRESS_OUT",
+      "SCALESTRESS.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[scale] VIOLATION: $v"))
+      sys.exit(1)
+    }
   }
 }
