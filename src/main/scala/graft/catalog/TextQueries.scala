@@ -547,7 +547,142 @@ object TextQueries {
                       THEN g.fill + o.n_tokens ELSE o.n_tokens END
           FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
         SELECT doc_id, shard, bin FROM g
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ----- q199: best-fit-decreasing packing (Packing.packBestFit, the
+    // "Fewer Truncations" algorithm, Ding et al. 2024): oversize docs
+    // split into capacity-sized pieces, pieces placed longest-first into
+    // the fullest bin that fits. The decision sequence is deterministic
+    // (len desc, id, piece; remaining-capacity ties -> lowest bin id), so
+    // DuckDB replays it value-for-value with a recursive CTE whose state
+    // carries the bin-fill LIST: list_max(list_filter(fills, fits)) IS
+    // the best-fit choice, list_position its bin id — the multiset-state
+    // extension of the q47 scalar-state replay.
+    Q("q199_pack_bestfit",
+      (s, d) =>
+        Packing.packBestFit(documents(s, d), capacity = 80, numShards = 4)
+          .orderBy("doc_id", "piece"),
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, ${shardSql(4)} AS shard,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                   AS n
+          FROM documents),
+        p AS (
+          SELECT doc_id, shard, n,
+                 unnest(range(0, (n + 79) // 80)) AS piece
+          FROM t),
+        p2 AS (
+          SELECT doc_id, shard, piece::INT AS piece,
+                 least(80, n - piece * 80)::INT AS len
+          FROM p),
+        o AS (
+          SELECT doc_id, shard, piece, len,
+                 row_number() OVER (PARTITION BY shard
+                   ORDER BY len DESC, doc_id, piece) AS rn
+          FROM p2),
+        g(shard, rn, doc_id, piece, len, bin, fills) AS (
+          SELECT shard, rn, doc_id, piece, len, 0, [len] FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.piece, o.len,
+                 (CASE WHEN list_max(list_filter(g.fills,
+                         f -> f + o.len <= 80)) IS NULL
+                      THEN len(g.fills)
+                      ELSE list_position(g.fills, list_max(list_filter(
+                        g.fills, f -> f + o.len <= 80))) - 1 END)::INT,
+                 CASE WHEN list_max(list_filter(g.fills,
+                         f -> f + o.len <= 80)) IS NULL
+                      THEN list_append(g.fills, o.len)
+                      ELSE g.fills[1:list_position(g.fills,
+                             list_max(list_filter(g.fills,
+                               f -> f + o.len <= 80))) - 1]
+                           || [list_max(list_filter(g.fills,
+                                f -> f + o.len <= 80)) + o.len]
+                           || g.fills[list_position(g.fills,
+                             list_max(list_filter(g.fills,
+                               f -> f + o.len <= 80))) + 1:] END
+          FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
+        SELECT doc_id, piece, shard, bin, len AS n_tokens FROM g
+        ORDER BY doc_id, piece""")),
+
+    // ----- q200: padding-efficiency comparison of next-fit vs
+    // best-fit-decreasing at the same capacity and sharding
+    // (Packing.packingStats) — the measured form of the Ding et al. 2024
+    // claim. Both strategies' full decision sequences are replayed (the
+    // q47 scalar-state recursion and the q199 list-state recursion) and
+    // aggregated to (n_bins, n_tokens, padding, padding_frac); the
+    // padding_frac is an unrounded IEEE division of exact integers, so
+    // the engines agree bit-for-bit.
+    Q("q200_pack_efficiency",
+      (s, d) =>
+        Packing.packingStats(documents(s, d), capacity = 80, numShards = 4)
+          .orderBy("strategy"),
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, ${shardSql(4)} AS shard,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                   AS n
+          FROM documents),
+        og AS (
+          SELECT doc_id, shard, n,
+                 row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS rn
+          FROM t),
+        g(shard, rn, doc_id, n, bin, fill) AS (
+          SELECT shard, rn, doc_id, n, 0, n FROM og WHERE rn = 1
+          UNION ALL
+          SELECT og.shard, og.rn, og.doc_id, og.n,
+                 CASE WHEN g.fill + og.n <= 80
+                      THEN g.bin ELSE g.bin + 1 END,
+                 CASE WHEN g.fill + og.n <= 80
+                      THEN g.fill + og.n ELSE og.n END
+          FROM g JOIN og ON og.shard = g.shard AND og.rn = g.rn + 1),
+        p2 AS (
+          SELECT doc_id, shard, piece::INT AS piece,
+                 least(80, n - piece * 80)::INT AS len
+          FROM (SELECT doc_id, shard, n,
+                       unnest(range(0, (n + 79) // 80)) AS piece
+                FROM t)),
+        ob AS (
+          SELECT doc_id, shard, piece, len,
+                 row_number() OVER (PARTITION BY shard
+                   ORDER BY len DESC, doc_id, piece) AS rn
+          FROM p2),
+        g2(shard, rn, doc_id, piece, len, bin, fills) AS (
+          SELECT shard, rn, doc_id, piece, len, 0, [len]
+          FROM ob WHERE rn = 1
+          UNION ALL
+          SELECT ob.shard, ob.rn, ob.doc_id, ob.piece, ob.len,
+                 (CASE WHEN list_max(list_filter(g2.fills,
+                         f -> f + ob.len <= 80)) IS NULL
+                      THEN len(g2.fills)
+                      ELSE list_position(g2.fills, list_max(list_filter(
+                        g2.fills, f -> f + ob.len <= 80))) - 1 END)::INT,
+                 CASE WHEN list_max(list_filter(g2.fills,
+                         f -> f + ob.len <= 80)) IS NULL
+                      THEN list_append(g2.fills, ob.len)
+                      ELSE g2.fills[1:list_position(g2.fills,
+                             list_max(list_filter(g2.fills,
+                               f -> f + ob.len <= 80))) - 1]
+                           || [list_max(list_filter(g2.fills,
+                                f -> f + ob.len <= 80)) + ob.len]
+                           || g2.fills[list_position(g2.fills,
+                             list_max(list_filter(g2.fills,
+                               f -> f + ob.len <= 80))) + 1:] END
+          FROM g2 JOIN ob ON ob.shard = g2.shard AND ob.rn = g2.rn + 1),
+        asg AS (
+          SELECT 'next_fit' AS strategy, shard, bin, n AS len FROM g
+          UNION ALL
+          SELECT 'best_fit_decreasing', shard, bin, len FROM g2),
+        binfill AS (
+          SELECT strategy, shard, bin, sum(len) AS fill
+          FROM asg GROUP BY 1, 2, 3)
+        SELECT strategy, count(*)::BIGINT AS n_bins,
+               sum(fill)::BIGINT AS n_tokens,
+               sum(greatest(0, 80 - fill))::BIGINT AS padding,
+               (sum(greatest(0, 80 - fill))::DOUBLE
+                 / (count(*) * 80)::DOUBLE) AS padding_frac
+        FROM binfill GROUP BY strategy ORDER BY strategy""")))
 
   private def repetition: Seq[Q] = Seq(
 

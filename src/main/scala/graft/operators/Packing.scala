@@ -112,4 +112,110 @@ object Packing {
       }
       .toDF(idCol, "shard", "bin")
   }
+
+  /** Best-fit-decreasing packing ("Fewer Truncations Improve Language
+    * Modeling", Ding et al. 2024, arXiv:2404.10830): documents longer than
+    * `capacity` split into capacity-sized pieces (nothing is truncated);
+    * within each shard, pieces place LONGEST-FIRST, each into the fullest
+    * bin it still fits (ties → lowest bin id), opening a new bin only when
+    * none fits. Never more bins than [[packGreedy]] at the same capacity,
+    * and materially less padding on heavy-tailed length mixes — the
+    * padding win is what [[packingStats]] measures.
+    *
+    * Per-shard fold, same genuinely-sequential shape as [[packGreedy]]
+    * (groupByKey(shard).flatMapGroups, memory bounded by the shard token
+    * budget — shards grow in number, never size). The bin search is a
+    * TreeMap keyed by remaining capacity: `ceilingEntry(len)` IS best-fit
+    * (smallest remaining that still fits = fullest bin), O(log bins) per
+    * piece instead of the naive O(bins) scan.
+    *
+    * Deterministic: piece order is (len desc, id, piece); bin ids are
+    * creation-ordered; remaining-capacity ties break to the lowest bin id.
+    * The whole decision sequence is therefore replayable — the catalog
+    * oracle re-runs it in DuckDB as a recursive CTE whose state carries
+    * the bin-fill LIST (`list_max(list_filter(fills, …))` is the best-fit
+    * choice), the same discipline as the q47 next-fit replay.
+    *
+    * Output: (id, piece, shard, bin, n_tokens); piece > 0 only for split
+    * oversize docs.
+    */
+  def packBestFit(docs: DataFrame, capacity: Int, numShards: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0 && numShards > 0)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(idType == LongType || idType == IntegerType ||
+        idType == ShortType || idType == ByteType,
+      s"packBestFit requires an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — map ids to long first")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"),
+        hashShard(col(idCol), numShards),
+        TextAnalysis.tokenCount(col(textCol)))
+      .as[(Long, Int, Int)]
+      .flatMap { case (id, shard, n) =>
+        val pieces = (n + capacity - 1) / capacity
+        (0 until pieces).iterator.map(p =>
+          (id, p, shard, math.min(capacity, n - p * capacity)))
+      }
+      .groupByKey(_._3)
+      .flatMapGroups { (shard: Int, it: Iterator[(Long, Int, Int, Int)]) =>
+        val pieces = it.toIndexedSeq
+          .sortBy { case (id, p, _, len) => (-len, id, p) }
+        // remaining capacity -> creation-ordered bin ids at that remaining
+        val byRemaining =
+          new java.util.TreeMap[Integer, java.util.TreeSet[Integer]]()
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+        pieces.iterator.map { case (id, p, _, len) =>
+          val e = byRemaining.ceilingEntry(len)
+          val bin =
+            if (e == null) { fills += 0; fills.size - 1 }
+            else {
+              val b = e.getValue.first().intValue()
+              e.getValue.remove(Integer.valueOf(b))
+              if (e.getValue.isEmpty) byRemaining.remove(e.getKey)
+              b
+            }
+          fills(bin) += len
+          byRemaining
+            .computeIfAbsent(capacity - fills(bin),
+              _ => new java.util.TreeSet[Integer]())
+            .add(bin)
+          (id, p, shard, bin, len)
+        }
+      }
+      .toDF(idCol, "piece", "shard", "bin", "n_tokens")
+  }
+
+  /** Padding-efficiency comparison of the two no-span strategies at the
+    * same capacity and sharding: one row per strategy with its bin count,
+    * packed token total, padding tokens (capacity − fill per bin, floored
+    * at 0 — a solo oversize next-fit bin overfills, it doesn't pad) and
+    * the padding fraction. The BFD row should never pad more than the
+    * next-fit row — the measured form of the Ding et al. 2024 claim.
+    * `padding_frac` is an unrounded IEEE division of two exact integers,
+    * so both engines agree bit-for-bit (the q163 lesson). */
+  def packingStats(docs: DataFrame, capacity: Int, numShards: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lens = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
+    val greedy = packGreedy(docs, capacity, numShards, textCol, idCol)
+      .join(lens, Seq(idCol))
+      .select(lit("next_fit").as("strategy"), col("shard"), col("bin"),
+        col("__n").as("len"))
+    val bfd = packBestFit(docs, capacity, numShards, textCol, idCol)
+      .select(lit("best_fit_decreasing").as("strategy"), col("shard"),
+        col("bin"), col("n_tokens").cast("long").as("len"))
+    greedy.unionByName(bfd)
+      .groupBy("strategy", "shard", "bin").agg(sum("len").as("fill"))
+      .groupBy("strategy")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("fill").as("n_tokens"),
+        sum(greatest(lit(0L), lit(capacity.toLong) - col("fill")))
+          .as("padding"))
+      .withColumn("padding_frac",
+        col("padding").cast("double") /
+          (col("n_bins") * lit(capacity.toLong)).cast("double"))
+  }
 }

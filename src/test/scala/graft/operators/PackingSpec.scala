@@ -97,6 +97,86 @@ class PackingSpec extends AnyFunSuite {
     assert(one >= 0 && one < 97)
   }
 
+  test("packBestFit follows the hand-computed BFD trajectory") {
+    // capacity 10, one shard; lengths placed longest-first:
+    //   9 -> bin0; 8 -> bin1; 5 -> bin2; 4 -> bin2 (fullest fitting, 5+4);
+    //   3 -> bin3 (nothing fits); 2 -> bin1 (8+2); 2 -> bin3 (3+2);
+    //   1 -> bin0 (ties 9=9 -> lowest bin id)
+    val lens = Seq(9, 8, 5, 4, 3, 2, 2, 1)
+    val df = lens.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, Seq.fill(n)("t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = Packing.packBestFit(df, capacity = 10, numShards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getInt(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0, 0, 9), (2L, 0, 1, 8), (3L, 0, 2, 5), (4L, 0, 2, 4),
+      (5L, 0, 3, 3), (6L, 0, 1, 2), (7L, 0, 3, 2), (8L, 0, 0, 1)))
+  }
+
+  test("packBestFit splits oversize docs into capacity-sized pieces, " +
+    "never truncates, never overfills, and uses no more bins than " +
+    "packGreedy") {
+    val mixed = (0 until 120).map { i =>
+      val n = i % 23 + 1 // lengths 1..23 with capacity 9: some oversize
+      (i.toLong, Seq.fill(n)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val capacity = 9
+    val out = Packing.packBestFit(mixed, capacity, numShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    // every doc's pieces reassemble its full token count, pieces <= cap
+    out.groupBy(_._1).foreach { case (id, pieces) =>
+      val n = (id % 23 + 1).toInt
+      assert(pieces.map(_._5).sum === n, s"doc $id total")
+      assert(pieces.forall(_._5 <= capacity))
+      assert(pieces.map(_._2).sorted.toSeq ===
+        (0 until (n + capacity - 1) / capacity).toSeq, s"doc $id pieces")
+    }
+    // no bin over capacity; bins contiguous from 0 per shard
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sum <= capacity)
+    }
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val bins = rows.map(_._4)
+      assert(bins.distinct.sorted.toSeq === (0 to bins.max).toSeq)
+    }
+    // BFD bin count per shard <= next-fit bin count per shard (docs <=
+    // capacity only, so the strategies pack the same piece multiset)
+    val small = mixed.filter(col("doc_id") % 23 < 9)
+    val bfdBins = Packing.packBestFit(small, capacity, 4).collect()
+      .map(r => (r.getInt(2), r.getInt(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max + 1).toMap
+    val nfBins = Packing.packGreedy(small, capacity, 4).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max + 1).toMap
+    bfdBins.foreach { case (shard, b) =>
+      assert(b <= nfBins(shard), s"shard $shard: bfd $b vs nf ${nfBins(shard)}")
+    }
+  }
+
+  test("packBestFit is deterministic and partition-invariant") {
+    val a = Packing.packBestFit(docs(150), 16, 8).collect().toSet
+    val b = Packing.packBestFit(docs(150).repartition(13), 16, 8)
+      .collect().toSet
+    assert(a === b)
+  }
+
+  test("packingStats: BFD never pads more than next-fit and both pack " +
+    "the same token total") {
+    val rows = Packing.packingStats(docs(200), capacity = 16, numShards = 4)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (nfBins, nfToks, nfPad, nfFrac) = rows("next_fit")
+    val (bfBins, bfToks, bfPad, bfFrac) = rows("best_fit_decreasing")
+    assert(nfToks === bfToks)
+    assert(bfBins <= nfBins)
+    assert(bfPad <= nfPad)
+    assert(bfFrac <= nfFrac)
+    assert(math.abs(nfFrac - nfPad.toDouble / (nfBins * 16)) < 1e-12)
+  }
+
   test("writeShards lays out one directory per shard and a shard scan " +
     "is partition-pruned to that directory's assignments") {
     import spark.implicits._
