@@ -188,6 +188,31 @@ object ScaleStress {
       TextAnalysis.corpusStats(corpus, approximate = true).collect()
     }
 
+    // ---- best-fit-decreasing packing (training-sequence prep) -----------
+    // Known answers: token totals are conserved EXACTLY through the
+    // pack, no bin ever overfills, and the global bin count sits between
+    // ceil(tokens/capacity) (the unreachable-perfect lower bound) and a
+    // 10%+per-shard-slack ceiling — BFD on piece multisets bounded by
+    // capacity packs near-perfect, so a blowup here means the fold broke.
+    val corpusTokens = corpus
+      .select(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    facts += "corpus_tokens" -> corpusTokens
+    val packCap = 2048
+    val packShards = 256
+    val packRow = timed("pack_bestfit_2048") {
+      graft.operators.Packing
+        .packBestFit(corpus, capacity = packCap, numShards = packShards)
+        .groupBy("shard", "bin")
+        .agg(sum(col("n_tokens").cast("long")).as("fill"))
+        .agg(count(lit(1)).as("bins"), max("fill").as("maxfill"),
+          sum("fill").as("toks"))
+        .head()
+    }
+    facts += "pack_bins" -> packRow.getLong(0)
+    facts += "pack_max_fill" -> packRow.getLong(1)
+    facts += "pack_tokens" -> packRow.getLong(2)
+
     // ---- in-run structural asserts --------------------------------------
     // Tolerances calibrated on the r11 factor-100 run: components landed
     // 47.6k vs 50k structural (natural cross-base dups merge some decade
@@ -217,6 +242,18 @@ object ScaleStress {
     if (fm("bpe_merges") != 4000L)
       violations += s"bpe_merges=${fm("bpe_merges")} != 4000"
     within("unigram_pieces", fm("unigram_pieces"), 4000L, 0.05)
+    if (fm("pack_tokens") != fm("corpus_tokens"))
+      violations += s"pack_tokens=${fm("pack_tokens")} != corpus total" +
+        s" ${fm("corpus_tokens")} (packing lost or duplicated tokens)"
+    if (fm("pack_max_fill") > packCap.toLong)
+      violations += s"pack_max_fill=${fm("pack_max_fill")} > $packCap"
+    val packFloor = (fm("corpus_tokens") + packCap - 1) / packCap
+    if (fm("pack_bins") < packFloor)
+      violations += s"pack_bins=${fm("pack_bins")} < floor $packFloor"
+    if (fm("pack_bins") > (packFloor * 1.10).toLong + packShards)
+      violations += s"pack_bins=${fm("pack_bins")} > ceiling" +
+        s" ${(packFloor * 1.10).toLong + packShards}" +
+        " (BFD padding blew up)"
 
     val total = steps.map(_._2).sum
     val json = "{" +
