@@ -494,6 +494,12 @@ object TextQueries {
   private def shardSql(n: Int): String =
     s"(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $n)::INT"
 
+  /** SQL-escaped GPT-2 pretokenization pattern — the ONE string
+    * (Tokenizer.pretokenPattern) drives both engines; only the
+    * single-quote doubling differs. */
+  private val pretokenSql: String =
+    graft.operators.Tokenizer.pretokenPattern.replace("'", "''")
+
   private def packing: Seq[Q] = Seq(
 
     // ----- q46: concat-and-chunk sequence packing (Packing.packChunked):
@@ -3321,6 +3327,118 @@ object TextQueries {
             maxPieceLen = 6, maxLocalWords = 1L)
           .orderBy("rank"),
       None),
+
+    // ----- q201: GPT-2-style category pretokenization
+    // (Tokenizer.pretokenize) — the production stage BEFORE subword
+    // training/apply: contractions split whole, letter/digit/punct runs
+    // bind one leading space, raw case preserved. The pattern is the
+    // lookahead-free Java∩RE2 common-subset variant of the published
+    // gpt2 regex, so the oracle runs the IDENTICAL pattern string —
+    // array compared value-for-value per doc.
+    Q("q201_pretokenize",
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+            graft.operators.Tokenizer.pretokenize(col("text"))
+              .as("pretokens"))
+          .withColumn("n_pretokens", size(col("pretokens")))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               regexp_extract_all(text, '$pretokenSql', 0) AS pretokens,
+               len(regexp_extract_all(text, '$pretokenSql', 0))::INT
+                 AS n_pretokens
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----- q202: pretoken frequency table — the word table a
+    // GPT-2-style trainer actually consumes (explode + groupBy, the
+    // q182 front-door shape but over pretokens instead of whitespace
+    // words). Top-100 under the total (count desc, pretoken) order so
+    // the LIMIT is deterministic on both engines.
+    Q("q202_pretoken_freq",
+      (s, d) =>
+        documents(s, d)
+          .select(explode(graft.operators.Tokenizer
+            .pretokenize(col("text"))).as("pretoken"))
+          .groupBy("pretoken").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pretoken"))
+          .limit(100),
+      Some(s"""
+        SELECT pretoken, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '$pretokenSql', 0))
+                AS pretoken
+              FROM documents)
+        GROUP BY pretoken
+        ORDER BY freq DESC, pretoken
+        LIMIT 100""")),
+
+    // ----- q203: tokenizer fertility under the LOADED WordPiece
+    // vocabulary (WordPiece.wordPieceFertility) — the standard
+    // tokenizer-quality metric: occurrence-weighted subword pieces per
+    // word plus the UNK share, over the FULL corpus word population
+    // (not q197's 60-word cap). The oracle replays the greedy walk from
+    // the same committed parquet artifact and aggregates with unrounded
+    // IEEE divisions of exact longs — bit-identical across engines.
+    Q("q203_wordpiece_fertility",
+      (s, d) => {
+        val vocab = graft.operators.TokenizerStore.loadWordPiece(s,
+          "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+        val words = documents(s, d)
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") &&
+            length(col("w")).between(2, 12))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        graft.operators.WordPiece.wordPieceFertility(words, vocab)
+      },
+      Some("""
+        WITH RECURSIVE words AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$')
+            AND length(w) BETWEEN 2 AND 12
+          GROUP BY w),
+        vocab AS (
+          SELECT piece,
+                 CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                      ELSE piece END AS pc,
+                 (piece LIKE '##%') AS cont
+          FROM '/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet/*.parquet'),
+        positions AS (
+          SELECT w, unnest(range(0, length(w))) AS pos FROM words),
+        nexts AS (
+          SELECT p.w, p.pos, p.pos + max(length(v.pc)) AS npos
+          FROM positions p JOIN vocab v
+            ON substr(p.w, p.pos + 1, length(v.pc)) = v.pc
+           AND v.cont = (p.pos > 0)
+          GROUP BY p.w, p.pos),
+        walk AS (
+          SELECT w, 0 AS pos, 0 AS n FROM words
+          UNION ALL
+          SELECT wk.w, nx.npos::INT, wk.n + 1
+          FROM walk wk JOIN nexts nx ON nx.w = wk.w AND nx.pos = wk.pos
+          WHERE wk.pos < length(wk.w)),
+        fin AS (
+          SELECT w, max(pos) AS reached, arg_max(n, pos) AS n_at
+          FROM walk GROUP BY w),
+        per AS (
+          SELECT f.w, wd.freq,
+                 (f.reached < length(f.w)) AS is_unk,
+                 CASE WHEN f.reached = length(f.w) THEN n_at ELSE 1 END
+                   AS n_tokens
+          FROM fin f JOIN words wd USING (w))
+        SELECT count(*)::BIGINT AS n_words,
+               sum(freq)::BIGINT AS n_occurrences,
+               (sum(CASE WHEN NOT is_unk THEN freq * n_tokens ELSE 0 END)
+                  ::DOUBLE
+                 / sum(CASE WHEN NOT is_unk THEN freq ELSE 0 END)::DOUBLE)
+                 AS fertility,
+               (sum(CASE WHEN is_unk THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE) AS unk_word_frac,
+               (sum(CASE WHEN is_unk THEN freq ELSE 0 END)::DOUBLE
+                 / sum(freq)::DOUBLE) AS unk_occ_frac
+        FROM per""")),
 
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list

@@ -35,6 +35,26 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
+  /** GPT-2-style category pretokenization pattern (Radford et al. 2019,
+    * the `gpt2` regex): contractions split off whole, then letter /
+    * digit / punctuation RUNS, each binding one leading space. This is
+    * the lookahead-free portable variant: the published pattern's two
+    * whitespace arms (`\s+(?!\S)`, `\s+`) only ever produce
+    * all-whitespace tokens — which no downstream word table wants — and
+    * RE2 (DuckDB's dialect) has no lookahead, so dropping them keeps the
+    * pattern inside the Java∩RE2 common subset and lets the oracle run
+    * the IDENTICAL pattern. `\p{L}`/`\p{N}` are Unicode categories in
+    * both dialects, so "naïve café" pretokenizes identically too. */
+  val pretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Pretokenize raw text (NOT lowercased — case folding is a modeling
+    * choice made after pretokenization, if at all) into GPT-2-style
+    * pretokens. Pure codegen'd expression: one `regexp_extract_all`,
+    * no shuffle, no UDF — the 100 TB shape is a narrow projection. */
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(text, lit(pretokenPattern), lit(0))
+
   /** Greedy-left application of ONE merge (a,b)→ab to a symbol array,
     * as a column fold. */
   private def mergeOnce(sym: Column, a: String, b: String): Column =

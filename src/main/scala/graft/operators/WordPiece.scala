@@ -248,4 +248,39 @@ object WordPiece {
       }
       .toDF(wordCol, "n_tokens", "is_unk")
   }
+
+  /** Corpus-level tokenizer fertility — the standard tokenizer-quality
+    * metric: occurrence-weighted average subword pieces per word under
+    * `vocab`, plus the UNK share (words the greedy walk strands on).
+    * Input is a (word, freq) table so the walk runs once per DISTINCT
+    * word; at 100 TB that table is the tokenizer working set (millions
+    * of rows, not billions of tokens) and the metric costs one
+    * word-table pass + one aggregate. Output (single row):
+    * (n_words, n_occurrences, fertility, unk_word_frac, unk_occ_frac) —
+    * fertility averages over NON-unk occurrences (an UNK is a coverage
+    * failure, not a 1-piece success); the fractions are unrounded IEEE
+    * divisions of exact longs, bit-identical across engines. */
+  def wordPieceFertility(words: DataFrame, vocab: Seq[String],
+      wordCol: String = "w", freqCol: String = "freq",
+      maxWordLen: Int = 200): DataFrame = {
+    val walked = wordPieceTable(
+        words.select(col(wordCol)), vocab, wordCol, maxWordLen)
+      .join(words.select(col(wordCol), col(freqCol).cast("long")
+        .as(freqCol)), Seq(wordCol))
+    walked.agg(
+        count(lit(1)).as("n_words"),
+        sum(freqCol).as("n_occurrences"),
+        sum(when(!col("is_unk"), col(freqCol) * col("n_tokens"))
+          .otherwise(0L)).as("__pieces"),
+        sum(when(!col("is_unk"), col(freqCol)).otherwise(0L)).as("__kept"),
+        sum(when(col("is_unk"), 1L).otherwise(0L)).as("__unk_words"),
+        sum(when(col("is_unk"), col(freqCol)).otherwise(0L)).as("__unk_occ"))
+      .select(col("n_words"), col("n_occurrences"),
+        (col("__pieces").cast("double") / col("__kept").cast("double"))
+          .as("fertility"),
+        (col("__unk_words").cast("double") / col("n_words").cast("double"))
+          .as("unk_word_frac"),
+        (col("__unk_occ").cast("double") / col("n_occurrences")
+          .cast("double")).as("unk_occ_frac"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -190,5 +191,25 @@ class TokenizerSpec extends AnyFunSuite {
     // exhausting the pairs stops early and must not loop forever
     val merges = Tokenizer.bpeTrain(docs, numMerges = 50)
     assert(merges.nonEmpty && merges.size < 50)
+  }
+
+  test("pretokenize: GPT-2-style category runs with leading-space bind, " +
+    "contractions split whole, raw case kept, whitespace never emitted") {
+    val vectors = Seq(
+      "Don't say 42 things, okay?" ->
+        Seq("Don", "'t", " say", " 42", " things", ",", " okay", "?"),
+      "  leading spaces" -> Seq(" leading", " spaces"),
+      "naïve café 3.14" -> Seq("naïve", " café", " 3", ".", "14"),
+      "" -> Seq.empty[String],
+      "   " -> Seq.empty[String],
+      "a1b2" -> Seq("a", "1", "b", "2"))
+    val df = vectors.zipWithIndex
+      .map { case ((s, _), i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Tokenizer.pretokenize(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    vectors.zipWithIndex.foreach { case ((s, exp), i) =>
+      assert(got(i.toLong) === exp, s"input <$s>")
+    }
   }
 }

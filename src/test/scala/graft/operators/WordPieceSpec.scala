@@ -124,4 +124,20 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.tokenizeGreedy("née", vocab.toSet, maxLen, 200)
       .isEmpty)
   }
+
+  test("wordPieceFertility: hand-computed occurrence-weighted pieces per " +
+    "word, UNK excluded from fertility but counted in the fractions") {
+    // vocab: ab, ##c, ##cd, d  → "abc"=[ab,##c] (2), "abcd"=[ab,##cd] (2),
+    // "d"=[d] (1), "zz" strands → UNK
+    val vocab = Seq("ab", "##c", "##cd", "d")
+    val words = Seq(("abc", 10L), ("abcd", 5L), ("d", 3L), ("zz", 2L))
+      .toDF("w", "freq")
+    val r = WordPiece.wordPieceFertility(words, vocab).head()
+    assert(r.getLong(0) === 4L) // n_words
+    assert(r.getLong(1) === 20L) // n_occurrences
+    // fertility = (10*2 + 5*2 + 3*1) / (10 + 5 + 3) = 33/18
+    assert(math.abs(r.getDouble(2) - 33.0 / 18.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0 / 4.0) < 1e-12) // unk_word_frac
+    assert(math.abs(r.getDouble(4) - 2.0 / 20.0) < 1e-12) // unk_occ_frac
+  }
 }
