@@ -335,9 +335,21 @@ object Bench {
             case JLong(x) => Some(x.toString)
             case _ => None
           }
+          // Same guard for the scale factor: a sf0.001 diagnosis run
+          // against the committed sf0.1 profile flips nearly every AQE
+          // plan (observed: 106 plan_flip retries in one smoke run) and
+          // its exec times share no baseline with the profile's.
+          val profSf = root \ "sf" match {
+            case JString(s) => Some(s)
+            case _ => None
+          }
           if (profCpus.exists(_ != cpus)) {
             System.err.println(s"[bench] perf profile DISARMED: " +
               s"generated at cpus=${profCpus.get}, running at cpus=$cpus")
+            Map.empty
+          } else if (profSf.exists(_ != sfDir)) {
+            System.err.println(s"[bench] perf profile DISARMED: " +
+              s"generated at sf=${profSf.get}, running at sf=$sfDir")
             Map.empty
           } else root \ "entries" match {
             case JObject(fields) => fields.map { case (name, v) =>

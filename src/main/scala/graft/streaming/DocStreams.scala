@@ -106,4 +106,66 @@ object DocStreams {
       }
     } finally cached.unpersist()
   }
+
+  final case class TokenizeReport(batchId: Long, nDocs: Long,
+      nTokens: Long, nUnkDocs: Long)
+
+  /** Streaming tokenize-at-ingest: apply a LOADED subword vocabulary to
+    * documents as they land, writing a training-ready tokenized corpus
+    * (doc_id, tokens, n_tokens, batch) under the same
+    * checkpoint + dynamic-partition-overwrite contract as
+    * [[jsonlIngest]] (idempotent micro-batch replay). The tokenization
+    * IS the batch operator ([[graft.operators.WordPiece.wordPieceApply]])
+    * run inside foreachBatch — stream/batch parity holds by
+    * construction, not by a parallel implementation; the spec pins it
+    * against the batch apply of the same rows anyway. Rows flagged
+    * `_corrupt` by an upstream tail are skipped (they belong to the
+    * ingest quarantine, not the tokenized corpus). */
+  def tokenizedIngest(docs: DataFrame, vocab: Seq[String], outPath: String,
+      checkpoint: String, onBatch: TokenizeReport => Unit = _ => ())
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          tokenizeBatch(batch.toDF(), batchId, vocab, outPath, onBatch)
+      }
+      .start()
+
+  /** One tokenize micro-batch, factored out for direct replay testing
+    * (same contract as [[ingestBatch]]). */
+  private[streaming] def tokenizeBatch(bdf: DataFrame, batchId: Long,
+      vocab: Seq[String], outPath: String,
+      onBatch: TokenizeReport => Unit): Unit = {
+    val spark = bdf.sparkSession
+    val valid0 =
+      if (bdf.columns.contains("_corrupt"))
+        bdf.filter(col("_corrupt").isNull && col("doc_id").isNotNull)
+          .drop("_corrupt")
+      else bdf.filter(col("doc_id").isNotNull)
+    val unk = graft.operators.WordPiece.UnkToken
+    val tokenized = graft.operators.WordPiece
+      .wordPieceApply(valid0, vocab)
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("has_unk", array_contains(col("tokens"), unk))
+      .cache()
+    try {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        tokenized.withColumn("batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch").parquet(outPath)
+      } finally {
+        prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      }
+      val agg = tokenized.agg(count(lit(1)),
+        coalesce(sum("n_tokens"), lit(0L)),
+        coalesce(sum(when(col("has_unk"), 1L).otherwise(0L)), lit(0L)))
+        .head()
+      onBatch(TokenizeReport(batchId, agg.getLong(0),
+        agg.getLong(1), agg.getLong(2)))
+    } finally tokenized.unpersist()
+  }
 }

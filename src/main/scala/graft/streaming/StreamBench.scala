@@ -175,10 +175,26 @@ object StreamBench {
           concat(lit("doc "), col("value") % 200000).as("text")),
         watermarkDelay = "10 seconds")
     }
+    val tokenize = measure("tokenize_wordpiece") { src =>
+      // Tokenize-at-ingest rate under the committed WordPiece artifact:
+      // ~7 words/row, one varying tail word per row so the per-executor
+      // distinct-word memo sees both hits (the fixed words) and a
+      // bounded miss stream (~997 suffixed words) — the steady-state
+      // mix a landing crawl shard produces. Stateless mapPartitions,
+      // so the rate is pure tokenizer throughput, no state store.
+      val vocab = graft.operators.TokenizerStore.loadWordPiece(spark,
+        "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+      graft.operators.WordPiece.wordPieceApply(
+        src.select(col("value").as("doc_id"),
+          concat(lit("the scan fast table value row w"),
+            col("value") % 997).as("text")),
+        vocab)
+    }
     // Give the killed batches' async task-failure logging a beat to
     // drain while the level is still OFF.
     Thread.sleep(2000)
-    sessionize ++ dedup :+ ("rows_per_batch" -> rowsPerBatch.toDouble)
+    sessionize ++ dedup ++ tokenize :+
+      ("rows_per_batch" -> rowsPerBatch.toDouble)
     } finally {
       // Restore the CALLER'S level even when a pipeline throws —
       // leaving the shared context at OFF would suppress exactly the

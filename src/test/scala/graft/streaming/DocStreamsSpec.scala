@@ -93,4 +93,56 @@ class DocStreamsSpec extends AnyFunSuite {
       assert(spark.read.parquet(quarantine).count() === 1L)
     } finally q.stop()
   }
+
+  test("tokenizedIngest tokenizes landing shards under a loaded vocab, " +
+    "matches the batch apply exactly, and picks up late shards " +
+    "incrementally") {
+    import org.apache.spark.sql.functions.col
+    val vocab = graft.operators.TokenizerStore.loadWordPiece(spark,
+      "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+    val root = Files.createTempDirectory("graft-tokstream")
+    val in = Files.createDirectory(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val cp = root.resolve("cp").toString
+    writeShard(in, "shard0.jsonl",
+      """{"doc_id": 1, "text": "the scan", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "zzz 9", "lang": "en", "source": "web"}""",
+      """{broken json line""")
+    val reports =
+      scala.collection.mutable.ArrayBuffer[DocStreams.TokenizeReport]()
+    val q = DocStreams.tokenizedIngest(
+      DocStreams.jsonlTail(spark, in.toString), vocab, out, cp,
+      r => reports.synchronized { reports += r })
+    try {
+      q.processAllAvailable()
+      writeShard(in, "shard1.jsonl",
+        """{"doc_id": 3, "text": "fast table", "lang": "de", "source": "w"}""")
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id", "tokens", "n_tokens", "has_unk").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getSeq[String](1), r.getInt(2), r.getBoolean(3)))).toMap
+      // golden: the BATCH apply of the same rows — parity by construction
+      import spark.implicits._
+      val batchDocs = Seq((1L, "the scan"), (2L, "zzz 9"), (3L, "fast table"))
+        .toDF("doc_id", "text")
+      val expect = graft.operators.WordPiece
+        .wordPieceApply(batchDocs, vocab).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got.keySet === Set(1L, 2L, 3L))
+      got.foreach { case (id, (toks, n, unk)) =>
+        assert(toks === expect(id), s"doc $id")
+        assert(n === toks.size)
+        assert(unk === toks.contains(graft.operators.WordPiece.UnkToken))
+      }
+      // the corrupt line was skipped, not tokenized
+      assert(reports.map(_.nDocs).sum === 3L)
+      assert(reports.map(_.nUnkDocs).sum >= 1L) // "zzz"/"9" can't segment
+      // replay idempotence: re-running a batchId leaves the sink as-is
+      val before = spark.read.parquet(out).count()
+      DocStreams.tokenizeBatch(
+        batchDocs.filter(col("doc_id") === 3L), 1L, vocab, out, _ => ())
+      assert(spark.read.parquet(out).count() === before)
+    } finally q.stop()
+  }
 }
