@@ -188,6 +188,31 @@ object Packing {
       .toDF(idCol, "piece", "shard", "bin", "n_tokens")
   }
 
+  /** Materialize the BFD-packed corpus at rest, one directory per shard —
+    * the at-rest twin of [[packBestFit]], same loader contract as
+    * [[writeShards]]: a shard's bins are wholly contained in its
+    * directory, so a training dataloader reads shards independently and
+    * reassembles bins with no cross-directory joins. Each ROW is a
+    * PIECE carrying its own token slice (`piece_text` — the normalized
+    * token stream sliced at the capacity boundaries), so oversize
+    * documents are stored split exactly as they pack, and a bin's
+    * content is `piece_text` concatenation in (id, piece) order.
+    * Nothing is lost: concatenating a doc's pieces in order reproduces
+    * its full normalized token stream (spec-pinned). */
+  def writePackedShards(docs: DataFrame, path: String, capacity: Int,
+      numShards: Int, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val assign = packBestFit(docs, capacity, numShards, textCol, idCol)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sliced = docs
+      .join(assign, Seq(idCol))
+      .select(col(idCol), col("piece"), col("shard"), col("bin"),
+        col("n_tokens"),
+        array_join(slice(toks, col("piece") * capacity + 1,
+          col("n_tokens")), " ").as("piece_text"))
+    sliced.write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Padding-efficiency comparison of the two no-span strategies at the
     * same capacity and sharding: one row per strategy with its bin count,
     * packed token total, padding tokens (capacity − fill per bin, floored

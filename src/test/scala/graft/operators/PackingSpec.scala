@@ -177,6 +177,35 @@ class PackingSpec extends AnyFunSuite {
     assert(math.abs(nfFrac - nfPad.toDouble / (nfBins * 16)) < 1e-12)
   }
 
+  test("writePackedShards stores piece-sliced docs: pieces reassemble " +
+    "each doc's normalized token stream, bins stay within capacity, " +
+    "and a shard scan is partition-pruned") {
+    val mixed = (0 until 80).map { i =>
+      val n = i % 23 + 1
+      (i.toLong, Seq.tabulate(n)(j => s"w${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-packed").toString
+    Packing.writePackedShards(mixed, dir, capacity = 9, numShards = 4)
+    val back = spark.read.parquet(dir)
+    val rows = back.select("doc_id", "piece", "piece_text", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (id, ps) =>
+      val full = ps.sortBy(_._2).map(_._3).mkString(" ")
+      val n = (id % 23 + 1).toInt
+      val expect = Seq.tabulate(n)(j => s"w${id}x$j").mkString(" ")
+      assert(full === expect, s"doc $id")
+      ps.foreach(p => assert(p._4 === p._3.split(" ").length))
+    }
+    back.groupBy("shard", "bin")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("f"))
+      .collect().foreach(r => assert(r.getLong(2) <= 9L))
+    val plan = spark.read.parquet(dir).filter(col("shard") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+  }
+
   test("writeShards lays out one directory per shard and a shard scan " +
     "is partition-pruned to that directory's assignments") {
     import spark.implicits._
