@@ -3440,6 +3440,51 @@ object TextQueries {
                  / sum(freq)::DOUBLE) AS unk_occ_frac
         FROM per""")),
 
+    // ----- q204: the full training-data prep pipeline END-TO-END —
+    // scrub PII → quality gate + exact + near dedup (the q38 composed
+    // path, portable config) → token-budget selection (q83) →
+    // best-fit packing (q199) → tokenize under the committed WordPiece
+    // artifact (q197/q203). One benched number for the engine's core
+    // purpose. Output: per-stage counts, all deterministic. Rows-only
+    // with the q38 discipline: EVERY stage is individually
+    // oracle-green (raw count q20-family; dedup survivors q38; budget
+    // q83; pack q199/q200; tokenize q195/q197/q203), so the composite
+    // needs no twin of its own — the layout-invariance sweep covers
+    // its determinism.
+    Q("q204_prep_e2e",
+      (s, d) => {
+        val raw = documents(s, d)
+        val scrubbed = raw.withColumn("text",
+          TextAnalysis.scrubPii(col("text")))
+        val survivors = Dedup.dedupCorpus(scrubbed, minQuality = 0.3,
+          numHashes = 16, bands = 4, portable = true,
+          jaccardThreshold = Some(0.7))
+        val kept = scrubbed.join(survivors.select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val budgetDocs = kept.join(
+          TextAnalysis.tokenBudgetSelect(kept, tokenBudget = 15000)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val packed = Packing.packBestFit(budgetDocs, capacity = 256,
+          numShards = 4)
+        val vocab = graft.operators.TokenizerStore.loadWordPiece(s,
+          "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+        val tokenized = graft.operators.WordPiece
+          .wordPieceApply(budgetDocs, vocab)
+        val stages = Seq(
+          "s1_raw_docs" -> raw.count(),
+          "s2_dedup_survivors" -> survivors.count(),
+          "s3_budget_docs" -> budgetDocs.count(),
+          "s4_packed_pieces" -> packed.count(),
+          "s5_packed_bins" ->
+            packed.select("shard", "bin").distinct().count(),
+          "s6_tokens_emitted" ->
+            tokenized.select(explode(col("tokens"))).count())
+        import s.implicits._
+        stages.toDF("stage", "rows").orderBy("stage")
+      },
+      None),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,
