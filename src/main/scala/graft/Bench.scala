@@ -160,15 +160,28 @@ object Bench {
         .replaceAll("[A-Za-z_]*id=#?\\d+", "id=")
         .replaceAll("@[0-9a-fA-F]{4,}", "@")
         .replaceAll("/tmp/[^\\s,)\\]]+", "/tmp/_")
-        .replaceAll("graft_[a-z_]+\\d+", "graft_")
+        // session-random table/view names carry HEX suffixes
+        // (graft_e261fea921c): [a-z_]+\d+ missed any name ending in a
+        // hex letter, which made 31 entries' fingerprints volatile
+        // run-to-run (the r12 "bistable plan" false alarm — the plans
+        // were identical, the temp NAME differed)
+        .replaceAll("graft_[a-z0-9_]+", "graft_")
         // run-order noise, not plan shape: codegen span ids, AQE query-
         // stage materialization ids, and lambda class counters/addresses
         // all depend on concurrent stage completion order
         .replaceAll("\\*\\(\\d+\\)", "*(c)")
         .replaceAll("QueryStage \\d+", "QueryStage")
         .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+      // grouping-sets/cube aggregates print their key list in hash-set
+      // iteration order (q95: key=[custkey, orderkey, …] vs a run-to-run
+      // permutation of the SAME keys) — canonicalize by sorting the
+      // comma-separated tokens inside key=[...]; key lists are flat
+      // column refs, never nested, so the split is safe
+      val keyCanon = """key=\[([^\]]*)\]""".r.replaceAllIn(norm, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          "key=[" + m.group(1).split(", ").sorted.mkString(", ") + "]"))
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(norm.getBytes("UTF-8")).map("%02x".format(_))
+      md.digest(keyCanon.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
     }
     // raw-plan dump for fingerprint-diff diagnosis:

@@ -3459,12 +3459,18 @@ object TextQueries {
         val survivors = Dedup.dedupCorpus(scrubbed, minQuality = 0.3,
           numHashes = 16, bands = 4, portable = true,
           jaccardThreshold = Some(0.7))
+        // Cut after the scrub+dedup semi-join: four downstream stage
+        // counts consume `kept`, and without the cut EACH replays the
+        // PII regex pass and the dedup chain (first benched form: 29 s;
+        // cut: the chain runs once).
         val kept = scrubbed.join(survivors.select("doc_id"),
           Seq("doc_id"), "left_semi")
+          .transform(graft.operators.Materialize.cut)
         val budgetDocs = kept.join(
           TextAnalysis.tokenBudgetSelect(kept, tokenBudget = 15000)
             .select("doc_id"),
           Seq("doc_id"), "left_semi")
+          .transform(graft.operators.Materialize.cut)
         val packed = Packing.packBestFit(budgetDocs, capacity = 256,
           numShards = 4)
         val vocab = graft.operators.TokenizerStore.loadWordPiece(s,
