@@ -172,6 +172,13 @@ object Bench {
         .replaceAll("\\*\\(\\d+\\)", "*(c)")
         .replaceAll("QueryStage \\d+", "QueryStage")
         .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+        // higher-order-function lambda variables are numbered by a
+        // SESSION-GLOBAL counter (lambda x_9# in a subset run is
+        // lambda x_50# mid-catalog): any entry using filter/transform
+        // lambdas fingerprinted differently depending on every
+        // preceding entry — the r12 "context-dependent plan" was this
+        // token, not a real plan change
+        .replaceAll("lambda [a-z]+_\\d+#", "lambda v#")
       // grouping-sets/cube aggregates print their key list in hash-set
       // iteration order (q95: key=[custkey, orderkey, …] vs a run-to-run
       // permutation of the SAME keys) — canonicalize by sorting the
