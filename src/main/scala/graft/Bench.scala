@@ -154,6 +154,12 @@ object Bench {
     // physical plan. Normalized for exprIds / plan ids / temp paths so
     // the same plan shape hashes identically across runs — a changed
     // fingerprint between two detail JSONs IS a plan flip.
+    // Fingerprint-normalizer version — bump whenever planFp's rules
+    // change. A profile generated under a different version carries
+    // incomparable fingerprints, so the plan_flip gate disarms loudly
+    // on mismatch instead of retry-storming (exec gates stay armed:
+    // exec_run_sec does not depend on the normalizer).
+    val fpNormVersion = "r13a"
     def planFp(plan: String): String = {
       val norm = plan
         .replaceAll("#\\d+", "#")
@@ -164,8 +170,14 @@ object Bench {
         // (graft_e261fea921c): [a-z_]+\d+ missed any name ending in a
         // hex letter, which made 31 entries' fingerprints volatile
         // run-to-run (the r12 "bistable plan" false alarm — the plans
-        // were identical, the temp NAME differed)
-        .replaceAll("graft_[a-z0-9_]+", "graft_")
+        // were identical, the temp NAME differed). Strip only the
+        // volatile hex tail and KEEP the stem: collapsing every
+        // graft_* identifier to one token made __graft_min_a /
+        // __graft_max_a and the graft_bkt_l_/graft_bkt_r_ pair hash
+        // alike, so a genuine build/probe-side swap between them
+        // (exactly the bistability the plan_flip gate watches for)
+        // fingerprinted identically
+        .replaceAll("(graft_[a-z_]*?)[0-9a-f]{4,}\\b", "$1")
         // run-order noise, not plan shape: codegen span ids, AQE query-
         // stage materialization ids, and lambda class counters/addresses
         // all depend on concurrent stage completion order
@@ -182,11 +194,21 @@ object Bench {
       // grouping-sets/cube aggregates print their key list in hash-set
       // iteration order (q95: key=[custkey, orderkey, …] vs a run-to-run
       // permutation of the SAME keys) — canonicalize by sorting the
-      // comma-separated tokens inside key=[...]; key lists are flat
-      // column refs, never nested, so the split is safe
-      val keyCanon = """key=\[([^\]]*)\]""".r.replaceAllIn(norm, m =>
-        scala.util.matching.Regex.quoteReplacement(
-          "key=[" + m.group(1).split(", ").sorted.mkString(", ") + "]"))
+      // comma-separated tokens inside key=[...]. Sort ONLY when every
+      // fragment is a bare (already-normalized) column ref: a key=[...]
+      // printed by an order-significant node (sort/window keys) or one
+      // containing nested comma-bearing expressions must pass through
+      // unchanged, otherwise a real ordering flip would fingerprint
+      // identically
+      val bareRef = "^[A-Za-z0-9_#]+$".r
+      val keyCanon = """key=\[([^\]]*)\]""".r.replaceAllIn(norm, m => {
+        val frags = m.group(1).split(", ", -1)
+        val canon =
+          if (frags.forall(f => bareRef.findFirstIn(f).isDefined))
+            frags.sorted.mkString(", ")
+          else m.group(1)
+        scala.util.matching.Regex.quoteReplacement("key=[" + canon + "]")
+      })
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(keyCanon.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
@@ -363,6 +385,19 @@ object Bench {
             case JString(s) => Some(s)
             case _ => None
           }
+          // Fingerprint-normalizer skew: exec gates survive (scheduled
+          // seconds are normalizer-independent) but the stored plan_fps
+          // are incomparable — keep the entries, drop the fps.
+          val profFpVer = root \ "fp_version" match {
+            case JString(s) => Some(s)
+            case _ => None
+          }
+          // missing fp_version = pre-versioning profile = incomparable
+          val fpComparable = profFpVer.contains(fpNormVersion)
+          if (!fpComparable)
+            System.err.println(s"[bench] plan_flip gate DISARMED: " +
+              s"profile fp_version=${profFpVer.getOrElse("<absent>")}, " +
+              s"bench fp_version=$fpNormVersion (exec gates stay armed)")
           if (profCpus.exists(_ != cpus)) {
             System.err.println(s"[bench] perf profile DISARMED: " +
               s"generated at cpus=${profCpus.get}, running at cpus=$cpus")
@@ -374,7 +409,8 @@ object Bench {
           } else root \ "entries" match {
             case JObject(fields) => fields.map { case (name, v) =>
               val fps = v \ "plan_fps" match {
-                case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+                case JArray(xs) if fpComparable =>
+                  xs.collect { case JString(s) => s }.toSet
                 case _ => Set.empty[String]
               }
               name -> ProfileEntry(num(v \ "exec_run_sec"),
@@ -510,6 +546,16 @@ object Bench {
       else if (inflated(name, s)) Some("exec_inflated")
       else if (planFlip(name, s) && nth < 2) Some("plan_flip")
       else None
+    // Soft anomaly (r12 verdict #8): exec above 2× the quiet profile but
+    // under the 3× retry gate — contention noise that nonetheless became
+    // the r12 headline for q102/q103/q170. No retry (tightening the gate
+    // would retry-storm on real contention); instead the entry is flagged
+    // in the detail JSON so adjudication separates contention inflation
+    // from regression at a glance.
+    def softAnomaly(name: String, s: Sample): Boolean =
+      !inflated(name, s) && profile.get(name).exists { p =>
+        s.execRunSec > 2.0 * p.execRunSec && s.execRunSec - p.execRunSec > 1.0
+      }
     val results = selected.map { case (name, fn) =>
       val s1 = runOnce(name, fn, "")
       val samples = scala.collection.mutable.ArrayBuffer(s1)
@@ -584,7 +630,8 @@ object Bench {
       case (k, samples, picked, reasons) =>
         val s = samples(picked)
         val profJson = profile.get(k).map(p =>
-          ",\"profile_exec_sec\":" + f3(p.execRunSec)).getOrElse("")
+          ",\"profile_exec_sec\":" + f3(p.execRunSec)).getOrElse("") +
+          (if (softAnomaly(k, s)) ",\"soft_anomaly\":true" else "")
         val retryJson =
           if (samples.size == 1) profJson
           else ",\"retried\":true,\"picked\":" + picked +
@@ -623,6 +670,15 @@ object Bench {
         ""
       }.get
     val heapMax = Runtime.getRuntime.maxMemory()
+    val softAnoms = results.collect {
+      case (k, ss, p, _) if softAnomaly(k, ss(p)) => k
+    }
+    val softAnomsJson = softAnoms.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    if (softAnoms.nonEmpty)
+      System.err.println(
+        s"[bench] soft anomalies (2-3x quiet exec, no retry): " +
+          softAnoms.mkString(", "))
     val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +
       s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
       s""""heap_max_mb":${heapMax / (1024 * 1024)},""" +
@@ -635,6 +691,8 @@ object Bench {
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n":${results.size},"queries":${jsonMap(times)},""" +
       s""""bench_config_overrides":$overridden,""" +
+      s""""fp_version":"$fpNormVersion",""" +
+      s""""soft_anomalies":$softAnomsJson,""" +
       s""""query_meta":$perQuery$streamBench,$host,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))

@@ -3333,18 +3333,29 @@ object TextQueries {
     // training/apply: contractions split whole, letter/digit/punct runs
     // bind one leading space, raw case preserved. The pattern is the
     // lookahead-free Java∩RE2 common-subset variant of the published
-    // gpt2 regex, so the oracle runs the IDENTICAL pattern string —
-    // array compared value-for-value per doc.
+    // gpt2 regex, so the oracle runs the IDENTICAL pattern string.
+    // The raw array<string> column is NOT comparable by the driver's
+    // pandas comparator (unhashable ndarray in sort_values — the
+    // q186/q187 BLOB lesson), so both engines project md5 of the
+    // -joined token stream (boundary-sensitive: the GPT-2 pattern
+    // partitions the text, so join('') would erase boundaries; the
+    // control-char separator restores them) plus the token count.
+    // Raw-array behavior stays pinned value-for-value in TokenizerSpec.
     Q("q201_pretokenize",
       (s, d) =>
         documents(s, d).select(col("doc_id"),
             graft.operators.Tokenizer.pretokenize(col("text"))
               .as("pretokens"))
-          .withColumn("n_pretokens", size(col("pretokens")))
+          .select(col("doc_id"),
+            md5(concat_ws("\u0001", col("pretokens")))
+              .as("pretokens_md5"),
+            size(col("pretokens")).as("n_pretokens"))
           .orderBy("doc_id"),
       Some(s"""
         SELECT doc_id,
-               regexp_extract_all(text, '$pretokenSql', 0) AS pretokens,
+               md5(array_to_string(
+                     regexp_extract_all(text, '$pretokenSql', 0),
+                     chr(1))) AS pretokens_md5,
                len(regexp_extract_all(text, '$pretokenSql', 0))::INT
                  AS n_pretokens
         FROM documents
@@ -3445,12 +3456,15 @@ object TextQueries {
     // path, portable config) → token-budget selection (q83) →
     // best-fit packing (q199) → tokenize under the committed WordPiece
     // artifact (q197/q203). One benched number for the engine's core
-    // purpose. Output: per-stage counts, all deterministic. Rows-only
-    // with the q38 discipline: EVERY stage is individually
-    // oracle-green (raw count q20-family; dedup survivors q38; budget
-    // q83; pack q199/q200; tokenize q195/q197/q203), so the composite
-    // needs no twin of its own — the layout-invariance sweep covers
-    // its determinism.
+    // purpose. Output: per-stage counts, all deterministic. The oracle
+    // chains the individually-green stage replays (q30b scrub chain →
+    // q38c dedup with the 0.7 jaccard gate → q83 budget running sum →
+    // q199 list-state best-fit recursion → q197 greedy-walk transition
+    // table under the SAME committed vocabulary parquet) into ONE
+    // DuckDB statement, so the six stage counts hash-match end-to-end
+    // instead of resting on the composition argument. Non-recursive
+    // CTEs are MATERIALIZED: six scalar stage counts over one shared
+    // prefix re-evaluate the whole chain per reference otherwise.
     Q("q204_prep_e2e",
       (s, d) => {
         val raw = documents(s, d)
@@ -3489,7 +3503,165 @@ object TextQueries {
         import s.implicits._
         stages.toDF("stage", "rows").orderBy("stage")
       },
-      None),
+      Some(s"""
+        WITH RECURSIVE scrub AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\d{9,}', '<ID>', 'g'),
+                 '(\\+?\\d{1,3}[-. ()]{0,2})?\\d{3}[-. ()]{0,2}\\d{3}[-. ]?\\d{4}',
+                 '<PHONE>', 'g') AS text
+          FROM documents),
+        qgate AS MATERIALIZED (
+          SELECT doc_id, text FROM scrub WHERE $qualitySql >= 0.3),
+        fpk AS MATERIALIZED (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+                FROM qgate)
+          GROUP BY fp),
+        s1 AS MATERIALIZED (
+          SELECT q.* FROM qgate q JOIN fpk USING (doc_id)),
+        ${materializedCtes(minhashCtesFrom("s1"))},
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id),
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+        inter AS MATERIALIZED (
+          SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p
+          JOIN toks2 ta ON ta.doc_id = p.id_a
+          JOIN toks2 tb ON tb.doc_id = p.id_b AND tb.th = ta.th
+          GROUP BY 1, 2),
+        vpairs AS MATERIALIZED (
+          SELECT p.id_a, p.id_b
+          FROM pairs p
+          JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          JOIN sizes sa ON sa.doc_id = p.id_a
+          JOIN sizes sb ON sb.doc_id = p.id_b
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.7),
+        edges AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM vpairs
+          UNION
+          SELECT id_b, id_a FROM vpairs),
+        r(id, root) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id),
+        drops AS MATERIALIZED (
+          SELECT id FROM (SELECT id, min(root) AS comp FROM r GROUP BY id)
+          WHERE id <> comp),
+        surv AS MATERIALIZED (
+          SELECT doc_id FROM s1
+          WHERE doc_id NOT IN (SELECT id FROM drops)),
+        kept AS MATERIALIZED (
+          SELECT sc.doc_id, sc.text FROM scrub sc JOIN surv USING (doc_id)),
+        bscore AS MATERIALIZED (
+          SELECT doc_id, $qualitySql AS q,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tokens
+          FROM kept),
+        bcum AS MATERIALIZED (
+          SELECT doc_id,
+                 sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM bscore),
+        bdocs AS MATERIALIZED (
+          SELECT k.doc_id, k.text FROM kept k
+          JOIN (SELECT doc_id FROM bcum WHERE cum <= 15000) b
+            USING (doc_id)),
+        pt AS MATERIALIZED (
+          SELECT doc_id, ${shardSql(4)} AS shard,
+                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                   AS n
+          FROM bdocs),
+        pp2 AS MATERIALIZED (
+          SELECT doc_id, shard, piece::INT AS piece,
+                 least(256, n - piece * 256)::INT AS len
+          FROM (SELECT doc_id, shard, n,
+                       unnest(range(0, (n + 255) // 256)) AS piece
+                FROM pt)),
+        po AS MATERIALIZED (
+          SELECT doc_id, shard, piece, len,
+                 row_number() OVER (PARTITION BY shard
+                   ORDER BY len DESC, doc_id, piece) AS rn
+          FROM pp2),
+        g(shard, rn, doc_id, piece, len, bin, fills) AS (
+          SELECT shard, rn, doc_id, piece, len, 0, [len] FROM po WHERE rn = 1
+          UNION ALL
+          SELECT po.shard, po.rn, po.doc_id, po.piece, po.len,
+                 (CASE WHEN list_max(list_filter(g.fills,
+                         f -> f + po.len <= 256)) IS NULL
+                      THEN len(g.fills)
+                      ELSE list_position(g.fills, list_max(list_filter(
+                        g.fills, f -> f + po.len <= 256))) - 1 END)::INT,
+                 CASE WHEN list_max(list_filter(g.fills,
+                         f -> f + po.len <= 256)) IS NULL
+                      THEN list_append(g.fills, po.len)
+                      ELSE g.fills[1:list_position(g.fills,
+                             list_max(list_filter(g.fills,
+                               f -> f + po.len <= 256))) - 1]
+                           || [list_max(list_filter(g.fills,
+                                f -> f + po.len <= 256)) + po.len]
+                           || g.fills[list_position(g.fills,
+                             list_max(list_filter(g.fills,
+                               f -> f + po.len <= 256))) + 1:] END
+          FROM g JOIN po ON po.shard = g.shard AND po.rn = g.rn + 1),
+        wfreq AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                         '\\s+')) AS w
+                FROM bdocs)
+          WHERE length(w) > 0 GROUP BY w),
+        vocab AS MATERIALIZED (
+          SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                      ELSE piece END AS pc,
+                 (piece LIKE '##%') AS cont
+          FROM '/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet/*.parquet'),
+        positions AS MATERIALIZED (
+          SELECT w, unnest(range(0, length(w))) AS pos
+          FROM (SELECT w FROM wfreq)),
+        nexts AS MATERIALIZED (
+          SELECT p.w, p.pos, p.pos + max(length(v.pc)) AS npos
+          FROM positions p JOIN vocab v
+            ON substr(p.w, p.pos + 1, length(v.pc)) = v.pc
+           AND v.cont = (p.pos > 0)
+          GROUP BY p.w, p.pos),
+        walk AS (
+          SELECT w, 0 AS pos, 0 AS n FROM (SELECT w FROM wfreq)
+          UNION ALL
+          SELECT wk.w, nx.npos::INT, wk.n + 1
+          FROM walk wk JOIN nexts nx ON nx.w = wk.w AND nx.pos = wk.pos
+          WHERE wk.pos < length(wk.w)),
+        fin AS MATERIALIZED (
+          SELECT w, max(pos) AS reached, arg_max(n, pos) AS n_at
+          FROM walk GROUP BY w),
+        wtok AS MATERIALIZED (
+          SELECT f.w,
+                 CASE WHEN f.reached = length(f.w) THEN n_at ELSE 1 END
+                   AS n_tokens
+          FROM fin f)
+        SELECT 's1_raw_docs' AS stage,
+               (SELECT count(*) FROM documents)::BIGINT AS rows
+        UNION ALL
+        SELECT 's2_dedup_survivors', (SELECT count(*) FROM surv)::BIGINT
+        UNION ALL
+        SELECT 's3_budget_docs', (SELECT count(*) FROM bdocs)::BIGINT
+        UNION ALL
+        SELECT 's4_packed_pieces', (SELECT count(*) FROM g)::BIGINT
+        UNION ALL
+        SELECT 's5_packed_bins',
+               (SELECT count(*)
+                FROM (SELECT DISTINCT shard, bin FROM g))::BIGINT
+        UNION ALL
+        SELECT 's6_tokens_emitted',
+               (SELECT sum(wf.freq * wt.n_tokens)
+                FROM wfreq wf JOIN wtok wt USING (w))::BIGINT
+        ORDER BY stage""")),
 
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
@@ -3824,6 +3996,16 @@ object TextQueries {
   }
 
   private[catalog] val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** Rewrite every non-recursive CTE header in `ctes` to
+    * `AS MATERIALIZED` — DuckDB inlines multiply-referenced CTEs by
+    * default, and a composite oracle that references a deep CTE chain
+    * from several scalar subqueries (q204: six stage counts over one
+    * shared prefix) re-evaluates the whole chain per reference, which
+    * turned a sub-second query into a timeout. Applied only to plain
+    * `name AS (` headers; recursive CTEs keep their form. */
+  private def materializedCtes(ctes: String): String =
+    ctes.replaceAll("(?m)^(\\s*)([A-Za-z0-9_]+ AS) \\(", "$1$2 MATERIALIZED (")
 
   /** DuckDB re-implementation of the 16-bit portable simhash: nibble k of
     * md5(shingle) supplies bits 4k..4k+3 (hex digit -> int via strpos). */

@@ -517,7 +517,12 @@ object Similarity {
     def means(df: DataFrame, tag: String) =
       df.select(posexplode(col(vecCol)).as(Seq("j", "v")))
         .groupBy("j").agg(avg(col("v").cast("double")).as(s"__m$tag"))
-    means(a, "a").join(means(b, "b"), Seq("j"))
+    // Both sides are dim-sized (one row per dimension); without a hint
+    // AQE picks the build side from runtime stats and flips
+    // BuildLeft/BuildRight between environments (the q107 bistable
+    // fingerprint, BENCH_NOTES r12). Pinning the broadcast on the b
+    // snapshot makes the physical plan deterministic.
+    means(a, "a").join(broadcast(means(b, "b")), Seq("j"))
       .select(col("j"),
         round(col("__ma"), 6).as("mean_a"),
         round(col("__mb"), 6).as("mean_b"),

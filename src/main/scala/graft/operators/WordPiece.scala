@@ -263,10 +263,16 @@ object WordPiece {
   def wordPieceFertility(words: DataFrame, vocab: Seq[String],
       wordCol: String = "w", freqCol: String = "freq",
       maxWordLen: Int = 200): DataFrame = {
+    // Defensive pre-aggregation: the contract is one row per distinct
+    // word, but a caller passing raw (word, freq) rows with duplicate
+    // words would fan the join out and double-count every metric —
+    // collapse to sum(freq) per word first (a no-op shuffle when the
+    // input already is distinct-keyed).
+    val perWord = words.groupBy(col(wordCol))
+      .agg(sum(col(freqCol).cast("long")).as(freqCol))
     val walked = wordPieceTable(
-        words.select(col(wordCol)), vocab, wordCol, maxWordLen)
-      .join(words.select(col(wordCol), col(freqCol).cast("long")
-        .as(freqCol)), Seq(wordCol))
+        perWord.select(col(wordCol)), vocab, wordCol, maxWordLen)
+      .join(perWord, Seq(wordCol))
     walked.agg(
         count(lit(1)).as("n_words"),
         sum(freqCol).as("n_occurrences"),

@@ -151,15 +151,15 @@ object DocStreams {
       .withColumn("has_unk", array_contains(col("tokens"), unk))
       .cache()
     try {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try {
-        tokenized.withColumn("batch", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch").parquet(outPath)
-      } finally {
-        prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-      }
+      // Writer-scoped dynamic overwrite: mutating the session conf for
+      // the duration of the write leaked dynamic mode to any concurrent
+      // partitioned overwrite in the same SparkSession (and the restore
+      // raced when two streams shared a session) — the DataFrameWriter
+      // option applies to this write only.
+      tokenized.withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(outPath)
       val agg = tokenized.agg(count(lit(1)),
         coalesce(sum("n_tokens"), lit(0L)),
         coalesce(sum(when(col("has_unk"), 1L).otherwise(0L)), lit(0L)))

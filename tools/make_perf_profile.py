@@ -33,6 +33,10 @@ def main(out_path, detail_paths):
             # disarms the profile when its SPARK_GRAFT_CPUS differs
             # (plans depend on defaultParallelism — see BENCH_NOTES.md)
             "cpus": d.get("host", {}).get("cpus_requested"),
+            # normalizer version of the fingerprints below: Bench
+            # disarms the plan_flip gate (fps only — exec gates stay
+            # armed) when its own fp_version differs
+            "fp_version": d.get("fp_version"),
         }
         walls = d.get("queries", {})
         for name, m in d.get("query_meta", {}).items():
