@@ -3252,6 +3252,27 @@ object TextQueries {
           .orderBy("rank"),
       None),
 
+    // ----- q196b: the WordPiece training SELECTION trajectory,
+    // value-adjudicated (the q183b answer for the THIRD family): the
+    // first 10 likelihood-gain argmax rounds replayed in DuckDB,
+    // unrolled. Per round the oracle rebuilds the frequency-weighted
+    // symbol and adjacent-pair counts, takes the argmax of
+    // c(ab)/(c(a)·c(b)) (DOUBLE division exactly as the trainer
+    // computes it; tie → pair asc) and applies the greedy-left merge
+    // via sentinel-delimited string replace — each symbol is stored as
+    // chr(1)‖sym‖chr(1), so one non-overlapping left-to-right
+    // replace() IS the trainer's fold (the q183b trick, upgraded with
+    // per-symbol delimiters so consecutive matches can't eat each
+    // other's boundary). The EXACT integer counts behind every argmax
+    // come back with each row, so the decision evidence is rational,
+    // not rounded.
+    Q("q196b_wordpiece_train_steps",
+      (s, d) =>
+        graft.operators.WordPiece
+          .wordPieceMergeTable(documents(s, d), numMerges = 10)
+          .orderBy("step"),
+      Some(wordPieceMergeOracle(10))),
+
     // ----- q197: WordPiece greedy tokenization under a LOADED
     // vocabulary artifact — greedy longest-match-first with ##
     // continuation is trivially SQL-replayable BECAUSE the transition
@@ -3996,6 +4017,69 @@ object TextQueries {
   }
 
   private[catalog] val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** DuckDB replay of the first `k` WordPiece training rounds
+    * (q196b): word table → chr(1)-delimited symbol strings → per round
+    * (symbol counts, pair counts, likelihood-gain argmax, greedy-left
+    * merge by non-overlapping replace), unrolled. See the q196b
+    * comment for why the per-symbol sentinel delimiters make a plain
+    * replace() exactly the trainer's fold. */
+  private def wordPieceMergeOracle(k: Int): String = {
+    val d = "chr(1)"
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "rep0" else s"rep${r - 1}"
+      s"""sy$r AS MATERIALIZED (
+          SELECT w, freq, list_filter(string_split(rep, $d), s -> s <> '')
+            AS s
+          FROM $prev),
+        sc$r AS MATERIALIZED (
+          SELECT sym, sum(freq)::BIGINT AS c
+          FROM (SELECT freq, unnest(s) AS sym FROM sy$r) GROUP BY sym),
+        pc$r AS MATERIALIZED (
+          SELECT a, b, sum(freq)::BIGINT AS c
+          FROM (SELECT freq, s[i] AS a, s[i + 1] AS b
+                FROM (SELECT freq, s,
+                             unnest(generate_series(1, len(s) - 1)) AS i
+                      FROM sy$r))
+          GROUP BY a, b),
+        best$r AS MATERIALIZED (
+          SELECT p.a, p.b,
+                 p.a || (CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3)
+                              ELSE p.b END) AS m,
+                 p.c AS c_pair, sa.c AS c_left, sb.c AS c_right
+          FROM pc$r p JOIN sc$r sa ON sa.sym = p.a
+          JOIN sc$r sb ON sb.sym = p.b
+          ORDER BY p.c::DOUBLE / (sa.c::DOUBLE * sb.c::DOUBLE) DESC,
+                   p.a, p.b
+          LIMIT 1),
+        rep$r AS MATERIALIZED (
+          SELECT t.w, t.freq,
+                 replace(t.rep, $d || b.a || $d || $d || b.b || $d,
+                         $d || b.m || $d) AS rep
+          FROM $prev t, best$r b)"""
+    }.mkString(",\n        ")
+    val selects = (1 to k).map { r =>
+      s"""SELECT $r AS step, a AS left_sym, b AS right_sym, m AS piece,
+                 c_pair, c_left, c_right FROM best$r"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH words AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                         '\\s+')) AS w
+                FROM documents)
+          WHERE length(w) > 0 GROUP BY w),
+        rep0 AS MATERIALIZED (
+          SELECT w, freq,
+                 array_to_string(list_transform(
+                   generate_series(1, length(w)),
+                   i -> $d || (CASE WHEN i = 1 THEN '' ELSE '##' END)
+                        || substr(w, i, 1) || $d), '') AS rep
+          FROM words),
+        $rounds
+        $selects
+        ORDER BY step"""
+  }
 
   /** Rewrite every non-recursive CTE header in `ctes` to
     * `AS MATERIALIZED` — DuckDB inlines multiply-referenced CTEs by

@@ -52,70 +52,114 @@ object WordPiece {
     *
     * @return pieces in rank order: alphabet first, merges in creation
     *         order. */
-  def wordPieceTrainLocal(wordFreqs: Seq[(String, Long)],
-      vocabSize: Int): Seq[String] = {
-    import scala.collection.mutable
+  /** One training-loop selection: the chosen pair, its merged piece,
+    * and the EXACT integer counts behind the likelihood-gain argmax
+    * (`cPair / (cLeft · cRight)`) — surfaced so an external engine can
+    * adjudicate the selection without replaying IEEE division. */
+  case class MergeStep(step: Int, left: String, right: String,
+      piece: String, cPair: Long, cLeft: Long, cRight: Long)
+
+  /** Initial per-word symbol sequences (first char bare, rest
+    * `##`-prefixed) + freqs for the sorted, deduplicated word table. */
+  private def initSyms(wordFreqs: Seq[(String, Long)])
+      : (Array[Array[String]], Array[Long]) = {
     val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
       .filter(_._1.nonEmpty).sortBy(_._1)
-    if (wf.isEmpty) return Seq.empty
-    // per-word symbol sequences: first char bare, rest ##-prefixed
     val syms: Array[Array[String]] = wf.map { case (w, _) =>
       w.split("").filter(_.nonEmpty).zipWithIndex
         .map { case (c, i) => if (i == 0) c else "##" + c }
     }
-    val freqs = wf.map(_._2)
+    (syms, wf.map(_._2))
+  }
+
+  /** One likelihood-gain round: recount symbols and adjacent pairs
+    * (frequency-weighted), pick the argmax of
+    * `c(ab) / (c(a)·c(b))` (tie → lexicographically smallest pair),
+    * apply the greedy-left merge pass in place. None ⇒ no pair left. */
+  private def mergeRound(syms: Array[Array[String]], freqs: Array[Long])
+      : Option[(String, String, String, Long, Long, Long)] = {
+    import scala.collection.mutable
+    val symCount = mutable.HashMap.empty[String, Long]
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    var k = 0
+    while (k < syms.length) {
+      val s = syms(k); val f = freqs(k)
+      var i = 0
+      while (i < s.length) {
+        symCount.update(s(i), symCount.getOrElse(s(i), 0L) + f)
+        if (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
+        }
+        i += 1
+      }
+      k += 1
+    }
+    if (pairCount.isEmpty) return None
+    // argmax by score; ties go to the lexicographically smallest pair
+    var bestPair: (String, String) = null
+    var bestScore = -1.0
+    val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+    pairCount.foreach { case (p, c) =>
+      val score = c.toDouble / (symCount(p._1).toDouble * symCount(p._2))
+      if (score > bestScore ||
+          (score == bestScore && pairOrd.lt(p, bestPair))) {
+        bestPair = p; bestScore = score
+      }
+    }
+    val (a, b) = bestPair
+    val merged = a + b.stripPrefix("##")
+    // greedy-left merge pass over every word (same fold as BPE)
+    k = 0
+    while (k < syms.length) {
+      val s = syms(k)
+      if (s.length > 1) {
+        val out = new mutable.ArrayBuffer[String](s.length)
+        s.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) {
+            out.remove(out.length - 1); out += merged
+          } else out += x
+        }
+        syms(k) = out.toArray
+      }
+      k += 1
+    }
+    Some((a, b, merged, pairCount(bestPair), symCount(a), symCount(b)))
+  }
+
+  def wordPieceTrainLocal(wordFreqs: Seq[(String, Long)],
+      vocabSize: Int): Seq[String] = {
+    import scala.collection.mutable
+    val (syms, freqs) = initSyms(wordFreqs)
+    if (syms.isEmpty) return Seq.empty
     val alphabet = syms.flatten.distinct.sorted
     val vocab = mutable.LinkedHashSet[String](alphabet: _*)
     while (vocab.size < vocabSize) {
-      // recount symbols and adjacent pairs, frequency-weighted
-      val symCount = mutable.HashMap.empty[String, Long]
-      val pairCount = mutable.HashMap.empty[(String, String), Long]
-      var k = 0
-      while (k < syms.length) {
-        val s = syms(k); val f = freqs(k)
-        var i = 0
-        while (i < s.length) {
-          symCount.update(s(i), symCount.getOrElse(s(i), 0L) + f)
-          if (i + 1 < s.length) {
-            val p = (s(i), s(i + 1))
-            pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
-          }
-          i += 1
-        }
-        k += 1
-      }
-      if (pairCount.isEmpty) return vocab.toSeq
-      // argmax by score; ties go to the lexicographically smallest pair
-      var bestPair: (String, String) = null
-      var bestScore = -1.0
-      val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
-      pairCount.foreach { case (p, c) =>
-        val score = c.toDouble / (symCount(p._1).toDouble * symCount(p._2))
-        if (score > bestScore ||
-            (score == bestScore && pairOrd.lt(p, bestPair))) {
-          bestPair = p; bestScore = score
-        }
-      }
-      val (a, b) = bestPair
-      val merged = a + b.stripPrefix("##")
-      vocab += merged
-      // greedy-left merge pass over every word (same fold as BPE)
-      k = 0
-      while (k < syms.length) {
-        val s = syms(k)
-        if (s.length > 1) {
-          val out = new mutable.ArrayBuffer[String](s.length)
-          s.foreach { x =>
-            if (out.nonEmpty && out.last == a && x == b) {
-              out.remove(out.length - 1); out += merged
-            } else out += x
-          }
-          syms(k) = out.toArray
-        }
-        k += 1
+      mergeRound(syms, freqs) match {
+        case Some((_, _, merged, _, _, _)) => vocab += merged
+        case None => return vocab.toSeq
       }
     }
     vocab.toSeq
+  }
+
+  /** The first `numMerges` SELECTIONS of the training loop, with the
+    * exact integer counts behind each likelihood-gain argmax — the
+    * SQL-adjudicable surface of training (the [[Tokenizer
+    * .bpeMergeTable]] analog): an external engine replays each round's
+    * pair/symbol counts and the argmax decision value-for-value
+    * (q196b). Distinct from [[wordPieceTrainLocal]]'s vocabulary,
+    * which dedups re-derived pieces: this is the raw decision
+    * sequence. */
+  def wordPieceMergeSteps(wordFreqs: Seq[(String, Long)],
+      numMerges: Int): Seq[MergeStep] = {
+    val (syms, freqs) = initSyms(wordFreqs)
+    if (syms.isEmpty) return Seq.empty
+    (1 to numMerges).iterator
+      .map(i => mergeRound(syms, freqs).map {
+        case (a, b, m, cp, ca, cb) => MergeStep(i, a, b, m, cp, ca, cb)
+      })
+      .takeWhile(_.isDefined).flatten.toSeq
   }
 
   /** Learn a WordPiece vocabulary over `docs`: one distributed corpus
@@ -142,6 +186,27 @@ object WordPiece {
     wordPieceTrain(docs, vocabSize, textCol, wordsPerUnit).zipWithIndex
       .map { case (p, i) => (i, p) }
       .toDF("rank", "piece")
+  }
+
+  /** Training SELECTION trajectory as a relation: (step, left, right,
+    * piece, c_pair, c_left, c_right) for the first `numMerges` rounds
+    * over the one-pass corpus word table — the adjudicable twin of
+    * [[wordPieceVocabTable]] (see [[wordPieceMergeSteps]]). */
+  def wordPieceMergeTable(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", wordsPerUnit: Int = 1,
+      maxLocalWords: Int = 2000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = Tokenizer.wordTable(docs, textCol, wordsPerUnit)
+      .select(col("w"), col("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxLocalWords)
+    val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    wordPieceMergeSteps(wf, numMerges)
+      .map(s => (s.step, s.left, s.right, s.piece, s.cPair, s.cLeft,
+        s.cRight))
+      .toDF("step", "left_sym", "right_sym", "piece", "c_pair", "c_left",
+        "c_right")
   }
 
   // ------------------------------------------------------------------

@@ -125,6 +125,34 @@ class WordPieceSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("wordPieceMergeSteps: selections carry exact argmax counts and " +
+    "stay consistent with the trained vocabulary") {
+    // hand-checkable corpus exercising the likelihood-gain objective:
+    // (a,##b) is 14× more frequent, but (x,##y) is EXCLUSIVE —
+    // score 1/(1·1) = 1.0 beats 14/(14·14) = 1/14 — the
+    // rare-beats-frequent divergence from BPE. Rounds 2 and 3 then tie
+    // at exactly 1/14 and resolve lexicographically (##b < a,
+    // ##b < ##bc).
+    val wf = Seq(("ab", 10L), ("abc", 4L), ("xy", 1L))
+    val steps = WordPiece.wordPieceMergeSteps(wf, numMerges = 3)
+    assert(steps.map(s => (s.left, s.right, s.piece)) === Seq(
+      ("x", "##y", "xy"), ("##b", "##c", "##bc"), ("a", "##b", "ab")))
+    val s1 = steps.head
+    assert(s1.cPair === 1L && s1.cLeft === 1L && s1.cRight === 1L)
+    assert(steps(1).cPair === 4L && steps(1).cLeft === 14L &&
+      steps(1).cRight === 4L)
+    assert(steps(2).cPair === 10L && steps(2).cLeft === 14L &&
+      steps(2).cRight === 10L)
+    // every selection sequence is a superset walk of the vocab list:
+    // the vocab is alphabet ++ (distinct pieces in selection order)
+    val alpha = WordPiece.wordPieceTrainLocal(wf, vocabSize = 0)
+    val vocab = WordPiece.wordPieceTrainLocal(wf,
+      vocabSize = alpha.size + steps.map(_.piece).distinct.size)
+    assert(vocab.drop(alpha.size) === steps.map(_.piece).distinct)
+    // step numbering is dense from 1
+    assert(steps.map(_.step) === (1 to steps.size))
+  }
+
   test("wordPieceFertility: hand-computed occurrence-weighted pieces per " +
     "word, UNK excluded from fertility but counted in the fractions") {
     // vocab: ab, ##c, ##cd, d  → "abc"=[ab,##c] (2), "abcd"=[ab,##cd] (2),
