@@ -3684,6 +3684,73 @@ object TextQueries {
                 FROM wfreq wf JOIN wtok wt USING (w))::BIGINT
         ORDER BY stage""")),
 
+    // ----- q205: pretoken-BPE TRAINING over the corpus — the GPT-2
+    // composition closed (pretokenize → BPE with the leading space as
+    // an ordinary symbol; on this ASCII corpus the char alphabet IS
+    // the byte alphabet). First 10 merge selections replayed in DuckDB
+    // with the q196b machinery, simplified to BPE's raw-count argmax
+    // (ORDER BY c DESC, pair asc — the trainer's exact tie-break).
+    Q("q205_pretoken_bpe_train",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpePretokenMergeTable(documents(s, d), numMerges = 10)
+          .orderBy("step"),
+      Some(bpePretokenMergeOracle(10))),
+
+    // ----- q206: pretoken-BPE application under the LOADED committed
+    // artifact (fixtures/tokenizer/pretoken_bpe_merges.parquet, 24
+    // trained merges incl. case-sensitive (T,he)→The and space-bound
+    // pieces). The oracle replays the WHOLE rank-ordered chain from
+    // the SAME parquet with a sentinel ENCODING: every symbol is
+    // exactly one character (original char, or a private-use-area char
+    // chr(57344+rank) standing for a merged piece — duplicate merged
+    // strings canonicalize to the min-rank sentinel, preserving
+    // string-symbol identity), so one 2-char non-overlapping replace()
+    // per rank IS the greedy-left fold, and the final token count per
+    // pretoken is just length(s). Unlike q195's hand-built 2-merge
+    // replace chain, this scales to any committed merge count.
+    Q("q206_pretoken_bpe_apply_loaded",
+      (s, d) => {
+        val merges = graft.operators.TokenizerStore.loadBpe(s,
+          "/root/repo/fixtures/tokenizer/pretoken_bpe_merges.parquet")
+        graft.operators.Tokenizer
+          .bpeApplyPretokens(documents(s, d), merges)
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $pretokenBpeChain,
+        dpt AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '$pretokenSql', 0)) AS w
+          FROM documents)
+        SELECT d.doc_id, coalesce(sum(n.n), 0)::INT AS n_tokens
+        FROM documents d
+        LEFT JOIN dpt ON dpt.doc_id = d.doc_id
+        LEFT JOIN ntok n ON n.w = dpt.w
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ----- q207: corpus fertility under the loaded pretoken-BPE
+    // artifact (the q203 discipline for the GPT-2 family): tokenize
+    // the distinct-pretoken vocabulary once, weight by occurrence. BPE
+    // has no UNK — the single row is exact longs plus one unrounded
+    // IEEE division, bit-identical across engines.
+    Q("q207_pretoken_bpe_fertility",
+      (s, d) => {
+        val merges = graft.operators.TokenizerStore.loadBpe(s,
+          "/root/repo/fixtures/tokenizer/pretoken_bpe_merges.parquet")
+        graft.operators.Tokenizer
+          .bpePretokenFertility(documents(s, d), merges)
+      },
+      Some(s"""
+        WITH RECURSIVE $pretokenBpeChain
+        SELECT count(*)::BIGINT AS n_pretokens,
+               sum(freq)::BIGINT AS n_occurrences,
+               sum(freq * n)::BIGINT AS n_tokens,
+               (sum(freq * n)::DOUBLE / sum(freq)::DOUBLE) AS fertility
+        FROM wfreq JOIN ntok USING (w)""")),
+
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
     // synthesized from documents (source host → doc_id-derived host,
@@ -4080,6 +4147,96 @@ object TextQueries {
         $selects
         ORDER BY step"""
   }
+
+  /** DuckDB replay of the first `k` pretoken-BPE training rounds
+    * (q205): the q196b round structure with BPE's objective — raw pair
+    * count argmax, tie → lexicographically smallest pair — over the
+    * case-preserving pretoken word table. Same per-symbol chr(1)
+    * delimiters; merged piece is plain concatenation (no `##`). */
+  private def bpePretokenMergeOracle(k: Int): String = {
+    val d = "chr(1)"
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "rep0" else s"rep${r - 1}"
+      s"""sy$r AS MATERIALIZED (
+          SELECT w, freq, list_filter(string_split(rep, $d), s -> s <> '')
+            AS s
+          FROM $prev),
+        pc$r AS MATERIALIZED (
+          SELECT a, b, sum(freq)::BIGINT AS c
+          FROM (SELECT freq, s[i] AS a, s[i + 1] AS b
+                FROM (SELECT freq, s,
+                             unnest(generate_series(1, len(s) - 1)) AS i
+                      FROM sy$r))
+          GROUP BY a, b),
+        best$r AS MATERIALIZED (
+          SELECT a, b, a || b AS m
+          FROM pc$r ORDER BY c DESC, a, b LIMIT 1),
+        rep$r AS MATERIALIZED (
+          SELECT t.w, t.freq,
+                 replace(t.rep, $d || b.a || $d || $d || b.b || $d,
+                         $d || b.m || $d) AS rep
+          FROM $prev t, best$r b)"""
+    }.mkString(",\n        ")
+    val selects = (1 to k).map { r =>
+      s"""SELECT $r AS step, a AS left_sym, b AS right_sym, m AS merged
+          FROM best$r"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH words AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(regexp_extract_all(text, '$pretokenSql',
+                         0)) AS w
+                FROM documents)
+          WHERE length(w) > 0 GROUP BY w),
+        rep0 AS MATERIALIZED (
+          SELECT w, freq,
+                 array_to_string(list_transform(
+                   generate_series(1, length(w)),
+                   i -> $d || substr(w, i, 1) || $d), '') AS rep
+          FROM words),
+        $rounds
+        $selects
+        ORDER BY step"""
+  }
+
+  /** Shared CTE chain for the loaded pretoken-BPE artifact (q206/
+    * q207): sentinel-ENCODE the committed merge list so every symbol
+    * is one character — alphabet chars stay themselves, merged pieces
+    * become private-use-area chars chr(57344+rank) (the corpus is
+    * ASCII, verified max codepoint 121, so the range is free;
+    * duplicate merged strings canonicalize to the min-rank sentinel
+    * because symbols are STRINGS in the fold) — then fold the ranks
+    * with a recursive CTE whose step is one 2-char non-overlapping
+    * replace(). Ends at `ntok(w, n)`: token count per distinct
+    * pretoken = length of the encoded string. `wfreq(w, freq)` stays
+    * available for occurrence weighting. */
+  private def pretokenBpeChain: String = s"""merges AS MATERIALIZED (
+          SELECT rank, "left" AS a, "right" AS b,
+                 "left" || "right" AS m
+          FROM '/root/repo/fixtures/tokenizer/pretoken_bpe_merges.parquet/*.parquet'),
+        enc AS MATERIALIZED (
+          SELECT m, chr(57344 + min(rank)) AS c FROM merges GROUP BY m),
+        mrules AS MATERIALIZED (
+          SELECT r.rank, coalesce(ea.c, r.a) AS pa,
+                 coalesce(eb.c, r.b) AS pb, em.c AS pc
+          FROM merges r
+          LEFT JOIN enc ea ON ea.m = r.a
+          LEFT JOIN enc eb ON eb.m = r.b
+          JOIN enc em ON em.m = r.m),
+        wfreq AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(regexp_extract_all(text, '$pretokenSql',
+                         0)) AS w
+                FROM documents)
+          WHERE length(w) > 0 GROUP BY w),
+        rec AS (
+          SELECT w, -1 AS rank, w AS s FROM wfreq
+          UNION ALL
+          SELECT rec.w, m.rank, replace(rec.s, m.pa || m.pb, m.pc)
+          FROM rec JOIN mrules m ON m.rank = rec.rank + 1),
+        ntok AS MATERIALIZED (
+          SELECT w, length(s) AS n FROM rec
+          WHERE rank = (SELECT max(rank) FROM merges))"""
 
   /** Rewrite every non-recursive CTE header in `ctes` to
     * `AS MATERIALIZED` — DuckDB inlines multiply-referenced CTEs by

@@ -274,25 +274,6 @@ object Tokenizer {
       .mapPartitions { it =>
         val rules = bc.value
         val memo = new java.util.HashMap[String, Array[String]]()
-        def tokenizeWord(w: String): Array[String] = {
-          val cached = memo.get(w)
-          if (cached != null) return cached
-          var sym: Array[String] = w.split("").filter(_.nonEmpty)
-          rules.foreach { case (a, b) =>
-            if (w.contains(a + b) && sym.length > 1) {
-              val out = new scala.collection.mutable.ArrayBuffer[String](
-                sym.length)
-              sym.foreach { x =>
-                if (out.nonEmpty && out.last == a && x == b) {
-                  out.remove(out.length - 1); out += (a + b)
-                } else out += x
-              }
-              sym = out.toArray
-            }
-          }
-          memo.put(w, sym)
-          sym
-        }
         it.map { case (id, text) =>
           // Locale.ROOT matches Spark's locale-independent lower() —
           // under a Turkish default locale plain toLowerCase maps
@@ -300,11 +281,36 @@ object Tokenizer {
           val toks = Option(text).getOrElse("").trim
             .toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
-            .flatMap(tokenizeWord)
+            .flatMap(w => bpeFoldWord(w, rules, memo))
           (id, toks.toSeq)
         }
       }
       .toDF(idCol, "tokens")
+  }
+
+  /** The production per-word BPE fold (greedy-left, rules in rank
+    * order, substring prefilter, caller-owned distinct-word memo) —
+    * shared by [[bpeApplyLarge]] and the pretoken apply path so the
+    * two units-of-application cannot drift. */
+  private def bpeFoldWord(w: String, rules: Array[(String, String)],
+      memo: java.util.HashMap[String, Array[String]]): Array[String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    var sym: Array[String] = w.split("").filter(_.nonEmpty)
+    rules.foreach { case (a, b) =>
+      if (w.contains(a + b) && sym.length > 1) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          sym.length)
+        sym.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) {
+            out.remove(out.length - 1); out += (a + b)
+          } else out += x
+        }
+        sym = out.toArray
+      }
+    }
+    memo.put(w, sym)
+    sym
   }
 
   /** Training summary as a relation (for the catalog): one row per
@@ -316,5 +322,112 @@ object Tokenizer {
     bpeTrain(docs, numMerges, textCol, wordsPerUnit).zipWithIndex
       .map { case ((a, b), i) => (i, a, b, a + b) }
       .toDF("step", "left", "right", "merged")
+  }
+
+  // ------------------------------------------------------------------
+  // GPT-2-style BPE over pretokens (the composed pipeline: pretokenize
+  // → train/apply BPE with the leading space as an ordinary symbol)
+  // ------------------------------------------------------------------
+
+  /** One corpus pass into the PRETOKEN frequency table — the word
+    * table a GPT-2-style trainer consumes: [[pretokenize]] units, case
+    * preserved, the leading space bound to its run (the leading-space
+    * convention plays the `Ġ` space-marker role; on an ASCII corpus
+    * the character alphabet IS the byte alphabet, so this is
+    * byte-level BPE without the byte↔unicode remap table). Same
+    * 100 TB shape as [[wordTable]]: the corpus is touched once, the
+    * merge loop sees only the vocabulary-bounded table. */
+  def pretokenWordTable(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(pretokenize(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("sym",
+        filter(split(col("w"), ""), s => length(s) > 0))
+
+  /** BPE training over the pretoken table — [[bpeTrain]] with
+    * [[pretokenWordTable]] as the unit source: collect-and-train-local
+    * under `maxLocalWords`, the one-job-per-merge distributed loop
+    * past it. */
+  def bpeTrainPretokens(docs: DataFrame, numMerges: Int,
+      textCol: String = "text",
+      maxLocalWords: Long = 2000000L): Seq[(String, String)] = {
+    val words = pretokenWordTable(docs, textCol).localCheckpoint()
+    try {
+      if (words.count() <= maxLocalWords) {
+        val wf = words.select("w", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        bpeTrainLocal(wf, numMerges)
+      } else bpeTrainDistributed(words, numMerges)
+    } finally words.unpersist()
+  }
+
+  /** Pretoken-BPE training trajectory as a relation (q205):
+    * (step, left_sym, right_sym, merged), steps 1-based in selection
+    * order — the SQL-adjudicable twin of [[bpeTrainPretokens]]. */
+  def bpePretokenMergeTable(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainPretokens(docs, numMerges, textCol).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+      .toDF("step", "left_sym", "right_sym", "merged")
+  }
+
+  /** Apply a (possibly loaded) merge list to the PRETOKEN stream:
+    * pretokenize in the expression plane (codegen'd projection), then
+    * the [[bpeApplyLarge]] per-partition fold with a distinct-pretoken
+    * memo — no lowercasing, no whitespace split; the pretoken is the
+    * unit, exactly as trained. Emits (idCol, tokens). */
+  def bpeApplyPretokens(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long"),
+        pretokenize(col(textCol)).as("pts"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rules = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, pts) =>
+          val toks = Option(pts).getOrElse(Seq.empty)
+            .iterator.filter(_.nonEmpty)
+            .flatMap(w => bpeFoldWord(w, rules, memo))
+            .toSeq
+          (id, toks)
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
+
+  /** Corpus fertility under a loaded pretoken-BPE merge list (the
+    * [[graft.operators.WordPiece.wordPieceFertility]] discipline):
+    * tokenize the distinct-pretoken VOCABULARY once, weight by
+    * occurrence. BPE has no UNK — every pretoken segments (worst case
+    * into characters) — so the single row is
+    * (n_pretokens, n_occurrences, n_tokens, fertility) with fertility
+    * an unrounded IEEE division of exact longs. */
+  def bpePretokenFertility(docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val words = pretokenWordTable(docs, textCol).select("w", "freq")
+    val walked = words.as[(String, Long)]
+      .mapPartitions { it =>
+        val rules = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (w, f) => (w, f, bpeFoldWord(w, rules, memo).length) }
+      }
+      .toDF("w", "freq", "n")
+    walked.agg(
+        count(lit(1)).as("n_pretokens"),
+        sum("freq").as("n_occurrences"),
+        sum(col("freq") * col("n")).as("n_tokens"))
+      .select(col("n_pretokens"), col("n_occurrences"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          col("n_occurrences").cast("double")).as("fertility"))
   }
 }

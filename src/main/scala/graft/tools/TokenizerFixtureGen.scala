@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{BpeModel, TokenizerStore, Unigram, UnigramModel,
+import graft.operators.{BpeModel, Tokenizer, TokenizerStore, Unigram, UnigramModel,
   WordPiece, WordPieceModel}
 
 /** Writes the committed tokenizer-vocabulary fixtures
@@ -41,6 +41,27 @@ object TokenizerFixtureGen {
     * order-dependence. */
   val bpeMerges: Seq[(String, String)] = Seq(("e", "s"), ("es", "t"))
 
+  /** Literal PRETOKEN frequency table (case preserved, leading spaces
+    * bound — the GPT-2 unit shape) for the committed pretoken-BPE
+    * artifact: mixed casing ("The"/" the"), shared stems
+    * (" stream"/" streams", " join"/" joins", " batch"/" batches"),
+    * contraction ("'s"), digits and punctuation — so the trained
+    * merges include space-bound pieces (the leading-space convention
+    * in action) and the apply path exercises multi-piece splits. */
+  val pretokenFreqs: Seq[(String, Long)] = Seq(
+    "The" -> 40L, " the" -> 150L, " of" -> 90L, " stream" -> 35L,
+    " streams" -> 12L, " quick" -> 30L, " join" -> 28L, " joins" -> 9L,
+    "'s" -> 25L, " over" -> 40L, "," -> 60L, "." -> 70L,
+    " filter" -> 22L, " window" -> 18L, " 42" -> 8L, " 1024" -> 5L,
+    " (" -> 7L, ")" -> 7L, " batch" -> 26L, " batches" -> 11L)
+
+  /** 24 pretoken-BPE merges trained once at generation time from the
+    * literal table (bpeTrainLocal is deterministic) — committed as the
+    * pretoken_bpe_merges artifact; q206/q207 apply the LOADED parquet
+    * and their oracles replay the chain from the SAME file. */
+  def pretokenBpeMerges: Seq[(String, String)] =
+    Tokenizer.bpeTrainLocal(pretokenFreqs, numMerges = 24)
+
   /** WordPiece vocabulary trained from the same literal table
     * (likelihood-gain merges; deterministic). 80 pieces past the
     * ~50-symbol alphabet leaves corpus words that need multi-piece
@@ -59,6 +80,10 @@ object TokenizerFixtureGen {
     TokenizerStore.saveBpe(spark, bpeMerges, s"$dir/bpe_merges.parquet")
     TokenizerStore.saveJson(spark, BpeModel(bpeMerges),
       s"$dir/bpe_merges.json")
+    val pbm = pretokenBpeMerges
+    TokenizerStore.saveBpe(spark, pbm, s"$dir/pretoken_bpe_merges.parquet")
+    TokenizerStore.saveJson(spark, BpeModel(pbm),
+      s"$dir/pretoken_bpe_merges.json")
     val wp = wordPieceVocab
     TokenizerStore.saveWordPiece(spark, wp, s"$dir/wordpiece_vocab.parquet")
     TokenizerStore.saveJson(spark, WordPieceModel(wp),

@@ -212,4 +212,34 @@ class TokenizerSpec extends AnyFunSuite {
       assert(got(i.toLong) === exp, s"input <$s>")
     }
   }
+
+  test("pretoken-BPE: committed artifact matches its generator; apply " +
+    "keeps case and the space-bound units distinct") {
+    val merges = graft.operators.TokenizerStore.loadBpe(spark,
+      "/root/repo/fixtures/tokenizer/pretoken_bpe_merges.parquet")
+    assert(merges === graft.tools.TokenizerFixtureGen.pretokenBpeMerges)
+    // the trained chain includes the case-sensitive (T,he)->The merge
+    assert(merges.contains(("T", "he")))
+    val df = Seq(
+      (0L, "The stream joins the batch."),
+      (1L, "the stream"), // no leading space on the FIRST pretoken
+      (2L, "")).toDF("doc_id", "text")
+    val got = Tokenizer.bpeApplyPretokens(df, merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // "The"->[The]; " stream"->[ stream]; " joins"->[ join, s] (ranks
+    // 6, 21, 22 chain: (i,n)->in, ( j,o)-> jo, ( jo,in)-> join, the s
+    // never merges); " the"->[ the]; " batch"->[ batc, h]; "."->[.]
+    assert(got(0L) === Seq("The", " stream", " join", "s", " the",
+      " batc", "h", "."))
+    // word-initial "the" (no leading space) segments differently from
+    // " the" — the leading-space convention carries information
+    assert(got(1L).take(2) === Seq("t", "he"))
+    assert(got(2L) === Seq.empty[String])
+    // fertility: exact longs + one unrounded division
+    val f = Tokenizer.bpePretokenFertility(df.filter(col("doc_id") < 2),
+      merges).head()
+    assert(f.getLong(0) > 0 && f.getLong(1) > 0)
+    assert(f.getDouble(3) ===
+      f.getLong(2).toDouble / f.getLong(1).toDouble)
+  }
 }
