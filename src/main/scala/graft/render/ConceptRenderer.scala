@@ -13,9 +13,15 @@ import graft.model.{RenderedTerm, TermProperty, UmlsConceptRow}
   *
   * @param ns        ontology namespace (term URIs are `ns/quote(code)`)
   * @param lang      output language tag (mapped MRSAB.LAT, `umls2rdf.py:766`)
-  * @param hierarchy CHD rels become `rdfs:subClassOf` when true; the main
-  *                  loop passes `hierarchy = (sab != "MSH")`
-  *                  (`umls2rdf.py:889`)
+  * @param hierarchy CHD rels become `rdfs:subClassOf` when true (the
+  *                  `toRDF` parameter). The reference main loop's
+  *                  `hierarchy=(sab != "MSH")` (`umls2rdf.py:889`) is
+  *                  DEAD: `write_into` drops the flag
+  *                  (`umls2rdf.py:745,766`), so `toRDF` always runs
+  *                  with hierarchy=True and MSH CHD suppression comes
+  *                  from the tree alone — the production writer
+  *                  therefore passes true (ReferenceDifferentialSpec
+  *                  pins this byte-for-byte)
   * @param hasTree   a MeSH code tree exists (J12); suppresses rel-driven
   *                  subclass triples and enables the MN-root rule (F14)
   * @param dedupe    `conf.DEDUPE_CLASS_TRIPLES` (A10)

@@ -90,7 +90,15 @@ object OntologyWriter {
     val cfg = RenderConfig(
       ns = ns,
       lang = mapLang(lat, conf.strict),
-      hierarchy = job.sab != "MSH", // `umls2rdf.py:889`
+      // The reference's main loop INTENDS hierarchy=(sab != "MSH")
+      // (`umls2rdf.py:889`), but `write_into` never forwards its
+      // hierarchy parameter to `toRDF` (`umls2rdf.py:745,766`), so the
+      // actual rendering always runs hierarchy=True and MSH's CHD
+      // suppression comes solely from the tree (`umls2rdf.py:437-448`).
+      // Proven byte-for-byte by ReferenceDifferentialSpec: with
+      // hierarchy=false the engine emitted a `<ns/CHD>` OBJECT triple
+      // for MSH CHD rels where the reference emits nothing.
+      hierarchy = true,
       hasTree = hasTree,
       dedupe = conf.dedupeTriples,
       styUrl = conf.baseUri + "STY/")

@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Differential harness: run the REFERENCE renderer (umls2rdf.UmlsClass
+.toRDF via UmlsOntology.terms()) over fixture rows, without MySQL.
+
+Driven by ReferenceDifferentialSpec (test scope only). Usage:
+`reference_render_diff.py <in.json> <out.json>`. Input: {reference_dir,
+sab, ns, load_on_cuis, umls_version, dedupe, tables: {MRCONSO:
+[[...18 cols...], ...], MRREL, MRDEF, MRSAT, MRRANK, MRSTY, MRSAB}}.
+Output file: JSON {"lang": ..., "has_tree": ..., "classes":
+{code: rdf_text}, "errors": [msg]} — a separate file because the
+reference prints progress to stdout during load_tables.
+
+The fake UmlsTable serves the same scans `UmlsOntology.load_tables`
+issues against MySQL (umls2rdf.py:588-678), dispatching on the FIXED
+filter strings that method generates; `lat` compares case-insensitively
+(MySQL's default ci collation is what makes `lat = 'eng'` match 'ENG').
+mesh_tree replicates the DISTINCT parent/child D-code join
+(umls2rdf.py:201-217). Everything downstream — grouping, per-class rel
+code resolution, toRDF — is the reference's own code, imported and run.
+"""
+import collections
+import json
+import re
+import sys
+import types
+
+
+def main(cfg_path, out_path):
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+
+    # umls2rdf imports pymysql (unavailable, never used here) and conf
+    # at module scope — provide both before the import.
+    sys.modules["pymysql"] = types.ModuleType("pymysql")
+    conf = types.ModuleType("conf")
+    conf.UMLS_VERSION = cfg["umls_version"]
+    conf.DEDUPE_CLASS_TRIPLES = cfg.get("dedupe", True)
+    conf.INCLUDE_SEMANTIC_TYPES = True
+    conf.UMLS_BASE_URI = "http://purl.bioontology.org/ontology/"
+    conf.PROCESS_ONLY_CURRENT_UMLS_VERSION = False
+    sys.modules["conf"] = conf
+    sys.path.insert(0, cfg["reference_dir"])
+    import umls2rdf
+
+    tables = cfg["tables"]
+    if not cfg["load_on_cuis"]:
+        # A code-less atom crashes the reference outright (get_code
+        # raises inside load_tables' indexing, umls2rdf.py:147,602) —
+        # it cannot load such data at all. The engine's C5 lenient mode
+        # drops exactly these rows, so the differential runs over the
+        # class set the reference can construct.
+        tables = dict(tables)
+        tables["MRCONSO"] = [a for a in tables["MRCONSO"] if a[13]]
+
+    # Column offsets (FIXTURES.md §A; umls2rdf.py:47-90).
+    SAB = {"MRCONSO": 11, "MRREL": 10, "MRDEF": 4, "MRSAT": 9,
+           "MRRANK": 1}
+    SUPPRESS = {"MRCONSO": 16, "MRREL": 14}
+
+    class FakeUmlsTable(object):
+        """Serves load_tables' fixed scan shapes from the JSON rows."""
+
+        def __init__(self, table_name, con, load_select=None):
+            self.table_name = table_name
+            self.load_select = load_select
+            self.rows = tables.get(table_name, [])
+
+        def scan(self, filt=None, limit=None):
+            if self.load_select is not None:
+                # the MRSTY load: sty × unsuppressed conso rows of the
+                # SAB, duplicates preserved (umls2rdf.py:664-667)
+                m = re.search(r"conso\.SAB = '([^']*)'", self.load_select)
+                sab = m.group(1)
+                cuis = [a[0] for a in tables["MRCONSO"]
+                        if a[11] == sab and a[16] == "N"]
+                counts = collections.Counter(cuis)
+                for sty in self.rows:
+                    for _ in range(counts.get(sty[0], 0)):
+                        yield sty
+                return
+            conds = []
+            for clause in filt.split(" AND "):
+                m = re.match(r"(\w+) = '([^']*)'$", clause.strip())
+                if m:
+                    col, val = m.group(1), m.group(2)
+                    if col == "SAB":
+                        idx = SAB[self.table_name]
+                    elif col == "SUPPRESS":
+                        idx = SUPPRESS[self.table_name]
+                    elif col == "RSAB":
+                        idx = 3
+                    elif col == "CODE":
+                        idx = 13  # only used for the SRC roots scan
+                    elif col.lower() == "lat":
+                        idx = 1
+                    else:
+                        raise ValueError("unhandled column " + col)
+                    ci = col.lower() == "lat"
+                    conds.append((idx, val, ci))
+                elif clause.strip() == "CODE IS NOT NULL":
+                    conds.append((5, None, False))  # MRSAT.CODE
+                else:
+                    raise ValueError("unhandled clause " + clause)
+            n = 0
+            for row in self.rows:
+                ok = True
+                for idx, val, ci in conds:
+                    cell = row[idx]
+                    if val is None:
+                        ok = cell is not None
+                    elif ci:
+                        ok = (cell or "").lower() == val.lower()
+                    else:
+                        ok = cell == val
+                    if not ok:
+                        break
+                if ok:
+                    yield row
+                    n += 1
+                    if limit and n >= limit:
+                        return
+
+        def mesh_tree(self):
+            # DISTINCT c1.code parent, c2.code child over MSH CHD rels,
+            # both codes D% (umls2rdf.py:201-217)
+            conso = [a for a in tables["MRCONSO"] if a[11] == "MSH"]
+            by_cui = collections.defaultdict(set)
+            for a in conso:
+                if a[13] and a[13].startswith("D"):
+                    by_cui[a[0]].add(a[13])
+            edges = collections.defaultdict(set)
+            for r in tables["MRREL"]:
+                if r[10] == "MSH" and r[3] == "CHD":
+                    for parent in by_cui.get(r[0], ()):   # CUI1
+                        for child in by_cui.get(r[4], ()):  # CUI2
+                            edges[child].add(parent)
+            return edges
+
+    umls2rdf.UmlsTable = FakeUmlsTable
+
+    ont = umls2rdf.UmlsOntology(cfg["sab"], cfg["ns"], con=None,
+                                load_on_cuis=cfg["load_on_cuis"])
+    ont.load_tables()
+
+    classes = {}
+    errors = []
+    for term in ont.terms():
+        try:
+            rdf = term.toRDF(lang=umls2rdf.UMLS_LANGCODE_MAP[ont.lang],
+                             tree=ont.tree)
+            classes[term.code()] = rdf
+        except Exception as e:  # the reference's per-term tolerance
+            errors.append("%s: %s" % (type(e).__name__, e))
+    with open(out_path, "w") as f:
+        json.dump({
+            "lang": ont.lang,
+            "has_tree": bool(ont.tree),
+            "classes": classes,
+            "errors": errors,
+        }, f)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,154 @@
+package graft.render
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.sys.process._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.assemble.PropertyDocs
+import graft.model.OntologyJob
+import graft.sink.{OntologyWriter, UmlsExportConfig}
+import graft.sources.UmlsSource
+
+/** The strongest parity evidence there is: feed the committed UMLS
+  * fixture rows to the REFERENCE implementation itself
+  * (`umls2rdf.UmlsClass.toRDF` via `UmlsOntology.terms()`, run in a
+  * subprocess by `src/test/python/reference_render_diff.py` — no MySQL
+  * needed, its own tests construct these objects the same way,
+  * `tests/test_umls2rdf.py:9-66`) and byte-diff every class block the
+  * production writer emits against the reference's render of the same
+  * class. Keyed per code, so the documented file-order divergence
+  * (SURVEY §7.1.6) does not enter.
+  *
+  * Scope notes mirrored from the harness: a code-less atom crashes the
+  * reference's `load_tables` outright (`umls2rdf.py:147,602`), so the
+  * differential runs over the class set the reference can construct —
+  * the engine's C5 lenient mode drops exactly those rows. Classes the
+  * reference fails to render (its "Unable to select pref label" raise)
+  * must fail in the engine too: the ERROR counts are compared.
+  */
+class ReferenceDifferentialSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val fixtureDir = "fixtures/umls"
+  private val referenceDir = "/root/reference"
+  private val harness = "src/test/python/reference_render_diff.py"
+
+  private val tableNames =
+    Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK", "MRSTY", "MRSAB")
+
+  /** Fixture tables as positional JSON arrays (RRF column order = the
+    * parquet schema order), nulls preserved. */
+  private def tablesJson: String = {
+    def esc(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    tableNames.map { t =>
+      val rows = spark.read.parquet(s"$fixtureDir/$t.parquet")
+        .collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "null" else esc(r.getString(i)))
+          .mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      esc(t) + ":" + rows
+    }.mkString("{", ",", "}")
+  }
+
+  private def runReference(sab: String, ns: String,
+      loadOnCuis: Boolean): (Map[String, String], Int) = {
+    val in = Files.createTempFile("refdiff", ".json")
+    val out = Files.createTempFile("refout", ".json")
+    val cfg = s"""{"reference_dir":"$referenceDir","sab":"$sab",""" +
+      s""""ns":"$ns","load_on_cuis":$loadOnCuis,""" +
+      s""""umls_version":"2025AA","dedupe":true,"tables":$tablesJson}"""
+    Files.write(in, cfg.getBytes(StandardCharsets.UTF_8))
+    val rc = Seq("python3", harness, in.toString, out.toString).!
+    assert(rc === 0, s"reference harness failed for $sab")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(out.toFile)
+    val classes = (root \ "classes") match {
+      case JObject(fields) => fields.collect {
+        case (code, JString(rdf)) => code -> rdf
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val nErrors = (root \ "errors") match {
+      case JArray(xs) => xs.size
+      case _ => 0
+    }
+    (classes, nErrors)
+  }
+
+  /** Run the production writer and extract its class blocks by
+    * notation code — the bytes a user actually gets. */
+  private def runEngine(sab: String,
+      loadOnCuis: Boolean): (Map[String, String], Long) = {
+    val dir = Files.createTempDirectory("refdiff-engine").toString
+    val source = UmlsSource.parquet(spark, fixtureDir)
+    val job = OntologyJob(sab, None, s"$sab.ttl", loadOnCuis = loadOnCuis)
+    val report = OntologyWriter.write(spark, source, job,
+      UmlsExportConfig(umlsVersion = "2025AA"), s"$dir/$sab.ttl",
+      PropertyDocs.collectMap(source.table("MRDOC")), "")
+    val ttl = new String(Files.readAllBytes(Paths.get(s"$dir/$sab.ttl")),
+      StandardCharsets.UTF_8)
+    val block = """(?s)<[^>\n]+> a owl:Class ;\n.*?\n \.\n\n""".r
+    val notation = """skos:notation \"\"\"(.*?)\"\"\"""".r
+    val classes = block.findAllIn(ttl).map { b =>
+      val code = notation.findFirstMatchIn(b).map(_.group(1))
+        .getOrElse(fail(s"class block without notation in $sab: $b"))
+      code -> b
+    }.toMap
+    (classes, report.errors)
+  }
+
+  private def diff(sab: String, loadOnCuis: Boolean = false): Unit = {
+    val ns = s"http://purl.bioontology.org/ontology/$sab/"
+    val (refClasses, refErrors) = runReference(sab, ns, loadOnCuis)
+    val (engClasses, engErrors) = runEngine(sab, loadOnCuis)
+    assert(engClasses.keySet === refClasses.keySet,
+      s"$sab class sets differ")
+    refClasses.toSeq.sortBy(_._1).foreach { case (code, refRdf) =>
+      assert(engClasses(code) === refRdf, s"$sab/$code render differs")
+    }
+    assert(engErrors === refErrors.toLong, s"$sab error counts differ")
+  }
+
+  test("FIX: every class byte-equal to the reference renderer") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diff("FIX")
+  }
+
+  test("CFX: byte-equal classes AND matching per-term failure counts") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diff("CFX")
+  }
+
+  test("MSH: tree-mode byte parity (tree parents, MN rule, CHD " +
+    "suppression under a live tree)") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diff("MSH")
+  }
+
+  test("OTH: byte parity on the minimal single-atom ontology") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diff("OTH")
+  }
+
+  test("CFX on CUIs: load_on_cuis mode byte parity (the production " +
+    "cui-mode job)") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diff("CFX", loadOnCuis = true)
+  }
+}

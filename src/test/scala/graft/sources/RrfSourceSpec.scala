@@ -132,11 +132,14 @@ class RrfSourceSpec extends AnyFunSuite {
     assert(read(s"$out/cfx.ttl") === golden("cfx.ttl")) // cuis mode
     assert(read(s"$out/msh.ttl") === golden("msh.ttl")) // tree mode
     // MeSH semantics at file level: tree-driven subclass (incl. the
-    // SUPPRESSED tree edge), CHD as object property under hierarchy=false
+    // SUPPRESSED tree edge); CHD rels emit NOTHING extra under a live
+    // tree — the reference's `write_into` never forwards hierarchy, so
+    // `toRDF` always runs hierarchy=True and the tree alone suppresses
+    // (proven byte-for-byte by ReferenceDifferentialSpec)
     val msh = read(s"$out/msh.ttl")
     assert(msh.contains("D000002> a owl:Class"))
     assert(msh.contains("rdfs:subClassOf <http://purl.bioontology.org/ontology/MSH/D000002>"))
-    assert(msh.contains("/MSH/CHD> <http://purl.bioontology.org/ontology/MSH/D000001>"))
+    assert(!msh.contains("/MSH/CHD>"))
     assert(read(s"$out/umls_semantictypes.ttl") ===
       golden("umls_semantictypes.ttl"))
     Seq("fix.ttl", "cfx.ttl", "msh.ttl", "umls_semantictypes.ttl")
