@@ -81,7 +81,6 @@ object DocStreams {
   private[streaming] def ingestBatch(bdf: DataFrame, batchId: Long,
       outPath: String, quarantinePath: String,
       onBatch: IngestReport => Unit): Unit = {
-    val spark = bdf.sparkSession
     val cached = bdf.cache()
     try {
       val valid = cached
@@ -89,21 +88,23 @@ object DocStreams {
         .drop("_corrupt")
       val corrupt = cached.filter(col("_corrupt").isNotNull)
         .select(col("_corrupt").as("raw_line"))
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try {
-        valid.withColumn("batch", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch").parquet(outPath)
-        val nCorrupt = corrupt.count()
-        if (nCorrupt > 0)
-          corrupt.withColumn("batch", lit(batchId))
-            .write.mode("overwrite").partitionBy("batch")
-            .parquet(quarantinePath)
-        onBatch(IngestReport(batchId, valid.count(), nCorrupt))
-      } finally {
-        prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-      }
+      // Writer-scoped dynamic overwrite (same fix as tokenizeBatch):
+      // mutating the session conf leaked dynamic mode to concurrent
+      // partitioned overwrites sharing the SparkSession, and the
+      // restore raced between streams — the DataFrameWriter option
+      // applies to these writes only.
+      valid.withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(outPath)
+      val nCorrupt = corrupt.count()
+      if (nCorrupt > 0)
+        corrupt.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(quarantinePath)
+      onBatch(IngestReport(batchId, valid.count(), nCorrupt))
     } finally cached.unpersist()
   }
 
