@@ -213,12 +213,16 @@ object ScaleStress {
     facts += "pack_max_fill" -> packRow.getLong(1)
     facts += "pack_tokens" -> packRow.getLong(2)
 
+    // ---- ANN/embedding plane (certified plant + recall + linearity) -----
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    ScaleStressAnn.run(spark, sfDir, factor, workDir, steps, facts,
+      violations)
+
     // ---- in-run structural asserts --------------------------------------
     // Tolerances calibrated on the r11 factor-100 run: components landed
     // 47.6k vs 50k structural (natural cross-base dups merge some decade
     // cliques; max merged component observed = 4 decades = 40).
     val fm = facts.toMap
-    val violations = scala.collection.mutable.ArrayBuffer[String]()
     def within(name: String, obs: Long, exp: Long, tol: Double): Unit =
       if (math.abs(obs - exp) > tol * exp)
         violations += s"$name=$obs outside ${(tol * 100).toInt}% of $exp"
