@@ -39,6 +39,72 @@ object TextQueries {
         length(col("w")).between(2, 12))
       .distinct().orderBy("w").limit(60)
 
+  /** The shared 60-word panel CTE (body of a WITH; the [[viterbiWords]]
+    * selection verbatim). */
+  private val wordPanelCte: String =
+    """words AS (
+          SELECT w FROM (
+            SELECT DISTINCT
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$')
+            AND length(w) BETWEEN 2 AND 12
+          ORDER BY w LIMIT 60)"""
+
+  /** The EXACT unigram lattice DP as DuckDB CTEs (assumes a `words(w)`
+    * CTE is in scope; yields `ug_per(w, n_tokens, best)`). Per-position
+    * candidates — vocabulary pieces plus the single-char unknown
+    * fallback at min(lp) − 10 ([[graft.operators.Unigram]]'s
+    * unkFallbackLocal) — are precomputed as plain aggregates; the walk
+    * carries best-score/token-count LISTS (the q199 list-state fold)
+    * and picks each position's winner with the trainer's exact
+    * comparison: max score, ties to the smallest split point. Scores
+    * accumulate best(i) + lp left-to-right in both engines, so the
+    * doubles are bit-identical. */
+  private val unigramDpCtes: String =
+    """ug_vocab AS (
+          SELECT piece AS p, logp::DOUBLE AS lp
+          FROM '/root/repo/fixtures/tokenizer/unigram_vocab.parquet/*.parquet'),
+        ug_unk AS (SELECT min(lp) - 10.0 AS u FROM ug_vocab),
+        ug_pieces AS (
+          SELECT w.w, s.i, s.i + length(v.p) AS j1, v.lp
+          FROM words w
+          JOIN LATERAL (SELECT unnest(range(0, length(w.w))) AS i) s
+            ON true
+          JOIN ug_vocab v ON substr(w.w, s.i + 1, length(v.p)) = v.p
+          UNION ALL
+          SELECT w.w, s.i, s.i + 1, (SELECT u FROM ug_unk)
+          FROM words w
+          JOIN LATERAL (SELECT unnest(range(0, length(w.w))) AS i) s
+            ON true
+          WHERE NOT EXISTS (SELECT 1 FROM ug_vocab v
+                            WHERE v.p = substr(w.w, s.i + 1, 1))),
+        ug_cand AS (
+          SELECT w, j1, list(struct_pack(i := i, lp := lp)
+                             ORDER BY i, lp) AS cs
+          FROM ug_pieces GROUP BY w, j1),
+        ug_walk AS (
+          SELECT w, 0 AS j, [0.0::DOUBLE] AS bests, [0] AS ns FROM words
+          UNION ALL
+          SELECT wk.w, wk.j + 1,
+                 list_append(wk.bests, pick.s),
+                 list_append(wk.ns, pick.n)
+          FROM ug_walk wk
+          JOIN ug_cand c ON c.w = wk.w AND c.j1 = wk.j + 1
+          JOIN LATERAL (
+            SELECT x.s AS s, x.n AS n FROM (
+              SELECT unnest(list_transform(c.cs,
+                cd -> struct_pack(s := wk.bests[cd.i + 1] + cd.lp,
+                                  n := wk.ns[cd.i + 1] + 1,
+                                  i := cd.i))) AS x)
+            ORDER BY x.s DESC, x.i ASC LIMIT 1) pick ON true
+          WHERE wk.j < length(wk.w)),
+        ug_per AS (
+          SELECT w, ns[length(w) + 1] AS n_tokens,
+                 bests[length(w) + 1] AS best
+          FROM ug_walk WHERE j = length(w))"""
+
   /** DuckDB replay of the Viterbi max: enumerate every segmentation
     * path with a recursive CTE (each path's score accumulates
     * left-to-right, the same association as the DP), take the max at
@@ -3750,6 +3816,138 @@ object TextQueries {
                sum(freq * n)::BIGINT AS n_tokens,
                (sum(freq * n)::DOUBLE / sum(freq)::DOUBLE) AS fertility
         FROM wfreq JOIN ntok USING (w)""")),
+
+    // ----- q208: unigram tokenization as the EXACT lattice DP replay —
+    // upgrades q194's path-enumeration evidence (best_lp only) to full
+    // (n_tokens, best_lp) adjudication. q194's recursive enumeration
+    // can score every path but cannot reproduce the DP's TIE-BREAK
+    // (strict > with ascending split points keeps the SMALLEST i per
+    // position), so token counts were engine-only until now. This
+    // oracle replays the DP itself with the q199 list-state
+    // discipline: one walk row per (word, position) carries the
+    // best-score and token-count arrays; the per-position candidate
+    // lists (vocab pieces + the single-char unk fallback at min(lp)-10,
+    // exactly Unigram.unkFallbackLocal) are precomputed as plain
+    // aggregates, and the per-step argmax (ORDER BY score DESC, split
+    // ASC LIMIT 1) is the trainer's exact comparison — both engines
+    // accumulate best(i) + lp left-to-right, so scores are
+    // bit-identical and the tie-break decides identically.
+    Q("q208_unigram_tokenize_dp",
+      (s, d) => {
+        val vocab = graft.operators.TokenizerStore.loadUnigram(s,
+          "/root/repo/fixtures/tokenizer/unigram_vocab.parquet")
+        graft.operators.Unigram.viterbiTable(viterbiWords(s, d), vocab)
+          .select(col("w"), col("n_tokens"),
+            round(col("best_lp"), 4).as("best_lp"))
+          .orderBy("w")
+      },
+      Some(s"""
+        WITH RECURSIVE $wordPanelCte,
+        $unigramDpCtes
+        SELECT w, n_tokens::INT AS n_tokens, round(best, 4) AS best_lp
+        FROM ug_per ORDER BY w""")),
+
+    // ----- q209: the tokenizer BAKE-OFF — all three committed subword
+    // artifacts (BPE merges, WordPiece vocab, unigram vocab) applied to
+    // the SAME word panel, one comparison row per family: word count,
+    // in-vocab token total, unk words, and occurrence-unweighted
+    // fertility. This is the train-once/apply-many decision table a
+    // pipeline owner actually reads (which family compresses this
+    // corpus best, at what UNK cost). Every leg is the family's proven
+    // replay — BPE the q195 sentinel chain, WordPiece the q197 greedy
+    // transition walk, unigram the q208 DP — over vocabularies read
+    // from the SAME parquet artifacts the engine loads. unk_words is
+    // family-semantic: WordPiece strands whole words ([UNK]); BPE's
+    // character alphabet and unigram's single-char fallback always
+    // segment, so their unk count is structurally 0 and their
+    // fertility denominator is the full panel.
+    Q("q209_tokenizer_bakeoff",
+      (s, d) => {
+        val words = viterbiWords(s, d)
+        val bpeMerges = graft.operators.TokenizerStore.loadBpe(s,
+          "/root/repo/fixtures/tokenizer/bpe_merges.parquet")
+        val wpVocab = graft.operators.TokenizerStore.loadWordPiece(s,
+          "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
+        val ugVocab = graft.operators.TokenizerStore.loadUnigram(s,
+          "/root/repo/fixtures/tokenizer/unigram_vocab.parquet")
+        val bpe = graft.operators.Tokenizer
+          .bpeApply(words, bpeMerges, textCol = "w", idCol = "w")
+          .select(lit("bpe").as("family"),
+            size(col("tokens")).as("n_tokens"), lit(false).as("is_unk"))
+        val wp = graft.operators.WordPiece.wordPieceTable(words, wpVocab)
+          .select(lit("wordpiece").as("family"), col("n_tokens"),
+            col("is_unk"))
+        val ug = graft.operators.Unigram.viterbiTable(words, ugVocab)
+          .select(lit("unigram").as("family"), col("n_tokens"),
+            lit(false).as("is_unk"))
+        bpe.unionByName(wp).unionByName(ug)
+          .groupBy("family")
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(!col("is_unk"), col("n_tokens").cast("long"))
+              .otherwise(0L)).as("n_tokens"),
+            sum(when(col("is_unk"), 1L).otherwise(0L)).as("unk_words"),
+            (sum(when(!col("is_unk"), col("n_tokens").cast("double"))
+              .otherwise(0.0)) /
+              (count(lit(1)) -
+                sum(when(col("is_unk"), 1L).otherwise(0L)))
+                .cast("double")).as("fertility"))
+          .orderBy("family")
+      },
+      Some(s"""
+        WITH RECURSIVE $wordPanelCte,
+        bpe_per AS (
+          SELECT w, (length(w)
+                     - (length(w)  - length(r1))
+                     - (length(r1) - length(r2)))::INT AS n_tokens
+          FROM (SELECT w, replace(w, 'es', chr(1)) AS r1,
+                       replace(replace(w, 'es', chr(1)),
+                               chr(1) || 't', chr(2)) AS r2
+                FROM words)),
+        wp_vocab AS (
+          SELECT piece,
+                 CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                      ELSE piece END AS pc,
+                 (piece LIKE '##%') AS cont
+          FROM '/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet/*.parquet'),
+        wp_positions AS (
+          SELECT w, unnest(range(0, length(w))) AS pos FROM words),
+        wp_nexts AS (
+          SELECT p.w, p.pos, p.pos + max(length(v.pc)) AS npos
+          FROM wp_positions p JOIN wp_vocab v
+            ON substr(p.w, p.pos + 1, length(v.pc)) = v.pc
+           AND v.cont = (p.pos > 0)
+          GROUP BY p.w, p.pos),
+        wp_walk AS (
+          SELECT w, 0 AS pos, 0 AS n FROM words
+          UNION ALL
+          SELECT wk.w, nx.npos::INT, wk.n + 1
+          FROM wp_walk wk JOIN wp_nexts nx
+            ON nx.w = wk.w AND nx.pos = wk.pos
+          WHERE wk.pos < length(wk.w)),
+        wp_per AS (
+          SELECT f.w,
+                 (CASE WHEN f.reached = length(f.w) THEN n_at
+                       ELSE 1 END)::INT AS n_tokens,
+                 (f.reached < length(f.w)) AS is_unk
+          FROM (SELECT w, max(pos) AS reached, arg_max(n, pos) AS n_at
+                FROM wp_walk GROUP BY w) f),
+        $unigramDpCtes,
+        per AS (
+          SELECT 'bpe' AS family, n_tokens, false AS is_unk FROM bpe_per
+          UNION ALL
+          SELECT 'unigram', n_tokens, false FROM ug_per
+          UNION ALL
+          SELECT 'wordpiece', n_tokens, is_unk FROM wp_per)
+        SELECT family,
+               count(*)::BIGINT AS n_words,
+               sum(CASE WHEN NOT is_unk THEN n_tokens ELSE 0 END)::BIGINT
+                 AS n_tokens,
+               sum(CASE WHEN is_unk THEN 1 ELSE 0 END)::BIGINT
+                 AS unk_words,
+               (sum(CASE WHEN NOT is_unk THEN n_tokens ELSE 0 END)::DOUBLE
+                 / (count(*) - sum(CASE WHEN is_unk THEN 1 ELSE 0 END))
+                     ::DOUBLE) AS fertility
+        FROM per GROUP BY family ORDER BY family""")),
 
     // ----- q120: host-authority PageRank (WebGraph.pageRank) — the
     // crawl-curation drop signal for low-authority spam hosts. Edge list
