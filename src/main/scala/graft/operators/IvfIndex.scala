@@ -192,11 +192,19 @@ object IvfIndex {
     * [[Similarity.writeBucketed]]). A probe then reads only the `nProbe`
     * probed clusters' directories: partition pruning at the scan, no full
     * pass, no assignment recompute at query time. */
+  /** `emb` plus its `cluster` assignment column — the reusable
+    * projection behind [[writeClustered]] and the streaming ingest
+    * ([[graft.streaming.VecStreams]]). Pure map under broadcast-literal
+    * centroids: no shuffle, codegen'd argmin fold. */
+  def withCluster(emb: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("cluster",
+      assignCol(col(vecCol), centroids).getField("cluster"))
+
   def writeClustered(emb: DataFrame, path: String,
       centroids: Array[Array[Double]], vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit =
-    emb.withColumn("cluster",
-        assignCol(col(vecCol), centroids).getField("cluster"))
+    withCluster(emb, centroids, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** IVF top-k over a [[writeClustered]] layout: the probe list is a
