@@ -48,8 +48,8 @@ object StreamBench {
     val priorLevel = rootLogger.getLevel
     spark.sparkContext.setLogLevel("OFF")
 
-    def measure(name: String)(build: DataFrame => DataFrame)
-        : Seq[(String, Double)] = {
+    def measure(name: String, batchRows: Long = rowsPerBatch)(
+        build: DataFrame => DataFrame): Seq[(String, Double)] = {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_stream_bench_").toString
       // Row counting rides a listener, not q.recentProgress — the
@@ -83,7 +83,7 @@ object StreamBench {
       // per batch (the default), so watermarks progress and session/
       // dedup state actually closes and reclaims during the run
       val src = spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", rowsPerBatch)
+        .option("rowsPerBatch", batchRows)
         .option("numPartitions", 32)
         .load()
       val q = build(src).writeStream
@@ -190,11 +190,28 @@ object StreamBench {
             col("value") % 997).as("text")),
         vocab)
     }
+    // ~250k rows/batch: at 64 dot products per vector this leg does
+    // ~4k flops/row — 2M-row batches complete only twice per window,
+    // which defeats the steady-state slice. Same events/s semantics.
+    val ivfAssign = measure("ivf_assign", batchRows = 250000L) { src =>
+      // Streaming ANN-index maintenance rate (VecStreams' hot path):
+      // a deterministic dim-64 embedding synthesized per row, assigned
+      // to one of 64 portable centroids — the codegen'd argmin fold is
+      // 64 dot products per vector, the honest production IVF ingest
+      // cost. Stateless projection: no shuffle, no state store.
+      graft.operators.IvfIndex.withCluster(
+        src.select(col("value").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> cast(sin(value * 7 + j) as float))").as("embedding")),
+        graft.operators.IvfIndex.portableCentroids(64, 64))
+        .select("vec_id", "cluster")
+    }
     // Give the killed batches' async task-failure logging a beat to
     // drain while the level is still OFF.
     Thread.sleep(2000)
-    sessionize ++ dedup ++ tokenize :+
-      ("rows_per_batch" -> rowsPerBatch.toDouble)
+    sessionize ++ dedup ++ tokenize ++ ivfAssign ++
+      Seq("rows_per_batch" -> rowsPerBatch.toDouble,
+        "ivf_assign_rows_per_batch" -> 250000.0)
     } finally {
       // Restore the CALLER'S level even when a pipeline throws —
       // leaving the shared context at OFF would suppress exactly the
