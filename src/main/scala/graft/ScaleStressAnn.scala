@@ -95,7 +95,10 @@ object ScaleStressAnn {
       steps: ArrayBuffer[(String, Double)],
       facts: ArrayBuffer[(String, Long)],
       violations: ArrayBuffer[String]): Unit = {
-    require(factor % 10 == 0, s"factor must be a multiple of 10: $factor")
+    // k = 8 below needs >= 9 siblings per copy at the SMALL round
+    // (factor/10 - 1 >= 8), and the panel id b*f+1 needs f >= 2.
+    require(factor % 10 == 0 && factor >= 90,
+      s"ANN plant needs factor % 10 == 0 and factor >= 90, got $factor")
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -198,6 +201,11 @@ object ScaleStressAnn {
       })
 
       // IVF-PQ (the billion-scale composition), scored vs the plant.
+      // ivfAdcTopK takes a raw query vector and does NOT exclude the
+      // in-corpus query row (unlike IvfIndex.topK) — the self copy at
+      // cosine 1.0 always occupies a slot, so over-fetch one, drop it,
+      // and count siblings among the true top k. Counting the self row
+      // would inflate recall by 1/k and let a broken probe path pass.
       gate("ivfpq", timed(s"ann_ivfpq_x$f") {
         val qVecs = vecs.filter(col("vec_id")
             .isin(panel.map(java.lang.Long.valueOf): _*))
@@ -206,8 +214,10 @@ object ScaleStressAnn {
           .toMap
         val hits = panel.map { qid =>
           PqIndex.ivfAdcTopK(vecs, centroids, codebooks, qVecs(qid),
-            k = k, nProbe = 4, refine = 10)
-            .collect().count(_.getLong(0) / f == qid / f)
+            k = k + 1, nProbe = 4, refine = 10)
+            .collect().map(_.getLong(0))
+            .filter(_ != qid).take(k)
+            .count(_ / f == qid / f)
         }.sum
         hits.toDouble / (k * panel.size)
       })

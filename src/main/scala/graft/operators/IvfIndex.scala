@@ -187,11 +187,6 @@ object IvfIndex {
       (d, i)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
 
-  /** Materialize the corpus partitioned BY CLUSTER — the IVF inverted
-    * lists as an at-rest layout (the k-means analog of
-    * [[Similarity.writeBucketed]]). A probe then reads only the `nProbe`
-    * probed clusters' directories: partition pruning at the scan, no full
-    * pass, no assignment recompute at query time. */
   /** `emb` plus its `cluster` assignment column — the reusable
     * projection behind [[writeClustered]] and the streaming ingest
     * ([[graft.streaming.VecStreams]]). Pure map under broadcast-literal
@@ -201,6 +196,11 @@ object IvfIndex {
     emb.withColumn("cluster",
       assignCol(col(vecCol), centroids).getField("cluster"))
 
+  /** Materialize the corpus partitioned BY CLUSTER — the IVF inverted
+    * lists as an at-rest layout (the k-means analog of
+    * [[Similarity.writeBucketed]]). A probe then reads only the `nProbe`
+    * probed clusters' directories: partition pruning at the scan, no full
+    * pass, no assignment recompute at query time. */
   def writeClustered(emb: DataFrame, path: String,
       centroids: Array[Array[Double]], vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit =

@@ -202,6 +202,14 @@ object WordPiece {
       .orderBy(col("freq").desc, col("w"))
       .limit(maxLocalWords)
     val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // This is the ADJUDICATION surface: its DuckDB replay (q196b)
+    // rebuilds the counts over the FULL word table, so a bound limit
+    // would silently diverge the two engines. Refuse instead of
+    // truncating — the production (capped) route is wordPieceTrain.
+    require(wf.size < maxLocalWords,
+      s"wordPieceMergeTable hit maxLocalWords=$maxLocalWords distinct " +
+        "words; the SQL replay assumes the untruncated table — raise " +
+        "the cap or use wordPieceTrain for the capped production route")
     wordPieceMergeSteps(wf, numMerges)
       .map(s => (s.step, s.left, s.right, s.piece, s.cPair, s.cLeft,
         s.cRight))

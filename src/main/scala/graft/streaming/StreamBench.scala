@@ -193,7 +193,8 @@ object StreamBench {
     // ~250k rows/batch: at 64 dot products per vector this leg does
     // ~4k flops/row — 2M-row batches complete only twice per window,
     // which defeats the steady-state slice. Same events/s semantics.
-    val ivfAssign = measure("ivf_assign", batchRows = 250000L) { src =>
+    val ivfAssignRows = 250000L
+    val ivfAssign = measure("ivf_assign", batchRows = ivfAssignRows) { src =>
       // Streaming ANN-index maintenance rate (VecStreams' hot path):
       // a deterministic dim-64 embedding synthesized per row, assigned
       // to one of 64 portable centroids — the codegen'd argmin fold is
@@ -211,7 +212,7 @@ object StreamBench {
     Thread.sleep(2000)
     sessionize ++ dedup ++ tokenize ++ ivfAssign ++
       Seq("rows_per_batch" -> rowsPerBatch.toDouble,
-        "ivf_assign_rows_per_batch" -> 250000.0)
+        "ivf_assign_rows_per_batch" -> ivfAssignRows.toDouble)
     } finally {
       // Restore the CALLER'S level even when a pipeline throws —
       // leaving the shared context at OFF would suppress exactly the

@@ -25,6 +25,22 @@ def main(out_path, detail_paths):
     for dp in detail_paths:
         with open(dp) as f:
             d = json.load(f)
+        # Refuse to union incomparable runs: mins and fingerprint sets
+        # only mean something across details that share the normalizer
+        # version, cpu count, and sf. Last-wins meta previously let a
+        # stale detail stamp the profile with the WRONG fp_version
+        # (absent -> plan_flip permanently disarmed) or mix exec mins
+        # from different-parallelism plans.
+        if meta:
+            for key in ("sf", "fp_version"):
+                if d.get(key) != prior.get(key):
+                    sys.exit(f"{dp}: {key}={d.get(key)!r} differs from "
+                             f"{prior.get(key)!r} in earlier input — "
+                             "details are incomparable, not merging")
+            if d.get("host", {}).get("cpus_requested") != meta["cpus"]:
+                sys.exit(f"{dp}: cpus_requested differs from earlier "
+                         "input — details are incomparable, not merging")
+        prior = d
         meta = {
             "generated_from": detail_paths,
             "wall_start": d.get("host", {}).get("wall_start"),
