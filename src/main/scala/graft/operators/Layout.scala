@@ -131,22 +131,50 @@ object Layout {
   def profile(df: DataFrame, cols: Seq[String],
       approximate: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        (if (approximate) approx_count_distinct(col(c))
-         else count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+    if (approximate) {
+      // HLL sketches are plain (non-distinct) aggregates, so every
+      // column profiles in ONE narrow partial-aggregated pass.
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__cnt_$c"),
+          approx_count_distinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      }
+      val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+      row.select(explode(array(cols.map { c =>
+          struct(lit(c).as("column"),
+            (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+            col(s"__nd_$c").as("n_distinct"),
+            col(s"__min_$c").as("min_value"),
+            col(s"__max_$c").as("max_value"))
+        }: _*)).as("p"))
+        .select("p.*")
+    } else {
+      // Exact mode runs one aggregation PER COLUMN, unioned. The
+      // obvious one-pass form (all count(DISTINCT c_i) in one agg) is
+      // a nondeterministic PLAN: RewriteDistinctAggregates expands one
+      // projection per distinct group, and its grouping-key order and
+      // gid numbering iterate a hash structure keyed by exprIds — the
+      // physical plan (Expand layout, sort keys, gid↔column binding)
+      // PERMUTES from run to run with the session's expression counter
+      // (r13 BENCH_NOTES; it made q95 fingerprint differently every
+      // full-catalog run). Per-column aggregations have a single
+      // distinct group each, so the rewrite is deterministic; each
+      // scan prunes to its one column, so total bytes read match the
+      // wide single scan, without the #cols-way Expand row blowup.
+      cols.map { c =>
+        df.agg(count(lit(1)).as("__total"),
+            count(col(c)).as("__cnt"),
+            count_distinct(col(c)).as("__nd"),
+            min(col(c)).cast("string").as("__min"),
+            max(col(c)).cast("string").as("__max"))
+          .select(lit(c).as("column"),
+            (col("__total") - col("__cnt")).as("n_nulls"),
+            col("__nd").as("n_distinct"),
+            col("__min").as("min_value"),
+            col("__max").as("max_value"))
+      }.reduce(_.unionByName(_))
     }
-    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    row.select(explode(array(cols.map { c =>
-        struct(lit(c).as("column"),
-          (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
-          col(s"__nd_$c").as("n_distinct"),
-          col(s"__min_$c").as("min_value"),
-          col(s"__max_$c").as("max_value"))
-      }: _*)).as("p"))
-      .select("p.*")
   }
 
   /** Distribution drift between a CURRENT corpus slice and a REFERENCE
