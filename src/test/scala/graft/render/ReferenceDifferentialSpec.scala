@@ -43,7 +43,8 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
 
   /** Fixture tables as positional JSON arrays (RRF column order = the
     * parquet schema order), nulls preserved. */
-  private def tablesJson: String = {
+  private def tablesJson(load: String => org.apache.spark.sql.DataFrame)
+      : String = {
     def esc(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -55,7 +56,7 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
         case c => c.toString
       } + "\""
     tableNames.map { t =>
-      val rows = spark.read.parquet(s"$fixtureDir/$t.parquet")
+      val rows = load(t)
         .collect()
         .map(r => (0 until r.length).map(i =>
           if (r.isNullAt(i)) "null" else esc(r.getString(i)))
@@ -65,13 +66,15 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
     }.mkString("{", ",", "}")
   }
 
-  private def runReference(sab: String, ns: String,
-      loadOnCuis: Boolean): (Map[String, String], Int) = {
+  private def runReference(sab: String, ns: String, loadOnCuis: Boolean,
+      load: String => org.apache.spark.sql.DataFrame)
+      : (Map[String, String], Int) = {
     val in = Files.createTempFile("refdiff", ".json")
     val out = Files.createTempFile("refout", ".json")
     val cfg = s"""{"reference_dir":"$referenceDir","sab":"$sab",""" +
       s""""ns":"$ns","load_on_cuis":$loadOnCuis,""" +
-      s""""umls_version":"2025AA","dedupe":true,"tables":$tablesJson}"""
+      s""""umls_version":"2025AA","dedupe":true,""" +
+      s""""tables":${tablesJson(load)}}"""
     Files.write(in, cfg.getBytes(StandardCharsets.UTF_8))
     val rc = Seq("python3", harness, in.toString, out.toString).!
     assert(rc === 0, s"reference harness failed for $sab")
@@ -93,10 +96,9 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
 
   /** Run the production writer and extract its class blocks by
     * notation code — the bytes a user actually gets. */
-  private def runEngine(sab: String,
-      loadOnCuis: Boolean): (Map[String, String], Long) = {
+  private def runEngine(sab: String, loadOnCuis: Boolean,
+      source: UmlsSource): (Map[String, String], Long) = {
     val dir = Files.createTempDirectory("refdiff-engine").toString
-    val source = UmlsSource.parquet(spark, fixtureDir)
     val job = OntologyJob(sab, None, s"$sab.ttl", loadOnCuis = loadOnCuis)
     val report = OntologyWriter.write(spark, source, job,
       UmlsExportConfig(umlsVersion = "2025AA"), s"$dir/$sab.ttl",
@@ -113,16 +115,25 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
     (classes, report.errors)
   }
 
-  private def diff(sab: String, loadOnCuis: Boolean = false): Unit = {
+  private def diffWith(sab: String, loadOnCuis: Boolean,
+      load: String => org.apache.spark.sql.DataFrame,
+      source: UmlsSource, label: String): Unit = {
     val ns = s"http://purl.bioontology.org/ontology/$sab/"
-    val (refClasses, refErrors) = runReference(sab, ns, loadOnCuis)
-    val (engClasses, engErrors) = runEngine(sab, loadOnCuis)
+    val (refClasses, refErrors) =
+      runReference(sab, ns, loadOnCuis, load)
+    val (engClasses, engErrors) = runEngine(sab, loadOnCuis, source)
     assert(engClasses.keySet === refClasses.keySet,
-      s"$sab class sets differ")
+      s"$label class sets differ")
     refClasses.toSeq.sortBy(_._1).foreach { case (code, refRdf) =>
-      assert(engClasses(code) === refRdf, s"$sab/$code render differs")
+      assert(engClasses(code) === refRdf, s"$label/$code render differs")
     }
-    assert(engErrors === refErrors.toLong, s"$sab error counts differ")
+    assert(engErrors === refErrors.toLong, s"$label error counts differ")
+  }
+
+  private def diff(sab: String, loadOnCuis: Boolean = false): Unit = {
+    val source = UmlsSource.parquet(spark, fixtureDir)
+    diffWith(sab, loadOnCuis,
+      t => spark.read.parquet(s"$fixtureDir/$t.parquet"), source, sab)
   }
 
   test("FIX: every class byte-equal to the reference renderer") {
@@ -150,5 +161,24 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
     "cui-mode job)") {
     assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
     diff("CFX", loadOnCuis = true)
+  }
+
+  test("HOSTILE generated fixtures render byte-equal to the reference " +
+    "(escaping order, percent-encoding, unicode — seeds 1-5)") {
+    // The property-based leg: the SAME seeded hostile fixtures that
+    // TurtleWellformedSpec validates for well-formedness are fed to
+    // BOTH implementations and byte-diffed per class. This is what
+    // pins the ORDER-SENSITIVE escaping chain (C1), the urllib-quote
+    // percent-encoder (C3) on codes with spaces/unicode/slashes/
+    // pre-encoded sequences, and literal rendering of quotes,
+    // backslashes, newlines, and Turtle metacharacters — against the
+    // reference's own behavior rather than our reading of it.
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    for (seed <- 1 to 5) {
+      val fixture = graft.HostileUmls.randomFixture(seed)
+      diffWith("RND", loadOnCuis = false,
+        t => fixture.getOrElse(t, UmlsSource.empty(spark, t)),
+        graft.TestSpark.fixedSource(fixture), s"hostile-seed$seed")
+    }
   }
 }
