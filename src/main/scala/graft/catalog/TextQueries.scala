@@ -3415,6 +3415,26 @@ object TextQueries {
           .orderBy("rank"),
       None),
 
+    // ----- q210: FORCED-DISTRIBUTED WordPiece training — the
+    // beyond-maxLocalWords route (WordPiece.wordPieceTrainDistributed)
+    // under timing, the q198 discipline for the third family: one
+    // aggregation per round producing symbol+pair counts together, a
+    // broadcast self-join attaching c(a)/c(b), TakeOrdered(1) on the
+    // exact likelihood-gain double with the trainer's tie-break, and a
+    // column-fold greedy-left merge. Until r13 the over-cap case
+    // silently truncated to a frequency prefix — the only family
+    // without a full-table route. Rows-only with the q191/q198
+    // discipline; WordPieceSpec pins forced-distributed ≡ local
+    // trajectory identity (pieces AND order) and q196b carries the
+    // SQL-replayed selection evidence.
+    Q("q210_wordpiece_train_distributed",
+      (s, d) =>
+        graft.operators.WordPiece
+          .wordPieceVocabTable(documents(s, d), vocabSize = 60,
+            maxLocalWords = 1L)
+          .orderBy("rank"),
+      None),
+
     // ----- q201: GPT-2-style category pretokenization
     // (Tokenizer.pretokenize) — the production stage BEFORE subword
     // training/apply: contractions split whole, letter/digit/punct runs

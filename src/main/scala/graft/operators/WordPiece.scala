@@ -164,26 +164,114 @@ object WordPiece {
 
   /** Learn a WordPiece vocabulary over `docs`: one distributed corpus
     * pass builds the (word, freq) table ([[Tokenizer.wordTable]], same
-    * normalization as BPE/unigram), frequency-truncated to
-    * `maxLocalWords` like [[Unigram.unigramTrain]], then
-    * [[wordPieceTrainLocal]]. */
+    * normalization as BPE/unigram), then routes by vocabulary size the
+    * way [[Tokenizer.bpeTrain]] does — driver-local merge loop under
+    * `maxLocalWords`, the one-job-per-round distributed loop past it.
+    * (Until r13 the over-cap case silently TRUNCATED the word table to
+    * the most frequent `maxLocalWords` — the only tokenizer family
+    * without a full-table route; at 100 TB that quietly trained on a
+    * frequency prefix.) */
   def wordPieceTrain(docs: DataFrame, vocabSize: Int,
       textCol: String = "text", wordsPerUnit: Int = 1,
-      maxLocalWords: Int = 2000000): Seq[String] = {
+      maxLocalWords: Long = 2000000L): Seq[String] = {
     val words = Tokenizer.wordTable(docs, textCol, wordsPerUnit)
-      .select(col("w"), col("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(maxLocalWords)
-    val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    wordPieceTrainLocal(wf, vocabSize)
+      .localCheckpoint()
+    try {
+      if (words.count() <= maxLocalWords) {
+        val wf = words.select("w", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        wordPieceTrainLocal(wf, vocabSize)
+      } else wordPieceTrainDistributed(words, vocabSize)
+    } finally words.unpersist()
+  }
+
+  /** The one-Spark-job-per-merge fallback for a (word, freq) table too
+    * large to collect — [[Tokenizer.bpeTrainDistributed]]'s shape under
+    * the WordPiece likelihood-gain objective. Each round is ONE
+    * aggregation producing symbol and adjacent-pair counts together
+    * (singles exploded beside pairs, discriminated by a null right
+    * side), a broadcast-sized self-join attaching `c(a)`/`c(b)` to each
+    * pair, and a TakeOrdered(1) argmax of `c(ab) / (c(a)·c(b))` with
+    * the trainer's exact tie-break (gain desc, pair asc) — the gain is
+    * the same single IEEE division over the same double product, so
+    * the trajectory is identical to [[wordPieceTrainLocal]]
+    * (spec-pinned, the [[Unigram]] distributed≡local discipline).
+    * Scheduling-bound at production merge counts; the routed
+    * [[wordPieceTrain]] front door prefers the local loop. */
+  def wordPieceTrainDistributed(wordTbl: DataFrame,
+      vocabSize: Int): Seq[String] = {
+    import scala.collection.mutable
+    var words = wordTbl
+      .select(col("freq"), expr(
+        "transform(filter(split(w, ''), c -> c != ''), " +
+          "(c, i) -> CASE WHEN i = 0 THEN c ELSE concat('##', c) END)")
+        .as("sym"))
+      .localCheckpoint()
+    // the character alphabet in lexicographic rank, as the local
+    // trainer seeds it (every initial symbol is a single bare or
+    // ##-prefixed char; alphabet-bounded collect)
+    val alphabet = words.select(explode(col("sym")).as("s"))
+      .distinct().orderBy("s").collect().map(_.getString(0))
+    val vocab = mutable.LinkedHashSet[String](alphabet: _*)
+    var exhausted = false
+    while (vocab.size < vocabSize && !exhausted) {
+      val stats = words
+        .select(col("freq"), explode(concat(
+          transform(col("sym"), s =>
+            struct(s.as("a"), lit(null).cast("string").as("b"))),
+          zip_with(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b"))))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .localCheckpoint()
+      val symCounts = stats.filter(col("b").isNull)
+        .select(col("a").as("s"), col("n").as("c"))
+      val top = stats.filter(col("b").isNotNull)
+        .join(symCounts.select(col("s").as("a"), col("c").as("ca")),
+          Seq("a"))
+        .join(symCounts.select(col("s").as("b"), col("c").as("cb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          (col("n").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
+            .as("g"))
+        .orderBy(col("g").desc, col("a"), col("b"))
+        .limit(1).collect()
+      stats.unpersist()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val merged = a + b.stripPrefix("##")
+        vocab += merged
+        // greedy-left merge pass (the local trainer's fold, as a
+        // column aggregate — the WordPiece merged form, not BPE's a+b)
+        val next = words.withColumn("sym",
+          aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(merged))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    vocab.toSeq
   }
 
   /** Trained vocabulary as a relation: (rank, piece). */
   def wordPieceVocabTable(docs: DataFrame, vocabSize: Int,
-      textCol: String = "text", wordsPerUnit: Int = 1): DataFrame = {
+      textCol: String = "text", wordsPerUnit: Int = 1,
+      maxLocalWords: Long = 2000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    wordPieceTrain(docs, vocabSize, textCol, wordsPerUnit).zipWithIndex
+    wordPieceTrain(docs, vocabSize, textCol, wordsPerUnit, maxLocalWords)
+      .zipWithIndex
       .map { case (p, i) => (i, p) }
       .toDF("rank", "piece")
   }

@@ -109,6 +109,33 @@ class WordPieceSpec extends AnyFunSuite {
     }
   }
 
+  test("forced-distributed training is trajectory-identical to the " +
+    "local trainer (the Unigram distributed≡local discipline)") {
+    // maxLocalWords = 1 forces every round through the Spark path:
+    // the one-aggregation symbol+pair counts, the broadcast self-join
+    // gains, the TakeOrdered argmax with the (gain desc, pair asc)
+    // tie-break, and the column-fold greedy-left merge must reproduce
+    // the local trainer's vocabulary EXACTLY — same pieces, same
+    // creation order. The corpus exercises re-derived merges and the
+    // rare-beats-frequent likelihood-gain divergence from BPE.
+    val docs = Seq((1L, "the quick fox"), (2L, "the lazy dog dog"),
+      (3L, "quick quick the zq zq zq"), (4L, "fox box lox"))
+      .toDF("doc_id", "text")
+    val wf = Seq("the", "quick", "fox", "the", "lazy", "dog", "dog",
+      "quick", "quick", "the", "zq", "zq", "zq", "fox", "box", "lox")
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val local = WordPiece.wordPieceTrainLocal(wf, vocabSize = 40)
+    val dist = WordPiece.wordPieceTrain(docs, vocabSize = 40,
+      maxLocalWords = 1L)
+    assert(dist === local)
+    // exhaustion: a vocabSize beyond every derivable piece stops at
+    // the same fixed point on both routes
+    val localAll = WordPiece.wordPieceTrainLocal(wf, vocabSize = 1000)
+    val distAll = WordPiece.wordPieceTrain(docs, vocabSize = 1000,
+      maxLocalWords = 1L)
+    assert(distAll === localAll)
+  }
+
   test("the committed WordPiece fixture matches its generator and " +
     "covers both greedy-walk branches on the fixture words") {
     val vocab = TokenizerStore.loadWordPiece(spark,
