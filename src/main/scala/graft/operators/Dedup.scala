@@ -653,7 +653,11 @@ object Dedup {
     // and both intersection probes, but it is candidate-bounded (the
     // semi-join runs before the explode), so the recompute is cheap next
     // to the pair-plan replay the `p` checkpoint removes — and keeping it
-    // lazy keeps the semi-join visible to plan audits.
+    // lazy keeps the semi-join visible to plan audits. MEASURED r13:
+    // cutting it instead (localCheckpoint) made every consumer SLOWER
+    // at bench scale (q96 5.8→11.7 s, q204 15→19 s, q38 3.2→4.8 s) —
+    // materializing tens of millions of (id, hash) rows costs more than
+    // three pipelined whole-stage recomputes that never leave codegen.
     val toks =
       if (portable)
         candDocs.select(col(idCol),
