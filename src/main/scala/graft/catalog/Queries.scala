@@ -871,11 +871,13 @@ object Queries {
           SELECT '3_purchase', count(*)::BIGINT FROM s3)
         ORDER BY stage""")),
 
-    // ----- one-pass column profiler (Layout.profile): the dataset-card
+    // ----- column profiler (Layout.profile): the dataset-card
     // summary — null counts, exact distinct cardinality and value range
-    // for five orders columns, computed in ONE aggregate row and
-    // unpivoted. The approximate=true HLL form is the 100 TB twin
-    // (q63b discipline).
+    // for five orders columns. Exact mode runs one aggregation PER
+    // COLUMN, unioned (a single multi-distinct aggregate would go
+    // through RewriteDistinctAggregates, whose plan permutes with the
+    // session exprId counter — r13 BENCH_NOTES); the approximate=true
+    // HLL form is the one-pass 100 TB twin (q63b discipline).
     Q("q95_profile",
       (s, d) => {
         graft.operators.Layout.profile(fanOut(orders(s, d)),

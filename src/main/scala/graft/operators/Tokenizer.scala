@@ -55,16 +55,40 @@ object Tokenizer {
   def pretokenize(text: Column): Column =
     regexp_extract_all(text, lit(pretokenPattern), lit(0))
 
-  /** Greedy-left application of ONE merge (a,b)→ab to a symbol array,
-    * as a column fold. */
-  private def mergeOnce(sym: Column, a: String, b: String): Column =
+  /** Split a word into single-CODE-POINT symbols — the JVM-side twin
+    * of Spark's `split(col, "")`, which splits UTF-8 by code point.
+    * Java's `String.split("")` splits between UTF-16 code units and
+    * tears supplementary-plane characters (an emoji became two lone
+    * surrogates), so local trainers/appliers that used it diverged
+    * from their expression/distributed twins on any non-BMP text. */
+  private[operators] def codePointSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out(k) = new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+      k += 1
+    }
+    out
+  }
+
+  /** Greedy-left application of ONE merge (a,b)→`merged` to a symbol
+    * array, as a column fold. BPE merges to `a + b`; WordPiece passes
+    * its own merged form (`a + b.stripPrefix("##")`). */
+  private[operators] def mergeOnce(sym: Column, a: String, b: String,
+      merged: String): Column =
     aggregate(sym,
       array().cast("array<string>"),
       (acc, x) =>
         when(size(acc) > 0 &&
             element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
           .otherwise(concat(acc, array(x))))
+
+  private def mergeOnce(sym: Column, a: String, b: String): Column =
+    mergeOnce(sym, a, b, a + b)
 
   /** The one corpus pass: (word, freq, sym) with single-char symbols.
     * `wordsPerUnit` is the pre-tokenization granularity — 1 trains over
@@ -127,7 +151,7 @@ object Tokenizer {
     // consolidate duplicates defensively (input is normally distinct)
     val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
     val syms: Array[Array[String]] =
-      wf.map(_._1.split("").filter(_.nonEmpty))
+      wf.map(w => codePointSymbols(w._1))
     val freqs: Array[Long] = wf.map(_._2)
 
     def pairMultiset(sym: Array[String]): mutable.Map[(String, String), Int] = {
@@ -296,7 +320,7 @@ object Tokenizer {
       memo: java.util.HashMap[String, Array[String]]): Array[String] = {
     val cached = memo.get(w)
     if (cached != null) return cached
-    var sym: Array[String] = w.split("").filter(_.nonEmpty)
+    var sym: Array[String] = codePointSymbols(w)
     rules.foreach { case (a, b) =>
       if (w.contains(a + b) && sym.length > 1) {
         val out = new scala.collection.mutable.ArrayBuffer[String](

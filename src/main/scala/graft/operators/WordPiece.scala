@@ -66,7 +66,7 @@ object WordPiece {
     val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
       .filter(_._1.nonEmpty).sortBy(_._1)
     val syms: Array[Array[String]] = wf.map { case (w, _) =>
-      w.split("").filter(_.nonEmpty).zipWithIndex
+      Tokenizer.codePointSymbols(w).zipWithIndex
         .map { case (c, i) => if (i == 0) c else "##" + c }
     }
     (syms, wf.map(_._2))
@@ -191,77 +191,85 @@ object WordPiece {
     * aggregation producing symbol and adjacent-pair counts together
     * (singles exploded beside pairs, discriminated by a null right
     * side), a broadcast-sized self-join attaching `c(a)`/`c(b)` to each
-    * pair, and a TakeOrdered(1) argmax of `c(ab) / (c(a)·c(b))` with
-    * the trainer's exact tie-break (gain desc, pair asc) — the gain is
-    * the same single IEEE division over the same double product, so
-    * the trajectory is identical to [[wordPieceTrainLocal]]
-    * (spec-pinned, the [[Unigram]] distributed≡local discipline).
-    * Scheduling-bound at production merge counts; the routed
-    * [[wordPieceTrain]] front door prefers the local loop. */
+    * pair, and an argmax of `c(ab) / (c(a)·c(b))` — the gain is the
+    * same single IEEE division over the same double product as the
+    * local trainer's, so the trajectory is identical to
+    * [[wordPieceTrainLocal]] (spec-pinned, the [[Unigram]]
+    * distributed≡local discipline). The TIE-BREAK must also be the
+    * local comparator's: Spark's string orderBy compares UTF-8 BYTES
+    * while `Ordering.String` compares UTF-16 code units (they disagree
+    * between supplementary-plane and `>= U+E000` BMP chars), so ties
+    * at the exact max gain are collected — tie sets are small — and
+    * broken on the driver with the local ordering; the alphabet seed
+    * is likewise driver-sorted. Scheduling-bound at production merge
+    * counts; the routed [[wordPieceTrain]] front door prefers the
+    * local loop. */
   def wordPieceTrainDistributed(wordTbl: DataFrame,
       vocabSize: Int): Seq[String] = {
     import scala.collection.mutable
+    val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+    // empty words are dropped exactly as initSyms drops them locally
     var words = wordTbl
+      .filter(length(col("w")) > 0)
       .select(col("freq"), expr(
         "transform(filter(split(w, ''), c -> c != ''), " +
           "(c, i) -> CASE WHEN i = 0 THEN c ELSE concat('##', c) END)")
         .as("sym"))
       .localCheckpoint()
-    // the character alphabet in lexicographic rank, as the local
-    // trainer seeds it (every initial symbol is a single bare or
-    // ##-prefixed char; alphabet-bounded collect)
-    val alphabet = words.select(explode(col("sym")).as("s"))
-      .distinct().orderBy("s").collect().map(_.getString(0))
-    val vocab = mutable.LinkedHashSet[String](alphabet: _*)
-    var exhausted = false
-    while (vocab.size < vocabSize && !exhausted) {
-      val stats = words
-        .select(col("freq"), explode(concat(
-          transform(col("sym"), s =>
-            struct(s.as("a"), lit(null).cast("string").as("b"))),
-          zip_with(
-            slice(col("sym"), lit(1), size(col("sym")) - 1),
-            slice(col("sym"), lit(2), size(col("sym")) - 1),
-            (x, y) => struct(x.as("a"), y.as("b"))))).as("e"))
-        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-        .agg(sum("freq").as("n"))
-        .localCheckpoint()
-      val symCounts = stats.filter(col("b").isNull)
-        .select(col("a").as("s"), col("n").as("c"))
-      val top = stats.filter(col("b").isNotNull)
-        .join(symCounts.select(col("s").as("a"), col("c").as("ca")),
-          Seq("a"))
-        .join(symCounts.select(col("s").as("b"), col("c").as("cb")),
-          Seq("b"))
-        .select(col("a"), col("b"),
-          (col("n").cast("double") /
-            (col("ca").cast("double") * col("cb").cast("double")))
-            .as("g"))
-        .orderBy(col("g").desc, col("a"), col("b"))
-        .limit(1).collect()
-      stats.unpersist()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        val merged = a + b.stripPrefix("##")
-        vocab += merged
-        // greedy-left merge pass (the local trainer's fold, as a
-        // column aggregate — the WordPiece merged form, not BPE's a+b)
-        val next = words.withColumn("sym",
-          aggregate(col("sym"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(merged))))
-                .otherwise(concat(acc, array(x)))))
+    try {
+      // the character alphabet, driver-sorted with the LOCAL trainer's
+      // UTF-16 comparator (every initial symbol is a single bare or
+      // ##-prefixed char; alphabet-bounded collect)
+      val alphabet = words.select(explode(col("sym")).as("s"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val vocab = mutable.LinkedHashSet[String](alphabet: _*)
+      var exhausted = false
+      while (vocab.size < vocabSize && !exhausted) {
+        val stats = words
+          .select(col("freq"), explode(concat(
+            transform(col("sym"), s =>
+              struct(s.as("a"), lit(null).cast("string").as("b"))),
+            zip_with(
+              slice(col("sym"), lit(1), size(col("sym")) - 1),
+              slice(col("sym"), lit(2), size(col("sym")) - 1),
+              (x, y) => struct(x.as("a"), y.as("b"))))).as("e"))
+          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+          .agg(sum("freq").as("n"))
           .localCheckpoint()
-        words.unpersist()
-        words = next
+        try {
+          val symCounts = stats.filter(col("b").isNull)
+            .select(col("a").as("s"), col("n").as("c"))
+          val gains = stats.filter(col("b").isNotNull)
+            .join(symCounts.select(col("s").as("a"), col("c").as("ca")),
+              Seq("a"))
+            .join(symCounts.select(col("s").as("b"), col("c").as("cb")),
+              Seq("b"))
+            .select(col("a"), col("b"),
+              (col("n").cast("double") /
+                (col("ca").cast("double") * col("cb").cast("double")))
+                .as("g"))
+          val maxGain = gains.agg(max("g")).head()
+          if (maxGain.isNullAt(0)) exhausted = true
+          else {
+            // ties at the bitwise-equal max gain, broken locally —
+            // equality here IS the local trainer's `score == bestScore`
+            val ties = gains.filter(col("g") === maxGain.getDouble(0))
+              .select("a", "b").collect()
+              .map(r => (r.getString(0), r.getString(1)))
+            val (a, b) = ties.min(pairOrd)
+            val merged = a + b.stripPrefix("##")
+            vocab += merged
+            // greedy-left merge pass — the shared fold, WordPiece form
+            val next = words.withColumn("sym",
+              Tokenizer.mergeOnce(col("sym"), a, b, merged))
+              .localCheckpoint()
+            words.unpersist()
+            words = next
+          }
+        } finally stats.unpersist()
       }
-    }
-    words.unpersist()
-    vocab.toSeq
+      vocab.toSeq
+    } finally words.unpersist()
   }
 
   /** Trained vocabulary as a relation: (rank, piece). */

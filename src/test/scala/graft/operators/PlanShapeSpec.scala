@@ -153,8 +153,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition()"), p.take(800))
   }
 
-  test("profile computes every column's stats in one aggregate pass; " +
-    "nulls, distincts and ranges are exact; approx mode has no Expand") {
+  test("profile: exact mode runs deterministic per-column aggregations " +
+    "(no multi-distinct rewrite); nulls, distincts and ranges are " +
+    "exact; approx mode is one pass with no Expand") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (3L, "b"), (null, "c"), (5L, null))
       .toDF("k", "s")

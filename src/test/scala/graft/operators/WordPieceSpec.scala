@@ -134,6 +134,21 @@ class WordPieceSpec extends AnyFunSuite {
     val distAll = WordPiece.wordPieceTrain(docs, vocabSize = 1000,
       maxLocalWords = 1L)
     assert(distAll === localAll)
+
+    // unicode ordering parity: Spark's string sort compares UTF-8
+    // BYTES, Ordering.String compares UTF-16 code units — they
+    // disagree exactly between supplementary-plane chars (🙂, whose
+    // surrogates start 0xD83D) and BMP chars >= U+E000 (ﬁ = U+FB01:
+    // Java puts 🙂 first, UTF-8 bytes put it last). The distributed
+    // route must seed its alphabet and break gain ties with the LOCAL
+    // comparator or vocabularies diverge on exactly such corpora.
+    val uniDocs = Seq((1L, "a🙂ﬁ a🙂ﬁ ﬁ🙂a"), (2L, "🙂ﬁ ﬁ🙂 🙂ﬁ"))
+      .toDF("doc_id", "text")
+    val uniWf = Seq("a🙂ﬁ" -> 2L, "ﬁ🙂a" -> 1L, "🙂ﬁ" -> 2L, "ﬁ🙂" -> 1L)
+    val uniLocal = WordPiece.wordPieceTrainLocal(uniWf, vocabSize = 50)
+    val uniDist = WordPiece.wordPieceTrain(uniDocs, vocabSize = 50,
+      maxLocalWords = 1L)
+    assert(uniDist === uniLocal)
   }
 
   test("the committed WordPiece fixture matches its generator and " +
