@@ -195,12 +195,16 @@ object PipelineQueries {
         WITH ord AS (
           SELECT o_custkey AS key, o_orderstatus AS value,
                  o_orderdate AS ts, o_orderkey AS tie,
-                 lag(o_orderstatus) OVER w AS prev
+                 lag(o_orderstatus) OVER w AS prev,
+                 row_number() OVER w AS rn
           FROM orders
           WINDOW w AS (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey)),
         flagged AS (
-          SELECT *, CASE WHEN prev IS NULL OR prev != value
+          -- null-safe change detection, first row by rn (the engine's
+          -- row_number + <=> form): a NULL tracked value is a real
+          -- island, not "no previous row"
+          SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM value
                          THEN 1 ELSE 0 END AS chg
           FROM ord),
         grp AS (
@@ -284,12 +288,15 @@ object PipelineQueries {
           SELECT source, lang, count(*) AS n
           FROM documents GROUP BY 1, 2),
         g AS (
+          -- suppressed travels as its own flag from the cell-size
+          -- decision (the engine's form): never re-derived from the
+          -- '*' sentinel, so NULL QIs and literal '*' data stay honest
           SELECT CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
-                 CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang, n
+                 CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang, n,
+                 (n < 5) AS suppressed
           FROM cells)
-        SELECT source, lang, sum(n)::BIGINT AS n,
-               source = '*' AND lang = '*' AS suppressed
-        FROM g GROUP BY 1, 2
+        SELECT source, lang, sum(n)::BIGINT AS n, suppressed
+        FROM g GROUP BY source, lang, suppressed
         ORDER BY source, lang""")),
 
     // ----- q132: bucketed co-located join (Bucketing.cojoin) — both
@@ -494,7 +501,7 @@ object PipelineQueries {
       Some("""
         SELECT source AS g, count(*)::BIGINT AS n,
                sum(n_chars)::BIGINT AS s,
-               round(sum(n_chars) / count(*), 4) AS avg,
+               round(sum(n_chars) / count(n_chars), 4) AS avg,
                min(n_chars) AS mn, max(n_chars) AS mx
         FROM documents GROUP BY 1
         ORDER BY 1""")),
@@ -1426,9 +1433,15 @@ object PipelineQueries {
           SELECT try_cast(regexp_extract(abs(o_totalprice)::VARCHAR,
                    '[1-9]', 0) AS INT) AS digit
           FROM orders WHERE abs(o_totalprice) >= 1e-10),
-        c AS (
+        obs AS (
           SELECT digit, count(*) AS n FROM fd
           WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        -- all 9 digits always (the engine's spine): an absent digit's
+        -- zero row carries the dominant chi-square term
+        c AS (
+          SELECT s.digit::INT AS digit, coalesce(obs.n, 0) AS n
+          FROM (SELECT unnest(range(1, 10)) AS digit) s
+          LEFT JOIN obs USING (digit)),
         t AS (SELECT sum(n)::DOUBLE AS tt FROM c)
         SELECT digit, n::BIGINT AS n,
                round(n / tt, 4) AS p_obs,

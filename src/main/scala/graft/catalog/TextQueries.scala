@@ -2206,7 +2206,9 @@ object TextQueries {
         FROM dots
         JOIN norms na ON na.doc_id = id_a
         JOIN norms nb ON nb.doc_id = id_b
-        WHERE dot / (na.nrm * nb.nrm) >= 0.6
+        -- zero-norm guard, same as the engine: 0/0 pairs are not dups
+        WHERE na.nrm > 0 AND nb.nrm > 0
+          AND dot / (na.nrm * nb.nrm) >= 0.6
         ORDER BY id_a, id_b""")),
 
     // ----- q100: PMI bigram collocations (TextAnalysis.pmiBigrams) —

@@ -16,9 +16,12 @@ object Evaluation {
     * diagonal). */
   def confusionMatrix(df: DataFrame, actualCol: String,
       predCol: String): DataFrame = {
+    // cm feeds both the row-total aggregate and the final join — cut it
+    // so the corpus groupBy runs once
     val cm = df.groupBy(col(actualCol).as("actual"),
         col(predCol).as("predicted"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // null-safe (<=>) row-total join: unlabeled rows (NULL actual) form
     // a real matrix row — an equi-join would silently drop their cells
     // and the matrix total would stop matching the input count
@@ -80,6 +83,12 @@ object Evaluation {
     * broadcast bounds — one definition so the two metrics can never
     * drift on bounds/label handling (the equalWidthBucket rationale,
     * one level up). */
+  /** Rows with a NULL score or NULL label are EXCLUDED here (and so
+    * from both metrics): a NULL label is not a negative — counting it
+    * as one inflated n_neg and biased AUC/lift — and a NULL score has
+    * no bucket (it previously formed a phantom lowest segment on the
+    * ROC curve, NULLS LAST in the descending walk). The null-safe
+    * [[confusionMatrix]] is the surface that reports unlabeled rows. */
   private def bucketedLabelCells(df: DataFrame, scoreCol: String,
       labelCol: String, nBuckets: Int): DataFrame = {
     val bounds = df.agg(
@@ -87,7 +96,9 @@ object Evaluation {
       max(col(scoreCol)).cast("double").as("__graft_max_s"))
     val bucket = Layout.equalWidthBucket(col(scoreCol),
       col("__graft_min_s"), col("__graft_max_s"), nBuckets)
-    df.crossJoin(broadcast(bounds))
+    df.filter(col(scoreCol).isNotNull &&
+        col(labelCol).cast("boolean").isNotNull)
+      .crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -151,8 +162,12 @@ object Evaluation {
     * @return 1 row: (n, po round 4, pe round 4, kappa round 4) */
   def cohenKappa(df: DataFrame, actualCol: String,
       predCol: String): DataFrame = {
+    // four consumers (tot, rows, cols, po) derive from cm — cut it so
+    // the corpus-scale groupBy runs once, not once per branch (the
+    // perClassPrf pattern)
     val cm = df.groupBy(col(actualCol).as("a"), col(predCol).as("p"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = cm.agg(sum("n").cast("double").as("nn"))
     val rows = cm.groupBy("a").agg(sum("n").as("rn"))
     val cols = cm.groupBy("p").agg(sum("n").as("cn"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text relevance search over a document corpus: TF-IDF statistics,
@@ -61,12 +61,31 @@ object TextSearch {
     * subtree touches only postings of query terms. `N`/`avgdl` and the
     * per-term `df` are broadcast 1-row/tiny aggregates.
     */
+  /** Driver-side query tokenization, shared by every scorer. */
+  private def queryTerms(query: String, caller: String): Seq[String] = {
+    val qTerms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, s"$caller query must contain a token")
+    qTerms
+  }
+
+  /** The ONE definition of the BM25 per-term score — [[bm25]] and
+    * [[searchIndex]] both compose it over (token, tf, df, dl, n_docs,
+    * avgdl) columns, so the documented identical-scores contract
+    * between the two paths cannot drift. */
+  private def bm25TermScore(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    idf * tfNorm
+  }
+
   def bm25(docs: DataFrame, query: String, k1: Double = 1.2,
       b: Double = 0.75, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val qTerms = query.toLowerCase.trim.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
-    require(qTerms.nonEmpty, "bm25 query must contain at least one token")
+    val qTerms = queryTerms(query, "bm25")
     val tf = termFreqs(docs, textCol, idCol)
     // Document length in tokens (sum of tfs) — derived from the same
     // relation so no second corpus pass.
@@ -75,16 +94,11 @@ object TextSearch {
       avg("dl").as("avgdl")) // 1 row
     val qtf = tf.filter(col("token").isin(qTerms: _*))
     val dfs = qtf.groupBy("token").agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     qtf
       .join(broadcast(dfs), Seq("token"))
       .join(docLen, Seq(idCol))
       .crossJoin(broadcast(corpus))
-      .select(col(idCol), (idf * tfNorm).as("term_score"))
+      .select(col(idCol), bm25TermScore(k1, b).as("term_score"))
       .groupBy(idCol)
       .agg(sum("term_score").as("score"))
   }
@@ -110,14 +124,20 @@ object TextSearch {
   def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val tf = termFreqs(docs, textCol, idCol)
-    tf.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // One corpus pass: the three writes (postings, doclen, stats) all
+    // derive from termFreqs — without the cut each action replayed the
+    // full tokenize+explode+groupBy, 3x the required I/O for a routine
+    // that is "built once per corpus".
+    val tf = termFreqs(docs, textCol, idCol).localCheckpoint()
+    try {
+      tf.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+      dl.write.mode("overwrite").parquet(s"$path/doclen")
+      dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally tf.unpersist()
   }
 
   /** Top-`k` BM25 over a [[writeIndex]] layout — identical scores to
@@ -129,9 +149,7 @@ object TextSearch {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       query: String, k: Int, nBuckets: Int = 64, k1: Double = 1.2,
       b: Double = 0.75, idCol: String = "doc_id"): DataFrame = {
-    val qTerms = query.toLowerCase.trim.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
-    require(qTerms.nonEmpty, "searchIndex query must contain a token")
+    val qTerms = queryTerms(query, "searchIndex")
     import spark.implicits._
     val buckets = qTerms.toDF("token")
       .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("bucket"))
@@ -142,16 +160,11 @@ object TextSearch {
     val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val docLen = spark.read.parquet(s"$path/doclen")
     val corpus = spark.read.parquet(s"$path/stats") // 1 row
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     postings
       .join(broadcast(dfs), Seq("token"))
       .join(docLen, Seq(idCol))
       .crossJoin(broadcast(corpus))
-      .select(col(idCol), (idf * tfNorm).as("term_score"))
+      .select(col(idCol), bm25TermScore(k1, b).as("term_score"))
       .groupBy(idCol)
       .agg(sum("term_score").as("score"))
       .orderBy(col("score").desc, col(idCol))
@@ -200,6 +213,13 @@ object TextSearch {
       .agg(sum(col("wa") * col("wb")).as("dot"))
       .join(norms.select(col(idCol).as("id_a"), col("nrm").as("na")), "id_a")
       .join(norms.select(col(idCol).as("id_b"), col("nrm").as("nb")), "id_b")
+      // zero-norm documents (every surviving token weighted 0 — e.g. a
+      // doc made entirely of maxDf-boundary boilerplate whose idf is
+      // exactly 0) would make cos_raw = 0/0 = NaN, and Spark orders NaN
+      // ABOVE every number, so `NaN >= threshold` is TRUE — spurious
+      // NaN-scored pairs flowed into dedup drop lists. A zero-norm doc
+      // has no similarity to anything; gate the norms.
+      .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
       .filter(col("cos_raw") >= threshold)
       // cos_raw stays exposed so consumers choosing a coarser precision

@@ -29,9 +29,15 @@ object Warehouse {
       tsCol: String, tieCol: String): DataFrame = {
     val ord = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
     val islands = log
+      // NULL-SAFE change detection: `lag(v).isNull || lag(v) =!= v`
+      // read a NULL tracked value as "no previous row", silently
+      // absorbing non-null→NULL transitions into the previous island
+      // (the history then showed the old value uninterrupted) and
+      // fragmenting NULL runs into one island per row. First row is
+      // detected by row_number, value comparison by null-safe <=>.
       .withColumn("__chg",
-        when(lag(col(valueCol), 1).over(ord).isNull ||
-          lag(col(valueCol), 1).over(ord) =!= col(valueCol), 1)
+        when(row_number().over(ord) === 1 ||
+          !(lag(col(valueCol), 1).over(ord) <=> col(valueCol)), 1)
           .otherwise(0))
       .withColumn("__grp", sum("__chg").over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -90,14 +96,20 @@ object Warehouse {
       k: Int): DataFrame = {
     val cells = df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
+    // `suppressed` is carried as its OWN boolean from the cell-size
+    // decision, never re-derived from the '*' sentinel: deriving it
+    // from `col === "*"` made a NULL QI value in a surviving cell
+    // yield suppressed = NULL (dropped by BOTH filter polarities), and
+    // merged large cells whose REAL value is the string "*" into the
+    // suppressed remainder.
+    val small = col("n") < k
     val generalized = qiCols.map(q =>
-      when(col("n") >= k, col(q).cast("string")).otherwise(lit("*")).as(q))
+      when(!small, col(q).cast("string")).otherwise(lit("*")).as(q))
     cells
-      .select(generalized :+ col("n"): _*)
-      .groupBy(qiCols.map(col): _*)
+      .select(generalized ++ Seq(col("n"), small.as("suppressed")): _*)
+      .groupBy(qiCols.map(col) :+ col("suppressed"): _*)
       .agg(sum("n").as("n"))
-      .withColumn("suppressed", qiCols.map(col(_) === "*")
-        .reduce(_ && _))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("suppressed")): _*)
   }
 
   /** Mergeable per-group summary state: (n, sum, min, max) — the
@@ -108,7 +120,8 @@ object Warehouse {
   def partialStats(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame =
     df.groupBy(col(groupCol).as("g"))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+      .agg(count(lit(1)).as("n"), count(col(valueCol)).as("nn"),
+        sum(col(valueCol)).as("s"),
         min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
 
   /** Merge two partial-stats states (same schema as [[partialStats]]).
@@ -116,13 +129,16 @@ object Warehouse {
   def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy("g")
-      .agg(sum("n").as("n"), sum("s").as("s"), min("mn").as("mn"),
-        max("mx").as("mx"))
+      .agg(sum("n").as("n"), sum("nn").as("nn"), sum("s").as("s"),
+        min("mn").as("mn"), max("mx").as("mx"))
 
-  /** Finalize a stats state for reading: derive avg. */
+  /** Finalize a stats state for reading: derive avg over the NON-NULL
+    * count (`nn`) — `s` skips NULLs while `n` counts every row, so
+    * `s/n` diverged from Spark's `avg(valueCol)` whenever the value
+    * column had NULLs. `n` stays exposed as the row count. */
   def finalizeStats(state: DataFrame): DataFrame =
     state.select(col("g"), col("n"), col("s"),
-      round(col("s") / col("n"), 4).as("avg"), col("mn"), col("mx"))
+      round(col("s") / col("nn"), 4).as("avg"), col("mn"), col("mx"))
 
   /** Per-group trimmed mean: the robust location estimate — the mean of
     * values strictly inside the [p, 1−p] exact percentile fence, next
@@ -137,7 +153,9 @@ object Warehouse {
     val fences = df.groupBy(col(groupCol).as("__g"))
       .agg(percentile(col(valueCol), lit(trim)).as("__lo"),
         percentile(col(valueCol), lit(1 - trim)).as("__hi"))
-    df.join(broadcast(fences), col(groupCol) === col("__g"))
+    // null-safe join: a NULL group key must keep its group row (as
+    // partialStats/imputeMode do), not vanish through `=== NULL`
+    df.join(broadcast(fences), col(groupCol) <=> col("__g"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         round(avg(col(valueCol)), 4).as("mean"),
@@ -164,7 +182,8 @@ object Warehouse {
         col("__q1") - lit(k) * (col("__q3") - col("__q1")))
       .withColumn("__hi",
         col("__q3") + lit(k) * (col("__q3") - col("__q1")))
-    df.join(broadcast(q), col(groupCol) === col("__g"))
+    // null-safe join, same reason as trimmedMean
+    df.join(broadcast(q), col(groupCol) <=> col("__g"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         round(max("__q1"), 4).as("q1"), round(max("__q3"), 4).as("q3"),
@@ -192,12 +211,24 @@ object Warehouse {
     // IEEE, making the arithmetic form emit digit 10)
     val firstDigit = regexp_extract(abs(col(valueCol)).cast("string"),
       "[1-9]", 0).cast("int")
-    val counts = df.filter(abs(col(valueCol)) >= 1e-10)
+    val observed = df.filter(abs(col(valueCol)) >= 1e-10)
       .select(firstDigit.as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+    // ALWAYS emit all 9 digits: a digit with zero occurrences is the
+    // strongest forgery signal — its χ² term n·p_exp is typically the
+    // dominant one, and grouping only observed digits silently dropped
+    // it (and broke the documented 9-row contract).
+    val spark = df.sparkSession
+    val counts = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
     val tot = counts.agg(sum("n").cast("double").as("__t"))
     counts.crossJoin(broadcast(tot))
+      // an EMPTY corpus stays empty (no 9 phantom NULL rows): sum over
+      // the zero-filled spine is NULL only when no value ever counted
+      .filter(col("__t").isNotNull && col("__t") > 0)
       .withColumn("p_obs_raw", col("n") / col("__t"))
       .withColumn("p_exp_raw", log10(lit(1.0) + lit(1.0) / col("digit")))
       .select(col("digit"), col("n"),

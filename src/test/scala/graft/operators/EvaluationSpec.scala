@@ -87,6 +87,21 @@ class EvaluationSpec extends AnyFunSuite {
     assert(got.isNullAt(2))
   }
 
+  test("bucketedAuc excludes NULL labels and NULL scores instead of " +
+    "counting unlabeled rows as negatives") {
+    val clean = ((1 to 50).map(i => (Some(i / 100.0), Some(false))) ++
+      (51 to 100).map(i => (Some(i / 100.0), Some(true))))
+    val dirty = clean ++
+      (1 to 30).map(i => (Some(i / 100.0), None: Option[Boolean])) ++
+      Seq((None: Option[Double], Some(true)))
+    val got = Evaluation.bucketedAuc(dirty.toDF("s", "y"), "s", "y")
+      .collect()(0)
+    // pre-fix: 30 unlabeled rows became negatives (n_neg 80, auc
+    // biased) and the NULL score formed a phantom curve segment
+    assert(got.getLong(0) === 50L && got.getLong(1) === 50L)
+    assert(got.getDouble(2) === 1.0)
+  }
+
   test("cohenKappa with zero agreement on balanced classes is negative") {
     val d = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
       .toDF("y", "yhat")

@@ -194,6 +194,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq("B", "A")) // id 1 first → B is the closed island
   }
 
+  test("scd2Intervals: NULL tracked values form real islands — a " +
+    "non-null→NULL transition closes the previous interval, and a NULL " +
+    "run is ONE island, not one per row") {
+    val d = Seq(
+      (1L, Some("A"), Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      (1L, None, Timestamp.valueOf("2024-01-02 00:00:00"), 11L),
+      (1L, None, Timestamp.valueOf("2024-01-03 00:00:00"), 12L),
+      (1L, Some("A"), Timestamp.valueOf("2024-01-04 00:00:00"), 13L))
+      .toDF("k", "v", "ts", "id")
+    val got = Warehouse.scd2Intervals(d, "k", "v", "ts", "id")
+      .orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    // pre-fix: the NULL rows were absorbed into the first A island
+    // (history showed A uninterrupted) — now: A | NULL(2 rows) | A
+    assert(got === Seq((Some("A"), 1L, false), (None, 2L, false),
+      (Some("A"), 1L, true)))
+  }
+
   // --- cdcMerge -----------------------------------------------------------
 
   test("cdcMerge applies I/U/D and leaves untouched keys alone") {
@@ -226,6 +245,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getBoolean(3))).toSeq
     assert(got === Seq(("*", "*", 3L, true), ("s1", "en", 5L, false)))
+  }
+
+  test("kanonSuppress: a NULL QI value in a surviving cell keeps " +
+    "suppressed=false (not NULL), and a large cell whose REAL value is " +
+    "'*' stays distinct from the suppressed remainder") {
+    val d = (Seq.fill(6)((null: String, "en")) ++  // large cell, NULL QI
+      Seq.fill(6)(("*", "de")) ++                  // large cell, real '*'
+      Seq.fill(2)(("s2", "fr")))                   // small → suppressed
+      .toDF("source", "lang")
+    val got = Warehouse.kanonSuppress(d, Seq("source", "lang"), k = 5)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // pre-fix: the NULL-QI cell had suppressed = NULL (invisible to
+    // both filter polarities) and the real '*' cell merged into the
+    // remainder. Now all three are honest:
+    assert(got === Set(
+      (None, "en", 6L, false),
+      (Some("*"), "de", 6L, false),
+      (Some("*"), "*", 2L, true)))
+  }
+
+  test("finalizeStats: avg over a value column with NULLs equals " +
+    "Spark's avg (non-null denominator), while n stays the row count") {
+    val d = Seq(("g1", Some(10.0)), ("g1", None), ("g1", Some(30.0)))
+      .toDF("g0", "v")
+    val got = Warehouse.finalizeStats(Warehouse.partialStats(d, "g0", "v"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).head
+    assert(got === ((3L, 20.0))) // pre-fix avg was 40/3 = 13.3333
+  }
+
+  test("trimmedMean and iqrOutliers keep the NULL group (null-safe " +
+    "fence join), matching partialStats/imputeMode semantics") {
+    val d = Seq((Some("a"), 1.0), (Some("a"), 2.0), (None, 5.0),
+      (None, 7.0)).toDF("g0", "v")
+    assert(Warehouse.trimmedMean(d, "g0", "v").count() === 2L)
+    assert(Warehouse.iqrOutliers(d, "g0", "v").count() === 2L)
+  }
+
+  test("benfordDigits always emits all 9 digits — an absent digit gets " +
+    "its zero row and the dominant chi-square term, not silence") {
+    // values whose first significant digit is never 1
+    val d = Seq(200.0, 300.0, 42.0, 0.57, 900.0).toDF("v")
+    val got = Warehouse.benfordDigits(d, "v").orderBy("digit").collect()
+    assert(got.length === 9)
+    val d1 = got.head
+    assert(d1.getInt(0) === 1 && d1.getLong(1) === 0L)
+    // chi2 term for the missing digit is t * p_exp ≈ 5 * 0.301
+    assert(math.abs(d1.getDouble(4) - 5 * 0.301) < 0.01)
   }
 
   // --- sentenceDedup ------------------------------------------------------
@@ -662,8 +730,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(Tuple1(_)).toDF("v")
     val got = Warehouse.benfordDigits(d, "v").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // digits: 1 (123.4), 9 (950), 7 (0.0071), 1 (10), 2 (2e8); 0 excluded
-    assert(got === Map(1 -> 2L, 2 -> 1L, 7 -> 1L, 9 -> 1L))
+    // digits: 1 (123.4), 9 (950), 7 (0.0071), 1 (10), 2 (2e8); 0 excluded;
+    // absent digits present with zero counts (the 9-row spine)
+    assert(got === Map(1 -> 2L, 2 -> 1L, 3 -> 0L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 1L, 8 -> 0L, 9 -> 1L))
     val shares = Warehouse.benfordDigits(d, "v")
       .agg(sum("p_obs")).collect()(0).getDouble(0)
     assert(math.abs(shares - 1.0) < 1e-6)

@@ -296,4 +296,19 @@ class SketchChunkSpec extends AnyFunSuite {
       maxDf = 1).collect()
     assert(cut.isEmpty)
   }
+
+  test("tfidfNearDupPairs: zero-norm documents (idf-0 boilerplate only) " +
+    "never pair — NaN cosines must not pass the threshold") {
+    import spark.implicits._
+    // 'the' appears in every doc → ln(N/df) = ln(1) = 0, so doc 30
+    // ('the the') has norm 0; pre-fix its pairs scored 0/0 = NaN and
+    // NaN >= threshold is TRUE under Spark's NaN-greatest ordering
+    val d = Seq((10L, "the alpha beta"), (20L, "the gamma delta"),
+      (30L, "the the")).toDF("doc_id", "text")
+    val got = TextSearch.tfidfNearDupPairs(d, threshold = 0.1,
+      maxDf = 100).collect()
+    assert(!got.exists(r => r.getLong(0) == 30L || r.getLong(1) == 30L),
+      "zero-norm doc paired")
+    assert(got.forall(r => !r.getDouble(2).isNaN))
+  }
 }
