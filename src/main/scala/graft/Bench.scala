@@ -54,6 +54,43 @@ object Bench {
   private def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Host-wide (steal, iowait) ticks from the `/proc/stat` aggregate
+    * cpu line — the contention signal loadavg under-reports (VERDICT
+    * r13 #7): cgroup/co-tenant steal inflates exec_run_sec at foreign
+    * load ≈ 0, the exact signature of the r13 all-samples-inflated
+    * entries. Sampled around each run; the per-sample delta (seconds at
+    * USER_HZ = 100) lands in the detail JSON so exec_inflated picks are
+    * attributable from the artifact alone. (-1, -1) where /proc/stat is
+    * unreadable. */
+  private def procStatStealIowait(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+"))
+          // cpu user nice system idle iowait irq softirq steal ...
+          .filter(_.length > 8)
+          .map(f => (f(8).toLong, f(5).toLong))
+          .getOrElse((-1L, -1L))
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Retry-pass sample pick, r14 policy (VERDICT r13 #1). Health class
+    * first — (exec-inflated, foreign-contended), false beats true —
+    * then WALL within an equal class, foreign load last. The r13 key
+    * ranked foreign ABOVE wall, and when EVERY sample tripped the
+    * inflation gate (q37 driver window: exec 13.7/34.3/54.0 s vs quiet
+    * 3.3) the foreign tiebreak picked the 64.3 s wall over the 14.1 s
+    * one — foreign load only ranks ACROSS health classes; within one it
+    * is uninformative (both ≈ 0 under self-inflation, as the adjacent
+    * comment already argued). Tuple per sample:
+    * (inflated, contended, wall, foreign). */
+  private[graft] def pickSampleIndex(
+      samples: Seq[(Boolean, Boolean, Double, Double)]): Int =
+    samples.zipWithIndex.minBy { case ((infl, cont, wall, foreign), _) =>
+      (if (infl) 1 else 0, if (cont) 1 else 0, wall, foreign)
+    }._2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -159,7 +196,7 @@ object Bench {
     // incomparable fingerprints, so the plan_flip gate disarms loudly
     // on mismatch instead of retry-storming (exec gates stay armed:
     // exec_run_sec does not depend on the normalizer).
-    val fpNormVersion = "r13a"
+    val fpNormVersion = "r14a"
     def planFp(plan: String): String = {
       val norm = plan
         .replaceAll("#\\d+", "#")
@@ -176,8 +213,13 @@ object Bench {
         // __graft_max_a and the graft_bkt_l_/graft_bkt_r_ pair hash
         // alike, so a genuine build/probe-side swap between them
         // (exactly the bistability the plan_flip gate watches for)
-        // fingerprinted identically
-        .replaceAll("(graft_[a-z_]*?)[0-9a-f]{4,}\\b", "$1")
+        // fingerprinted identically. r14 (ADVICE): the tail must be 8+
+        // hex chars — the only session-random shape in the codebase is
+        // Bucketing's 12-hex UUID suffix — so a stable name whose
+        // suffix is an ordinary short hex-WORD (graft_feed vs
+        // graft_face, names ending _dead/_beef) keeps its identity and
+        // a real swap between such names still fingerprints apart
+        .replaceAll("(graft_[a-z_]*?)[0-9a-f]{8,}\\b", "$1")
         // run-order noise, not plan shape: codegen span ids, AQE query-
         // stage materialization ids, and lambda class counters/addresses
         // all depend on concurrent stage completion order
@@ -434,6 +476,7 @@ object Bench {
         jitSec: Double, tasks: Long, failedTasks: Long,
         execRunSec: Double, execCpuSec: Double, shufReadMb: Double,
         shufWriteMb: Double, spillMemMb: Double, spillDiskMb: Double,
+        stealSec: Double, iowaitSec: Double,
         planFp: String, subPlanFps: Seq[String])
 
     // HotSpot compiler-thread time: a one-shot query's generated classes
@@ -448,6 +491,7 @@ object Bench {
       drainBus()
       val (tk0, fl0, er0, ec0, sr0, sw0, sm0, sd0) = taskAgg.snap()
       val sub0 = subPlans.synchronized(subPlans.size)
+      val (st0, io0) = procStatStealIowait()
       val startedAt = System.currentTimeMillis()
       val loadAt = osBean.getSystemLoadAverage
       val ownAt = ownCores()
@@ -481,16 +525,21 @@ object Bench {
       val jitSec = (jitBean.getTotalCompilationTime - jit0) / 1e3
       drainBus()
       val (tk1, fl1, er1, ec1, sr1, sw1, sm1, sd1) = taskAgg.snap()
+      val (st1, io1) = procStatStealIowait()
       val subFps = subPlans.synchronized(subPlans.drop(sub0).toList)
+      // USER_HZ = 100 on every mainline Linux ABI
+      val stealSec = if (st0 < 0 || st1 < 0) -1.0 else (st1 - st0) / 100.0
+      val iowaitSec = if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 100.0
       val sample = Sample(sec, startedAt, loadAt, loadAfter, foreign,
         gcSec, cpuSec, jitSec, tk1 - tk0, fl1 - fl0,
         (er1 - er0) / 1e3, (ec1 - ec0) / 1e9,
         (sr1 - sr0) / 1048576.0, (sw1 - sw0) / 1048576.0,
         (sm1 - sm0) / 1048576.0, (sd1 - sd0) / 1048576.0,
-        mainFp, subFps)
+        stealSec, iowaitSec, mainFp, subFps)
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  " +
         f"(cpu $cpuSec%.1f s, jit $jitSec%.1f s, gc $gcSec%.1f s, " +
         f"load $loadAt%.1f→$loadAfter%.1f, foreign $foreign%.1f, " +
+        f"steal $stealSec%.1f s, " +
         f"tasks ${sample.tasks}%d/${sample.failedTasks}%d failed, " +
         f"exec ${sample.execRunSec}%.1f s, " +
         f"shuf ${sample.shufReadMb}%.0f/${sample.shufWriteMb}%.0f MB, " +
@@ -568,13 +617,11 @@ object Bench {
           s", retry ${samples.size} [${reason.get}]")
         reason = retryReason(name, samples.last, samples.size)
       }
-      // Pick by sample health, then environment, then wall: a sample
-      // that blew past the quiet exec profile must never win on a
-      // marginally-lower foreign load (both ≈ 0 under self-inflation).
-      val picked = samples.zipWithIndex.minBy { case (s, _) =>
-        (if (inflated(name, s)) 1 else 0, if (contended(s)) 1 else 0,
-          s.foreign, s.wall)
-      }._2
+      // Pick by sample health class, then WALL within an equal class
+      // (r14 policy — see pickSampleIndex and its spec): foreign load
+      // only ranks across classes, never inside one.
+      val picked = pickSampleIndex(samples.toSeq.map(s =>
+        (inflated(name, s), contended(s), s.wall, s.foreign)))
       (name, samples.toSeq, picked, reasons.toSeq)
     }
     def jsonMap(entries: Seq[(String, Double)]): String =
@@ -616,6 +663,8 @@ object Bench {
         ",\"shuffle_write_mb\":" + f3(s.shufWriteMb) +
         ",\"spill_mem_mb\":" + f3(s.spillMemMb) +
         ",\"spill_disk_mb\":" + f3(s.spillDiskMb) +
+        ",\"steal_sec\":" + f3(s.stealSec) +
+        ",\"iowait_sec\":" + f3(s.iowaitSec) +
         ",\"plan_fp\":\"" + s.planFp + "\"" +
         ",\"sub_plans\":" + s.subPlanFps.sorted.map("\"" + _ + "\"")
           .mkString("[", ",", "]")

@@ -11,17 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** The corpus-collapsing groupBy behind every matrix metric here:
+    * class-pair cell counts, computed in ONE distributed pass and
+    * rebuilt as a DRIVER-LOCAL relation. r13 `localCheckpoint`ed this
+    * frame instead, but the returned DataFrames stay lazy over it, so
+    * the pinned cached blocks could never be unpersisted — repeated
+    * metric calls in a long session accumulated storage until the RDD
+    * was GC'd (r13 ADVICE). The matrix is class-pair-cardinality (the
+    * module contract above), so the collect is bounded by design, the
+    * downstream fan-out (row totals, diagonal, joins) runs over a
+    * LocalTableScan, and nothing stays cached on executors. */
+  private def cellCounts(df: DataFrame, actualCol: String,
+      predCol: String, aName: String, pName: String): DataFrame = {
+    val cm = df.groupBy(col(actualCol).as(aName), col(predCol).as(pName))
+      .agg(count(lit(1)).as("n"))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cm.collect(): _*), cm.schema)
+  }
+
   /** Confusion matrix: (actual, predicted, n) cell counts plus each
     * cell's share of its actual-class row (the per-class recall
-    * diagonal). */
+    * diagonal). Eager: the corpus pass runs at call time (the
+    * [[cellCounts]] rationale). */
   def confusionMatrix(df: DataFrame, actualCol: String,
       predCol: String): DataFrame = {
-    // cm feeds both the row-total aggregate and the final join — cut it
-    // so the corpus groupBy runs once
-    val cm = df.groupBy(col(actualCol).as("actual"),
-        col(predCol).as("predicted"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val cm = cellCounts(df, actualCol, predCol, "actual", "predicted")
     // null-safe (<=>) row-total join: unlabeled rows (NULL actual) form
     // a real matrix row — an equi-join would silently drop their cells
     // and the matrix total would stop matching the input count
@@ -42,9 +56,7 @@ object Evaluation {
     *          NULL where the denominator is empty) */
   def perClassPrf(df: DataFrame, actualCol: String,
       predCol: String): DataFrame = {
-    val cm = df.groupBy(col(actualCol).as("a"), col(predCol).as("p"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val cm = cellCounts(df, actualCol, predCol, "a", "p")
     val labels = cm.select(col("a").as("label"))
       .unionByName(cm.select(col("p").as("label"))).distinct()
     val diag = cm.filter(col("a") === col("p"))
@@ -91,13 +103,18 @@ object Evaluation {
     * [[confusionMatrix]] is the surface that reports unlabeled rows. */
   private def bucketedLabelCells(df: DataFrame, scoreCol: String,
       labelCol: String, nBuckets: Int): DataFrame = {
-    val bounds = df.agg(
+    // bounds and cells derive from the SAME filtered frame (r13
+    // ADVICE): deriving bounds from the raw df let an EXCLUDED
+    // unlabeled row holding the global score extreme shift every
+    // bucket boundary — inconsistent with the exclusion contract above
+    val labeled = df.filter(col(scoreCol).isNotNull &&
+      col(labelCol).cast("boolean").isNotNull)
+    val bounds = labeled.agg(
       min(col(scoreCol)).cast("double").as("__graft_min_s"),
       max(col(scoreCol)).cast("double").as("__graft_max_s"))
     val bucket = Layout.equalWidthBucket(col(scoreCol),
       col("__graft_min_s"), col("__graft_max_s"), nBuckets)
-    df.filter(col(scoreCol).isNotNull &&
-        col(labelCol).cast("boolean").isNotNull)
+    labeled
       .crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col(labelCol).cast("boolean").as("y"))
       .groupBy("bucket")
@@ -162,12 +179,11 @@ object Evaluation {
     * @return 1 row: (n, po round 4, pe round 4, kappa round 4) */
   def cohenKappa(df: DataFrame, actualCol: String,
       predCol: String): DataFrame = {
-    // four consumers (tot, rows, cols, po) derive from cm — cut it so
-    // the corpus-scale groupBy runs once, not once per branch (the
-    // perClassPrf pattern)
-    val cm = df.groupBy(col(actualCol).as("a"), col(predCol).as("p"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // four consumers (tot, rows, cols, po) derive from cm — one bounded
+    // driver-local matrix so the corpus-scale groupBy runs once, not
+    // once per branch, and nothing stays pinned (the cellCounts
+    // rationale)
+    val cm = cellCounts(df, actualCol, predCol, "a", "p")
     val tot = cm.agg(sum("n").cast("double").as("nn"))
     val rows = cm.groupBy("a").agg(sum("n").as("rn"))
     val cols = cm.groupBy("p").agg(sum("n").as("cn"))

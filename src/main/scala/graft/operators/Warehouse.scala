@@ -124,10 +124,24 @@ object Warehouse {
         sum(col(valueCol)).as("s"),
         min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
 
-  /** Merge two partial-stats states (same schema as [[partialStats]]).
+  /** State-schema upgrade for at-rest partial stats written BEFORE r13
+    * added the `nn` (non-null count) column: a persisted state is the
+    * whole point of a mergeable aggregate, so an old state must stay
+    * mergeable/finalizable (r13 ADVICE). The old schema recorded only
+    * `n`, so the best reconstruction treats every counted row as
+    * non-null (`nn := n`) — exact whenever the old batches were
+    * null-free (the pre-r13 `s/n` avg was only correct under that same
+    * assumption, so no information is lost that the old state ever
+    * had). States already carrying `nn` pass through untouched. */
+  private def withNn(state: DataFrame): DataFrame =
+    if (state.columns.contains("nn")) state
+    else state.withColumn("nn", col("n"))
+
+  /** Merge two partial-stats states (same schema as [[partialStats]];
+    * pre-r13 states without `nn` are upgraded via [[withNn]]).
     * Groups present in only one side pass through. */
   def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+    withNn(a).unionByName(withNn(b))
       .groupBy("g")
       .agg(sum("n").as("n"), sum("nn").as("nn"), sum("s").as("s"),
         min("mn").as("mn"), max("mx").as("mx"))
@@ -135,10 +149,13 @@ object Warehouse {
   /** Finalize a stats state for reading: derive avg over the NON-NULL
     * count (`nn`) — `s` skips NULLs while `n` counts every row, so
     * `s/n` diverged from Spark's `avg(valueCol)` whenever the value
-    * column had NULLs. `n` stays exposed as the row count. */
-  def finalizeStats(state: DataFrame): DataFrame =
-    state.select(col("g"), col("n"), col("s"),
+    * column had NULLs. `n` stays exposed as the row count. Pre-r13
+    * states without `nn` are upgraded via [[withNn]]. */
+  def finalizeStats(state: DataFrame): DataFrame = {
+    val st = withNn(state)
+    st.select(col("g"), col("n"), col("s"),
       round(col("s") / col("nn"), 4).as("avg"), col("mn"), col("mx"))
+  }
 
   /** Per-group trimmed mean: the robust location estimate — the mean of
     * values strictly inside the [p, 1−p] exact percentile fence, next

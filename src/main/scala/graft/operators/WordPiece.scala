@@ -293,16 +293,19 @@ object WordPiece {
       maxLocalWords: Int = 2000000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = Tokenizer.wordTable(docs, textCol, wordsPerUnit)
-      .select(col("w"), col("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(maxLocalWords)
-    val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // This is the ADJUDICATION surface: its DuckDB replay (q196b)
     // rebuilds the counts over the FULL word table, so a bound limit
     // would silently diverge the two engines. Refuse instead of
     // truncating — the production (capped) route is wordPieceTrain.
-    require(wf.size < maxLocalWords,
+    // The limit is cap+1 so the collect stays driver-bounded while a
+    // table of EXACTLY maxLocalWords rows (nothing truncated) still
+    // passes — r13's pre-limit at the cap made the at-cap case
+    // indistinguishable from truncation and failed it spuriously.
+    val words = Tokenizer.wordTable(docs, textCol, wordsPerUnit)
+      .select(col("w"), col("freq"))
+      .limit(maxLocalWords + 1)
+    val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(wf.size <= maxLocalWords,
       s"wordPieceMergeTable hit maxLocalWords=$maxLocalWords distinct " +
         "words; the SQL replay assumes the untruncated table — raise " +
         "the cap or use wordPieceTrain for the capped production route")

@@ -102,6 +102,35 @@ class EvaluationSpec extends AnyFunSuite {
     assert(got.getDouble(2) === 1.0)
   }
 
+  test("bucket bounds come from the LABELED rows only — an excluded " +
+    "unlabeled row at the global score extreme shifts no boundary") {
+    // labeled scores span [0.01, 1.0]; the unlabeled outlier at 1000.0
+    // previously stretched the bucket width 1000x, collapsing every
+    // labeled row into bucket 0 and degrading the curve
+    val clean = ((1 to 50).map(i => (Some(i / 100.0), Some(false))) ++
+      (51 to 100).map(i => (Some(i / 100.0), Some(true))))
+    val dirty = clean :+ (Some(1000.0), None: Option[Boolean])
+    val want = Evaluation.bucketedAuc(clean.toDF("s", "y"), "s", "y")
+      .collect()(0)
+    val got = Evaluation.bucketedAuc(dirty.toDF("s", "y"), "s", "y")
+      .collect()(0)
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getDouble(2) === want.getDouble(2))
+    assert(got.getDouble(2) === 1.0)
+  }
+
+  test("matrix metrics pin no cached blocks: repeated calls leave the " +
+    "persistent-RDD registry empty (r13 pinned localCheckpoints)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Evaluation.confusionMatrix(labeled, "y", "yhat").collect()
+      Evaluation.cohenKappa(labeled, "y", "yhat").collect()
+      Evaluation.perClassPrf(labeled, "y", "yhat").collect()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   test("cohenKappa with zero agreement on balanced classes is negative") {
     val d = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
       .toDF("y", "yhat")

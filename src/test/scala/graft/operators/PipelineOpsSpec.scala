@@ -393,6 +393,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(merged === direct)
   }
 
+  test("a pre-r13 at-rest state (no nn column) still merges and " +
+    "finalizes — nn is reconstructed as n on read") {
+    val full = (1 to 100).map(i => (s"s${i % 3}", i.toLong)).toDF("g0", "v")
+    val oldState = Warehouse.partialStats(full.filter(col("v") <= 40),
+      "g0", "v").drop("nn") // the schema partialStats wrote before r13
+    val newState = Warehouse.partialStats(full.filter(col("v") > 40),
+      "g0", "v")
+    val merged = Warehouse.finalizeStats(
+        Warehouse.mergeStats(oldState, newState))
+      .orderBy("g").collect().toSeq
+    // the old batches here are null-free, where nn := n is exact
+    val direct = Warehouse.finalizeStats(
+        Warehouse.partialStats(full, "g0", "v"))
+      .orderBy("g").collect().toSeq
+    assert(merged === direct)
+    // finalize alone also accepts the old schema
+    assert(Warehouse.finalizeStats(oldState).columns.toSeq ===
+      Seq("g", "n", "s", "avg", "mn", "mx"))
+  }
+
   test("mergeStats passes through groups present on only one side") {
     val a = Warehouse.partialStats(Seq(("x", 1L)).toDF("g0", "v"), "g0", "v")
     val b = Warehouse.partialStats(Seq(("y", 5L)).toDF("g0", "v"), "g0", "v")

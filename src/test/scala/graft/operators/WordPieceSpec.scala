@@ -151,6 +151,19 @@ class WordPieceSpec extends AnyFunSuite {
     assert(uniDist === uniLocal)
   }
 
+  test("wordPieceMergeTable at EXACTLY maxLocalWords distinct words " +
+    "passes (nothing truncated); one word over the cap refuses") {
+    val docs = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val ok = WordPiece.wordPieceMergeTable(docs, numMerges = 2,
+      maxLocalWords = 4)
+    assert(ok.count() === 2L)
+    val ex = intercept[IllegalArgumentException] {
+      WordPiece.wordPieceMergeTable(docs, numMerges = 2,
+        maxLocalWords = 3).collect()
+    }
+    assert(ex.getMessage.contains("maxLocalWords"))
+  }
+
   test("the committed WordPiece fixture matches its generator and " +
     "covers both greedy-walk branches on the fixture words") {
     val vocab = TokenizerStore.loadWordPiece(spark,
