@@ -3418,17 +3418,17 @@ object TextQueries {
       None),
 
     // ----- q210: FORCED-DISTRIBUTED WordPiece training — the
-    // beyond-maxLocalWords route (WordPiece.wordPieceTrainDistributed)
-    // under timing, the q198 discipline for the third family: one
-    // aggregation per round producing symbol+pair counts together, a
-    // broadcast self-join attaching c(a)/c(b), TakeOrdered(1) on the
-    // exact likelihood-gain double with the trainer's tie-break, and a
-    // column-fold greedy-left merge. Until r13 the over-cap case
-    // silently truncated to a frequency prefix — the only family
-    // without a full-table route. Rows-only with the q191/q198
-    // discipline; WordPieceSpec pins forced-distributed ≡ local
-    // trajectory identity (pieces AND order) and q196b carries the
-    // SQL-replayed selection evidence.
+    // beyond-maxLocalWords route under timing, the q198 discipline for
+    // the third family. Since r14 this runs the BATCHED engine
+    // (SubwordBatch): r13's one-aggregation-plus-checkpoint PER MERGE
+    // — the r13 verdict's only weak-on-scale item — is replaced by
+    // driver-simulated exact-greedy batches over a pulled active set,
+    // with each whole batch applied in ONE distributed pass. Rows-only
+    // with the q191/q198 discipline; WordPieceSpec pins
+    // forced-distributed ≡ local trajectory identity (pieces AND
+    // order), SubwordBatchSpec pins it under tiny forced caps AND
+    // listener-counts the >=10x-fewer-jobs claim, and q210b below
+    // carries the SQL-replayed selection evidence for THIS route.
     Q("q210_wordpiece_train_distributed",
       (s, d) =>
         graft.operators.WordPiece
@@ -3436,6 +3436,57 @@ object TextQueries {
             maxLocalWords = 1L)
           .orderBy("rank"),
       None),
+
+    // ----- q210b: the DISTRIBUTED WordPiece training SELECTION
+    // trajectory, value-adjudicated (VERDICT r13 #3 verbatim): the
+    // batched distributed route emits the same (step, pair, piece,
+    // exact integer counts) relation as the local trainer, so the
+    // IDENTICAL q196b DuckDB replay adjudicates it — same argmax
+    // counts, same per-round merge replay, no route-specific oracle.
+    // Caps are forced tiny (topPairs=12, |S|<=4, pull<=64 words) so
+    // the selections here really cross MULTIPLE batch rounds with
+    // partial top-P knowledge — the paths the exhaustive default-caps
+    // run never enters.
+    Q("q210b_wordpiece_train_distributed_steps",
+      (s, d) =>
+        graft.operators.WordPiece
+          .wordPieceMergeTableDistributed(documents(s, d),
+            numMerges = 10, topPairs = 12, maxActivePairs = 4,
+            activeWordCap = 64)
+          .orderBy("step"),
+      Some(wordPieceMergeOracle(10))),
+
+    // ----- q211: BATCHED-DISTRIBUTED BPE training at q188 scale
+    // (VERDICT r13 #2 "Done" criterion: >=1,000 merges, >=10x fewer
+    // Spark jobs than the per-merge loop). Caps are set BELOW the
+    // sf0.1 unit-table size (activeWordCap=4000 vs ~27k 3-word units)
+    // so the entry exercises real multi-round batching — partial
+    // active pulls, top-P boundary stops — not the exhaustive
+    // degenerate case. Rows-only with the q188 discipline:
+    // SubwordBatchSpec pins the 1,200-merge trajectory equal to the
+    // local trainer AND listener-counts the job total; q211b carries
+    // the per-round SQL replay.
+    Q("q211_bpe_train_distributed_batched",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeMergeTableDistributed(documents(s, d), numMerges = 1200,
+            wordsPerUnit = 3, topPairs = 4000, maxActivePairs = 512,
+            activeWordCap = 4000)
+          .orderBy("step"),
+      None),
+
+    // ----- q211b: the batched-distributed BPE trajectory,
+    // value-adjudicated: 10 rounds of the whitespace-word raw-count
+    // argmax replayed in DuckDB (the q205 machinery over the q196b
+    // word table), against the DISTRIBUTED route with caps forced
+    // tiny so the replayed selections span multiple batch rounds.
+    Q("q211b_bpe_train_distributed_steps",
+      (s, d) =>
+        graft.operators.Tokenizer
+          .bpeMergeTableDistributed(documents(s, d), numMerges = 10,
+            topPairs = 6, maxActivePairs = 2, activeWordCap = 8)
+          .orderBy("step"),
+      Some(bpeWordMergeOracle(10))),
 
     // ----- q201: GPT-2-style category pretokenization
     // (Tokenizer.pretokenize) — the production stage BEFORE subword
@@ -4406,6 +4457,60 @@ object TextQueries {
           SELECT w, count(*)::BIGINT AS freq
           FROM (SELECT unnest(regexp_extract_all(text, '$pretokenSql',
                          0)) AS w
+                FROM documents)
+          WHERE length(w) > 0 GROUP BY w),
+        rep0 AS MATERIALIZED (
+          SELECT w, freq,
+                 array_to_string(list_transform(
+                   generate_series(1, length(w)),
+                   i -> $d || substr(w, i, 1) || $d), '') AS rep
+          FROM words),
+        $rounds
+        $selects
+        ORDER BY step"""
+  }
+
+  /** DuckDB replay of the first `k` WHITESPACE-WORD BPE training
+    * rounds (q211b): [[bpePretokenMergeOracle]]'s round structure —
+    * raw pair-count argmax, tie → lexicographically smallest pair,
+    * chr(1)-delimited greedy-left merge replace — over the lowercased
+    * whitespace word table the [[wordPieceMergeOracle]] words CTE
+    * builds. Adjudicates the batched DISTRIBUTED route: the trajectory
+    * relation is route-independent, so the replay needs no knowledge
+    * of batching at all. */
+  private def bpeWordMergeOracle(k: Int): String = {
+    val d = "chr(1)"
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "rep0" else s"rep${r - 1}"
+      s"""sy$r AS MATERIALIZED (
+          SELECT w, freq, list_filter(string_split(rep, $d), s -> s <> '')
+            AS s
+          FROM $prev),
+        pc$r AS MATERIALIZED (
+          SELECT a, b, sum(freq)::BIGINT AS c
+          FROM (SELECT freq, s[i] AS a, s[i + 1] AS b
+                FROM (SELECT freq, s,
+                             unnest(generate_series(1, len(s) - 1)) AS i
+                      FROM sy$r))
+          GROUP BY a, b),
+        best$r AS MATERIALIZED (
+          SELECT a, b, a || b AS m
+          FROM pc$r ORDER BY c DESC, a, b LIMIT 1),
+        rep$r AS MATERIALIZED (
+          SELECT t.w, t.freq,
+                 replace(t.rep, $d || b.a || $d || $d || b.b || $d,
+                         $d || b.m || $d) AS rep
+          FROM $prev t, best$r b)"""
+    }.mkString(",\n        ")
+    val selects = (1 to k).map { r =>
+      s"""SELECT $r AS step, a AS left_sym, b AS right_sym, m AS merged
+          FROM best$r"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH words AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                         '\\s+')) AS w
                 FROM documents)
           WHERE length(w) > 0 GROUP BY w),
         rep0 AS MATERIALIZED (

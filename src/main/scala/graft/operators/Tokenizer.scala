@@ -222,45 +222,32 @@ object Tokenizer {
     merges.toSeq
   }
 
-  /** The one-Spark-job-per-merge loop — the fallback for a vocabulary
-    * too large to collect (beyond [[bpeTrain]]'s `maxLocalWords`).
-    * Correct but scheduling-bound at production merge counts; the
-    * routed [[bpeTrain]] front door prefers [[bpeTrainLocal]]. Takes
-    * the (w, freq, sym) word table from the single corpus pass. */
-  def bpeTrainDistributed(wordTbl: DataFrame,
-      numMerges: Int): Seq[(String, String)] = {
-    var words = wordTbl.localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
-    var exhausted = false
-    while (round < numMerges && !exhausted) {
-      // adjacent pairs weighted by word freq; argmax with a total order
-      val top = words
-        .select(col("freq"),
-          explode(zip_with(
-            slice(col("sym"), lit(1), size(col("sym")) - 1),
-            slice(col("sym"), lit(2), size(col("sym")) - 1),
-            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val next = words
-          .withColumn("sym", mergeOnce(col("sym"), a, b))
-          .localCheckpoint()
-        words.unpersist()
-        words = next
-        round += 1
-      }
-    }
-    words.unpersist()
-    merges.toSeq
-  }
+  /** The beyond-`maxLocalWords` distributed route, BATCHED since r14:
+    * the r13 version ran one full-table aggregation + `localCheckpoint`
+    * PER MERGE — a driver-sequential O(vocab)-job bottleneck in exactly
+    * the 100 TB regime this route exists for. Now [[SubwordBatch]]
+    * simulates long exact-greedy runs on the driver over a pulled
+    * active set and applies each whole batch in ONE distributed pass,
+    * so a q188-scale training (1,200+ merges) needs tens of Spark
+    * actions, not thousands — trajectory-identical to
+    * [[bpeTrainLocal]] (property-pinned in TokenizerSpec, including
+    * with caps forced tiny so every batch-stop path runs). Takes the
+    * (w, freq, sym) word table from the single corpus pass. */
+  def bpeTrainDistributed(wordTbl: DataFrame, numMerges: Int,
+      topPairs: Int = 200000, maxActivePairs: Int = 8192,
+      activeWordCap: Int = 1000000): Seq[(String, String)] =
+    bpeTrainDistributedDetail(wordTbl, numMerges, topPairs,
+      maxActivePairs, activeWordCap).sels.map(s => (s.a, s.b))
+
+  /** [[bpeTrainDistributed]] with the full selection/accounting detail
+    * (exact per-merge counts, Spark rounds and actions) — the surface
+    * the batching claim and the SQL replay adjudicate. */
+  private[operators] def bpeTrainDistributedDetail(wordTbl: DataFrame,
+      numMerges: Int, topPairs: Int = 200000, maxActivePairs: Int = 8192,
+      activeWordCap: Int = 1000000): SubwordBatch.Result =
+    SubwordBatch.train(wordTbl, useGain = false, (a, b) => a + b,
+      (nSel, _) => nSel < numMerges, topPairs, maxActivePairs,
+      activeWordCap)
 
   /** Tokenize with a learned merge list: one narrow projection over the
     * corpus applying the merges in training order (broadcast-sized rule
@@ -346,6 +333,27 @@ object Tokenizer {
     bpeTrain(docs, numMerges, textCol, wordsPerUnit).zipWithIndex
       .map { case ((a, b), i) => (i, a, b, a + b) }
       .toDF("step", "left", "right", "merged")
+  }
+
+  /** [[bpeMergeTable]]'s FORCED-DISTRIBUTED twin: the batched
+    * distributed trainer's merge trajectory as a relation (step
+    * 1-indexed, the q205 shape), oracle-replayable round-by-round with
+    * the same SQL machinery as the pretoken family — the trajectory is
+    * the same relation regardless of route, which is exactly the claim
+    * the oracle checks. Caps are exposed so a catalog entry can force
+    * MULTIPLE batch rounds (partial top-P knowledge, capped active
+    * pulls) on small data. */
+  def bpeMergeTableDistributed(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", wordsPerUnit: Int = 1,
+      topPairs: Int = 200000, maxActivePairs: Int = 8192,
+      activeWordCap: Int = 1000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordTable(docs, textCol, wordsPerUnit)
+    bpeTrainDistributedDetail(words, numMerges, topPairs,
+      maxActivePairs, activeWordCap).sels.zipWithIndex
+      .map { case (s, i) => (i + 1, s.a, s.b, s.merged) }
+      .toDF("step", "left_sym", "right_sym", "merged")
   }
 
   // ------------------------------------------------------------------

@@ -185,91 +185,82 @@ object WordPiece {
     } finally words.unpersist()
   }
 
-  /** The one-Spark-job-per-merge fallback for a (word, freq) table too
-    * large to collect — [[Tokenizer.bpeTrainDistributed]]'s shape under
-    * the WordPiece likelihood-gain objective. Each round is ONE
-    * aggregation producing symbol and adjacent-pair counts together
-    * (singles exploded beside pairs, discriminated by a null right
-    * side), a broadcast-sized self-join attaching `c(a)`/`c(b)` to each
-    * pair, and an argmax of `c(ab) / (c(a)·c(b))` — the gain is the
-    * same single IEEE division over the same double product as the
-    * local trainer's, so the trajectory is identical to
-    * [[wordPieceTrainLocal]] (spec-pinned, the [[Unigram]]
-    * distributed≡local discipline). The TIE-BREAK must also be the
-    * local comparator's: Spark's string orderBy compares UTF-8 BYTES
-    * while `Ordering.String` compares UTF-16 code units (they disagree
-    * between supplementary-plane and `>= U+E000` BMP chars), so ties
-    * at the exact max gain are collected — tie sets are small — and
-    * broken on the driver with the local ordering; the alphabet seed
-    * is likewise driver-sorted. Scheduling-bound at production merge
-    * counts; the routed [[wordPieceTrain]] front door prefers the
-    * local loop. */
-  def wordPieceTrainDistributed(wordTbl: DataFrame,
-      vocabSize: Int): Seq[String] = {
-    import scala.collection.mutable
-    val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
-    // empty words are dropped exactly as initSyms drops them locally
-    var words = wordTbl
+  /** The WordPiece-prefixed (freq, sym) table the distributed routes
+    * train over: first char bare, internal chars `##`-prefixed, empty
+    * words dropped exactly as [[initSyms]] drops them locally. Spark's
+    * `split(w, '')` splits by CODE POINT (the [[Tokenizer
+    * .codePointSymbols]] parity contract). */
+  private def distInit(wordTbl: DataFrame): DataFrame =
+    wordTbl
       .filter(length(col("w")) > 0)
       .select(col("freq"), expr(
         "transform(filter(split(w, ''), c -> c != ''), " +
           "(c, i) -> CASE WHEN i = 0 THEN c ELSE concat('##', c) END)")
         .as("sym"))
-      .localCheckpoint()
-    try {
-      // the character alphabet, driver-sorted with the LOCAL trainer's
-      // UTF-16 comparator (every initial symbol is a single bare or
-      // ##-prefixed char; alphabet-bounded collect)
-      val alphabet = words.select(explode(col("sym")).as("s"))
-        .distinct().collect().map(_.getString(0)).sorted
-      val vocab = mutable.LinkedHashSet[String](alphabet: _*)
-      var exhausted = false
-      while (vocab.size < vocabSize && !exhausted) {
-        val stats = words
-          .select(col("freq"), explode(concat(
-            transform(col("sym"), s =>
-              struct(s.as("a"), lit(null).cast("string").as("b"))),
-            zip_with(
-              slice(col("sym"), lit(1), size(col("sym")) - 1),
-              slice(col("sym"), lit(2), size(col("sym")) - 1),
-              (x, y) => struct(x.as("a"), y.as("b"))))).as("e"))
-          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-          .agg(sum("freq").as("n"))
-          .localCheckpoint()
-        try {
-          val symCounts = stats.filter(col("b").isNull)
-            .select(col("a").as("s"), col("n").as("c"))
-          val gains = stats.filter(col("b").isNotNull)
-            .join(symCounts.select(col("s").as("a"), col("c").as("ca")),
-              Seq("a"))
-            .join(symCounts.select(col("s").as("b"), col("c").as("cb")),
-              Seq("b"))
-            .select(col("a"), col("b"),
-              (col("n").cast("double") /
-                (col("ca").cast("double") * col("cb").cast("double")))
-                .as("g"))
-          val maxGain = gains.agg(max("g")).head()
-          if (maxGain.isNullAt(0)) exhausted = true
-          else {
-            // ties at the bitwise-equal max gain, broken locally —
-            // equality here IS the local trainer's `score == bestScore`
-            val ties = gains.filter(col("g") === maxGain.getDouble(0))
-              .select("a", "b").collect()
-              .map(r => (r.getString(0), r.getString(1)))
-            val (a, b) = ties.min(pairOrd)
-            val merged = a + b.stripPrefix("##")
-            vocab += merged
-            // greedy-left merge pass — the shared fold, WordPiece form
-            val next = words.withColumn("sym",
-              Tokenizer.mergeOnce(col("sym"), a, b, merged))
-              .localCheckpoint()
-            words.unpersist()
-            words = next
-          }
-        } finally stats.unpersist()
+
+  /** The beyond-`maxLocalWords` distributed route, BATCHED since r14
+    * (the [[Tokenizer.bpeTrainDistributed]] story under the
+    * likelihood-gain objective): r13 ran one aggregation + one
+    * `localCheckpoint` per merge; [[SubwordBatch]] now simulates long
+    * exact-greedy runs on the driver — gains recomputed from exact
+    * global symbol counts, the SAME single IEEE `c/(c_a·c_b)` division
+    * and (gain desc, pair asc UTF-16) tie-break as
+    * [[wordPieceTrainLocal]] — and applies each batch in one
+    * distributed pass. Trajectory-identical to the local trainer
+    * (spec-pinned, including with tiny forced caps); the alphabet
+    * seeds driver-sorted as before. */
+  def wordPieceTrainDistributed(wordTbl: DataFrame, vocabSize: Int,
+      topPairs: Int = 200000, maxActivePairs: Int = 8192,
+      activeWordCap: Int = 1000000): Seq[String] = {
+    val r = SubwordBatch.train(distInit(wordTbl), useGain = true,
+      (a, b) => a + b.stripPrefix("##"),
+      (_, nVocab) => nVocab < vocabSize, topPairs, maxActivePairs,
+      activeWordCap)
+    val vocab = scala.collection.mutable.LinkedHashSet[String](
+      r.alphabet: _*)
+    r.sels.foreach(s => vocab += s.merged)
+    vocab.toSeq
+  }
+
+  /** The first `numMerges` SELECTIONS of the DISTRIBUTED training
+    * loop with their exact integer argmax counts — the
+    * [[wordPieceMergeSteps]] twin for the beyond-`maxLocalWords`
+    * route, so the batched trainer's decision sequence is adjudicable
+    * by the SAME q196b SQL replay (cross-multiplied integer gains, no
+    * route-specific evidence). */
+  private[operators] def wordPieceMergeStepsDistributed(
+      wordTbl: DataFrame, numMerges: Int, topPairs: Int = 200000,
+      maxActivePairs: Int = 8192,
+      activeWordCap: Int = 1000000): Seq[MergeStep] =
+    SubwordBatch.train(distInit(wordTbl), useGain = true,
+      (a, b) => a + b.stripPrefix("##"),
+      (nSel, _) => nSel < numMerges, topPairs, maxActivePairs,
+      activeWordCap)
+      .sels.zipWithIndex
+      .map { case (s, i) =>
+        MergeStep(i + 1, s.a, s.b, s.merged, s.cPair, s.cLeft, s.cRight)
       }
-      vocab.toSeq
-    } finally words.unpersist()
+
+  /** [[wordPieceMergeTable]]'s forced-distributed twin: the batched
+    * distributed trainer's selection trajectory as a relation, oracle-
+    * replayable with the identical q196b SQL (the trajectory is the
+    * same relation regardless of route — that is the claim the oracle
+    * checks). Caps are exposed so a catalog entry can force MULTIPLE
+    * batch rounds on small data. */
+  def wordPieceMergeTableDistributed(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", wordsPerUnit: Int = 1,
+      topPairs: Int = 200000, maxActivePairs: Int = 8192,
+      activeWordCap: Int = 1000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = Tokenizer.wordTable(docs, textCol, wordsPerUnit)
+      .select(col("w"), col("freq"))
+    wordPieceMergeStepsDistributed(words, numMerges, topPairs,
+      maxActivePairs, activeWordCap)
+      .map(s => (s.step, s.left, s.right, s.piece, s.cPair, s.cLeft,
+        s.cRight))
+      .toDF("step", "left_sym", "right_sym", "piece", "c_pair", "c_left",
+        "c_right")
   }
 
   /** Trained vocabulary as a relation: (rank, piece). */

@@ -70,15 +70,21 @@ object OntologyRender {
 
   /** `UmlsAttribute.toRDFWithDesc` (`umls2rdf.py:502-509`): used for the
     * qname-subject hasSTY property; preserves the reference's odd
-    * space+tab indentation in this variant. */
+    * space+tab indentation — INCLUDING the trailing four-space line
+    * (`    \n`) its template ends with instead of a blank line. r14:
+    * the whole-file differential caught the engine normalizing that
+    * tail to a plain blank line; byte parity restored (the reference
+    * emits it in every exported file). */
   def propertyWithDesc(uri: String, label: String, desc: String,
       typ: String): String = {
     val subject = if (uri.startsWith("http")) s"<$uri>" else uri
-    s"""$subject a owl:$typ ;
-    	rdfs:label \"\"\"${escape(label)}\"\"\";
-    	rdfs:comment \"\"\"${escape(desc)}\"\"\" .
-
-"""
+    // built with explicit escapes: the tail is "    \n", which any
+    // trailing-whitespace-stripping editor would silently corrupt in a
+    // triple-quoted literal
+    s"$subject a owl:$typ ;\n" +
+      "    \trdfs:label \"\"\"" + escape(label) + "\"\"\";\n" +
+      "    \trdfs:comment \"\"\"" + escape(desc) + "\"\"\" .\n" +
+      "    \n"
   }
 
   /** `write_properties` (`umls2rdf.py:801-820`): the accumulated

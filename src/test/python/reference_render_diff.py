@@ -67,6 +67,21 @@ def main(cfg_path, out_path):
 
         def scan(self, filt=None, limit=None):
             if self.load_select is not None:
+                if "DISTINCT TUI, STN, STY" in self.load_select:
+                    # generate_semantic_types' scan (umls2rdf.py:157):
+                    # SELECT DISTINCT with no ORDER BY — MySQL returns
+                    # an unspecified order, so ANY order is a valid
+                    # reference result; the fake fixes it to the
+                    # canonical (TUI, STN, STY) sort (the same way the
+                    # `lat` match fixes MySQL's unspecified ci
+                    # collation), which is also the engine's
+                    # canonicalization — making the section byte-
+                    # comparable rather than set-comparable.
+                    seen = sorted(set((r[1], r[2], r[3])
+                                      for r in self.rows))
+                    for t in seen:
+                        yield t
+                    return
                 # the MRSTY load: sty × unsuppressed conso rows of the
                 # SAB, duplicates preserved (umls2rdf.py:664-667)
                 m = re.search(r"conso\.SAB = '([^']*)'", self.load_select)
@@ -77,6 +92,12 @@ def main(cfg_path, out_path):
                 for sty in self.rows:
                     for _ in range(counts.get(sty[0], 0)):
                         yield sty
+                return
+            if filt is None:
+                # unfiltered full-table scan (the MRDOC property-docs
+                # load, umls2rdf.py:853-864)
+                for row in self.rows:
+                    yield row
                 return
             conds = []
             for clause in filt.split(" AND "):
@@ -151,13 +172,85 @@ def main(cfg_path, out_path):
             classes[term.code()] = rdf
         except Exception as e:  # the reference's per-term tolerance
             errors.append("%s: %s" % (type(e).__name__, e))
+
+    result = {
+        "lang": ont.lang,
+        "has_tree": bool(ont.tree),
+        "classes": classes,
+        "errors": errors,
+    }
+
+    if cfg.get("full"):
+        # WHOLE-FILE mode (VERDICT r13 #4): run the reference's actual
+        # export path — write_into (prefixes + header + classes +
+        # duplicate-counter stdout line, umls2rdf.py:745-789), then
+        # write_properties over MRDOC-built property_docs
+        # (umls2rdf.py:801-824,852-864) and write_semantic_types with
+        # with_roots=False (umls2rdf.py:852,892) — exactly the __main__
+        # per-SAB sequence, into a temp file returned whole.
+        import io
+        import tempfile
+        property_docs = {}
+        for doc_record in FakeUmlsTable("MRDOC", None).scan():
+            _type = doc_record[2]   # MRDOC_TYPE
+            _expl = doc_record[3]   # MRDOC_DESC
+            _key = doc_record[1]    # MRDOC_VALUE
+            if _key not in property_docs:
+                property_docs[_key] = {}
+                property_docs[_key]["dockey"] = doc_record[0]
+            if "inverse" in _type:
+                _type = "inverse"
+            property_docs[_key][_type] = _expl
+        ttl_path = tempfile.mktemp(suffix=".ttl")
+        old_stdout = sys.stdout
+        sys.stdout = captured = io.StringIO()
+        try:
+            import os
+            fout = ont.write_into(ttl_path)
+            fout.flush()
+            ofs1 = os.path.getsize(ttl_path)   # header + classes
+            ont.write_properties(fout, property_docs)
+            fout.flush()
+            ofs2 = os.path.getsize(ttl_path)   # + property block
+            sem = umls2rdf.generate_semantic_types(None, with_roots=False)
+            ont.write_semantic_types(sem, fout)
+            fout.close()
+        finally:
+            sys.stdout = old_stdout
+        # The header write_into emits is these exact substitutions
+        # (umls2rdf.py:750-762) — recomputed with the reference's own
+        # meta functions so the byte boundary inside [0, ofs1) is known.
+        comment = ("RDF Version of the UMLS ontology %s; converted "
+                   "with the UMLS2RDF tool "
+                   "(https://github.com/ncbo/umls2rdf), developed by "
+                   "the NCBO project.") % ont.ont_code
+        alt = ont.ontology_alt_label()
+        header = umls2rdf.PREFIXES + umls2rdf.ONTOLOGY_HEADER.substitute(
+            dict(uri=ont.ns,
+                 comment=umls2rdf.turtle_string(comment),
+                 label=umls2rdf.turtle_string(ont.ontology_label()),
+                 versioninfo=umls2rdf.turtle_string(
+                     ont.ontology_version()),
+                 source=umls2rdf.turtle_string(ont.ontology_source()),
+                 alt_label_line=((" ;\n    skos:altLabel %s"
+                                  % umls2rdf.turtle_string(alt))
+                                 if alt else "")))
+        with open(ttl_path, "rb") as f:
+            blob = f.read()
+        hb = header.encode("utf-8")
+        assert blob[:len(hb)] == hb, "header recomputation diverged"
+        result["header_section"] = header
+        result["classes_section"] = blob[len(hb):ofs1].decode("utf-8")
+        result["props_section"] = blob[ofs1:ofs2].decode("utf-8")
+        result["sem_section"] = blob[ofs2:].decode("utf-8")
+        m = re.search(r"duplicate triples skipped: "
+                      r"literal=(\d+) object=(\d+) subclass=(\d+)",
+                      captured.getvalue())
+        result["dup_counts"] = ([int(m.group(i)) for i in (1, 2, 3)]
+                                if m else None)
+
     with open(out_path, "w") as f:
-        json.dump({
-            "lang": ont.lang,
-            "has_tree": bool(ont.tree),
-            "classes": classes,
-            "errors": errors,
-        }, f)
+        json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ import scala.sys.process._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.assemble.PropertyDocs
+import graft.assemble.{Mrsab, PropertyDocs}
 import graft.model.OntologyJob
 import graft.sink.{OntologyWriter, UmlsExportConfig}
 import graft.sources.UmlsSource
@@ -39,7 +39,16 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
   private val harness = "src/test/python/reference_render_diff.py"
 
   private val tableNames =
-    Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK", "MRSTY", "MRSAB")
+    Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK", "MRSTY", "MRSAB",
+      "MRDOC")
+
+  /** Whole-file reference run (VERDICT r13 #4): the sections
+    * write_into + write_properties + write_semantic_types produce,
+    * split at the harness's flush offsets, plus the duplicate-counter
+    * stdout totals. */
+  private case class RefFull(headerSection: String,
+      classesSection: String, propsSection: String, semSection: String,
+      dupCounts: Option[(Long, Long, Long)])
 
   /** Fixture tables as positional JSON arrays (RRF column order = the
     * parquet schema order), nulls preserved. */
@@ -66,21 +75,26 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
     }.mkString("{", ",", "}")
   }
 
-  private def runReference(sab: String, ns: String, loadOnCuis: Boolean,
-      load: String => org.apache.spark.sql.DataFrame)
-      : (Map[String, String], Int) = {
+  private def referenceJson(sab: String, ns: String,
+      loadOnCuis: Boolean, full: Boolean,
+      load: String => org.apache.spark.sql.DataFrame): org.json4s.JValue = {
     val in = Files.createTempFile("refdiff", ".json")
     val out = Files.createTempFile("refout", ".json")
     val cfg = s"""{"reference_dir":"$referenceDir","sab":"$sab",""" +
-      s""""ns":"$ns","load_on_cuis":$loadOnCuis,""" +
+      s""""ns":"$ns","load_on_cuis":$loadOnCuis,"full":$full,""" +
       s""""umls_version":"2025AA","dedupe":true,""" +
       s""""tables":${tablesJson(load)}}"""
     Files.write(in, cfg.getBytes(StandardCharsets.UTF_8))
     val rc = Seq("python3", harness, in.toString, out.toString).!
     assert(rc === 0, s"reference harness failed for $sab")
+    org.json4s.jackson.JsonMethods.parse(out.toFile)
+  }
+
+  private def runReference(sab: String, ns: String, loadOnCuis: Boolean,
+      load: String => org.apache.spark.sql.DataFrame)
+      : (Map[String, String], Int) = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val root = JsonMethods.parse(out.toFile)
+    val root = referenceJson(sab, ns, loadOnCuis, full = false, load)
     val classes = (root \ "classes") match {
       case JObject(fields) => fields.collect {
         case (code, JString(rdf)) => code -> rdf
@@ -92,6 +106,24 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
       case _ => 0
     }
     (classes, nErrors)
+  }
+
+  private def runReferenceFull(sab: String, ns: String,
+      loadOnCuis: Boolean,
+      load: String => org.apache.spark.sql.DataFrame): RefFull = {
+    import org.json4s._
+    val root = referenceJson(sab, ns, loadOnCuis, full = true, load)
+    def str(k: String): String = (root \ k) match {
+      case JString(s) => s
+      case other => fail(s"harness returned no $k: $other")
+    }
+    val dups = (root \ "dup_counts") match {
+      case JArray(Seq(JInt(l), JInt(o), JInt(s))) =>
+        Some((l.toLong, o.toLong, s.toLong))
+      case _ => None
+    }
+    RefFull(str("header_section"), str("classes_section"),
+      str("props_section"), str("sem_section"), dups)
   }
 
   /** Run the production writer and extract its class blocks by
@@ -161,6 +193,139 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
     "cui-mode job)") {
     assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
     diff("CFX", loadOnCuis = true)
+  }
+
+  // ------------------------------------------------------------------
+  // Whole-file parity (VERDICT r13 #4): header, property block,
+  // semantic-types section, duplicate-counter totals — each byte-diffed
+  // against the reference's actual write path (write_into +
+  // write_properties + write_semantic_types), section by section.
+  // Documented order divergences: class and property-block ORDER follow
+  // the reference's dict-insertion order (unreproducible distributed,
+  // SURVEY §7.1.6) — those two sections compare as sorted block
+  // sequences; header, semantic types (under the canonical scan order
+  // both engines share) and the dup-counter totals compare byte-exact.
+  // ------------------------------------------------------------------
+
+  /** Engine full export with the REAL property docs and semantic-types
+    * string, split into the same four sections. */
+  private def runEngineFull(sab: String, loadOnCuis: Boolean,
+      source: UmlsSource): (String, String, String, String,
+      (Long, Long, Long)) = {
+    val ns = s"http://purl.bioontology.org/ontology/$sab/"
+    val conf = UmlsExportConfig(umlsVersion = "2025AA")
+    val sem = SemanticTypes.generate(source.table("MRSTY"),
+      conf.baseUri + "STY/", withRoots = false)
+    val dir = Files.createTempDirectory("refdiff-full").toString
+    val job = OntologyJob(sab, None, s"$sab.ttl", loadOnCuis = loadOnCuis)
+    val report = OntologyWriter.write(spark, source, job, conf,
+      s"$dir/$sab.ttl", PropertyDocs.collectMap(source.table("MRDOC")),
+      sem)
+    val ttl = new String(Files.readAllBytes(Paths.get(s"$dir/$sab.ttl")),
+      StandardCharsets.UTF_8)
+    val header = OntologyRender.Prefixes + OntologyRender.header(ns, sab,
+      Mrsab.orEmpty(Mrsab.record(source, sab)), conf.umlsVersion)
+    assert(ttl.startsWith(header), s"$sab: engine file header mismatch")
+    // the engine property block always leads with umls:hasSTY; the
+    // semantic-types tail is the string we passed plus one newline
+    val semTail = sem + "\n"
+    assert(ttl.endsWith(semTail), s"$sab: engine file sem-types tail")
+    val propStart = ttl.indexOf("umls:hasSTY a owl:ObjectProperty")
+    assert(propStart >= header.length, s"$sab: no property block")
+    val classes = ttl.substring(header.length, propStart)
+    val props = ttl.substring(propStart, ttl.length - semTail.length)
+    (header, classes, props, semTail,
+      (report.dupLiteral, report.dupObject, report.dupSubclass))
+  }
+
+  /** Split a section into its per-statement blocks by anchoring on the
+    * block STARTS (`<uri> a owl:...` / `umls:hasSTY a owl:...` at line
+    * start) rather than on blank-line separators — the reference's
+    * hasSTY block ends with a four-space line, not a blank one, so a
+    * "\n\n" split would glue it to its neighbor. Each block keeps its
+    * own trailing bytes, so the sorted comparison stays byte-exact per
+    * block. */
+  private def blocks(section: String): Seq[String] = {
+    val starts = """(?m)^(?:<[^>\n]*>|umls:hasSTY) a owl:""".r
+      .findAllMatchIn(section).map(_.start).toVector
+    if (starts.isEmpty) Seq(section).filter(_.nonEmpty)
+    else {
+      assert(starts.head == 0 || section.take(starts.head).trim.isEmpty,
+        "section has content before its first block")
+      (starts :+ section.length).sliding(2).map {
+        case Vector(a, b) => section.substring(a, b)
+      }.toSeq
+    }
+  }
+
+  private def diffFull(sab: String, loadOnCuis: Boolean,
+      load: String => org.apache.spark.sql.DataFrame,
+      source: UmlsSource, label: String,
+      compareEscaped: Boolean = true): Unit = {
+    val ns = s"http://purl.bioontology.org/ontology/$sab/"
+    val ref = runReferenceFull(sab, ns, loadOnCuis, load)
+    val (engHeader, engClasses, engProps, engSem, engDups) =
+      runEngineFull(sab, loadOnCuis, source)
+    assert(engHeader === ref.headerSection, s"$label header differs")
+    assert(blocks(engClasses).sorted === blocks(ref.classesSection).sorted,
+      s"$label classes section differs (order-normalized)")
+    if (compareEscaped) {
+      // property labels/comments and STY prefLabels carry the ONE
+      // documented deliberate deviation (OntologyRender.property,
+      // SemanticTypes.generate scaladoc): the reference interpolates
+      // MRDOC EXPL / STY names RAW and relies on a downstream rapper
+      // pass to reject the corrupted file; the engine escapes. On
+      // real-shaped fixtures (no quotes/backslashes in those fields)
+      // the bytes are identical — asserted here; the hostile legs skip
+      // exactly these two sections.
+      assert(blocks(engProps).sorted === blocks(ref.propsSection).sorted,
+        s"$label property block differs (order-normalized)")
+      assert(engSem === ref.semSection, s"$label semantic-types " +
+        "section differs")
+    }
+    assert(ref.dupCounts === Some(engDups),
+      s"$label duplicate-counter totals differ")
+  }
+
+  private def diffFullFixture(sab: String,
+      loadOnCuis: Boolean = false): Unit = {
+    val source = UmlsSource.parquet(spark, fixtureDir)
+    diffFull(sab, loadOnCuis,
+      t => spark.read.parquet(s"$fixtureDir/$t.parquet"), source, sab)
+  }
+
+  test("WHOLE FILE FIX: header, property block, semantic types and " +
+    "duplicate-counter totals match the reference's write path") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diffFullFixture("FIX")
+  }
+
+  test("WHOLE FILE CFX: section parity including per-term failures' " +
+    "effect on the emitted sections") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diffFullFixture("CFX")
+  }
+
+  test("WHOLE FILE MSH: tree-mode section parity") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diffFullFixture("MSH")
+  }
+
+  test("WHOLE FILE OTH: minimal-ontology section parity") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    diffFullFixture("OTH")
+  }
+
+  test("WHOLE FILE hostile seeds: header and duplicate-counter parity " +
+    "under hostile MRSAB/labels (escaped-by-both sections)") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    for (seed <- 1 to 3) {
+      val fixture = graft.HostileUmls.randomFixture(seed)
+      diffFull("RND", loadOnCuis = false,
+        t => fixture.getOrElse(t, UmlsSource.empty(spark, t)),
+        graft.TestSpark.fixedSource(fixture), s"hostile-full-seed$seed",
+        compareEscaped = false)
+    }
   }
 
   test("HOSTILE generated fixtures render byte-equal to the reference " +
