@@ -218,6 +218,11 @@ object ScaleStress {
     ScaleStressAnn.run(spark, sfDir, factor, workDir, steps, facts,
       violations)
 
+    // ---- streaming plane (planted sessions / dup survivors / IVF
+    // assignment distribution through the real micro-batch engines) ------
+    ScaleStressStreaming.run(spark, sfDir, factor, workDir, steps, facts,
+      violations)
+
     // ---- in-run structural asserts --------------------------------------
     // Tolerances calibrated on the r11 factor-100 run: components landed
     // 47.6k vs 50k structural (natural cross-base dups merge some decade
