@@ -102,6 +102,24 @@ object ScaleStressStreaming {
     val base0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
       .getEpochSecond
     val sessDir = freshDir("stream_sessions_in")
+    // FileStreamSource orders files by (modification time, path); the
+    // session plant NEEDS window files replayed time-forward or the
+    // watermark marks earlier windows late. Sequential writes usually
+    // get increasing mtimes, but a coarse-mtime filesystem (or two
+    // writes in one tick) could reorder — stamp every new file with an
+    // explicit strictly-increasing mtime after each chunk write.
+    val stamped = scala.collection.mutable.HashSet.empty[String]
+    var stampMs = 1600000000000L
+    def stampNewFiles(dir: String): Unit = {
+      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      fs.filter(_.isFile).sortBy(_.getName).foreach { f =>
+        if (!stamped.contains(f.getName)) {
+          f.setLastModified(stampMs)
+          stamped += f.getName
+        }
+      }
+      stampMs += 60000L
+    }
     timed("stream_build_sessions") {
       // one file per session window, written IN ORDER so the file
       // source (maxFilesPerTrigger=1) replays time forward and the
@@ -118,6 +136,7 @@ object ScaleStressStreaming {
             lit(1.0).as("value"))
           .coalesce(1)
           .write.mode("append").parquet(sessDir)
+        stampNewFiles(sessDir)
       }
       // sentinel: one far-future event per user closes every user's
       // final session through the gap path; sentinel sessions stay open
@@ -128,6 +147,7 @@ object ScaleStressStreaming {
           lit(1.0).as("value"))
         .coalesce(1)
         .write.mode("append").parquet(sessDir)
+      stampNewFiles(sessDir)
     }
     timed("stream_sessionize") {
       val src = spark.readStream

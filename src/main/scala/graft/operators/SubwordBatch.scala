@@ -291,6 +291,12 @@ private[operators] object SubwordBatch {
             .toDF("freq", "sym")
             .localCheckpoint()
           actions += 1
+          // the eager checkpoint above has materialized every partition,
+          // so the per-round broadcasts can be released immediately —
+          // without this a long tight-cap training accumulates two
+          // broadcast blocks per round
+          bc.destroy()
+          sBc.destroy()
           words.unpersist()
           words = next
         } finally stats.unpersist()

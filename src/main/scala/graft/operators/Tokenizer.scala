@@ -164,16 +164,12 @@ object Tokenizer {
       }
       m
     }
+    // the ONE greedy-left fold (SubwordBatch.mergeOnceArr) — shared with
+    // the batched distributed route and WordPiece so the trajectory-
+    // critical pass cannot drift between the pinned twins
     def mergeOnceLocal(sym: Array[String], a: String,
-        b: String): Array[String] = {
-      val out = new mutable.ArrayBuffer[String](sym.length)
-      sym.foreach { x =>
-        if (out.nonEmpty && out.last == a && x == b) {
-          out.remove(out.length - 1); out += (a + b)
-        } else out += x
-      }
-      out.toArray
-    }
+        b: String): Array[String] =
+      SubwordBatch.mergeOnceArr(sym, a, b, a + b)
 
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]

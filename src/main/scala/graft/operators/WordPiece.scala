@@ -109,19 +109,12 @@ object WordPiece {
     }
     val (a, b) = bestPair
     val merged = a + b.stripPrefix("##")
-    // greedy-left merge pass over every word (same fold as BPE)
+    // greedy-left merge pass over every word — the ONE shared fold
+    // (SubwordBatch.mergeOnceArr), same as BPE and the batched
+    // distributed route, so the trajectory-critical pass cannot drift
     k = 0
     while (k < syms.length) {
-      val s = syms(k)
-      if (s.length > 1) {
-        val out = new mutable.ArrayBuffer[String](s.length)
-        s.foreach { x =>
-          if (out.nonEmpty && out.last == a && x == b) {
-            out.remove(out.length - 1); out += merged
-          } else out += x
-        }
-        syms(k) = out.toArray
-      }
+      syms(k) = SubwordBatch.mergeOnceArr(syms(k), a, b, merged)
       k += 1
     }
     Some((a, b, merged, pairCount(bestPair), symCount(a), symCount(b)))

@@ -125,7 +125,7 @@ class SubwordBatchSpec extends AnyFunSuite {
       val merges = r.sels.size
       assert(jobs.get() * 10 <= merges,
         s"${jobs.get()} Spark jobs for $merges merges — the r13 " +
-          "per-merge loop would have used >= $merges")
+          s"per-merge loop would have used >= $merges")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
