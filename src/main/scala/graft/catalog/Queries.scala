@@ -917,9 +917,13 @@ object Queries {
           SELECT lang, count(*) AS n_ref FROM documents
           WHERE doc_id % 3 != 0 GROUP BY 1),
         j AS (
-          SELECT lang, coalesce(n_cur, 0) AS n_cur,
+          -- null-safe group join, mirroring the engine's <=> (r14): a
+          -- NULL group present on both sides is ONE group, not two
+          SELECT coalesce(c.lang, r.lang) AS lang,
+                 coalesce(n_cur, 0) AS n_cur,
                  coalesce(n_ref, 0) AS n_ref
-          FROM c FULL OUTER JOIN r USING (lang)),
+          FROM c FULL OUTER JOIN r
+            ON c.lang IS NOT DISTINCT FROM r.lang),
         t AS (SELECT sum(n_cur)::DOUBLE AS tc, sum(n_ref)::DOUBLE AS tr,
                      count(*)::DOUBLE AS g
               FROM j)

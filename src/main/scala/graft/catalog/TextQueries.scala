@@ -618,8 +618,9 @@ object TextQueries {
                  CASE WHEN g.fill + o.n_tokens <= 1500
                       THEN g.fill + o.n_tokens ELSE o.n_tokens END
           FROM g JOIN o ON o.shard = g.shard AND o.rn = g.rn + 1)
-        SELECT doc_id, shard, bin FROM g
-        ORDER BY doc_id""")),
+        SELECT g.doc_id, g.shard, g.bin, o.n_tokens
+        FROM g JOIN o ON o.doc_id = g.doc_id
+        ORDER BY g.doc_id""")),
 
     // ----- q199: best-fit-decreasing packing (Packing.packBestFit, the
     // "Fewer Truncations" algorithm, Ding et al. 2024): oversize docs

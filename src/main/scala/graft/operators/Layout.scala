@@ -68,29 +68,36 @@ object Layout {
         "__graft_max_b")
   }
 
-  /** Equal-width histogram of a numeric column — the dataset-profiling
-    * primitive (length/score/price distributions on a dataset card).
-    * Bucket bounds come from the same broadcast 1-row min/max aggregate
-    * as the Z-order discretization; counting is one partial-aggregated
-    * groupBy over `nBuckets` keys. The max value lands in the LAST
-    * bucket (half-open buckets, closed at the top end).
-    *
-    * @return (bucket, lo, hi, n) for non-empty buckets
-    */
   /** Equal-width bucket id of `x` over `[lo, hi]` in `n` buckets: the
     * shared discretization behind [[histogram]], [[zoneMapSkipStats]],
     * and `Evaluation.bucketedAuc` — one definition so the bucket
     * boundary semantics can never drift between them. Degenerate span
     * (lo = hi) puts everything in bucket 0; x = hi lands in the last
-    * bucket, not a phantom bucket n. */
+    * bucket, not a phantom bucket n. A NULL `x` has NO bucket (NULL
+    * out) — r14 review: Spark's `least()` SKIPS null arguments, so the
+    * raw fold silently sent every NULL value to the TOP bucket,
+    * inflating histogram / PSI / zone-map mass at the max end. */
   def equalWidthBucket(x: Column, lo: Column, hi: Column,
       n: Int): Column = {
     val span = (hi - lo).cast("double")
-    when(span <= 0.0, lit(0L))
-      .otherwise(least(floor((x - lo).cast("double") / span * n)
-        .cast("long"), lit(n - 1L)))
+    when(x.isNull, lit(null).cast("long"))
+      .otherwise(when(span <= 0.0, lit(0L))
+        .otherwise(least(floor((x - lo).cast("double") / span * n)
+          .cast("long"), lit(n - 1L))))
   }
 
+  /** Equal-width histogram of a numeric column — the dataset-profiling
+    * primitive (length/score/price distributions on a dataset card).
+    * Bucket bounds come from the same broadcast 1-row min/max aggregate
+    * as the Z-order discretization; counting is one partial-aggregated
+    * groupBy over `nBuckets` keys. The max value lands in the LAST
+    * bucket (half-open buckets, closed at the top end). NULL values
+    * have no bucket and are EXCLUDED (they previously counted as
+    * phantom top-bucket mass); [[profileColumns]] is the surface that
+    * reports null counts.
+    *
+    * @return (bucket, lo, hi, n) for non-empty buckets
+    */
   def histogram(df: DataFrame, valueCol: String, nBuckets: Int)
       : DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
@@ -103,7 +110,8 @@ object Layout {
     val bucket = equalWidthBucket(col(valueCol), col("__graft_min_v"),
       col("__graft_max_v"), nBuckets)
     val width = span / nBuckets
-    df.crossJoin(broadcast(bounds))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
       .select(bucket.as("bucket"), col("__graft_min_v"),
         width.as("__graft_w"))
       .groupBy("bucket")
@@ -193,10 +201,18 @@ object Layout {
   def driftScore(current: DataFrame, reference: DataFrame,
       groupCol: String, smoothing: Double = 0.5): DataFrame = {
     require(smoothing > 0.0, "smoothing must be positive")
-    val c = current.groupBy(groupCol).agg(count(lit(1)).as("n_cur"))
-    val r = reference.groupBy(groupCol).agg(count(lit(1)).as("n_ref"))
-    val joined = c.join(r, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+    // null-safe (<=>) group join (r14 review): a NULL group present on
+    // BOTH sides (missing language tags are routine) never matches an
+    // equi-key, so the full outer split it into TWO unmatched rows —
+    // a spurious current-only p·ln(p/q) penalty plus an inflated group
+    // count in the smoothing denominator. Same discipline as
+    // Warehouse/Evaluation's <=> joins.
+    val c = current.groupBy(col(groupCol).as("__gc"))
+      .agg(count(lit(1)).as("n_cur"))
+    val r = reference.groupBy(col(groupCol).as("__gr"))
+      .agg(count(lit(1)).as("n_ref"))
+    val joined = c.join(r, col("__gc") <=> col("__gr"), "full_outer")
+      .select(coalesce(col("__gc"), col("__gr")).as(groupCol),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"))
     val tot = joined.agg(sum("n_cur").as("__tc"), sum("n_ref").as("__tr"),
@@ -232,7 +248,12 @@ object Layout {
       min(col(scoreCol)).cast("double").as("__graft_min_s"),
       max(col(scoreCol)).cast("double").as("__graft_max_s"))
     def cells(df: DataFrame, name: String) =
-      df.crossJoin(broadcast(bounds))
+      // NULL scores are excluded from BOTH distributions (the
+      // Evaluation exclusion contract) — before the r14 NULL-bucket
+      // fix they counted as maximum-score mass, and greatest() would
+      // now clamp a NULL bucket to 0 (greatest also skips nulls)
+      df.filter(col(scoreCol).isNotNull)
+        .crossJoin(broadcast(bounds))
         // greatest(0): CURRENT scores below the reference min clamp into
         // the bottom edge bucket (the reference's own cuts can't go
         // negative, but drifted current values can)
@@ -289,9 +310,15 @@ object Layout {
     * bucketed layouts alike.
     *
     * Doc position and ring node points are md5-derived 60-bit ints
-    * (portable); node points ride a broadcast ≤(nOld+nNew)-row table;
-    * the successor pick is one `min_by` per doc with a wraparound
-    * fallback to the ring's first node.
+    * (portable). The ≤ nNew node points are COLLECTED (they are a
+    * literal handful) and the successor search is a folded
+    * when-chain — a narrow codegen'd per-row expression, so the whole
+    * table reduces in ONE aggregate pass with zero shuffles of the doc
+    * set. (r14 review: the previous shape expanded every doc by its
+    * matching node points through a nested-loop join, shuffled the
+    * expansion in a per-uid groupBy TWICE, then joined the two
+    * corpus-scale assignments — three corpus shuffles and ~n/2×
+    * intermediate blowup for the same two output rows.)
     *
     * @return 2 rows: (scheme ∈ mod|ring, n_docs, n_moved,
     *          frac_moved round 4) */
@@ -302,39 +329,32 @@ object Layout {
     import spark.implicits._
     def h60(c: Column): Column =
       conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
-    // Carry a unique row key through both schemes: grouping the ring
-    // assignment by the hash alone would collapse md5-position collisions
-    // and duplicate ids, making the two emitted n_docs (and frac_moved
-    // denominators) count different populations. The uid is minted once
-    // and frozen by the checkpoint.
-    val pos = df.select(monotonically_increasing_id().as("uid"),
-      h60(col(idCol)).as("h")).localCheckpoint()
-    // mod scheme: a doc stays only when both mods land on the same node
-    val modRow = pos.agg(count(lit(1)).as("n_docs"),
-        sum(when(pmod(col("h"), lit(nOld.toLong)) =!=
-          pmod(col("h"), lit(nNew.toLong)), 1L).otherwise(0L))
-          .as("n_moved"))
-      .select(lit("mod").as("scheme"), col("n_docs"), col("n_moved"))
-    // ring scheme: node i owns [point_i, next point); successor search
-    val nodes = (0 until nNew)
+    // ring node points, computed by the SAME Spark md5 expression the
+    // docs use (portability contract) — tiny, driver-collected
+    val points: Array[(Int, Long)] = (0 until nNew)
       .map(i => (i, s"node$i")).toDF("node", "name")
       .select(col("node"), h60(col("name")).as("point"))
-      .localCheckpoint()
-    def assign(n: Int): DataFrame = {
-      val ns = nodes.filter(col("node") < n)
-      val wrap = ns.agg(min_by(col("node"), col("point")).as("w"))
-      pos.join(broadcast(ns), col("point") >= col("h"), "left")
-        .groupBy("uid")
-        .agg(min_by(col("node"), col("point")).as("succ"))
-        .crossJoin(broadcast(wrap))
-        .select(col("uid"), coalesce(col("succ"), col("w")).as(s"a$n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // successor on the ring: smallest point >= h, wrapping to the
+    // ring's first node — an ascending when-chain over the sorted
+    // literal points (node i owns [prev point, point_i))
+    def assignExpr(n: Int): Column = {
+      val ps = points.filter(_._1 < n).sortBy(_._2)
+      ps.foldRight(lit(ps.head._1): Column) { case ((node, point), acc) =>
+        when(col("h") <= lit(point), lit(node)).otherwise(acc)
+      }
     }
-    val ringRow = assign(nOld).join(assign(nNew), "uid")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col(s"a$nOld") =!= col(s"a$nNew"), 1L).otherwise(0L))
-          .as("n_moved"))
-      .select(lit("ring").as("scheme"), col("n_docs"), col("n_moved"))
-    modRow.unionByName(ringRow)
+    val pos = df.select(h60(col(idCol)).as("h"))
+    val schemes = Seq(
+      ("mod",
+        pmod(col("h"), lit(nOld.toLong)) =!=
+          pmod(col("h"), lit(nNew.toLong))),
+      ("ring", assignExpr(nOld) =!= assignExpr(nNew)))
+    schemes.map { case (name, moved) =>
+      pos.agg(count(lit(1)).as("n_docs"),
+          sum(when(moved, 1L).otherwise(0L)).as("n_moved"))
+        .select(lit(name).as("scheme"), col("n_docs"), col("n_moved"))
+    }.reduce(_ unionByName _)
       .withColumn("frac_moved",
         round(col("n_moved") / col("n_docs"), 4))
   }
@@ -384,6 +404,9 @@ object Layout {
     def zones(layout: String, cut: Column) =
       df.crossJoin(broadcast(bounds))
         .withColumn("shard", cut)
+        // a NULL cut column has no shard (r14 NULL-bucket fix) — such
+        // rows would otherwise form a phantom extra zone
+        .filter(col("shard").isNotNull)
         .groupBy("shard")
         .agg(min(col(valueCol)).cast("double").as("zmin"),
           max(col(valueCol)).cast("double").as("zmax"))

@@ -174,7 +174,12 @@ object Multimodal {
     * empty candidate set (every caption filtered out) short-circuits to an
     * empty pair frame instead of dying on the dim probe. */
   def lshPairs(bands: Int = 4): PairSource = (pass, threshold, idCol) => {
+    // probe only rows that HAVE an embedding: a NULL-embedding row
+    // (partial backfill) made size() return NULL and getInt(0) threw —
+    // a flaky, limit(1)-dependent crash (r14 review); null-embedding
+    // rows cannot pair anyway
     val emb = pass.select(col(idCol), col("embedding"))
+      .filter(col("embedding").isNotNull)
     emb.select(size(col("embedding")).as("d")).limit(1).collect()
       .headOption match {
       case None =>

@@ -30,6 +30,20 @@ object Packing {
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(numShards.toLong)).cast("int")
 
+  /** The per-shard folds key and order by a LONG id; a non-integral id
+    * column would cast to null and surface as an obscure encoder NPE
+    * deep in the job, so every packer rejects it at plan time (one
+    * definition — the check was copy-pasted per packer before r14). */
+  private def requireIntegralId(docs: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(idType == LongType || idType == IntegerType ||
+        idType == ShortType || idType == ByteType,
+      s"$op requires an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — map ids to long first")
+  }
+
   /** Concat-and-chunk packing (GPT-style): within each shard, the token
     * stream of docs in id order is cut into `capacity`-sized sequences and
     * a doc is assigned to the sequence where it STARTS (docs may span
@@ -72,7 +86,8 @@ object Packing {
     * order fill the current bin while they fit; a doc that would overflow
     * `capacity` closes the bin and opens the next; an oversize doc
     * (> capacity tokens — truncate upstream) occupies a bin alone. Output:
-    * (id, shard, bin).
+    * (id, shard, bin, n_tokens) — the token count rides along like
+    * [[packBestFit]]'s so consumers never re-tokenize.
     *
     * The fold is sequential by construction, so it runs per shard
     * (`groupByKey(shard).flatMapGroups` with an in-group sort) — the one
@@ -83,15 +98,7 @@ object Packing {
   def packGreedy(docs: DataFrame, capacity: Int, numShards: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0 && numShards > 0)
-    // The per-shard fold keys and orders by a LONG id; a non-integral id
-    // column would cast to null and surface as an obscure encoder NPE deep
-    // in the job, so reject it at plan time instead.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = docs.schema(idCol).dataType
-    require(idType == LongType || idType == IntegerType ||
-        idType == ShortType || idType == ByteType,
-      s"packGreedy requires an integral id column; '$idCol' is " +
-        s"${idType.simpleString} — map ids to long first")
+    requireIntegralId(docs, idCol, "packGreedy")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"),
@@ -107,10 +114,13 @@ object Packing {
           if (first) { fill = n; first = false }
           else if (fill + n <= capacity) fill += n
           else { bin += 1; fill = n }
-          (id, shard, bin)
+          // n_tokens rides along (r14 review): packingStats previously
+          // re-tokenized the whole corpus and paid a corpus-scale join
+          // to recover a value this fold already held
+          (id, shard, bin, n)
         }
       }
-      .toDF(idCol, "shard", "bin")
+      .toDF(idCol, "shard", "bin", "n_tokens")
   }
 
   /** Best-fit-decreasing packing ("Fewer Truncations Improve Language
@@ -142,12 +152,7 @@ object Packing {
   def packBestFit(docs: DataFrame, capacity: Int, numShards: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0 && numShards > 0)
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = docs.schema(idCol).dataType
-    require(idType == LongType || idType == IntegerType ||
-        idType == ShortType || idType == ByteType,
-      s"packBestFit requires an integral id column; '$idCol' is " +
-        s"${idType.simpleString} — map ids to long first")
+    requireIntegralId(docs, idCol, "packBestFit")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"),
@@ -223,12 +228,9 @@ object Packing {
     * so both engines agree bit-for-bit (the q163 lesson). */
   def packingStats(docs: DataFrame, capacity: Int, numShards: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lens = docs.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
     val greedy = packGreedy(docs, capacity, numShards, textCol, idCol)
-      .join(lens, Seq(idCol))
       .select(lit("next_fit").as("strategy"), col("shard"), col("bin"),
-        col("__n").as("len"))
+        col("n_tokens").cast("long").as("len"))
     val bfd = packBestFit(docs, capacity, numShards, textCol, idCol)
       .select(lit("best_fit_decreasing").as("strategy"), col("shard"),
         col("bin"), col("n_tokens").cast("long").as("len"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Link-graph operators for crawl curation: host-authority PageRank.
@@ -30,7 +30,6 @@ object WebGraph {
     * @return (node, rank round 6) */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val spark = edges.sparkSession
     val nodes = edges.select(col(srcCol).as("node"))
       .unionByName(edges.select(col(dstCol).as("node")))
       .distinct()
@@ -127,6 +126,12 @@ object WebGraph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 5, damping: Double = 0.85, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // the init divides the restart column back out by (1 − d): at
+    // d = 1.0 that is 0.0/0.0 → NULL in non-ANSI Spark, which coalesces
+    // to ALL-ZERO ranks with no error (r14 review) — PPR without
+    // restart mass is meaningless anyway, so reject it at plan time
+    require(damping >= 0.0 && damping < 1.0,
+      s"personalizedPageRank: damping must be in [0, 1), got $damping")
     val sd = seeds.select(col("node")).distinct().localCheckpoint()
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalizedPageRank: empty seed set")

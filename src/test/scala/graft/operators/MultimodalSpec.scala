@@ -122,6 +122,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("jointFilter tolerates NULL embeddings (partial backfill): the " +
+    "lshPairs dim probe must not NPE on a null-embedding row and such " +
+    "rows cannot pair") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma", Some(Seq(1.0, 0.0))),
+      (2L, "delta epsilon zeta", Option.empty[Seq[Double]]),
+      (3L, "eta theta iota", Some(Seq(0.0, 1.0))))
+      .toDF("media_id", "caption", "embedding")
+    // pre-fix: limit(1) could sample row 2, size(NULL) -> NULL,
+    // getInt(0) threw — a flaky data-dependent crash
+    val kept = Multimodal.jointFilter(rows.orderBy(col("media_id").desc),
+        minCaptionTokens = 3, dupThreshold = 0.9)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(3L))
+  }
+
   test("phashNearDupPairs surfaces the byte-identical payload pairs") {
     val pairs = Multimodal.phashNearDupPairs(media, maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

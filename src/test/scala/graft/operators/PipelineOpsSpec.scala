@@ -562,6 +562,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("x") === 0.0 && got("y") === 0.0)
   }
 
+  test("personalizedPageRank rejects damping = 1.0 at plan time (the " +
+    "init's 0/0 would otherwise yield silent all-zero ranks)") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      WebGraph.personalizedPageRank(edges, Seq("a").toDF("node"),
+        damping = 1.0)
+    }
+    assert(e.getMessage.contains("damping"))
+  }
+
   test("personalizedPageRank with ALL nodes as seeds matches global " +
     "pageRank's restart structure") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
@@ -820,6 +830,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     val below = (1 to 100).map(i => Tuple1(i / 10.0 - 50)).toDF("s")
     val psiLo = Layout.psiScore(below, ref, "s").collect()(0).getDouble(2)
     assert(psiLo > 0.25) // bottom-clamped, not negative buckets
+  }
+
+  test("NULL values have no bucket: histogram and psiScore are " +
+    "unchanged by NULL rows (pre-r14 they counted as phantom TOP-" +
+    "bucket mass, because Spark's least() skips null arguments)") {
+    val clean = (1 to 100).map(i => Tuple1(Option(i / 10.0))).toDF("s")
+    val dirty = ((1 to 100).map(i => Option(i / 10.0)) ++
+      Seq.fill(50)(Option.empty[Double])).map(Tuple1(_)).toDF("s")
+    val hClean = Layout.histogram(clean, "s", 10)
+      .orderBy("bucket").collect().map(r =>
+        (r.getLong(0), r.getLong(3))).toSeq
+    val hDirty = Layout.histogram(dirty, "s", 10)
+      .orderBy("bucket").collect().map(r =>
+        (r.getLong(0), r.getLong(3))).toSeq
+    assert(hDirty === hClean) // pre-fix: bucket 9 had +50 phantom rows
+    val psiClean = Layout.psiScore(clean, clean, "s").collect()(0)
+    val psiDirty = Layout.psiScore(dirty, clean, "s").collect()(0)
+    assert(psiDirty.getLong(0) === psiClean.getLong(0)) // n_cur: nulls out
+    assert(psiDirty.getDouble(2) === psiClean.getDouble(2))
+  }
+
+  test("driftScore: a NULL group present on BOTH sides is ONE group " +
+    "(null-safe join), not a current-only plus reference-only split") {
+    val cur = (Seq.fill(10)(Option("en")) ++ Seq.fill(5)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("lang")
+    val ref = (Seq.fill(20)(Option("en")) ++ Seq.fill(8)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("lang")
+    val rows = Layout.driftScore(cur, ref, "lang").collect()
+    assert(rows.length === 2) // pre-fix: 3 rows (NULL split in two)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 5L && nullRow.getLong(2) === 8L)
+  }
+
+  test("reshardCost assignment is a narrow expression: no join and no " +
+    "per-doc shuffle in the plan") {
+    val d = (1L to 50L).toDF("doc_id")
+    val plan = Layout.reshardCost(d, "doc_id", 4, 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
   }
 
   test("giniConcentration: equal groups → 0; extreme concentration → " +
