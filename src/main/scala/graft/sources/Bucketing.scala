@@ -62,12 +62,21 @@ object Bucketing {
     reclaimStale(spark)
     val run = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val (lTab, rTab) = (s"graft_bkt_l_$run", s"graft_bkt_r_$run")
+    // register each side IMMEDIATELY after its own write: registering
+    // both at the end leaked the already-written left table (catalog
+    // entry + on-disk copy) forever when the RIGHT write failed — the
+    // exact accumulation the registry exists to prevent (r14 review)
     writeBucketedAt(left, lTab, s"$dir/$lTab", leftKey, nBuckets)
-    writeBucketedAt(right, rTab, s"$dir/$rTab", rightKey, nBuckets)
     registry.add(BktEntry(lTab, s"$dir/$lTab", System.currentTimeMillis()))
+    writeBucketedAt(right, rTab, s"$dir/$rTab", rightKey, nBuckets)
     registry.add(BktEntry(rTab, s"$dir/$rTab", System.currentTimeMillis()))
-    spark.table(lTab).join(spark.table(rTab),
-      spark.table(lTab)(leftKey) === spark.table(rTab)(rightKey))
+    // bind each relation ONCE: building the condition from fresh
+    // spark.table() lookups relied on the catalog's relation cache
+    // returning identical attribute ids — an eviction between the calls
+    // would fail analysis with "resolved attributes missing"
+    val l = spark.table(lTab)
+    val r = spark.table(rTab)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 
   /** How long a cojoin's tables outlive their creation before a later

@@ -222,12 +222,20 @@ object EventStreams {
         }
         val hPath = new org.apache.hadoop.fs.Path(indexPath)
         val fs = hPath.getFileSystem(conf)
-        // Visible (non-`_`/`.`) children, i.e. at least one committed
-        // `batch=<id>` partition — an existing-but-empty directory must
-        // take the empty-index branch, not fail schema inference.
+        // At least one partition with a VISIBLE DATA FILE — a directory
+        // name alone is not an index (r14 review): a crash during the
+        // FIRST batch's index write leaves `batch=0/` holding only
+        // `_temporary/`, and treating that as an index made the replay's
+        // schema inference fail before the idempotent overwrite could
+        // repair it. (A partial partition that does hold committed task
+        // files is safe: it can only be THIS batch's own, which the
+        // batch-exclusion filter below removes.) An existing-but-empty
+        // directory likewise takes the empty-index branch.
+        def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
         val hasIndex = fs.exists(hPath) && fs.listStatus(hPath).exists { s =>
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
+          visible(s.getPath.getName) && (s.isFile ||
+            fs.listStatus(s.getPath).exists(c =>
+              c.isFile && visible(c.getPath.getName)))
         }
         val index =
           if (hasIndex) {
@@ -295,18 +303,27 @@ object EventStreams {
     import graft.operators.TextAnalysis
     require(minNovelty >= 0.0 && minNovelty <= 1.0,
       "minNovelty must be in [0, 1]")
+    // the gram set feeds TWO actions (count for sizing, then the Bloom
+    // aggregate) — checkpoint it so the reference's explode + distinct
+    // shuffle runs once, not twice (r14 review), and release the blocks
+    // once the bloom bytes are on the driver
     val refGrams = ref.select(
         explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
       .filter(length(col("g")) > 0)
       .select(xxhash64(col("g")).as("gh")).distinct()
-    val nItems = math.max(1L, refGrams.count())
-    val numBits = math.min(67108864L, math.max(64L,
-      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
-    val bloomBytes = refGrams.agg(GraftSqlShims.columnOf(
-        new BloomFilterAggregate(GraftSqlShims.expressionOf(col("gh")),
-          Literal(nItems), Literal(numBits)).toAggregateExpression())
-        .as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .localCheckpoint()
+    val bloomBytes =
+      try {
+        val nItems = math.max(1L, refGrams.count())
+        val numBits = math.min(67108864L, math.max(64L,
+          math.ceil(-nItems * math.log(fpp) /
+            (math.log(2) * math.log(2))).toLong))
+        refGrams.agg(GraftSqlShims.columnOf(
+            new BloomFilterAggregate(GraftSqlShims.expressionOf(col("gh")),
+              Literal(nItems), Literal(numBits)).toAggregateExpression())
+            .as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      } finally refGrams.unpersist()
     def seen(g: org.apache.spark.sql.Column) =
       GraftSqlShims.columnOf(BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),
@@ -450,9 +467,25 @@ object EventStreams {
       events.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
         val t = epochMicros(e.ts)
         cur match {
+          // LATE cross-batch arrival older than the open session by more
+          // than the gap: batch q19 would place it in an EARLIER session
+          // — emit it as its own closed session. (r14 review: it
+          // previously merged into the open session unconditionally,
+          // since t - s.last <= gap is trivially true for any t <=
+          // s.last.) Residual documented divergence: two such stragglers
+          // more than a gap before the open session but within a gap of
+          // EACH OTHER emit as two singletons where batch would merge
+          // them — re-merging needs full event buffering, which the
+          // bounded-state contract forbids; the window is capped by the
+          // watermark delay.
+          case Some(s) if t < s.start - gapUs =>
+            out += SessionOut(userId, t / 1000000L, t / 1000000L, 1,
+              e.value)
           case Some(s) if t - s.last <= gapUs =>
-            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
-              s.total + e.value))
+            // min(start, t): an in-gap late arrival EXTENDS the session
+            // backwards exactly as the batch sort would
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.last, t), s.n + 1, s.total + e.value))
           case Some(s) =>
             close(s)
             cur = Some(SessionState(t, t, 1, e.value))

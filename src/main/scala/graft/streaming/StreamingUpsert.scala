@@ -17,7 +17,13 @@ import graft.operators.Warehouse
 object StreamingDrift {
   def psiMonitor(stream: DataFrame, reference: DataFrame,
       scoreCol: String, outPath: String, checkpoint: String,
-      nBuckets: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+      nBuckets: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    // freeze the static reference ONCE: psiScore aggregates it twice
+    // per call (bounds + bucket counts), so a lake-backed reference was
+    // re-scanned twice on EVERY trigger (r14 review). The eager
+    // checkpoint's blocks live until the session ends — the monitor's
+    // reference is a bounded sample by contract.
+    val ref = reference.localCheckpoint()
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
@@ -27,12 +33,13 @@ object StreamingDrift {
             // per-batch partition dir + overwrite = replay-idempotent
             // (an append sink would double-count a replayed batch)
             graft.operators.Layout
-              .psiScore(batch.toDF(), reference, scoreCol, nBuckets)
+              .psiScore(batch.toDF(), ref, scoreCol, nBuckets)
               .write.mode("overwrite")
               .parquet(s"$outPath/batch_id=$batchId")
           }
       }
       .start()
+  }
 }
 
 /** Streaming MERGE INTO: maintain a keyed snapshot at rest from a stream
@@ -64,8 +71,13 @@ object StreamingUpsert {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          upsertBatch(batch.toDF(), batchId, snapshotPath, keyCol,
-            payloadCols, seqCol)
+          // an empty batch changes nothing: skipping it avoids rewriting
+          // the whole snapshot per quiet trigger (r14 review) — readers
+          // take "latest committed < batchId", so version-chain gaps are
+          // already tolerated
+          if (!batch.isEmpty)
+            upsertBatch(batch.toDF(), batchId, snapshotPath, keyCol,
+              payloadCols, seqCol)
       }
       .start()
 
@@ -127,13 +139,16 @@ object StreamingUpsert {
         bdf.select((keyCol +: payloadCols).map(col): _*).limit(0)
     }
     // last writer (max seqCol) wins per key within the batch; ties on
-    // seq broken by op so the collapse is total-order deterministic
+    // seq broken by op so the collapse is total-order deterministic.
+    // distinct: seqCol listed in payloadCols (persisting the version in
+    // the snapshot is natural wiring) would otherwise duplicate the
+    // struct field and make `__last.<seqCol>` ambiguous (r14 review)
     val collapsed = bdf
       .groupBy(col(keyCol))
       .agg(max_by(
-        struct((Seq("op", seqCol) ++ payloadCols).map(col): _*),
+        struct((Seq("op", seqCol) ++ payloadCols).distinct.map(col): _*),
         struct(col(seqCol), col("op"))).as("__last"))
-      .select(col(keyCol) +: (Seq("op") ++ payloadCols)
+      .select(col(keyCol) +: (Seq("op") ++ payloadCols).distinct
         .map(c => col(s"__last.$c").as(c)): _*)
     Warehouse.cdcMerge(base, collapsed, keyCol, payloadCols)
       .write.mode("overwrite").parquet(s"$snapshotPath/snap_v$batchId")

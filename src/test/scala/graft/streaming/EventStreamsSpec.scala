@@ -70,6 +70,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize late cross-batch arrivals match batch q19 semantics: " +
+    "an in-gap straggler extends the session START; an older-than-gap " +
+    "straggler becomes its own closed session, never a silent merge") {
+    val input = MemoryStream[Event](spark)
+    // generous watermark so the late events are NOT dropped as late rows
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+      watermarkDelay = "2 days")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 opens session [5000, 5001]
+      input.addData(ev(1, 5000, 1, "c", 1.0), ev(2, 5001, 1, "c", 1.0))
+      q.processAllAvailable()
+      // batch 2: t=4000 is within gap of start (1000 <= 1800) — batch
+      // q19's sort places it in the SAME session, extending its start;
+      // t=2000 is older than start - gap — a SEPARATE earlier session
+      input.addData(ev(3, 4000, 1, "c", 1.0), ev(4, 2000, 1, "c", 1.0))
+      q.processAllAvailable()
+      // batch 3: far-future same-user event closes the open session
+      input.addData(ev(5, 100000, 1, "c", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_late")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // pre-fix: ONE session (5000, 5001, 4) — both stragglers merged in
+      // and the start never moved
+      assert(got === Set((2000L, 2000L, 1L), (4000L, 5001L, 3L)), got)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops in-horizon duplicate content") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val q = EventStreams.streamingExactDedup(

@@ -53,6 +53,19 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(snap(s"$dir/snap") === Map(1L -> "last"))
   }
 
+  test("seqCol listed in payloadCols (persisting the version in the " +
+    "snapshot) works — the collapse struct dedups the field instead of " +
+    "throwing an ambiguous-reference error") {
+    val dir = freshDir()
+    val batch = Seq(Chg(1, "I", "first", 1), Chg(1, "U", "last", 9)).toDF()
+    StreamingUpsert.upsertBatch(batch, 0L, s"$dir/snap", "k",
+      Seq("v", "seq"), "seq")
+    val row = spark.read.parquet(s"$dir/snap/snap_v0")
+      .select("k", "v", "seq").collect()(0)
+    assert(row.getLong(0) === 1L && row.getString(1) === "last" &&
+      row.getLong(2) === 9L)
+  }
+
   test("replaying a batch after its own (committed or partial) write " +
     "leaves the chain as a single run would") {
     val dir = freshDir()
