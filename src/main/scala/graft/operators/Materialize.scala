@@ -43,8 +43,17 @@ object Materialize {
     * a checkpoint dir), `localCheckpoint()` otherwise. See the class doc
     * for the executor-loss trade-off. */
   def cut(df: DataFrame): DataFrame = {
-    val reliable =
-      df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)
+    // explicit parse: bare .toBoolean throws a bare "For input string"
+    // IllegalArgumentException deep inside the first pipeline stage on
+    // a config typo ("1", "yes") without ever naming the key
+    val reliable = df.sparkSession.conf.getOption(ReliableKey).exists {
+      v => v.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"$ReliableKey must be 'true' or 'false', got '$other'")
+      }
+    }
     if (reliable) {
       require(
         df.sparkSession.sparkContext.getCheckpointDir.isDefined,

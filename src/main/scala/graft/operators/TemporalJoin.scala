@@ -48,7 +48,14 @@ object TemporalJoin {
     // from that side's schema, keeping the union schema-compatible without
     // hand-written DDL.
     val payloadStruct = struct(payload.map(col): _*)
-    val r = right.select(
+    // SQL join null semantics, matching asofJoinBroadcast exactly (r14
+    // review): a right row with a NULL key or NULL time can never serve
+    // a payload — the window partition would otherwise group NULL keys
+    // together (unlike any equi-join) and a NULL time would sort FIRST,
+    // serving its payload to every left row with no real predecessor.
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
       col(key).as("__k"), col(rightTime).as("__t"),
       lit(rightSide).as("__side"),
       lit(null).cast(left.select(

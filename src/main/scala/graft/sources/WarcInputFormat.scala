@@ -79,6 +79,11 @@ private object WarcRecordReader {
   val CrLfCrLf: Array[Byte] = Array[Byte]('\r', '\n', '\r', '\n')
   /** Header blocks larger than this are treated as malformed. */
   val HeaderCap: Int = 1 << 20
+
+  /** Emitted-bytes cap for one recovered corrupt chunk (the scan itself
+    * is unbounded — realignment must still be found; only the BUFFER is
+    * capped so a gigabyte corrupt region cannot OOM the task). */
+  val MaxRecoveryChunk: Int = 64 << 20
   val VersionRe = "^WARC/[0-9]+\\.[0-9]+$".r
   val ContentLengthRe =
     "(?mi)^Content-Length:\\s*(\\d+)\\r?$".r
@@ -236,6 +241,17 @@ private class WarcRecordReader
     var b = read1()
     while (b >= 0) {
       w.push(b)
+      // every candidate from here on starts past `end` and belongs to
+      // the NEXT split (whose own sync will see it) — stop instead of
+      // scanning to this record's terminating boundary (r14 review: an
+      // oversized record spanning k splits cost O(record · k) dead
+      // reads). A pending candidate resolves exactly as the
+      // scan-exhausted path would; nextKeyValue's pos > end gate still
+      // decides ownership.
+      if (pos - Magic.length > end) {
+        if (pending >= 0) { reseek(pending); return true }
+        return false
+      }
       if (w.matches) {
         val candidate = pos - Magic.length
         if (candidate >= minStart) {
@@ -352,9 +368,20 @@ private class WarcRecordReader
         grade = HeadBit
         if (ContentLengthRe.findFirstMatchIn(head).isDefined)
           grade |= FrameBit
-        if (WarcTypeRe.findFirstMatchIn(head).isDefined)
-          grade |= TypeBit
       }
+      // TypeBit is graded INDEPENDENTLY of the version line (r14): a
+      // record whose version fails the regex (WARC/1.1.1) but carries
+      // WARC-Type is exactly the damaged-record shape the pending
+      // machinery exists for — gating it on the version made such
+      // records invisible to split sync while the sequential path
+      // emitted them, i.e. split-layout-dependent row counts (the
+      // defect class this file documents as closed). Residual cost:
+      // a hostile payload embedding a terminated boundary-lookalike
+      // with WARC-Type but a bad version can now become a pending
+      // chunk for a split landing inside that payload — the same
+      // bounded ambiguity class as the documented chained-copy limit.
+      if (WarcTypeRe.findFirstMatchIn(head).isDefined)
+        grade |= TypeBit
     }
     val arr = buf.toByteArray
     if (arr.length > 0) unread(arr, 0, arr.length)
@@ -417,16 +444,24 @@ private class WarcRecordReader
     // record start and swallow everything to the next boundary or EOF
     var i = math.max(0, prefix.length - (Boundary.length - 1))
     while (i < prefix.length) { w.push(prefix(i) & 0xff); i += 1 }
+    // the emitted chunk is CAPPED (r14 review): a hostile Content-Length
+    // routed here (> Int.MaxValue-ish) or a corrupt region with no later
+    // valid boundary previously buffered the whole remainder and OOMed —
+    // the exact fatal-task shape the framed gate exists to prevent. The
+    // scan still walks to the realignment boundary; bytes past the cap
+    // are dropped from the emitted `_corrupt` row, never from framing.
+    var truncated = false
     var b = read1()
     while (b >= 0) {
-      buf.write(b)
+      if (buf.size < MaxRecoveryChunk) buf.write(b) else truncated = true
       w.push(b)
       if (w.matches && (validateHead() & (FrameBit | TypeBit)) != 0) {
         // drop the consumed boundary from the chunk, reposition at the
-        // record start
+        // record start (a truncated chunk never holds the boundary)
         unread(Magic, 0, Magic.length)
         val arr = buf.toByteArray
-        return java.util.Arrays.copyOf(arr, arr.length - Boundary.length)
+        return if (truncated) arr
+          else java.util.Arrays.copyOf(arr, arr.length - Boundary.length)
       }
       b = read1()
     }
@@ -443,9 +478,16 @@ private class WarcRecordReader
     val lenOpt = parseContentLength(headStr)
     // a CL too large to materialize alongside its header in one record
     // value is treated as unframed (recovery scan), never a thrown
-    // require from readFully — corrupt input must not fail the task
-    val framed = headStr.endsWith("\r\n\r\n") &&
-      headStr.startsWith("WARC/") &&
+    // require from readFully — corrupt input must not fail the task.
+    // The version line must match the SAME regex split sync trusts
+    // (r14): framing on a bare "WARC/" prefix emitted nonstandard-
+    // version records (WARC/1.1.1) that sync could never anchor, so
+    // row counts depended on the split layout; such records now route
+    // through recovery on BOTH paths.
+    val nlIdx = headStr.indexOf("\r\n")
+    val versionOk = nlIdx >= 0 &&
+      VersionRe.findFirstIn(headStr.substring(0, nlIdx)).isDefined
+    val framed = headStr.endsWith("\r\n\r\n") && versionOk &&
       lenOpt.exists(_ <= (Int.MaxValue - head.length - 8).toLong)
     val recordBytes: Array[Byte] =
       if (framed) {

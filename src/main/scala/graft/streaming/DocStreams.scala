@@ -86,8 +86,19 @@ object DocStreams {
       val valid = cached
         .filter(col("_corrupt").isNull && col("doc_id").isNotNull)
         .drop("_corrupt")
+      // cleanly-PARSED rows without a doc_id (schema drift: the id field
+      // renamed upstream, or a null id) are quarantined too (r14
+      // review): they failed the valid filter but not the corrupt one,
+      // so a whole such shard previously vanished uncounted — and the
+      // file-source checkpoint marks it consumed, so the loss was
+      // unrecoverable. The raw line is not preserved for parseable rows;
+      // their JSON rendering stands in.
       val corrupt = cached.filter(col("_corrupt").isNotNull)
         .select(col("_corrupt").as("raw_line"))
+        .unionByName(cached
+          .filter(col("_corrupt").isNull && col("doc_id").isNull)
+          .drop("_corrupt")
+          .select(to_json(struct(col("*"))).as("raw_line")))
       // Writer-scoped dynamic overwrite (same fix as tokenizeBatch):
       // mutating the session conf leaked dynamic mode to concurrent
       // partitioned overwrites sharing the SparkSession, and the

@@ -34,6 +34,18 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.checkpoint.reliable")
   }
 
+  test("a non-boolean reliable value fails with a message NAMING the " +
+    "config key, not a bare NumberFormat-style error") {
+    spark.conf.set("spark.graft.checkpoint.reliable", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Materialize.cut(Seq((1L, "a")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("spark.graft.checkpoint.reliable"))
+      assert(e.getMessage.contains("'1'"))
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+  }
+
   test("reliable=true with a checkpoint dir uses reliable checkpoint(): " +
     "values preserved, lineage truncated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -46,6 +46,31 @@ class TemporalJoinSpec extends AnyFunSuite {
       105L -> None))         // keyless user
   }
 
+  test("asofJoin and asofJoinBroadcast agree on NULL keys and NULL " +
+    "right times (SQL join semantics): a NULL-key right row never " +
+    "serves a payload and a NULL-time right row is invisible") {
+    val l = Seq((1L, Option(1L), ts(10)),
+        (2L, Option.empty[Long], ts(10)))
+      .toDF("trade_id", "user_id", "ts")
+    val r = Seq(
+      (Option(1L), Option(ts(5)), 100.0),
+      (Option.empty[Long], Option(ts(5)), 666.0), // NULL key
+      (Option(1L), Option.empty[java.sql.Timestamp], 777.0)) // NULL time
+      .toDF("user_id", "ts", "price")
+    def out(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    val win = out(TemporalJoin.asofJoin(l, r, "user_id", "ts", "ts",
+      Seq("price")))
+    val bc = out(TemporalJoin.asofJoinBroadcast(l, r, "user_id", "ts",
+      "ts", Seq("price")))
+    // pre-fix: the window form partitioned NULL keys together (trade 2
+    // got 666.0) and the NULL-time row sorted FIRST, shadowing real
+    // predecessors
+    assert(win === Map(1L -> Some(100.0), 2L -> None))
+    assert(bc === win)
+  }
+
   test("asofJoin allowEqual=false hides the equal-timestamp right row") {
     val got = TemporalJoin.asofJoin(trades, quotes, "user_id",
       "ts", "ts", Seq("price"), allowEqual = false)

@@ -103,6 +103,55 @@ class WarcPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("nonstandard version line (WARC/1.1.1) is split-layout-" +
+    "independent: both the sequential reader and split sync route it " +
+    "through recovery (the lenient SQL parser then re-frames the chunk) " +
+    "— pre-r14, sequential reads framed it directly while split sync " +
+    "could not anchor it, so the record VANISHED under some layouts") {
+    val a = Rec("response", "<urn:uuid:va>", "2026-01-06T00:00:00Z",
+      "http://ex.org/a", "text/plain", "alpha payload one two three")
+    val nrec = Rec("response", "<urn:uuid:vn>", "2026-01-06T00:00:01Z",
+      "http://ex.org/n", "text/plain", "nonstandard version payload")
+    val b = Rec("response", "<urn:uuid:vb>", "2026-01-06T00:00:02Z",
+      "http://ex.org/b", "text/plain", "bravo payload four five six")
+    val bytes = WarcFixtureGen.serialize(Seq(a)) ++
+      WarcFixtureGen.serialize(Seq(nrec), version = "1.1.1") ++
+      WarcFixtureGen.serialize(Seq(b))
+    val dir = Files.createTempDirectory("graft_warc_version")
+    val f = dir.resolve("v.warc")
+    Files.write(f, bytes)
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val hc = spark.sparkContext.hadoopConfiguration
+    def parse(): (Seq[String], Seq[String]) = {
+      val df = DocSource.warc(spark, f.toString)
+      val valid = df
+        .filter(org.apache.spark.sql.functions.col("_corrupt").isNull)
+        .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+      val chunks = df
+        .filter(org.apache.spark.sql.functions.col("_corrupt").isNotNull)
+        .select("_corrupt").collect().map(_.getString(0)).sorted.toSeq
+      (valid, chunks)
+    }
+    val before = Option(hc.get(key))
+    try {
+      hc.unset(key)
+      val whole = parse()
+      // the recovered chunk's bytes are a full header block + CL, so
+      // the SQL parser re-frames it — nothing is lost, and CRITICALLY
+      // nothing depends on where the splits land
+      assert(whole._1 ===
+        Seq("<urn:uuid:va>", "<urn:uuid:vb>", "<urn:uuid:vn>"))
+      assert(whole._2.isEmpty)
+      for (maxsize <- Seq(40, 97, 150, 260)) {
+        hc.set(key, maxsize.toString)
+        assert(parse() === whole, s"split maxsize=$maxsize diverged")
+      }
+    } finally before match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
   test("framed-but-untyped records (no WARC-Type, spec-violating but " +
     "Content-Length-framed) survive every split layout: whole-file and " +
     "split reads emit the same rows, with misaligned embedded heads " +

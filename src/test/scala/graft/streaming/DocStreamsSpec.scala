@@ -54,6 +54,36 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cleanly-parsed rows WITHOUT a doc_id (schema drift) are " +
+    "quarantined and counted — pre-r14 they vanished from both sinks " +
+    "while the checkpoint marked the shard consumed") {
+    val root = Files.createTempDirectory("graft-docstream-nullid")
+    val in = Files.createDirectory(root.resolve("in"))
+    val out = root.resolve("out").toString
+    val quarantine = root.resolve("bad").toString
+    val cp = root.resolve("cp").toString
+    writeShard(in, "shard0.jsonl",
+      """{"doc_id": 1, "text": "one", "lang": "en", "source": "web"}""",
+      """{"id": 2, "text": "renamed id field", "lang": "en", "source": "web"}""",
+      """{"doc_id": null, "text": "null id", "lang": "en", "source": "web"}""")
+    val reports = scala.collection.mutable.ArrayBuffer[DocStreams.IngestReport]()
+    val q = DocStreams.jsonlIngest(
+      DocStreams.jsonlTail(spark, in.toString),
+      out, quarantine, cp, r => reports.synchronized { reports += r })
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+      val quarantined = spark.read.parquet(quarantine)
+        .select("raw_line").collect().map(_.getString(0))
+      assert(quarantined.length === 2)
+      assert(quarantined.exists(_.contains("renamed id field")))
+      assert(quarantined.exists(_.contains("null id")))
+      assert(reports.map(_.nValid).sum === 1L)
+      assert(reports.map(_.nCorrupt).sum === 2L)
+    } finally q.stop()
+  }
+
   test("ingestBatch replay with the same batchId is idempotent for both " +
     "sinks (crash between the paired writes)") {
     import spark.implicits._
