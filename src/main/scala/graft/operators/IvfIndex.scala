@@ -40,6 +40,21 @@ object IvfIndex {
       (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
   }
 
+  /** Cluster id of `vec`, FAILING LOUDLY on an unassignable embedding
+    * (r14 review): a NaN component — Spark orders NaN above everything,
+    * so no centroid ever wins the argmin — or a dimension mismatch
+    * (NULL dot) left the fold's -1 sentinel, which crashed [[train]]
+    * with a bare index error, was baked silently into the at-rest
+    * clustered layout, and made the row vanish from every probe path. */
+  private def clusterCol(vec: Column, centroids: Array[Array[Double]])
+      : Column = {
+    val c = assignCol(vec, centroids).getField("cluster")
+    when(c === -1, raise_error(lit(
+      "IvfIndex: unassignable embedding (NaN component or dimension != " +
+        s"${centroids.head.length})")).cast("int"))
+      .otherwise(c)
+  }
+
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     require(a.length == b.length,
       s"vector dimension mismatch: ${a.length} vs ${b.length}")
@@ -103,7 +118,7 @@ object IvfIndex {
     while (it < iters) {
       val assigned = emb.select(
         col(vecCol),
-        assignCol(col(vecCol), centroids).getField("cluster").as("cluster"))
+        clusterCol(col(vecCol), centroids).as("cluster"))
       val means = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
@@ -140,7 +155,7 @@ object IvfIndex {
   def assignments(emb: DataFrame, centroids: Array[Array[Double]],
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     emb.select(col(idCol),
-      assignCol(col(vecCol), centroids).getField("cluster").as("cluster"))
+      clusterCol(col(vecCol), centroids).as("cluster"))
 
   /** SemDedup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): drop all-but-one of any embedding pair whose
@@ -160,10 +175,14 @@ object IvfIndex {
   def semanticDedup(emb: DataFrame, centroids: Array[Array[Double]],
       tau: Double, vecCol: String = "embedding", idCol: String = "vec_id")
       : DataFrame = {
-    val assigned = emb.select(col(idCol), col(vecCol))
+    // cut: assigned feeds BOTH self-join sides and the final left_anti
+    // with different projections, so without it the k-dot-products
+    // argmin fold ran three full corpus passes per call (r14 review) —
+    // the doc's "one assignment pass" made true
+    val assigned = Materialize.cut(emb.select(col(idCol), col(vecCol))
       .withColumn("cluster",
-        assignCol(col(vecCol), centroids).getField("cluster"))
-      .withColumn("nrm", Similarity.norm(col(vecCol)))
+        clusterCol(col(vecCol), centroids))
+      .withColumn("nrm", Similarity.norm(col(vecCol))))
     val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
@@ -180,12 +199,19 @@ object IvfIndex {
   /** nProbe nearest centroid ids to a query vector (driver-side; k is
     * small by construction). */
   def probeClusters(queryVec: Array[Double],
-      centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
+      centroids: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    // the zip would silently TRUNCATE a mismatched query and probe the
+    // wrong lists (the distributed side fails loudly on mismatch; the
+    // driver twin must too — r14 review)
+    require(queryVec.length == centroids.head.length,
+      s"query dim ${queryVec.length} != centroid dim " +
+        s"${centroids.head.length}")
     centroids.zipWithIndex.map { case (c, i) =>
       val d = c.iterator.zip(queryVec.iterator)
         .map { case (a, b) => (a - b) * (a - b) }.sum
       (d, i)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+  }
 
   /** `emb` plus its `cluster` assignment column — the reusable
     * projection behind [[writeClustered]] and the streaming ingest
@@ -194,7 +220,7 @@ object IvfIndex {
   def withCluster(emb: DataFrame, centroids: Array[Array[Double]],
       vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cluster",
-      assignCol(col(vecCol), centroids).getField("cluster"))
+      clusterCol(col(vecCol), centroids))
 
   /** Materialize the corpus partitioned BY CLUSTER — the IVF inverted
     * lists as an at-rest layout (the k-means analog of
@@ -232,9 +258,10 @@ object IvfIndex {
   def topK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,
       k: Int, nProbe: Int, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val qRow = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>")).collect()(0)
-    val qVec = qRow.getSeq[Double](0).toArray
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"IvfIndex.topK: query id $queryId not found")
+    val qVec = qRows(0).getSeq[Double](0).toArray
     val probes = probeClusters(qVec, centroids, nProbe)
     val assigned = assignments(emb, centroids, vecCol, idCol)
     val qLit = typedLit(qVec.toSeq)

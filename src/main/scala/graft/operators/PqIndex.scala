@@ -164,9 +164,19 @@ object PqIndex {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val vec = col(vecCol).cast("array<double>")
+    // fail at ENCODE time on an unencodable block (r14 review): a NaN
+    // component or short vector left the fold's -1 sentinel, which
+    // persisted silently into the at-rest code layout and killed every
+    // later ADC query with element_at(row, 0) — far from the bad input
+    def guarded(b: Int): Column = {
+      val c = blockCode(vec, b, sub, codebooks(b))
+      when(c === -1, raise_error(lit(
+        "PqIndex: unencodable embedding (NaN component or dimension < " +
+          s"${(b + 1) * sub})")).cast("int"))
+        .otherwise(c)
+    }
     emb.select(col(idCol),
-      array((0 until m).map(b =>
-        blockCode(vec, b, sub, codebooks(b))): _*).as("codes"))
+      array((0 until m).map(guarded): _*).as("codes"))
   }
 
   /** Candidate selection over a code relation: approximate cosine from
@@ -320,8 +330,13 @@ object PqIndex {
       .filter(col("rn") <= k)
       .select("qid", idCol)
 
-    val denom = bfTop.count()
-    val hits = bfTop.join(pqTop, Seq("qid", idCol), "left_semi").count()
+    // cut: bfTop (the n x |queries| cross-join + window — the
+    // dominant cost of every recall metric) feeds BOTH the denominator
+    // count and the hits join; without it the whole lineage executed
+    // twice (r14 review)
+    val bfCut = Materialize.cut(bfTop)
+    val denom = bfCut.count()
+    val hits = bfCut.join(pqTop, Seq("qid", idCol), "left_semi").count()
     val n = emb.count()
     val sparkSession = emb.sparkSession
     import sparkSession.implicits._
@@ -361,9 +376,10 @@ object PqIndex {
   def topK(emb: DataFrame, codebooks: Codebooks, queryId: Long, k: Int,
       refine: Int = 10, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val qVec = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>"))
-      .collect()(0).getSeq[Double](0).toArray
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"PqIndex.topK: query id $queryId not found")
+    val qVec = qRows(0).getSeq[Double](0).toArray
     adcTopK(emb.filter(col(idCol) =!= queryId), codebooks, qVec, k, refine,
       vecCol, idCol)
   }

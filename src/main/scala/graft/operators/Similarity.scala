@@ -185,16 +185,26 @@ object Similarity {
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
         (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qn"))).as("score"))
-      .distinct() // multi-probe can reach a candidate through several masks
+      // NO distinct: each corpus row has exactly one bucket and the
+      // probe set {qbucket XOR m} is pairwise distinct (XOR with a
+      // fixed bucket is a bijection over the distinct masks), so
+      // multi-probe CANNOT reach a candidate twice — the old distinct
+      // (with a comment claiming otherwise) shuffled the corpus-scale
+      // candidate set for nothing; lshTopK never had one
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", idCol)
 
-    val denom = bfTop.count()
+    // cut: bfTop (the n x |queries| cross-join + window — the
+    // dominant cost of every recall metric) feeds BOTH the denominator
+    // count and the hits join; without it the whole lineage executed
+    // twice (r14 review)
+    val bfCut = Materialize.cut(bfTop)
+    val denom = bfCut.count()
     // Cost transparency: recall means nothing without the probed fraction
     // (probing every bucket is brute force with extra steps).
     val probedFrac = masks.size.toDouble / (1L << nBits)
-    bfTop.join(lshTop, Seq("qid", idCol))
+    bfCut.join(lshTop, Seq("qid", idCol))
       .agg(count(lit(1)).as("hits"))
       .select(lit(queryIds.size).as("n_queries"), lit(k).as("k"),
         col("hits"),
@@ -329,12 +339,26 @@ object Similarity {
     // "nothing to leak" — every doc must surface with a NULL max cosine
     // and contaminated=false, not silently vanish (a crossJoin would
     // empty the whole report and read as an all-clean corpus).
+    // bounded by contract (it is broadcast below); the count
+    // distinguishes "empty eval set" (documented all-clean) from "this
+    // doc has no comparable embedding" (which must FAIL, not pass)
+    val nEval = e.count()
     c.join(broadcast(e), lit(true), "left")
       .groupBy(col(idCol))
       .agg(round(max(dot(col("cv"), col("ev")) / (col("cn") * col("en"))), 4)
         .as("max_eval_cos"))
       .withColumn("contaminated",
-        coalesce(col("max_eval_cos") >= tau, lit(false)))
+        if (nEval == 0) lit(false)
+        else when(col("max_eval_cos").isNotNull,
+            col("max_eval_cos") >= tau)
+          // r14 review: a NULL max cosine with a NON-empty eval set
+          // means the doc's embedding is NULL or dimension-mismatched —
+          // the old coalesce(false) stamped a verbatim eval copy with a
+          // malformed embedding CLEAN. A safety gate fails loudly.
+          .otherwise(raise_error(concat(
+            lit("semanticDecontaminate: doc "), col(idCol).cast("string"),
+            lit(" has no comparable embedding (NULL or dimension " +
+              "mismatch vs the eval set)"))).cast("boolean")))
   }
 
   // --- Random projection (JL) ---------------------------------------------
@@ -454,8 +478,13 @@ object Similarity {
       .filter(col("rn") <= candK)
       .select("qid", idCol)
     val rrTop = exactTo(cands.join(withNorm, Seq(idCol)))
-    val denom = bfTop.count()
-    val hits = bfTop.join(rrTop, Seq("qid", idCol), "left_semi").count()
+    // cut: bfTop (the n x |queries| cross-join + window — the
+    // dominant cost of every recall metric) feeds BOTH the denominator
+    // count and the hits join; without it the whole lineage executed
+    // twice (r14 review)
+    val bfCut = Materialize.cut(bfTop)
+    val denom = bfCut.count()
+    val hits = bfCut.join(rrTop, Seq("qid", idCol), "left_semi").count()
     val n = emb.count()
     val sparkSession = emb.sparkSession
     import sparkSession.implicits._
@@ -485,6 +514,11 @@ object Similarity {
       queryVec: Seq[Double], k: Int, nBits: Int, dim: Int,
       probeRadius: Int = 2, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    // the zip would silently TRUNCATE a mismatched query and probe the
+    // wrong buckets — confidently wrong top-k (r14 review); the
+    // distributed side fails loudly on mismatch, the driver twin must too
+    require(queryVec.length == dim,
+      s"query dim ${queryVec.length} != layout dim $dim")
     val planes = hyperplanes(nBits, dim)
     val qBucket = (0 until nBits).map { i =>
       val d = planes(i).iterator.zip(queryVec.iterator).map { case (p, x) => p * x }.sum

@@ -25,11 +25,10 @@ import org.apache.spark.sql.functions._
   *   2. Seeding, EM, and pruning run DRIVER-LOCAL over the collected
   *      table. Each EM sweep is O(words x len x maxPieceLen) lattice
   *      forward-backward — the same loop SentencePiece runs
-  *      single-machine. A vocabulary beyond `maxLocalWords` is
-  *      frequency-truncated to the top `maxLocalWords` units by
-  *      (freq desc, word asc) — the documented SentencePiece-style
-  *      input bound (its `--input_sentence_size`/seed caps), applied
-  *      deterministically as a Spark orderBy+limit BEFORE collect.
+  *      single-machine. A vocabulary beyond `maxLocalWords` routes to
+  *      the DISTRIBUTED E-step ([[unigramTrainDistributed]]): the full
+  *      word table trains — nothing is truncated (the r11 top-N
+  *      truncation silently dropped tail mass and is gone).
   *
   * Application distributes as a broadcast-vocabulary mapPartitions with a
   * per-partition distinct-word memo ([[unigramApplyLarge]]) — a corpus
@@ -482,10 +481,11 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.toArray)
+    val vh = vocab.hashCode() // driver-side content hash (cache key part)
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val (vm, maxLen, unk) = applyState(bc)
+        val (vm, maxLen, unk) = applyState(bc, vh)
         val memo = new java.util.HashMap[String, Array[String]]()
         def tok(w: String): Array[String] = {
           val cached = memo.get(w)
@@ -511,21 +511,24 @@ object Unigram {
   private def unkFallbackLocal(vocab: Array[(String, Double)]): Double =
     (if (vocab.isEmpty) 0.0 else vocab.iterator.map(_._2).min) - 10.0
 
-  /** Executor-memoized apply state, keyed by broadcast id: the hash-map
-    * view, max piece length and unk logprob are derived ONCE per
-    * executor JVM per vocabulary, not once per partition — with 32
-    * partitions per core-wave a 50k-piece vocab otherwise rebuilds its
-    * map 32× per stage. Bounded: distinct vocabularies per JVM are few
-    * (one per trained tokenizer); clear defensively past 16 to keep a
-    * pathological many-vocab driver loop from pinning heap. */
+  /** Executor-memoized apply state, keyed by (broadcast id, vocabulary
+    * content hash): the hash-map view, max piece length and unk logprob
+    * are derived ONCE per executor JVM per vocabulary, not once per
+    * partition — with 32 partitions per core-wave a 50k-piece vocab
+    * otherwise rebuilds its map 32× per stage. The content hash
+    * (computed once on the DRIVER and captured in the closure) is part
+    * of the key because Broadcast ids restart at 0 per SparkContext
+    * (r14 review): a new session in the same JVM previously hit a stale
+    * entry and silently tokenized under the WRONG vocabulary. Bounded:
+    * distinct vocabularies per JVM are few; clear defensively past 16. */
   private val applyStateCache =
-    new java.util.concurrent.ConcurrentHashMap[Long,
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int),
       (Map[String, Double], Int, Double)]()
   private def applyState(
-      bc: org.apache.spark.broadcast.Broadcast[Array[(String, Double)]])
-      : (Map[String, Double], Int, Double) = {
+      bc: org.apache.spark.broadcast.Broadcast[Array[(String, Double)]],
+      vocabHash: Int): (Map[String, Double], Int, Double) = {
     if (applyStateCache.size > 16) applyStateCache.clear()
-    applyStateCache.computeIfAbsent(bc.id, _ => {
+    applyStateCache.computeIfAbsent((bc.id, vocabHash), _ => {
       val arr = bc.value
       val vm = arr.toMap
       val maxLen = if (vm.isEmpty) 1 else vm.keysIterator.map(_.length).max
@@ -545,9 +548,10 @@ object Unigram {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.toArray)
+    val vh = vocab.hashCode() // driver-side content hash (cache key part)
     words.select(col(wordCol)).as[String]
       .mapPartitions { it =>
-        val (vm, maxLen, unk) = applyState(bc)
+        val (vm, maxLen, unk) = applyState(bc, vh)
         it.map { w =>
           val (toks, score) = viterbiWord(w, vm, maxLen, unk)
           (w, toks.length, score)

@@ -83,7 +83,11 @@ object VecStreams {
       val valid = cached
         .filter(col("_corrupt").isNull && col("vec_id").isNotNull &&
           col("embedding").isNotNull &&
-          size(col("embedding")) === centroids.head.length)
+          size(col("embedding")) === centroids.head.length &&
+          // a NaN component makes the vector unassignable (the argmin
+          // guard now fails loudly, r14) — for a STREAM that must mean
+          // counted-and-dropped, not a dead query
+          !exists(col("embedding"), x => isnan(x)))
         .drop("_corrupt")
       val clustered = IvfIndex.withCluster(valid, centroids)
         .withColumn("batch", lit(batchId))

@@ -121,6 +121,39 @@ class DegenerateInputsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("malformed embeddings FAIL LOUDLY instead of silently " +
+    "corrupting ANN structures (r14 guards): NaN/short vectors in IVF " +
+    "assignment, PQ encode, and a non-clean decontamination verdict") {
+    val nan = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val e1 = intercept[Exception] {
+      graft.operators.IvfIndex.assignments(nan, centroids).collect()
+    }
+    assert(e1.getMessage.contains("unassignable"))
+    val short = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      graft.operators.PqIndex.encode(short,
+        graft.operators.PqIndex.portableCodebooks(1, 2, 2)).collect()
+    }
+    assert(e2.getMessage.contains("unencodable"))
+    // a corpus doc with NULL embedding vs a NON-empty eval set must not
+    // pass the decontamination gate as clean
+    val corpus = Seq((1L, Some(Array(1.0f, 0.0f))),
+      (2L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val eval = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      graft.operators.Similarity
+        .semanticDecontaminate(corpus, eval, tau = 0.5).collect()
+    }
+    assert(e3.getMessage.contains("no comparable embedding"))
+    // driver-side probe twins reject a dimension-mismatched query
+    val e4 = intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.probeClusters(Array(1.0), centroids, 1)
+    }
+    assert(e4.getMessage.contains("dim"))
+  }
+
   test("BPE training degenerate inputs: empty corpus, zero merges, " +
     "single-char vocabulary — empty merge lists, never a crash") {
     assert(Tokenizer.bpeTrain(emptyDocs, numMerges = 5) === Seq.empty)
