@@ -1051,10 +1051,14 @@ object TextQueries {
                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
           FROM documents),
         c AS (
+          -- r14: a start whose previous window already reached the end
+          -- would emit a strict suffix of it (duplicated tail chunks);
+          -- both engines keep a start iff st = 0 or st-48+64 < len
           SELECT doc_id, u.st,
                  array_to_string(a[u.st+1 : u.st+64], ' ') AS chunk,
                  least(64, len(a) - u.st)::INT AS n_tokens
-          FROM t, unnest(generate_series(0, len(a)-1, 48)) AS u(st))
+          FROM t, unnest(generate_series(0, len(a)-1, 48)) AS u(st)
+          WHERE u.st = 0 OR u.st - 48 + 64 < len(a))
         SELECT doc_id, (st // 48)::INT AS chunk_id, st::INT AS chunk_start,
                chunk, n_tokens
         FROM c

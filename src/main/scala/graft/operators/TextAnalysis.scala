@@ -86,7 +86,10 @@ object TextAnalysis {
     * `regexp_count` counts matches without materializing a match array
     * (the `regexp_extract_all` + `size` form allocates every match). */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val pat = words.mkString("\\b(", "|", ")\\b")
+    // quote each word: raw interpolation made "c++" an invalid pattern
+    // and let "." match any char, inflating counts (r14 review)
+    val pat = words.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(", "|", ")\\b")
     regexp_count(lower(text), lit(pat))
   }
 
@@ -209,7 +212,15 @@ object TextAnalysis {
       "need 0 < stride <= maxTokens")
     val chunksCol = element_at(
       transform(array(tokens(col(textCol))), t =>
-        transform(sequence(lit(0), size(t) - 1, lit(stride)), st =>
+        transform(filter(
+            sequence(lit(0), size(t) - 1, lit(stride)),
+            // a start whose PREVIOUS window already reached the end
+            // would emit a strict suffix of it — with stride <
+            // maxTokens that duplicated (maxTokens-stride)/stride tail
+            // chunks per long document into the training set (r14
+            // review); the first window always stays
+            st => st === 0 || st - lit(stride) + lit(maxTokens) < size(t)),
+          st =>
           struct(st.as("chunk_start"),
             array_join(slice(t, st + 1, lit(maxTokens)), " ").as("chunk"),
             least(lit(maxTokens), size(t) - st).as("n_tokens")))),
@@ -313,9 +324,13 @@ object TextAnalysis {
     * @return (idCol, q, n_tokens) of the kept documents */
   def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // NULL-text docs have NULL quality: they lose the budget race by
+    // definition instead of crashing the driver's level walk on
+    // getDouble(NULL) (r14 review)
     val scored = docs.select(col(idCol),
       round(qualityScore(col(textCol)), 3).as("q"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("q").isNotNull)
     val levels = scored.groupBy("q").agg(sum("n_tokens").as("toks"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(-_._1)
@@ -622,7 +637,12 @@ object TextAnalysis {
   def temperatureSample(docs: DataFrame, groupCol: String, alpha: Double,
       salt: String = "temp", idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // NULL-group docs can never survive the equi-join below, but their
+    // count previously formed a real group that could become __nmin and
+    // gut every real group's keep_rate (r14 review) — exclude them from
+    // the rate computation outright
+    val grouped = docs.filter(col(groupCol).isNotNull)
+    val counts = grouped.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
       .select(col(groupCol),
@@ -633,7 +653,8 @@ object TextAnalysis {
     val u = (conv(substring(md5(concat(lit(salt + "|"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") +
       lit(0.5)) / lit(4294967296.0)
-    docs.join(broadcast(rates), Seq(groupCol)).filter(u < col("keep_rate"))
+    grouped.join(broadcast(rates), Seq(groupCol))
+      .filter(u < col("keep_rate"))
   }
 
   /** CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3): score each
@@ -837,15 +858,19 @@ object TextAnalysis {
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // explicit presence markers (r14 review): inferring presence from
+    // fingerprint nullity misclassified NULL-text docs — a removed doc
+    // whose OLD text was NULL reported "added", and a doc whose new
+    // text is NULL reported "removed"
     val o = oldDocs.select(col(idCol),
-      fingerprint(col(textCol)).as("fp_old"))
+      fingerprint(col(textCol)).as("fp_old"), lit(true).as("__in_old"))
     val n = newDocs.select(col(idCol),
-      fingerprint(col(textCol)).as("fp_new"))
+      fingerprint(col(textCol)).as("fp_new"), lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -1238,8 +1263,15 @@ object TextAnalysis {
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
+      // production key = TWO independently-salted xxhash64 values (128
+      // effective bits): a single 64-bit key crosses its birthday bound
+      // near 5e9 paragraphs — inside the 100 TB regime — and a collision
+      // DELETED every occurrence of the losing paragraph corpus-wide
+      // (r14 review). The portable md5 path is already 128-bit.
       .withColumn("pkey",
-        if (portable) md5(trim(col("para"))) else xxhash64(trim(col("para"))))
+        if (portable) md5(trim(col("para")))
+        else concat_ws(":", xxhash64(trim(col("para"))),
+          xxhash64(trim(col("para")), lit("pdup2"))))
     // winner election: one aggregation on the fingerprint; min(struct)
     // gives the lexicographically-first (doc_id, pos) holder.
     val winners = paras
