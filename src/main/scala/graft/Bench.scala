@@ -605,6 +605,22 @@ object Bench {
       !inflated(name, s) && profile.get(name).exists { p =>
         s.execRunSec > 2.0 * p.execRunSec && s.execRunSec - p.execRunSec > 1.0
       }
+    // r14 verdict #4: the probe records steal/iowait per sample, but the
+    // classifier flagged on exec ratio alone, so every driver-window
+    // anomaly needed manual attribution. Both steal_sec and the exec
+    // inflation are host-CPU-seconds over the same window, so they
+    // compare directly: environment time >= the inflation means the
+    // co-tenant fully explains the flag.
+    def anomalyAttribution(name: String, s: Sample): Option[String] =
+      if (!softAnomaly(name, s)) None
+      else profile.get(name).map { p =>
+        val inflation = s.execRunSec - p.execRunSec
+        val env = math.max(0.0, s.stealSec) + math.max(0.0, s.iowaitSec)
+        if (env >= inflation) "steal_attributed"
+        else if (env >= 0.5 * inflation) "steal_partial"
+        else if (s.foreign > 2.0) "foreign_load_attributed"
+        else "unexplained"
+      }
     val results = selected.map { case (name, fn) =>
       val s1 = runOnce(name, fn, "")
       val samples = scala.collection.mutable.ArrayBuffer(s1)
@@ -680,7 +696,11 @@ object Bench {
         val s = samples(picked)
         val profJson = profile.get(k).map(p =>
           ",\"profile_exec_sec\":" + f3(p.execRunSec)).getOrElse("") +
-          (if (softAnomaly(k, s)) ",\"soft_anomaly\":true" else "")
+          (if (softAnomaly(k, s)) ",\"soft_anomaly\":true" +
+            anomalyAttribution(k, s)
+              .map(a => ",\"anomaly_attribution\":\"" + a + "\"")
+              .getOrElse("")
+          else "")
         val retryJson =
           if (samples.size == 1) profJson
           else ",\"retried\":true,\"picked\":" + picked +
@@ -720,14 +740,16 @@ object Bench {
       }.get
     val heapMax = Runtime.getRuntime.maxMemory()
     val softAnoms = results.collect {
-      case (k, ss, p, _) if softAnomaly(k, ss(p)) => k
+      case (k, ss, p, _) if softAnomaly(k, ss(p)) =>
+        k -> anomalyAttribution(k, ss(p)).getOrElse("unexplained")
     }
-    val softAnomsJson = softAnoms.map("\"" + _ + "\"")
+    val softAnomsJson = softAnoms
+      .map { case (k, a) => "\"" + k + ":" + a + "\"" }
       .mkString("[", ",", "]")
     if (softAnoms.nonEmpty)
       System.err.println(
         s"[bench] soft anomalies (2-3x quiet exec, no retry): " +
-          softAnoms.mkString(", "))
+          softAnoms.map { case (k, a) => s"$k [$a]" }.mkString(", "))
     val host = s""""host":{"cpus_requested":"$cpus","available_processors":$nProc,""" +
       s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
       s""""heap_max_mb":${heapMax / (1024 * 1024)},""" +

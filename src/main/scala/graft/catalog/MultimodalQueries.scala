@@ -49,7 +49,7 @@ object MultimodalQueries {
         WITH RECURSIVE pass AS (
           SELECT media_id, caption, embedding::DOUBLE[] AS v
           FROM $media
-          WHERE len(regexp_split_to_array(trim(lower(caption)), '\\s+')) >= 3
+          WHERE len(list_filter(regexp_split_to_array(trim(lower(caption)), '\\s+'), xw -> xw <> '')) >= 3
         ),
         pairs AS (
           SELECT a.media_id AS id_a, b.media_id AS id_b
@@ -122,7 +122,7 @@ object MultimodalQueries {
           FROM base WHERE media_id % 7 = 0),
         pass AS (
           SELECT media_id, caption, v FROM all_media
-          WHERE len(regexp_split_to_array(trim(lower(caption)), '\\s+')) >= 3),
+          WHERE len(list_filter(regexp_split_to_array(trim(lower(caption)), '\\s+'), xw -> xw <> '')) >= 3),
         pairs AS (
           SELECT a.media_id AS id_a, b.media_id AS id_b
           FROM pass a JOIN pass b ON a.media_id < b.media_id

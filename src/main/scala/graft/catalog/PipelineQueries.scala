@@ -347,7 +347,13 @@ object PipelineQueries {
                  unnest(generate_series(1, len(arr))) AS pos
           FROM arrs),
         s2 AS (SELECT * FROM s WHERE sent != ''),
-        tot AS (SELECT doc_id, count(*) AS n_total FROM s2 GROUP BY 1),
+        -- totals anchor on the input docs (r15): a doc with no non-empty
+        -- sentence still comes back, with 0 counts and empty text
+        tot AS (
+          SELECT d.doc_id, coalesce(c.n, 0) AS n_total
+          FROM docs2 d LEFT JOIN (
+            SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1) c
+          USING (doc_id)),
         firsts AS (
           SELECT doc_id, pos, sent FROM (
             SELECT doc_id, pos, sent,
@@ -751,7 +757,7 @@ object PipelineQueries {
           WHERE round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) >= 0.3
@@ -1146,7 +1152,7 @@ object PipelineQueries {
           SELECT doc_id, round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) AS s
@@ -1252,7 +1258,7 @@ object PipelineQueries {
           SELECT doc_id, round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) AS s
@@ -1319,7 +1325,7 @@ object PipelineQueries {
           SELECT doc_id, round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) AS s
@@ -1400,7 +1406,7 @@ object PipelineQueries {
         WITH c AS (
           SELECT doc_id,
                  len(list_filter(
-                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''),
                    w -> length(w) > 0))::BIGINT AS n_words,
                  greatest(len(list_filter(
                    regexp_split_to_array(text, '[.!?]+'),
@@ -1492,7 +1498,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = documents(s, d)
         docs.select(col("doc_id"), col("lang"), col("source"),
-            size(split(trim(col("text")), "\\s+")).cast("long")
+            size(array_remove(split(trim(col("text")), "\\s+"), "")).cast("long")
               .as("toks"),
             TextAnalysis.qualityScore(col("text")).as("q"),
             TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1509,12 +1515,12 @@ object PipelineQueries {
         SELECT count(*)::BIGINT AS n_docs,
                count(DISTINCT source)::BIGINT AS n_sources,
                count(DISTINCT lang)::BIGINT AS n_langs,
-               sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+               sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), xw -> xw <> '')))::BIGINT
                  AS total_tokens,
                round(avg(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1))), 4) AS avg_quality,
@@ -1878,7 +1884,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = documents(s, d)
         val toks = docs.select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
+          size(array_remove(split(trim(col("text")), "\\s+"), "")).cast("long").as("t"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         val keepers = toks.groupBy("fp").agg(min("doc_id").as("doc_id"))
           .select("doc_id")
@@ -1897,7 +1903,7 @@ object PipelineQueries {
       Some("""
         WITH toks AS (
           SELECT doc_id,
-                 len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'), xw -> xw <> ''))::BIGINT
                    AS t,
                  md5(trim(regexp_replace(regexp_replace(lower(text),
                    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp

@@ -45,7 +45,7 @@ object TextQueries {
     """words AS (
           SELECT w FROM (
             SELECT DISTINCT
-                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
                      AS w
             FROM documents) t
           WHERE regexp_matches(w, '^[a-z]+$')
@@ -124,7 +124,7 @@ object TextQueries {
         WITH RECURSIVE words AS (
           SELECT w FROM (
             SELECT DISTINCT
-                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                      AS w
             FROM documents) t
           WHERE regexp_matches(w, '^[a-z]+$$')
@@ -197,11 +197,11 @@ object TextQueries {
         TextAnalysis.docStats(documents(s, d)).orderBy("doc_id"),
       Some("""
         SELECT doc_id,
-               length(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+               length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '')) AS n_tokens,
                length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
                length(text) AS len,
-               round(length(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ''))
-                 / greatest(length(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 3) AS avg_tok_len,
+               round(length(array_to_string(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''), ''))
+                 / greatest(length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '')), 1), 3) AS avg_tok_len,
                round(length(regexp_extract_all(lower(text), '[a-z]'))
                  / greatest(length(text), 1), 3) AS alpha_ratio
         FROM documents
@@ -266,7 +266,7 @@ object TextQueries {
                round(
                  (length(regexp_extract_all(lower(text), '[a-z]'))
                     / greatest(length(text), 1))
-                 * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                  - (length(regexp_extract_all(text, '[0-9]'))
                     / greatest(length(text), 1)), 3) AS quality
@@ -296,7 +296,7 @@ object TextQueries {
           .orderBy("doc_id"),
       Some("""
         WITH toks AS (
-          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '')) AS token
           FROM documents),
         toks2 AS (SELECT * FROM toks WHERE length(token) > 0),
         sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
@@ -423,7 +423,7 @@ object TextQueries {
           WHERE round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) >= 0.3
@@ -490,7 +490,7 @@ object TextQueries {
           WHERE doc_id < 500 AND round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) >= 0.3
@@ -579,7 +579,7 @@ object TextQueries {
       Some(s"""
         WITH t AS (
           SELECT doc_id, ${shardSql(8)} AS shard,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                    AS n_tokens
           FROM documents),
         w AS (
@@ -602,7 +602,7 @@ object TextQueries {
       Some(s"""
         WITH RECURSIVE t AS (
           SELECT doc_id, ${shardSql(4)} AS shard,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))::INT
                    AS n_tokens
           FROM documents),
         o AS (
@@ -638,7 +638,7 @@ object TextQueries {
       Some(s"""
         WITH RECURSIVE t AS (
           SELECT doc_id, ${shardSql(4)} AS shard,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))::INT
                    AS n
           FROM documents),
         p AS (
@@ -693,7 +693,7 @@ object TextQueries {
       Some(s"""
         WITH RECURSIVE t AS (
           SELECT doc_id, ${shardSql(4)} AS shard,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))::INT
                    AS n
           FROM documents),
         og AS (
@@ -771,7 +771,7 @@ object TextQueries {
           SELECT doc_id,
             list_filter(list_transform(string_split(text, '.'),
               s -> trim(s)), s -> len(s) > 0) AS sents,
-            regexp_split_to_array(trim(lower(text)), '\s+') AS a
+            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
           FROM documents),
         sh AS (
           SELECT doc_id, sents,
@@ -1048,7 +1048,7 @@ object TextQueries {
       Some("""
         WITH t AS (
           SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
           FROM documents),
         c AS (
           -- r14: a start whose previous window already reached the end
@@ -1080,7 +1080,7 @@ object TextQueries {
         WITH tf AS (
           SELECT doc_id, u.token, count(*) AS tf
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0
           GROUP BY 1, 2),
@@ -1110,7 +1110,7 @@ object TextQueries {
         WITH tf AS (
           SELECT doc_id, u.token, count(*) AS tf
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0
           GROUP BY 1, 2)
@@ -1131,7 +1131,7 @@ object TextQueries {
       Some("""
         WITH arr AS (
           SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
           FROM documents),
         g AS (
           SELECT doc_id,
@@ -1191,11 +1191,11 @@ object TextQueries {
           SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
         l AS (
           SELECT doc_id, i.i AS pos, ls[i.i] AS line
-          FROM split, unnest(generate_series(1, len(ls))) AS i(i)
-          WHERE length(trim(ls[i.i])) > 0),
+          FROM split, unnest(generate_series(1, len(ls))) AS i(i)),
         boiler AS (
           SELECT trim(line) AS key
-          FROM (SELECT DISTINCT doc_id, trim(line) AS line FROM l)
+          FROM (SELECT DISTINCT doc_id, trim(line) AS line FROM l
+                WHERE length(trim(line)) > 0)
           GROUP BY 1 HAVING count(*) >= 2),
         kept AS (
           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
@@ -1273,7 +1273,7 @@ object TextQueries {
         WITH tf AS (
           SELECT doc_id, u.token, count(*) AS tf
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0
           GROUP BY 1, 2),
@@ -1308,7 +1308,7 @@ object TextQueries {
                  CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))
                         AS INT) < 58982
                       THEN 'train' ELSE 'valid' END AS split,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
           FROM documents),
         perdoc AS (
           SELECT split, doc_id, len(a) AS n_tok FROM base),
@@ -1351,7 +1351,7 @@ object TextQueries {
       Some("""
         WITH arr AS (
           SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
           FROM documents),
         toks AS (
           SELECT doc_id, i.i - 1 AS pos, a[i.i] AS token
@@ -1401,7 +1401,7 @@ object TextQueries {
         WITH counts AS (
           SELECT lang, u.token AS token, count(*) AS n
           FROM (SELECT lang,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0
           GROUP BY 1, 2)
@@ -1429,8 +1429,8 @@ object TextQueries {
                  round(
                    (length(regexp_extract_all(lower(text), '[a-z]'))
                       / greatest(length(text), 1))
-                   * (CASE WHEN length(regexp_split_to_array(trim(lower(text)),
-                             '\s+')) BETWEEN 5 AND 5000
+                   * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)),
+                             '\s+'), xw -> xw <> '')) BETWEEN 5 AND 5000
                       THEN 1.0 ELSE 0.5 END)
                    - (length(regexp_extract_all(text, '[0-9]'))
                       / greatest(length(text), 1)), 3) AS q_score
@@ -1508,7 +1508,7 @@ object TextQueries {
           WHERE round(
                   (length(regexp_extract_all(lower(text), '[a-z]'))
                      / greatest(length(text), 1))
-                  * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                             BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                   - (length(regexp_extract_all(text, '[0-9]'))
                      / greatest(length(text), 1)), 3) >= 0.3
@@ -1570,7 +1570,7 @@ object TextQueries {
           .orderBy("doc_id"),
       Some("""
         WITH arr AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
           FROM documents),
         toks AS (
           SELECT doc_id, u.i - 1 AS pos, a[u.i] AS token
@@ -1583,14 +1583,19 @@ object TextQueries {
           WHERE vid < 200),
         coded AS (
           SELECT t.doc_id, t.pos, coalesce(v.vid, -1) AS vid
-          FROM toks t LEFT JOIN vocab v USING (token))
-        SELECT doc_id,
-               string_agg(vid::VARCHAR, ',' ORDER BY pos) AS ids,
-               count(*)::BIGINT AS n_tokens,
-               sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov
-        FROM coded
-        GROUP BY 1
-        ORDER BY doc_id""")),
+          FROM toks t LEFT JOIN vocab v USING (token)),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(vid::VARCHAR, ',' ORDER BY pos) AS ids,
+                 count(*)::BIGINT AS n_tokens,
+                 sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov
+          FROM coded
+          GROUP BY 1)
+        SELECT d.doc_id, coalesce(a.ids, '') AS ids,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.n_oov, 0)::BIGINT AS n_oov
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ----- q73: unigram LM document scoring (TextAnalysis
     // .unigramLogprob) — the CCNet-style perplexity proxy: mean ln
@@ -1604,7 +1609,7 @@ object TextQueries {
         WITH toks AS (
           SELECT doc_id, u.token AS token
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
@@ -1676,10 +1681,10 @@ object TextQueries {
                sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
                         THEN 1 ELSE 0 END)::BIGINT AS n_empty_text,
                min(CASE WHEN text IS NOT NULL THEN
-                 len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                 len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '')) END)
                  AS min_tokens,
                max(CASE WHEN text IS NOT NULL THEN
-                 len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                 len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '')) END)
                  AS max_tokens
         FROM documents""")),
 
@@ -1693,7 +1698,7 @@ object TextQueries {
         WITH toks AS (
           SELECT doc_id, u.token AS token
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         pc AS (
@@ -1715,7 +1720,7 @@ object TextQueries {
       Some("""
         WITH s AS (
           SELECT source, lang,
-                 len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+                 len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))::BIGINT
                    AS n_tok
           FROM documents),
         g AS (
@@ -1742,7 +1747,7 @@ object TextQueries {
       Some("""
         WITH base AS (
           SELECT doc_id, text,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS a,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a,
                  list_filter(list_transform(string_split(text, '.'),
                    x -> trim(x)), x -> len(x) > 0) AS sents
           FROM documents),
@@ -1807,7 +1812,7 @@ object TextQueries {
       Some(s"""
         WITH scored AS (
           SELECT doc_id, $qualitySql AS q,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                    AS n_tokens
           FROM documents),
         c AS (
@@ -1971,7 +1976,7 @@ object TextQueries {
         WITH toks AS (
           SELECT doc_id, lang, u.token AS token
           FROM (SELECT doc_id, lang,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         c AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -2053,6 +2058,17 @@ object TextQueries {
     // from, tier cuts, the running-sum budget boundary — replays
     // value-for-value in DuckDB. The training-data analog of q71's
     // dedup pipeline, over the round-5 curation operators.
+    //
+    // PLAN NOTE (r14 verdict #3, adjudicated): the tier semi-join's
+    // build side (tiers, one row per sampled doc) is CORPUS-
+    // PROPORTIONAL, not bounded by construction — at sf0.1 it sits near
+    // AQE's broadcast threshold, so under driver load the runtime stats
+    // occasionally tip it broadcast↔SMJ (BENCH_r14: one plan_flip
+    // retry). That flip is the INTENDED adaptive behavior: pinning
+    // broadcast() here would be wrong at 100 TB, where the same side is
+    // millions of rows and must shuffle. The retry machinery treats the
+    // rarer plan as a flip and re-measures — correct adjudication, by
+    // design. See BENCH_NOTES.md (r15) for the measured story.
     Q("q96_curation_pipeline",
       (s, d) => {
         val docs = documents(s, d)
@@ -2079,7 +2095,7 @@ object TextQueries {
         ptoks AS (
           SELECT doc_id, lang, u.token AS token
           FROM (SELECT doc_id, lang,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> '') AS a
                 FROM samp), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         lc AS (SELECT lang, token, count(*) AS cnt
@@ -2099,7 +2115,7 @@ object TextQueries {
           WHERE t.bucket <= 2),
         scored AS (
           SELECT doc_id, $qualitySql AS q,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                    AS n_tokens
           FROM kept),
         cum AS (
@@ -2140,7 +2156,7 @@ object TextQueries {
       Some("""
         WITH toks AS (
           SELECT u.token
-          FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
@@ -2189,7 +2205,7 @@ object TextQueries {
         WITH tf AS (
           SELECT doc_id, u.token, count(*) AS tf
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0
           GROUP BY 1, 2),
@@ -2229,7 +2245,7 @@ object TextQueries {
           SELECT doc_id, unnest(a) AS token,
                  unnest(generate_series(1, len(a))) AS pos
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents)),
         p2 AS (SELECT * FROM pos WHERE length(token) > 0),
         bi AS (
@@ -2266,7 +2282,7 @@ object TextQueries {
           SELECT doc_id, unnest(a) AS token,
                  unnest(generate_series(1, len(a))) AS pos
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents)),
         p2 AS (SELECT * FROM pos WHERE length(token) > 0),
         flagged AS (
@@ -2453,7 +2469,7 @@ object TextQueries {
           SELECT doc_id + 500000,
                  array_to_string(a[1:len(a)//2], ' ')
           FROM (SELECT doc_id,
-                  regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> '') AS a
                 FROM documents)
           WHERE doc_id % 20 = 0),
         ${minhashCtesFrom("corpus")},
@@ -2559,7 +2575,7 @@ object TextQueries {
       Some(s"""
         WITH scored AS (
           SELECT doc_id, $qualitySql AS q,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))::BIGINT
                    AS n_tokens
           FROM documents),
         fps AS (
@@ -2607,8 +2623,8 @@ object TextQueries {
         WITH per AS (
           SELECT ${shardSql(16)} AS shard,
                  count(*) AS n_docs,
-                 sum(length(regexp_split_to_array(trim(lower(text)),
-                   '\\s+')))::BIGINT AS shard_tokens
+                 sum(length(list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\\s+'), xw -> xw <> '')))::BIGINT AS shard_tokens
           FROM documents GROUP BY 1),
         tot AS (SELECT sum(shard_tokens)::DOUBLE AS t FROM per)
         SELECT shard, n_docs, shard_tokens,
@@ -2773,8 +2789,9 @@ object TextQueries {
     // corpus counts, P(b|a) = (c(a,b)+k)/(c(a)+k·V): the context-aware
     // step up from q73's unigram score and a cheap neural-perplexity
     // stand-in (predictable template text scores high, corrupted text
-    // low). Docs with < 2 tokens have no bigram positions and drop out
-    // on both engines.
+    // low). Docs with < 2 tokens have no bigram positions and come back
+    // with 0 bigrams and a NULL score on both engines (r15: previously
+    // they dropped out of the row set entirely).
     Q("q115_bigram_logprob",
       (s, d) =>
         TextAnalysis.bigramLogprob(documents(s, d)).orderBy("doc_id"),
@@ -2782,7 +2799,7 @@ object TextQueries {
         WITH toks AS (
           SELECT doc_id, u.i - 1 AS pos, a[u.i] AS w
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(generate_series(1, len(a))) AS u(i)
           WHERE length(a[u.i]) > 0),
         bi AS (
@@ -2792,12 +2809,17 @@ object TextQueries {
         bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
         uni AS (SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY 1),
         bc AS (SELECT w1, w2, count(*) AS c12 FROM bi2 GROUP BY 1, 2),
-        v AS (SELECT count(*)::DOUBLE AS v FROM uni)
-        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-               round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logprob
-        FROM bi2 JOIN bc USING (w1, w2) JOIN uni USING (w1), v
-        GROUP BY doc_id
-        ORDER BY doc_id""")),
+        v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        sc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4)
+                   AS avg_logprob
+          FROM bi2 JOIN bc USING (w1, w2) JOIN uni USING (w1), v
+          GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+               sc.avg_logprob
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ----- q116: Unicode-script composition (TextAnalysis.scriptMix) —
     // per-doc fraction of Latin / Han / Cyrillic / digit / other
@@ -2855,7 +2877,7 @@ object TextQueries {
       Some("""
         WITH n AS (
           SELECT doc_id, source,
-                 len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+                 len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))::BIGINT
                    AS n_tokens
           FROM documents),
         m AS (
@@ -3369,7 +3391,7 @@ object TextQueries {
         WITH RECURSIVE words AS (
           SELECT w FROM (
             SELECT DISTINCT
-                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
                      AS w
             FROM documents) t
           WHERE regexp_matches(w, '^[a-z]+$')
@@ -3572,7 +3594,7 @@ object TextQueries {
       Some("""
         WITH RECURSIVE words AS (
           SELECT w, count(*) AS freq FROM (
-            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
               AS w
             FROM documents) t
           WHERE regexp_matches(w, '^[a-z]+$')
@@ -3730,7 +3752,7 @@ object TextQueries {
           SELECT sc.doc_id, sc.text FROM scrub sc JOIN surv USING (doc_id)),
         bscore AS MATERIALIZED (
           SELECT doc_id, $qualitySql AS q,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))
                    AS n_tokens
           FROM kept),
         bcum AS MATERIALIZED (
@@ -3744,7 +3766,7 @@ object TextQueries {
             USING (doc_id)),
         pt AS MATERIALIZED (
           SELECT doc_id, ${shardSql(4)} AS shard,
-                 length(regexp_split_to_array(trim(lower(text)), '\\s+'))::INT
+                 length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> ''))::INT
                    AS n
           FROM bdocs),
         pp2 AS MATERIALIZED (
@@ -3781,8 +3803,8 @@ object TextQueries {
           FROM g JOIN po ON po.shard = g.shard AND po.rn = g.rn + 1),
         wfreq AS MATERIALIZED (
           SELECT w, count(*)::BIGINT AS freq
-          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
-                         '\\s+')) AS w
+          FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                         '\\s+'), xw -> xw <> '')) AS w
                 FROM bdocs)
           WHERE length(w) > 0 GROUP BY w),
         vocab AS MATERIALIZED (
@@ -4276,12 +4298,12 @@ object TextQueries {
   private val dsirWeightCtes: String = """ptoks AS (
           SELECT doc_id, u.token AS token
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         ttoks AS (
           SELECT u.token AS token
-          FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> '') AS a
                 FROM documents WHERE lang = 'en'), unnest(a) AS u(token)
           WHERE length(u.token) > 0),
         csrc AS (SELECT token, count(*) AS cs FROM ptoks GROUP BY 1),
@@ -4306,7 +4328,7 @@ object TextQueries {
   private val qualitySql: String = """round(
                  (length(regexp_extract_all(lower(text), '[a-z]'))
                     / greatest(length(text), 1))
-                 * (CASE WHEN length(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 * (CASE WHEN length(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''))
                            BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
                  - (length(regexp_extract_all(text, '[0-9]'))
                     / greatest(length(text), 1)), 3)"""
@@ -4331,7 +4353,7 @@ object TextQueries {
     * relation the shingles come from (documents, or a filtered CTE). */
   private def shingleCtesFrom(src: String): String =
     s"""arr AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), xw -> xw <> '') AS a
         FROM $src),
       sh AS (
         SELECT doc_id,
@@ -4411,8 +4433,8 @@ object TextQueries {
     s"""
         WITH words AS MATERIALIZED (
           SELECT w, count(*)::BIGINT AS freq
-          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
-                         '\\s+')) AS w
+          FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                         '\\s+'), xw -> xw <> '')) AS w
                 FROM documents)
           WHERE length(w) > 0 GROUP BY w),
         rep0 AS MATERIALIZED (
@@ -4517,8 +4539,8 @@ object TextQueries {
     s"""
         WITH words AS MATERIALIZED (
           SELECT w, count(*)::BIGINT AS freq
-          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
-                         '\\s+')) AS w
+          FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                         '\\s+'), xw -> xw <> '')) AS w
                 FROM documents)
           WHERE length(w) > 0 GROUP BY w),
         rep0 AS MATERIALIZED (

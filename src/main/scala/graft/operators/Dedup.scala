@@ -216,6 +216,15 @@ object Dedup {
     * groupBy shuffle. That statelessness is the point: it drops into a
     * Structured Streaming plan (see `EventStreams.streamingNearDupDedup`)
     * where a streaming aggregation would need its own watermark state.
+    *
+    * The feature array is bound ONCE as a lambda variable (the
+    * single-element `transform`, the [[TextAnalysis.langId]] idiom):
+    * higher-order-function folds get no common-subexpression
+    * elimination, so referencing the features expression inside each of
+    * the 64 per-bit folds re-ran the whole shingle → xxhash64 →
+    * distinct pipeline 64× per row — the dominant cost of the r14
+    * factor-100 stream_neardup step (71.5 s; r14 verdict #6). Bound,
+    * each fold iterates the already-materialized array.
     * Cost: 64 interpreted array folds per row — fine on the per-row
     * ingest path; the batch [[simhash64]] keeps the codegen'd map-side
     * aggregate, which wins when documents are long. */
@@ -224,13 +233,17 @@ object Dedup {
       transform(
         filter(TextAnalysis.shingles(text, 3), t => length(t) > 0),
         t => xxhash64(t)))
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(features, lit(0),
-        (acc, f) => acc +
-          when(shiftright(f, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    element_at(
+      transform(array(features), fs => {
+        val bits = (0 until 64).map { j =>
+          val votes = aggregate(fs, lit(0),
+            (acc, f) => acc +
+              when(shiftright(f, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+        }
+        bits.reduce((a, b) => a.bitwiseOR(b))
+      }),
+      1)
   }
 
   /** Hamming distance between two simhash longs. */

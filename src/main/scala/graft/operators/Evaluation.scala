@@ -21,12 +21,26 @@ object Evaluation {
     * module contract above), so the collect is bounded by design, the
     * downstream fan-out (row totals, diagonal, joins) runs over a
     * LocalTableScan, and nothing stays cached on executors. */
+  /** Hard ceiling on distinct (actual, predicted) cells. Evaluation
+    * metrics are defined over CLASS labels (languages, tiers, flags);
+    * a continuous column passed by mistake would otherwise collect an
+    * unbounded matrix to the driver and OOM far from the bad call
+    * (r14 ADVICE). 10k cells ≈ a 100-class problem — far above any
+    * real label space here, far below driver-memory scale. */
+  private val MaxMatrixCells = 10000
+
   private def cellCounts(df: DataFrame, actualCol: String,
       predCol: String, aName: String, pName: String): DataFrame = {
     val cm = df.groupBy(col(actualCol).as(aName), col(predCol).as(pName))
       .agg(count(lit(1)).as("n"))
+    // bounded pull: fetch cap+1 so overflow is detected, never collected
+    val cells = cm.limit(MaxMatrixCells + 1).collect()
+    require(cells.length <= MaxMatrixCells,
+      s"cellCounts: more than $MaxMatrixCells distinct ($actualCol, " +
+        s"$predCol) pairs — evaluation metrics expect class-label " +
+        "columns, not continuous values")
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cm.collect(): _*), cm.schema)
+      java.util.Arrays.asList(cells: _*), cm.schema)
   }
 
   /** Confusion matrix: (actual, predicted, n) cell counts plus each

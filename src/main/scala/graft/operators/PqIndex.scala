@@ -167,16 +167,20 @@ object PqIndex {
     // fail at ENCODE time on an unencodable block (r14 review): a NaN
     // component or short vector left the fold's -1 sentinel, which
     // persisted silently into the at-rest code layout and killed every
-    // later ADC query with element_at(row, 0) — far from the bad input
-    def guarded(b: Int): Column = {
-      val c = blockCode(vec, b, sub, codebooks(b))
-      when(c === -1, raise_error(lit(
-        "PqIndex: unencodable embedding (NaN component or dimension < " +
-          s"${(b + 1) * sub})")).cast("int"))
-        .otherwise(c)
-    }
+    // later ADC query with element_at(row, 0) — far from the bad input.
+    // The guard runs as a `transform` over the ALREADY-BUILT code array
+    // — a lambda binds each code once — not as a per-block
+    // when(c === -1, …).otherwise(c), whose else-branch re-embeds the
+    // whole argmin fold and doubled the encode cost (the r14 PQ-family
+    // quiet drift: q70b +0.24 s / q70d / q70e — r14 verdict #5).
+    val raw = array((0 until m).map(b =>
+      blockCode(vec, b, sub, codebooks(b))): _*)
     emb.select(col(idCol),
-      array((0 until m).map(guarded): _*).as("codes"))
+      transform(raw, c =>
+        when(c === -1, raise_error(lit(
+          "PqIndex: unencodable embedding (NaN component or dimension " +
+            s"< ${m * sub})")).cast("int"))
+          .otherwise(c)).as("codes"))
   }
 
   /** Candidate selection over a code relation: approximate cosine from

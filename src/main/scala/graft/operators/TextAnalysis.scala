@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization of normalized text → array<string>. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokenization of normalized text → array<string>.
+    * Empty tokens are removed: `split` yields `[""]` on empty input and
+    * a trailing `""` after non-space trailing whitespace (`trim` strips
+    * only ' '), so without the remove an empty/whitespace-only document
+    * counted 1 token and scalar-vs-exploded accounting disagreed (r14
+    * review, deferred). `array_remove` stays codegen'd — no lambda. */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** BPE-ish token stream: runs of letters, runs of digits, single
     * punctuation — the standard pre-tokenizer shape. */
@@ -87,9 +93,23 @@ object TextAnalysis {
     * (the `regexp_extract_all` + `size` form allocates every match). */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
     // quote each word: raw interpolation made "c++" an invalid pattern
-    // and let "." match any char, inflating counts (r14 review)
-    val pat = words.map(java.util.regex.Pattern.quote)
-      .mkString("\\b(", "|", ")\\b")
+    // and let "." match any char, inflating counts (r14 review).
+    // Edge anchors are per-word: \b only works when the word's first AND
+    // last chars are regex word chars — '\bc\+\+\b' can never match
+    // "c++ rocks" because there is no word boundary between '+' and ' ',
+    // so such words silently counted 0 (r14 ADVICE). Words with any
+    // non-word edge get whole-whitespace-token lookarounds instead
+    // (both sides — mixing \b with a lookaround would count the embedded
+    // hit in "c++c++", which is one token, not two).
+    def isWordChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    val pat = words.map { w =>
+      require(w.nonEmpty, "stopwordHits: empty stopword")
+      val q = java.util.regex.Pattern.quote(w)
+      if (isWordChar(w.head) && isWordChar(w.last)) s"\\b$q\\b"
+      else s"(?<!\\S)$q(?!\\S)"
+    }.mkString("(?:", ")|(?:", ")")
     regexp_count(lower(text), lit(pat))
   }
 
@@ -272,9 +292,9 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= perGroup)
-      .drop("rk")
+    docs.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= perGroup)
+      .drop("__graft_rk")
   }
 
   /** Quality-ranked per-group document cap — "domain caps": bound any one
@@ -293,9 +313,9 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(round(qualityScore(col(textCol)), 3).desc, col(idCol))
-    docs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    docs.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
   }
 
   /** Token-budget corpus selection: the highest-quality subset whose
@@ -402,8 +422,13 @@ object TextAnalysis {
       case None => // the whole level fits (callers exclude this, but safe)
         scored.filter(col("q") > bq).union(level.select(outCols: _*))
       case Some((bb, beforeBucket)) =>
+        // order by the NUMERIC id, not the raw column: this branch runs
+        // only when every id casts (all-numeric), and the buckets walk
+        // in numeric order — a string idCol sorted raw would walk
+        // "10" < "2" inside the bucket and contradict the bucket walk
+        // (r14 review, deferred)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("__b").orderBy(idCol)
+          .partitionBy("__b").orderBy(expr(s"try_cast(`$idCol` as bigint)"))
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
             .currentRow)
@@ -469,25 +494,33 @@ object TextAnalysis {
       approximate: Boolean = false, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    // NULL-quality docs (NULL text) are excluded from selection AND from
+    // the per-group size basis on BOTH paths. Before r15 the twins
+    // diverged on them: the approx threshold filter dropped NULLs (NULL
+    // >= thr is NULL) while the exact rank counted them into n_g and
+    // could even keep them at frac near 1 — same call, different kept
+    // sets (r14 review, deferred).
     val scored = docs.withColumn("q_score",
-      round(qualityScore(col(textCol)), 3))
+        round(qualityScore(col(textCol)), 3))
+      .filter(col("q_score").isNotNull)
     if (approximate) {
       val thr = scored.groupBy(groupCol)
         .agg(percentile_approx(col("q_score"), lit(1.0 - frac), lit(10000))
-          .as("q_thr"))
+          .as("__graft_q_thr"))
       scored.join(broadcast(thr), Seq(groupCol))
-        .filter(col("q_score") >= col("q_thr"))
-        .drop("q_thr")
+        .filter(col("q_score") >= col("__graft_q_thr"))
+        .drop("__graft_q_thr")
     } else {
       val byScore = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol)
         .orderBy(col("q_score").desc, col(idCol))
       val whole = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol)
-      scored.withColumn("rk", row_number().over(byScore))
-        .withColumn("n_g", count(lit(1)).over(whole))
-        .filter(col("rk") <= ceil(col("n_g") * lit(frac)))
-        .drop("rk", "n_g")
+      scored.withColumn("__graft_rk", row_number().over(byScore))
+        .withColumn("__graft_n_g", count(lit(1)).over(whole))
+        .filter(col("__graft_rk") <=
+          ceil(col("__graft_n_g") * lit(frac)))
+        .drop("__graft_rk", "__graft_n_g")
     }
   }
 
@@ -521,13 +554,22 @@ object TextAnalysis {
     val coded = toks.join(broadcast(vocab), Seq("token"), "left")
       .select(col(idCol), col("pos"),
         coalesce(col("vid"), lit(-1)).as("vid"))
-    coded.groupBy(idCol)
+    val assembled = coded.groupBy(idCol)
       .agg(
         transform(
           array_sort(collect_list(struct(col("pos"), col("vid")))),
           s => s.getField("vid")).as("token_ids"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("vid") === -1, 1L).otherwise(0L)).as("n_oov"))
+    // Anchor on the input docs: a token-less (empty/whitespace) doc
+    // comes back with an empty ids array and zero counts instead of
+    // dropping out of the row set (r14 review, deferred).
+    docs.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>"))
+          .as("token_ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
   /** Unigram language-model document scoring (the CCNet-style perplexity
@@ -754,22 +796,30 @@ object TextAnalysis {
   def removeBoilerplateLines(docs: DataFrame, minDocs: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minDocs >= 2, "a line must recur across >= 2 docs to be boilerplate")
-    val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // Blank lines are NOT candidates for boilerplate (every doc shares
+    // them) but they ARE document structure: the reassembly must keep
+    // them or paragraph boundaries collapse corpus-wide even when
+    // nothing is boilerplate (r14 review, deferred). So fingerprint and
+    // df-count only non-blank lines; reassemble from ALL lines minus
+    // the boilerplate hits.
+    val allLines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lines = allLines
       .filter(length(trim(col("line"))) > 0)
       .withColumn("lfp", md5(trim(col("line"))))
     val boiler = lines.select(col(idCol), col("lfp")).distinct()
       .groupBy("lfp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select("lfp")
-    val kept = lines.join(boiler, Seq("lfp"), "left_anti")
+    val kept = allLines.withColumn("lfp", md5(trim(col("line"))))
+      .join(boiler, Seq("lfp"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("clean_text"))
-    // Preserve every input doc: all-boilerplate (or all-blank) docs keep
-    // an empty text.
+    // Preserve every input doc: all-boilerplate docs keep an empty text
+    // (all-blank docs keep their blank lines — structure, not boiler).
     docs.select(col(idCol))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as(textCol))
@@ -790,8 +840,13 @@ object TextAnalysis {
     */
   def corpusStats(docs: DataFrame, approximate: Boolean = false,
       hllRsd: Double = 0.02, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val split = hashSplit(col(idCol), 0.9).as("split")
+      idCol: String = "doc_id", trainFrac: Double = 0.9): DataFrame = {
+    // trainFrac was hardcoded 0.9 through r14 — a caller publishing a
+    // card for a differently-split corpus silently reported the wrong
+    // split boundary (r14 review, deferred)
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      "trainFrac must be in (0, 1)")
+    val split = hashSplit(col(idCol), trainFrac).as("split")
     val perDoc = docs.select(split, tokenCount(col(textCol)).as("n_tok"))
     val tokenRel = docs.select(split,
         explode(tokens(col(textCol))).as("token"))
@@ -1323,7 +1378,7 @@ object TextAnalysis {
     val uniCnt = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     val biCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val vocab = broadcast(uniCnt.agg(count(lit(1)).as("v")))
-    bigrams
+    val scored = bigrams
       .join(biCnt, Seq("w1", "w2"))
       .join(uniCnt, Seq("w1"))
       .crossJoin(vocab)
@@ -1332,6 +1387,13 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c12") + k) / (col("c1") + col("v") * k))), 4)
           .as("avg_logprob"))
+    // Anchor on the input docs: a doc with < 2 tokens has no bigrams but
+    // must still appear — 0 bigrams, NULL score — instead of dropping
+    // out of the row set (r14 review, deferred).
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
   }
 
   /** Unicode-script composition per document: the fraction of non-space
@@ -1479,8 +1541,14 @@ object TextAnalysis {
         posexplode(split(col(textCol), "\\.\\s+")).as(Seq("pos", "sent")))
       .withColumn("sent", trim(col("sent")))
       .filter(length(col("sent")) > 0)
-    val totals = sents.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_total"))
+    // Totals anchor on the INPUT docs, not the exploded sentences: a doc
+    // with no non-empty sentence (empty/whitespace text) must still come
+    // back — with 0 counts and empty text — instead of vanishing from
+    // the output row set (r14 review, deferred).
+    val totals = docs.select(col(idCol).as("doc_id"))
+      .join(sents.groupBy("doc_id").agg(count(lit(1)).as("__nt")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__nt"), lit(0L)).as("n_total"))
     val kept = sents
       .groupBy("sent")
       .agg(min(struct(col("doc_id"), col("pos"))).as("m"))

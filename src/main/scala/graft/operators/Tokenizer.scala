@@ -97,7 +97,7 @@ object Tokenizer {
     * capture space-adjacent context" setup, with ' ' as an ordinary
     * symbol). A coarser unit grows the trainable vocabulary without
     * changing the algorithm. */
-  private[operators] def wordTable(docs: DataFrame, textCol: String,
+  private[graft] def wordTable(docs: DataFrame, textCol: String,
       wordsPerUnit: Int): DataFrame = {
     val ws = filter(split(trim(lower(col(textCol))), "\\s+"),
       s => length(s) > 0)
@@ -238,7 +238,7 @@ object Tokenizer {
   /** [[bpeTrainDistributed]] with the full selection/accounting detail
     * (exact per-merge counts, Spark rounds and actions) — the surface
     * the batching claim and the SQL replay adjudicate. */
-  private[operators] def bpeTrainDistributedDetail(wordTbl: DataFrame,
+  private[graft] def bpeTrainDistributedDetail(wordTbl: DataFrame,
       numMerges: Int, topPairs: Int = 200000, maxActivePairs: Int = 8192,
       activeWordCap: Int = 1000000): SubwordBatch.Result =
     SubwordBatch.train(wordTbl, useGain = false, (a, b) => a + b,

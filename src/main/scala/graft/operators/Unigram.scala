@@ -481,7 +481,7 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.toArray)
-    val vh = vocab.hashCode() // driver-side content hash (cache key part)
+    val vh = vocabFingerprint(vocab) // driver-side cache key part
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -511,24 +511,44 @@ object Unigram {
   private def unkFallbackLocal(vocab: Array[(String, Double)]): Double =
     (if (vocab.isEmpty) 0.0 else vocab.iterator.map(_._2).min) - 10.0
 
+  /** Driver-computed content fingerprint of a vocabulary: SHA-256 over
+    * every (piece, logprob) with a terminator byte between pieces (so
+    * ("ab","c") and ("a","bc") differ), prefixed by the length. The r14
+    * (broadcast id, Seq.hashCode) key closed the cross-SparkContext
+    * stale-entry bug only probabilistically — broadcast ids restart at 0
+    * per context and Seq.hashCode is 32-bit, so a colliding pair would
+    * still tokenize under the WRONG vocabulary (r14 ADVICE). A 256-bit
+    * content digest makes accidental collision physically implausible. */
+  private[operators] def vocabFingerprint(
+      vocab: Seq[(String, Double)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    vocab.foreach { case (p, lp) =>
+      md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+      buf.clear(); buf.putDouble(lp); md.update(buf.array())
+    }
+    s"${vocab.length}:${md.digest().map("%02x".format(_)).mkString}"
+  }
+
   /** Executor-memoized apply state, keyed by (broadcast id, vocabulary
-    * content hash): the hash-map view, max piece length and unk logprob
-    * are derived ONCE per executor JVM per vocabulary, not once per
-    * partition — with 32 partitions per core-wave a 50k-piece vocab
-    * otherwise rebuilds its map 32× per stage. The content hash
+    * content fingerprint): the hash-map view, max piece length and unk
+    * logprob are derived ONCE per executor JVM per vocabulary, not once
+    * per partition — with 32 partitions per core-wave a 50k-piece vocab
+    * otherwise rebuilds its map 32× per stage. The fingerprint
     * (computed once on the DRIVER and captured in the closure) is part
     * of the key because Broadcast ids restart at 0 per SparkContext
     * (r14 review): a new session in the same JVM previously hit a stale
     * entry and silently tokenized under the WRONG vocabulary. Bounded:
     * distinct vocabularies per JVM are few; clear defensively past 16. */
   private val applyStateCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int),
+    new java.util.concurrent.ConcurrentHashMap[(Long, String),
       (Map[String, Double], Int, Double)]()
   private def applyState(
       bc: org.apache.spark.broadcast.Broadcast[Array[(String, Double)]],
-      vocabHash: Int): (Map[String, Double], Int, Double) = {
+      vocabFp: String): (Map[String, Double], Int, Double) = {
     if (applyStateCache.size > 16) applyStateCache.clear()
-    applyStateCache.computeIfAbsent((bc.id, vocabHash), _ => {
+    applyStateCache.computeIfAbsent((bc.id, vocabFp), _ => {
       val arr = bc.value
       val vm = arr.toMap
       val maxLen = if (vm.isEmpty) 1 else vm.keysIterator.map(_.length).max
@@ -548,7 +568,7 @@ object Unigram {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.toArray)
-    val vh = vocab.hashCode() // driver-side content hash (cache key part)
+    val vh = vocabFingerprint(vocab) // driver-side cache key part
     words.select(col(wordCol)).as[String]
       .mapPartitions { it =>
         val (vm, maxLen, unk) = applyState(bc, vh)

@@ -99,4 +99,98 @@ object HostileUmls {
           Map("DOCKEY" -> "RELA", "VALUE" -> r,
             "TYPE" -> "rela_inverse", "EXPL" -> s"inv_$r")))))
   }
+
+  /** Deterministic fixture aimed at the PROPERTY-SECTION boundary logic
+    * the r14 whole-file differential never pressured (r14 verdict #7),
+    * plus a hostile MRSAB header:
+    *
+    *   - `len(desc) < 20` label substitution exactly at 19 vs 20 chars
+    *     (`umls2rdf.py:523-524`);
+    *   - the underscore-prettify quirk: when the chosen LABEL contains
+    *     '_' the reference rebuilds it from `self.att`, NOT from the
+    *     desc, and uppercases the first char (`umls2rdf.py:525-527`) —
+    *     seeded both via an underscore ATN and an underscore desc;
+    *   - `rela_inverse` substitution: desc becomes "Inverse of <inv>"
+    *     BEFORE the 20-char rule, so a short inverse flips the label to
+    *     the desc and a long one does not (`umls2rdf.py:806-808`);
+    *   - RELA properties WITHOUT an inverse row (the seeds through r14
+    *     always paired one, so the plain expanded_form path for object
+    *     properties never ran);
+    *   - an empty RELA falling back to REL as the property fragment;
+    *   - hostile MRSAB header values: quotes, backslash, unicode and a
+    *     newline through `turtle_string` (label/version/source lines).
+    *
+    * Every EXPL is escaping-NEUTRAL (no quotes/backslashes), so the
+    * property section stays byte-comparable (`compareEscaped = true`) —
+    * the reference interpolates EXPL raw, the engine escapes, and on
+    * neutral text the bytes agree. */
+  def propertyBoundaryFixture(): Map[String, DataFrame] = {
+    val codes = (1 to 10).map(i => s"K$i")
+    val atoms = codes.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        conso(s"C$i", s"A${i}p", c, s"label $i", "PT"),
+        conso(s"C$i", s"A${i}s", c, s"syn $i", "SY"))
+    }
+    // crafted RELAs on the NON-CHD (odd-i) rels — only those register
+    // object properties; i=3 keeps an empty RELA (REL-fragment fallback)
+    val relaOf = Map(1 -> "rel_under_score", 5 -> "relinvshort",
+      7 -> "relinvlong", 9 -> "relbound20")
+    val rels = (1 until codes.length).map { i =>
+      Map("CUI1" -> s"C$i", "AUI1" -> s"A${i}p",
+        "CUI2" -> s"C${i - 1}", "AUI2" -> s"A${i - 1}p",
+        "REL" -> (if (i % 2 == 0) "CHD" else "RO"),
+        "RELA" -> relaOf.getOrElse(i, ""),
+        "SAB" -> "RND", "SUPPRESS" -> "N")
+    }
+    val atnOf = Map(1 -> "BOUND19", 3 -> "BOUND20", 5 -> "und_er",
+      7 -> "DESC_UND", 9 -> "BOUND19")
+    val atts = atnOf.toSeq.sortBy(_._1).map { case (i, atn) =>
+      Map("CUI" -> s"C$i", "CODE" -> codes(i),
+        "ATN" -> atn, "ATV" -> s"value $i", "SAB" -> "RND")
+    }
+    val stys = codes.indices.map { i =>
+      Map("CUI" -> s"C$i", "TUI" -> f"T${i + 1}%03d", "STN" -> s"A1.$i",
+        "STY" -> s"Semantic type $i")
+    }
+    def doc(dockey: String, value: String, typ: String,
+        expl: String): Map[String, String] =
+      Map("DOCKEY" -> dockey, "VALUE" -> value, "TYPE" -> typ,
+        "EXPL" -> expl)
+    val mrdoc = Seq(
+      // 19 chars -> label = desc; 20 chars -> label stays the att
+      doc("ATN", "BOUND19", "expanded_form", "a" * 19),
+      doc("ATN", "BOUND20", "expanded_form", "b" * 20),
+      // underscore ATT, short desc WITHOUT '_': label = desc (no
+      // prettify — the quirk keys on the label's own underscore)
+      doc("ATN", "und_er", "expanded_form", "plain short desc"),
+      // short desc WITH '_': label starts as the desc, then the quirk
+      // rebuilds it from the ATT -> "DESC UND"
+      doc("ATN", "DESC_UND", "expanded_form", "has_under_score"),
+      // the empty-RELA rel renders under its REL fragment
+      doc("REL", "RO", "expanded_form", "related otherness relation"),
+      // no inverse, long desc, underscore att -> prettified att label
+      doc("RELA", "rel_under_score", "expanded_form",
+        "relation under score extended"),
+      // short inverse: desc = "Inverse of ab" (13) -> label = desc
+      doc("RELA", "relinvshort", "expanded_form", "unused by inverse"),
+      doc("RELA", "relinvshort", "rela_inverse", "ab"),
+      // long inverse: "Inverse of abcdefghij" (21) -> label = att
+      doc("RELA", "relinvlong", "expanded_form", "also unused here"),
+      doc("RELA", "relinvlong", "rela_inverse", "abcdefghij"),
+      // exactly 20, no inverse -> label = att
+      doc("RELA", "relbound20", "expanded_form", "c" * 20))
+    Map(
+      "MRCONSO" -> TestSpark.mkTable("MRCONSO", atoms),
+      "MRREL" -> TestSpark.mkTable("MRREL", rels),
+      "MRDEF" -> TestSpark.mkTable("MRDEF", Seq.empty),
+      "MRSAT" -> TestSpark.mkTable("MRSAT", atts),
+      "MRSTY" -> TestSpark.mkTable("MRSTY", stys),
+      "MRSAB" -> TestSpark.mkTable("MRSAB", Seq(
+        Map("RSAB" -> "RND", "VSAB" -> "RND2025", "CURVER" -> "Y",
+          "SVER" -> "v2 \"quoted\" \\ é",
+          "IMETA" -> "2025AB",
+          "SSN" -> "Röntgen \"scale\"\nontology, 100% é",
+          "LAT" -> "ENG"))),
+      "MRDOC" -> TestSpark.mkTable("MRDOC", mrdoc))
+  }
 }

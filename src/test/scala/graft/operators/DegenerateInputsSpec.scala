@@ -181,6 +181,78 @@ class DegenerateInputsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("tokens/tokenCount on degenerate text: empty and whitespace-only " +
+    "docs have ZERO tokens, trailing non-space whitespace adds none " +
+    "(r15 — split's phantom empty token is removed)") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "\t"), (4L, "a\t"),
+      (5L, "a  b")).toDF("id", "t")
+    val got = df.select(col("id"),
+      TextAnalysis.tokens(col("t")).as("toks"),
+      TextAnalysis.tokenCount(col("t")).as("n"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[String](1).isEmpty && got(0).getInt(2) === 0)
+    assert(got(1).getSeq[String](1).isEmpty && got(1).getInt(2) === 0)
+    assert(got(2).getSeq[String](1).isEmpty && got(2).getInt(2) === 0)
+    assert(got(3).getSeq[String](1).toList === List("a"))
+    assert(got(4).getSeq[String](1).toList === List("a", "b"))
+  }
+
+  test("degenerate docs stay IN the row set: sentenceDedup, tokensToIds " +
+    "and bigramLogprob emit zero-count rows instead of dropping them " +
+    "(r15 — row-count stability under empty/short text)") {
+    val docs = Seq((1L, "alpha beta. alpha beta. gamma delta"),
+      (2L, ""), (3L, "solo"), (4L, "   ")).toDF("doc_id", "text")
+    val sd = TextAnalysis.sentenceDedup(docs).orderBy("doc_id").collect()
+    assert(sd.length === 4)
+    assert(sd(1).getString(1) === "" && sd(1).getLong(2) === 0L &&
+      sd(1).getLong(3) === 0L)
+    assert(sd(3).getLong(3) === 0L)
+    val ti = TextAnalysis.tokensToIds(docs, vocabSize = 10)
+      .orderBy("doc_id").collect()
+    assert(ti.length === 4)
+    assert(ti(1).getSeq[Int](1).isEmpty && ti(1).getLong(2) === 0L &&
+      ti(1).getLong(3) === 0L)
+    val bg = TextAnalysis.bigramLogprob(docs).orderBy("doc_id").collect()
+    assert(bg.length === 4)
+    // doc 3 has ONE token: zero bigrams, NULL score — but the row exists
+    assert(bg(2).getLong(1) === 0L && bg(2).isNullAt(2))
+    assert(bg(1).getLong(1) === 0L && bg(1).isNullAt(2))
+    assert(bg(0).getLong(1) > 0L && !bg(0).isNullAt(2))
+  }
+
+  test("removeBoilerplateLines keeps BLANK lines: paragraph structure " +
+    "is not boilerplate (r15 — blank lines previously vanished " +
+    "corpus-wide even when nothing recurred)") {
+    val docs = Seq(
+      (1L, "header\n\npara one\n\npara two"),
+      (2L, "header\n\nother text")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // 'header' recurs in both docs -> removed; blank lines survive
+    assert(got(0).getString(1) === "\npara one\n\npara two")
+    assert(got(1).getString(1) === "\nother text")
+  }
+
+  test("qualityTopFraction treats NULL-quality docs identically on the " +
+    "exact and approximate paths: excluded from selection AND from the " +
+    "group-size basis (r15 — the twins previously diverged)") {
+    val docs = Seq(
+      (1L, "good text with several plain words here", "en"),
+      (2L, "more quality text with enough words too", "en"),
+      (3L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val exact = TextAnalysis
+      .qualityTopFraction(docs, "lang", frac = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val approx = TextAnalysis
+      .qualityTopFraction(docs, "lang", frac = 1.0, approximate = true)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // frac = 1.0 keeps every SCORED doc; the NULL-text doc is excluded
+    // by contract on BOTH paths (before r15 the exact path kept it)
+    assert(exact.toList === List(1L, 2L))
+    assert(approx.toList === List(1L, 2L))
+  }
+
   test("normalize/fingerprint on NULL and empty text: NULL in, NULL " +
     "out; empty in, empty out") {
     val df = Seq((1L, null: String), (2L, ""), (3L, "  \t ")).toDF("id", "t")

@@ -131,6 +131,19 @@ class EvaluationSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
+  test("matrix metrics REFUSE a continuous column loudly: > 10k " +
+    "distinct class pairs fails with the contract message instead of " +
+    "collecting an unbounded matrix to the driver (r14 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    val continuous = spark.range(10001)
+      .select(col("id").cast("string").as("y"),
+        col("id").cast("string").as("yhat"))
+    val e = intercept[IllegalArgumentException] {
+      Evaluation.confusionMatrix(continuous, "y", "yhat").collect()
+    }
+    assert(e.getMessage.contains("class-label"))
+  }
+
   test("cohenKappa with zero agreement on balanced classes is negative") {
     val d = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
       .toDF("y", "yhat")

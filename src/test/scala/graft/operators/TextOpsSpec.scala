@@ -311,4 +311,41 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(top2 === Set(1L, 2L, 4L, 5L)) // tie 2-vs-3 resolves to id 2
   }
+
+  test("stopwordHits matches words with NON-WORD edge characters: " +
+    "\\b anchors can never fire before a space after '+', so such " +
+    "words need whitespace lookarounds (r14 ADVICE)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Seq((1L, "c++ is fast"), (2L, "i know cpp not c"),
+      (3L, "c++c++ c++")).toDF("id", "t")
+    val got = d.select(col("id"),
+      TextAnalysis.stopwordHits(col("t"), Seq("c++")).as("n"))
+      .orderBy("id").collect().map(_.getInt(1)).toList
+    // doc 3: "c++c++" is ONE whitespace token, not two hits — only the
+    // standalone trailing "c++" counts
+    assert(got === List(1, 0, 1))
+    // word-char stopwords keep \b semantics: punctuation still bounds
+    val got2 = d.select(
+      TextAnalysis.stopwordHits(lit("is, is; isnt"), Seq("is")))
+      .head().getInt(0)
+    assert(got2 === 2)
+  }
+
+  test("tokenBudgetSelect with STRING-TYPED all-numeric ids walks the " +
+    "boundary bucket in NUMERIC id order — '10' sorts after '2' " +
+    "(r14 review: the raw-string window contradicted the bucket walk)") {
+    // same quality everywhere -> ONE boundary level; the id spread
+    // (2..16002) makes the bucket width 9, so ids '2' and '10' land in
+    // the SAME bucket — the within-bucket cut must walk 2 before 10,
+    // though the raw strings sort '10' < '2'
+    val docs = Seq("2", "10", "16002").map { id =>
+      (id, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    }.toDF("doc_id", "text")
+    val kept = TextAnalysis.tokenBudgetSelect(docs, tokenBudget = 10L,
+      idCol = "doc_id")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // the 10-token budget cuts inside bucket 0: numeric order keeps id
+    // 2; the pre-r15 raw-string order kept id 10 instead
+    assert(kept === Set("2"))
+  }
 }

@@ -289,4 +289,21 @@ class UnigramSpec extends AnyFunSuite {
     assert(totalToks < totalChars,
       s"multi-char pieces in use: $totalToks tokens vs $totalChars chars")
   }
+
+  test("vocabFingerprint is a CONTENT digest: piece-boundary, logprob, " +
+    "order and length changes all produce distinct keys (r14 ADVICE — " +
+    "the 32-bit Seq.hashCode key could collide across SparkContexts)") {
+    val fp = Unigram.vocabFingerprint _
+    val base = Seq(("ab", -1.0), ("c", -2.0))
+    assert(fp(base) === fp(Seq(("ab", -1.0), ("c", -2.0))))
+    // piece-boundary shift: same concatenated bytes, different pieces
+    assert(fp(base) !== fp(Seq(("a", -1.0), ("bc", -2.0))))
+    // logprob change only
+    assert(fp(base) !== fp(Seq(("ab", -1.0), ("c", -2.5))))
+    // order change (vocab rank is meaningful)
+    assert(fp(base) !== fp(Seq(("c", -2.0), ("ab", -1.0))))
+    // length prefix guards truncation
+    assert(fp(base) !== fp(base :+ ("d", -3.0)))
+    assert(fp(Seq.empty) !== fp(base))
+  }
 }

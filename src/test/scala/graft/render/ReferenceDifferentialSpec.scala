@@ -328,6 +328,21 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("WHOLE FILE property-boundary seeds: the 19/20-char label rule, " +
+    "underscore prettify (att-not-desc quirk), rela_inverse " +
+    "substitution before the length rule, inverse-less RELAs, the " +
+    "REL-fragment fallback, and a hostile header — all byte-equal " +
+    "INCLUDING the property section (r14 verdict #7)") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    val fixture = graft.HostileUmls.propertyBoundaryFixture()
+    // EXPLs are escaping-neutral by construction, so compareEscaped
+    // stays TRUE: this is the first hostile leg where the property
+    // block itself is byte-diffed.
+    diffFull("RND", loadOnCuis = false,
+      t => fixture.getOrElse(t, UmlsSource.empty(spark, t)),
+      graft.TestSpark.fixedSource(fixture), "property-boundary")
+  }
+
   test("HOSTILE generated fixtures render byte-equal to the reference " +
     "(escaping order, percent-encoding, unicode — seeds 1-5)") {
     // The property-based leg: the SAME seeded hostile fixtures that
