@@ -256,6 +256,10 @@ object ScaleStress {
     ScaleStressStreaming.run(spark, sfDir, factor, workDir, steps, facts,
       violations)
 
+    // ---- graph + search plane (planted ring/clique/chord graphs and
+    // needle vocabularies with EXACT known answers) -----------------------
+    ScaleStressGraph.run(spark, corpus, steps, facts, violations)
+
     // ---- in-run structural asserts --------------------------------------
     // Tolerances calibrated on the r11 factor-100 run: components landed
     // 47.6k vs 50k structural (natural cross-base dups merge some decade

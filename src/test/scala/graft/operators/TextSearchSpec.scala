@@ -242,14 +242,16 @@ class TextSearchSpec extends AnyFunSuite {
   }
 
   test("removeBoilerplateLines keeps multi-line remainders in original " +
-    "order and ignores blank lines") {
+    "order and preserves blank lines as document structure") {
     val d = Seq(
       (1L, "keep one\nBOILER\n\nkeep two\nkeep three"),
       (2L, "BOILER\nother"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.removeBoilerplateLines(d, minDocs = 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(1L) === "keep one\nkeep two\nkeep three")
+    // blank lines are never boilerplate candidates AND are kept in the
+    // reassembly — paragraph boundaries survive the scrub
+    assert(got(1L) === "keep one\n\nkeep two\nkeep three")
     assert(got(2L) === "other")
   }
 }

@@ -128,14 +128,18 @@ class WebTextSpec extends AnyFunSuite {
   // --- bigramLogprob ------------------------------------------------------
 
   test("bigramLogprob scores a doc made of the corpus's dominant bigram " +
-    "above one of unique bigrams, and drops single-token docs") {
+    "above one of unique bigrams; a single-token doc stays in the row " +
+    "set with 0 bigrams and a NULL score") {
     val common = (0 until 20).map(i => (i.toLong, "to be to be to be"))
     val d = (common :+ ((90L, "zz qq ww")) :+ ((99L, "solo")))
       .toDF("doc_id", "text")
-    val got = TextAnalysis.bigramLogprob(d)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = TextAnalysis.bigramLogprob(d).collect()
+    val got = rows.filterNot(_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(0L) > got(90L))
-    assert(!got.contains(99L)) // no bigram positions → no row
+    // no bigram positions → row kept, zero count, NULL score
+    val solo = rows.find(_.getLong(0) == 99L).get
+    assert(solo.getLong(1) === 0L && solo.isNullAt(2))
   }
 
   test("bigramLogprob: deterministic value on a hand-computable corpus") {
