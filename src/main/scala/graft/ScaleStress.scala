@@ -207,13 +207,28 @@ object ScaleStress {
       Tokenizer.bpeTrainDistributedDetail(subwordWords, subwordMerges,
         topPairs = 128, maxActivePairs = 64, activeWordCap = 2000)
     }
+    // The HARD regime: activeWordCap so tight that even the m=1 pull
+    // saturates, forcing the single-merge fallback (exact argmax from
+    // round stats, no simulation) — the true per-merge worst case the
+    // batch engine degrades to. Top char pairs here span far more than
+    // 8 of the 100+ distinct words, so the fallback genuinely fires.
+    val subHard = timed("subword_capped_hard") {
+      Tokenizer.bpeTrainDistributedDetail(subwordWords, subwordMerges,
+        topPairs = 128, maxActivePairs = 64, activeWordCap = 8)
+    }
     facts += "subword_merges" -> subwordMerges.toLong
     facts += "subword_unbound_rounds" -> subUnbound.rounds.toLong
     facts += "subword_unbound_actions" -> subUnbound.sparkActions.toLong
     facts += "subword_capped_rounds" -> subCapped.rounds.toLong
     facts += "subword_capped_actions" -> subCapped.sparkActions.toLong
-    val subwordDiverge = subUnbound.sels.map(s => (s.a, s.b))
+    facts += "subword_hard_rounds" -> subHard.rounds.toLong
+    facts += "subword_hard_actions" -> subHard.sparkActions.toLong
+    val subwordTraj = subUnbound.sels.map(s => (s.a, s.b))
+    val subwordDiverge = subwordTraj
       .zip(subCapped.sels.map(s => (s.a, s.b)))
+      .indexWhere { case (u, c) => u != c }
+    val subwordDivergeHard = subwordTraj
+      .zip(subHard.sels.map(s => (s.a, s.b)))
       .indexWhere { case (u, c) => u != c }
 
     // ---- corpus-wide stats (sketched) -----------------------------------
@@ -319,9 +334,24 @@ object ScaleStress {
         s" > merges ${fm("subword_merges")} (round loop spun without" +
         " progress)"
     if (subUnbound.sels.length != subwordMerges ||
-        subCapped.sels.length != subwordMerges)
+        subCapped.sels.length != subwordMerges ||
+        subHard.sels.length != subwordMerges)
       violations += s"subword merge counts ${subUnbound.sels.length}/" +
-        s"${subCapped.sels.length} != $subwordMerges"
+        s"${subCapped.sels.length}/${subHard.sels.length}" +
+        s" != $subwordMerges"
+    // hard regime: trajectory still exact; strictly MORE rounds than
+    // the soft caps (the word cap actually bit, degrading toward
+    // per-merge); never more rounds than merges.
+    if (subwordDivergeHard >= 0)
+      violations += s"subword hard-capped trajectory diverges from" +
+        s" unbound at merge $subwordDivergeHard"
+    if (fm("subword_hard_rounds") <= fm("subword_capped_rounds"))
+      violations += s"subword hard cap did not bind past the soft run:" +
+        s" hard rounds ${fm("subword_hard_rounds")} <=" +
+        s" soft ${fm("subword_capped_rounds")}"
+    if (fm("subword_hard_rounds") > fm("subword_merges"))
+      violations += s"subword_hard_rounds=${fm("subword_hard_rounds")}" +
+        s" > merges ${fm("subword_merges")}"
 
     val total = steps.map(_._2).sum
     val json = "{" +
