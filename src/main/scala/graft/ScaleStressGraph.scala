@@ -157,10 +157,14 @@ object ScaleStressGraph {
           s" ${agg.getLong(0)} distinct rounded ranks (expected 1)"
       if (agg.getLong(2) != n)
         violations += s"pageRank rows ${agg.getLong(2)} != $n"
-      val expect = math.rint(1e6 / n) / 1e6
-      if (math.abs(agg.getDouble(1) - expect) > 1e-9)
+      // round(·, 6) can move the value by at most half an ulp at scale
+      // 6 (5e-7), and Spark's HALF_UP can disagree with a HALF_EVEN
+      // driver-side expectation exactly on .5 boundaries — so gate on
+      // the distance to the TRUE 1/N with the half-ulp allowance
+      // instead of reproducing one rounding mode.
+      if (math.abs(agg.getDouble(1) - 1.0 / n) > 5.0001e-7)
         violations += s"pageRank ring rank ${agg.getDouble(1)}" +
-          s" != round(1/N) $expect"
+          s" not within rounding distance of 1/N ${1.0 / n}"
     }
 
     // ---- HITS: ring keeps hub and authority uniform ---------------------
@@ -232,11 +236,16 @@ object ScaleStressGraph {
         if (occurrences.contains(i)) needleTerm
         else tokens.getOrElse(i, "fill")
       }.mkString(" ")
-    val bm25Doubles = (0L until 10L).map(nDocs + _)
-    val bm25Singles = (10L until 50L).map(nDocs + _)
-    val phraseOnce = (0L until 75L).map(nDocs + 100L + _)
-    val phraseTwice = (75L until 80L).map(nDocs + 100L + _)
-    val decoys = (0L until 25L).map(nDocs + 200L + _)
+    // Anchor needle ids past the MAX existing id, not the row count —
+    // a corpus whose doc_ids are not 0-based contiguous (1-based, or
+    // gapped by the factor expansion) would otherwise collide with the
+    // plant and merge postings under duplicate ids.
+    val idBase = corpus.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val bm25Doubles = (0L until 10L).map(idBase + _)
+    val bm25Singles = (10L until 50L).map(idBase + _)
+    val phraseOnce = (0L until 75L).map(idBase + 100L + _)
+    val phraseTwice = (75L until 80L).map(idBase + 100L + _)
+    val decoys = (0L until 25L).map(idBase + 200L + _)
     val phraseAt = (p: Int) =>
       Map(p -> phrase(0), (p + 1) -> phrase(1), (p + 2) -> phrase(2))
     val needleRows =

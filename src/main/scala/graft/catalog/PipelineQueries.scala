@@ -1406,8 +1406,8 @@ object PipelineQueries {
         WITH c AS (
           SELECT doc_id,
                  len(list_filter(
-                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), xw -> xw <> ''),
-                   w -> length(w) > 0))::BIGINT AS n_words,
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   xw -> xw <> ''))::BIGINT AS n_words,
                  greatest(len(list_filter(
                    regexp_split_to_array(text, '[.!?]+'),
                    x -> length(trim(x)) > 0)), 1)::BIGINT AS n_sentences,

@@ -104,6 +104,9 @@ object TextAnalysis {
     def isWordChar(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'
+    // an empty list would mkString to "(?:)", which matches the empty
+    // string at every position (length+1 hits) instead of 0
+    require(words.nonEmpty, "stopwordHits: empty word list")
     val pat = words.map { w =>
       require(w.nonEmpty, "stopwordHits: empty stopword")
       val q = java.util.regex.Pattern.quote(w)
@@ -427,8 +430,12 @@ object TextAnalysis {
         // in numeric order — a string idCol sorted raw would walk
         // "10" < "2" inside the bucket and contradict the bucket walk
         // (r14 review, deferred)
+        // raw idCol tiebreak after the numeric key: distinct string ids
+        // with equal numeric value ("1" vs "01") would otherwise tie,
+        // making the running-sum cut nondeterministic across runs
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("__b").orderBy(expr(s"try_cast(`$idCol` as bigint)"))
+          .partitionBy("__b")
+          .orderBy(expr(s"try_cast(`$idCol` as bigint)"), col(idCol))
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
             .currentRow)

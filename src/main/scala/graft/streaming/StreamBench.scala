@@ -109,10 +109,23 @@ object StreamBench {
       // explicit insufficient flag below marks the artifact.
       val minBatches = 6
       val hardCapNs = t0 + seconds * 4 * 1000000000L
+      // The steady slice below needs >= 3 batches completing AFTER the
+      // warmup cutoff — extending on the TOTAL count alone could stop
+      // with 6 batches of which only 2 are post-cutoff (exactly the r14
+      // failure mode the extension exists to fix), so the wait gates on
+      // the post-cutoff count too (4 gives the slice span margin).
+      val cutoff = t0 + (seconds * 1e9 / 3).toLong
+      def postCutoffBatches(): Int = {
+        val it = batches.iterator()
+        var c = 0
+        while (it.hasNext) if (it.next()._1 >= cutoff) c += 1
+        c
+      }
       val wall =
         try {
           Thread.sleep(seconds * 1000L)
-          while (batches.size < minBatches && System.nanoTime() < hardCapNs)
+          while ((batches.size < minBatches || postCutoffBatches() < 4) &&
+              System.nanoTime() < hardCapNs)
             Thread.sleep(500L)
           (System.nanoTime() - t0) / 1e9
         } finally q.stop()
@@ -141,7 +154,6 @@ object StreamBench {
       // the whole-window rate when fewer than 3 batches land after the
       // cutoff (a stalled pipeline should not report a flattering
       // cherry-picked slice).
-      val cutoff = t0 + (seconds * 1e9 / 3).toLong
       val post = {
         val it = batches.iterator()
         val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
