@@ -209,6 +209,80 @@ object ScaleStressGraph {
           " their clique minimum"
     }
 
+    // ---- PPR: ring decay has a closed form, mass exactly 1 overall ------
+    // The engine splits the unit restart mass across seeds (1/|S|
+    // each). With outdeg 1 everywhere and seeds spaced far beyond the
+    // iteration count, rank after I rounds is exactly
+    //   r(seed) = (1-d)/|S|;  r(k hops) = (1-d)·d^k/|S| for k < I;
+    //   r(I hops) = d^I/|S|
+    // and the TOTAL mass telescopes to exactly 1 (no dangling leak on
+    // a ring), up to round-6 dust on the nonzero nodes.
+    timed("graph_ppr") {
+      val iters = 5
+      val damping = 0.85
+      val nSeeds = n / 500
+      val seeds = spark.range(nSeeds).select((col("id") * 500).as("node"))
+      val ppr = WebGraph.personalizedPageRank(ring, seeds, iters, damping)
+        .localCheckpoint()
+      val agg = ppr.agg(
+        count(when(col("rank") > 0, 1)).as("nz"),
+        sum(col("rank")).as("mass")).head()
+      facts += "ppr_nonzero" -> agg.getLong(0)
+      facts += "ppr_mass_1e6" -> math.rint(agg.getDouble(1) * 1e6).toLong
+      if (agg.getLong(0) != (iters + 1L) * nSeeds)
+        violations += s"PPR nonzero ranks ${agg.getLong(0)} !=" +
+          s" ${(iters + 1L) * nSeeds} (seed + $iters hops per seed)"
+      // each of the (I+1)·|S| nonzero ranks carries <= 5e-7 rounding
+      val massTol = 6e-7 * (iters + 1) * nSeeds
+      if (math.abs(agg.getDouble(1) - 1.0) > massTol)
+        violations += s"PPR total mass ${agg.getDouble(1)} != 1" +
+          " (the unit restart mass telescopes with no ring leak)"
+      val closed = (0 to iters).map { k =>
+        (if (k < iters) (1.0 - damping) * math.pow(damping, k)
+         else math.pow(damping, iters)) / nSeeds
+      }
+      val head = ppr.filter(col("node") <= iters).orderBy("node")
+        .collect().map(_.getDouble(1))
+      val drift = head.zip(closed)
+        .map { case (o, e) => math.abs(o - e) }.foldLeft(0.0)(math.max)
+      if (head.length != iters + 1 || drift > 1e-6)
+        violations += s"PPR seed-0 trajectory drifts $drift from the" +
+          " closed form (expected geometric decay)"
+    }
+
+    // ---- covisitation: planted user groups -> exact cosine-1 pairs ------
+    // F users per group all interact with the SAME 5 items, items
+    // disjoint across groups: every in-group pair has co = F and
+    // cosine = F/sqrt(F·F) = 1 exactly; cross-group pairs are
+    // impossible by construction.
+    timed("graph_covisit") {
+      val groups = n / 50
+      val usersPerGroup = 4
+      val inter = spark.range(groups * usersPerGroup)
+        .select(col("id").as("user_id"),
+          explode(sequence(lit(0), lit(4))).as("slot"))
+        .select(col("user_id"),
+          ((col("user_id") / usersPerGroup).cast("long") * 5 +
+            col("slot")).as("item"))
+        .repartition(32)
+      val cov = WebGraph.covisitation(inter, maxItemsPerUser = 20,
+        minCo = 2)
+      val agg = cov.agg(count(lit(1)).as("rows"),
+        min(col("co")).as("mn"), max(col("co")).as("mx"),
+        count(when(col("cosine") =!= 1.0, 1)).as("badcos")).head()
+      facts += "covisit_pairs" -> agg.getLong(0)
+      facts += "covisit_bad_cosine" -> agg.getLong(3)
+      if (agg.getLong(0) != 10L * groups)
+        violations += s"covisitation pairs ${agg.getLong(0)} !=" +
+          s" ${10L * groups} (10 per planted group)"
+      if (agg.getLong(1) != usersPerGroup || agg.getLong(2) != usersPerGroup)
+        violations += s"covisitation co range [${agg.getLong(1)}," +
+          s" ${agg.getLong(2)}] != exactly $usersPerGroup"
+      if (agg.getLong(3) != 0L)
+        violations += s"${agg.getLong(3)} covisitation pairs with" +
+          " cosine != 1.0 on identical-audience items"
+    }
+
     // ---- k-hop: disjoint 4-node reach sets from spaced seeds ------------
     timed("graph_khop") {
       val nSeeds = n / 500

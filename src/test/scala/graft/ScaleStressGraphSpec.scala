@@ -35,14 +35,20 @@ class ScaleStressGraphSpec extends AnyFunSuite {
     assert(fm("tri_sum") == 30L && fm("tri_nodes") == 30L) // 10 chords
     assert(fm("lpa_labels") == 100L && fm("lpa_bad_labels") == 0L)
     assert(fm("khop_rows") == 40L && fm("khop_dist_sum") == 60L)
+    assert(fm("ppr_nonzero") == 60L)            // (5+1) x 10 seeds
+    // unit restart mass split across seeds telescopes to 1 total
+    // (round-6 dust over 60 nonzero nodes)
+    assert(math.abs(fm("ppr_mass_1e6") - 1000000L) <= 40L)
+    assert(fm("covisit_pairs") == 1000L && fm("covisit_bad_cosine") == 0L)
     assert(fm("bm25_hits") == 50L && fm("index_hits") == 50L)
     assert(fm("phrase_rows") == 80L && fm("phrase_match_sum") == 85L)
     assert(fm("phrase_decoy_hits") == 0L)
     // every timed step actually ran
     val names = steps.map(_._1).toSet
     for (s <- Seq("graph_build", "graph_pagerank", "graph_hits",
-        "graph_triangles", "graph_lpa", "graph_khop",
-        "search_bm25_topk", "search_index_roundtrip", "search_phrase"))
+        "graph_triangles", "graph_lpa", "graph_ppr", "graph_covisit",
+        "graph_khop", "search_bm25_topk", "search_index_roundtrip",
+        "search_phrase"))
       assert(names.contains(s), s"step $s missing")
   }
 }
