@@ -15,13 +15,23 @@ object Verify {
       case None => _ => true
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "1048576")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — the invariance harness's knob:
+    // rerun the full catalog with AQE off / codegen off / different
+    // split sizes and diff against the default run (tools/diff_runs.py).
+    // Results must be execution-strategy-independent; the driver never
+    // sets this, so its runs are byte-identical to before.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
