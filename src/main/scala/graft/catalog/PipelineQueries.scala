@@ -93,16 +93,17 @@ object PipelineQueries {
       Some("""
         WITH daily AS (
           SELECT event_type AS key, date_trunc('day', ts)::DATE AS day,
-                 count(*) AS n
-          FROM events GROUP BY 1, 2),
+                 count(*) AS n,
+                 date_trunc('day', ts)::DATE - DATE '1970-01-01' AS ord
+          FROM events GROUP BY 1, 2, 4),
         w AS (
           SELECT key, day, n,
                  avg(n) OVER tw AS mu,
                  stddev_samp(n) OVER tw AS sd,
                  count(*) OVER tw AS prior
           FROM daily
-          WINDOW tw AS (PARTITION BY key ORDER BY day
-                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+          WINDOW tw AS (PARTITION BY key ORDER BY ord
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
         z AS (
           SELECT key, day, n, mu,
                  CASE WHEN prior >= 3 AND sd > 0
@@ -937,7 +938,8 @@ object PipelineQueries {
         SELECT n.doc_id, n.source,
                coalesce(n.lang, m.mode_lang) AS lang,
                n.lang IS NULL AND m.mode_lang IS NOT NULL AS was_imputed
-        FROM nulled n LEFT JOIN modes m USING (source)
+        FROM nulled n LEFT JOIN modes m
+          ON n.source IS NOT DISTINCT FROM m.source
         ORDER BY n.doc_id""")),
 
     // ----- q150: top recurring session paths (TimeSeries.sessionPaths)

@@ -61,9 +61,15 @@ object TextSearch {
     * subtree touches only postings of query terms. `N`/`avgdl` and the
     * per-term `df` are broadcast 1-row/tiny aggregates.
     */
-  /** Driver-side query tokenization, shared by every scorer. */
+  /** Driver-side query tokenization, shared by every scorer.
+    * Locale.ROOT: the corpus is tokenized with Spark's
+    * locale-independent `lower()`, so a locale-sensitive driver-side
+    * toLowerCase would silently match nothing under e.g. a Turkish
+    * default JVM locale ("INDEX" → "ındex" vs postings "index"). */
+  private[operators] def rootLower(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
   private def queryTerms(query: String, caller: String): Seq[String] = {
-    val qTerms = query.toLowerCase.trim.split("\\s+")
+    val qTerms = rootLower(query).trim.split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, s"$caller query must contain a token")
     qTerms
@@ -128,14 +134,22 @@ object TextSearch {
     // derive from termFreqs — without the cut each action replayed the
     // full tokenize+explode+groupBy, 3x the required I/O for a routine
     // that is "built once per corpus".
-    val tf = termFreqs(docs, textCol, idCol).localCheckpoint()
+    // persist, not localCheckpoint: all three consumers complete inside
+    // this function, and unpersist() on a localCheckpoint'd Dataset is a
+    // no-op (the RDD-level blocks bypass the cache manager), so every
+    // index build used to pin a corpus-scale relation until driver GC
+    // (r15 review — the Evaluation r13 lesson, same shape)
+    val tf = termFreqs(docs, textCol, idCol).persist()
     try {
       tf.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings")
       val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
       dl.write.mode("overwrite").parquet(s"$path/doclen")
-      dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      // n_buckets travels with the layout so a query cannot silently
+      // prune against the wrong bucket modulus (r15 review)
+      dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"),
+          lit(nBuckets).as("n_buckets"))
         .write.mode("overwrite").parquet(s"$path/stats")
     } finally tf.unpersist()
   }
@@ -151,15 +165,23 @@ object TextSearch {
       b: Double = 0.75, idCol: String = "doc_id"): DataFrame = {
     val qTerms = queryTerms(query, "searchIndex")
     import spark.implicits._
+    val corpus = spark.read.parquet(s"$path/stats") // 1 row
+    // The layout's own bucket modulus wins: pruning with a different
+    // nBuckets than writeIndex used selects the WRONG directories and
+    // silently drops postings (r15 review). The parameter is the
+    // fallback for layouts written before n_buckets was recorded.
+    val layoutBuckets =
+      if (corpus.columns.contains("n_buckets"))
+        corpus.select("n_buckets").head().getInt(0)
+      else nBuckets
     val buckets = qTerms.toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("bucket"))
+      .select(pmod(xxhash64(col("token")), lit(layoutBuckets)).as("bucket"))
       .collect().map(_.getLong(0)).distinct.toSeq
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("token").isin(qTerms: _*))
     val dfs = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val docLen = spark.read.parquet(s"$path/doclen")
-    val corpus = spark.read.parquet(s"$path/stats") // 1 row
     postings
       .join(broadcast(dfs), Seq("token"))
       .join(docLen, Seq(idCol))
@@ -290,7 +312,10 @@ object TextSearch {
     *         containing the term */
   def snippets(hits: DataFrame, term: String, radius: Int = 30,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pos = instr(lower(col(textCol)), term.toLowerCase)
+    // instr(text, '') returns 1 — an empty term would mark EVERY doc a
+    // hit at pos 1 instead of failing fast like the other entry points
+    require(term.trim.nonEmpty, "snippets: empty term")
+    val pos = instr(lower(col(textCol)), rootLower(term))
     val start = greatest(pos - radius, lit(1))
     hits.withColumn("pos", pos)
       .filter(col("pos") > 0)
@@ -321,7 +346,7 @@ object TextSearch {
   def phraseSearch(docs: DataFrame, phrase: Seq[String],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
-    val terms = phrase.map(_.toLowerCase)
+    val terms = phrase.map(rootLower)
     val post = positionalPostings(docs, textCol, idCol)
     val first = post.filter(col("token") === terms.head)
       .select(col(idCol), col("pos"))

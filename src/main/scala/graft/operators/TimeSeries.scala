@@ -19,8 +19,14 @@ object TimeSeries {
 
   /** Daily-volume spike detection per series key: a day is a spike when
     * its count sits more than `zThresh` sample standard deviations above
-    * the trailing `window`-day mean (trailing EXCLUDES the current day —
-    * a spike must not shift the baseline it is judged against).
+    * the mean of OBSERVED days inside the trailing `window`-day calendar
+    * range (trailing EXCLUDES the current day — a spike must not shift
+    * the baseline it is judged against). The frame is a calendar RANGE,
+    * not a row count: a feed that resumes after a multi-week gap is
+    * judged against the empty recent window (cold start), never against
+    * month-old rows (r15 review). Days with zero events produce no row
+    * and so contribute no baseline sample — an all-zero feed is a
+    * liveness problem upstream of this gate.
     *
     * The z-score is NULL (and the day not a spike) until 3 prior days
     * exist and the trailing deviation is positive — cold starts and
@@ -34,8 +40,10 @@ object TimeSeries {
       .groupBy(col(keyCol).as("key"),
         to_date(date_trunc("DAY", col(tsCol))).as("day"))
       .agg(count(lit(1)).as("n"))
-    val trail = Window.partitionBy("key").orderBy("day")
-      .rowsBetween(-window, -1)
+      // range frames need a numeric sort key; epoch-day is exact
+      .withColumn("__ord", datediff(col("day"), lit("1970-01-01")))
+    val trail = Window.partitionBy("key").orderBy(col("__ord"))
+      .rangeBetween(-window, -1)
     daily
       .withColumn("mu", avg("n").over(trail))
       .withColumn("sd", stddev_samp(col("n")).over(trail))
@@ -208,16 +216,18 @@ object TimeSeries {
   def rfmScores(events: DataFrame, monetaryType: String = "purchase",
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    // ONE pass over the event stream; the user-scale result is
-    // checkpointed because three consumers read it (corpus max,
-    // thresholds, final scoring) and each would otherwise replay the
-    // full-stream aggregation
-    val perUser = events.groupBy(col(userCol))
+    // ONE pass over the event stream; the user-scale result is cut
+    // because three consumers read it (corpus max, thresholds, final
+    // scoring) and each would otherwise replay the full-stream
+    // aggregation. Materialize.cut, not a bare localCheckpoint: the
+    // returned frame stays lazy over these blocks, so the documented
+    // released-on-GC semantics (and the reliable-checkpoint upgrade
+    // for elastic clusters) are the contract here (r15 review).
+    val perUser = Materialize.cut(events.groupBy(col(userCol))
       .agg(max(unix_micros(col(tsCol))).as("last_us"),
         count(lit(1)).as("frequency"),
         coalesce(sum(when(col("event_type") === monetaryType,
-          col(valueCol))), lit(0.0)).as("monetary"))
-      .localCheckpoint()
+          col(valueCol))), lit(0.0)).as("monetary")))
     // corpus max ts = max of per-user maxes — no second events scan
     val corpusMax = perUser.agg(max("last_us").as("max_us"))
     val base = perUser.crossJoin(broadcast(corpusMax))
@@ -328,7 +338,10 @@ object TimeSeries {
       .select(col(userCol).as("u"), col("__sess"),
         col(typeCol).as("item"))
       .distinct()
-      .localCheckpoint()
+      // Materialize.cut (released-on-GC / reliable-upgradable), not a
+      // bare localCheckpoint: the returned rules frame stays lazy over
+      // the basket blocks (r15 review)
+      .transform(Materialize.cut)
     val nSessions = baskets.select("u", "__sess").distinct().count()
     // Empty feed → empty rules frame (same hardening as conversionLag's
     // NULL cvr), not a crash: an empty events slice is a normal state for

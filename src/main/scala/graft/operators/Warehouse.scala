@@ -225,9 +225,15 @@ object Warehouse {
     // first SIGNIFICANT digit = first [1-9] of the string form — robust
     // to scientific notation (the mantissa digit leads either way) and
     // free of the log10/pow boundary bug (log10(1000) floors to 2 in
-    // IEEE, making the arithmetic form emit digit 10)
-    val firstDigit = regexp_extract(abs(col(valueCol)).cast("string"),
-      "[1-9]", 0).cast("int")
+    // IEEE, making the arithmetic form emit digit 10). NaN/Infinity
+    // stringify with no [1-9] ("NaN", "Infinity") → empty extract; the
+    // guard keeps ANSI mode from throwing on cast('') and routes such
+    // rows to NULL → dropped by the 1..9 filter instead of crashing
+    // the forgery report on exactly the dirty data it exists to examine
+    // (r15 review).
+    val digitStr = regexp_extract(abs(col(valueCol)).cast("string"),
+      "[1-9]", 0)
+    val firstDigit = when(digitStr =!= "", digitStr.cast("int"))
     val observed = df.filter(abs(col(valueCol)) >= 1e-10)
       .select(firstDigit.as("digit"))
       .filter(col("digit").between(1, 9))
@@ -272,11 +278,21 @@ object Warehouse {
       .groupBy(col(groupCol))
       .agg(min_by(col(valueCol), struct((-col("cnt")).as("nc"),
         col(valueCol))).as("__graft_mode"))
-    df.join(modes, Seq(groupCol), "left")
+      .withColumnRenamed(groupCol, "__graft_g")
+    // null-safe group join: a NULL group key is a group like any other
+    // (its mode is computed above) — a plain equi-join silently left
+    // every NULL-group row unimputed (r15 review)
+    df.join(modes, col(groupCol) <=> col("__graft_g"), "left")
+      .drop("__graft_g")
       .withColumn("was_imputed",
         col(valueCol).isNull && col("__graft_mode").isNotNull)
       .withColumn(valueCol,
         coalesce(col(valueCol), col("__graft_mode")))
       .drop("__graft_mode")
+      // keep the pre-r15 output shape (the USING join put the group
+      // key first; the null-safe condition join preserves input order)
+      .select((col(groupCol) +:
+        df.columns.filterNot(_ == groupCol).map(col).toIndexedSeq) :+
+        col("was_imputed"): _*)
   }
 }

@@ -144,6 +144,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(4) > 3.0)
   }
 
+  test("spikeDetect's baseline is a CALENDAR range, not trailing rows: " +
+    "a feed resuming after a long gap is a cold start, not judged " +
+    "against month-old rows") {
+    // 7 noisy days, a 3-week outage, then one huge day: under a ROWS
+    // frame the return day would be judged against the January rows
+    // (z >> 3, spurious spike); under the calendar RANGE frame the
+    // trailing 7 days are empty -> z NULL, no spike
+    val counts = Seq(10, 12, 11, 13, 10, 12, 11)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)("a" -> f"2024-01-0${i + 1}")
+    } ++ Seq.fill(500)("a" -> "2024-02-01")
+    val got = TimeSeries.spikeDetect(ev(rows), keyCol = "event_type")
+      .filter(col("day") === lit(Date.valueOf("2024-02-01")))
+      .collect()(0)
+    assert(got.isNullAt(4) && !got.getBoolean(5))
+  }
+
+  test("benfordDigits survives NaN and Infinity in the column (dirty " +
+    "data is what the forgery test exists to examine)") {
+    val d = Seq(200.0, 42.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.57).toDF("v")
+    val got = Warehouse.benfordDigits(d, "v").orderBy("digit").collect()
+    assert(got.length === 9)
+    // the 3 non-finite rows contribute nothing; total n = 3 finite rows
+    assert(got.map(_.getLong(1)).sum === 3L)
+  }
+
+  test("imputeMode treats a NULL group key as a group: its rows get " +
+    "the NULL group's own mode (null-safe join)") {
+    val d = Seq((1L, null: String, "x"), (2L, null: String, "x"),
+      (3L, null: String, null: String), (4L, "g1", "y"))
+      .toDF("id", "g0", "v")
+    val got = Warehouse.imputeMode(d, "g0", "v").orderBy("id").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)), r.getBoolean(3)))
+    assert(got(2) === ((3L, Some("x"), true)))
+    assert(got(0) === ((1L, Some("x"), false)))
+  }
+
   // --- eventTransitions ---------------------------------------------------
 
   test("eventTransitions: per-from-state probabilities sum to 1; " +

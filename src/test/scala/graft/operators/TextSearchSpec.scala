@@ -215,6 +215,21 @@ class TextSearchSpec extends AnyFunSuite {
     val got = df.collect()
       .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
     assert(got.toSeq === expected.toSeq)
+
+    // the layout's own n_buckets wins over a mismatched caller value —
+    // pruning with the wrong modulus used to silently drop postings
+    val gotWrongParam = TextSearch.searchIndex(spark, dir,
+        "spark t4 join", k = 10, nBuckets = 5)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+    assert(gotWrongParam.toSeq === expected.toSeq)
+  }
+
+  test("snippets rejects an empty term (instr('', ...) would mark every " +
+    "doc a hit at pos 1)") {
+    val d = Seq((1L, "some text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextSearch.snippets(d, "  ")
+    }
   }
 
   test("corpusStats exact matches hand counts; sketch path stays within " +
