@@ -144,6 +144,31 @@ object StreamBench {
       spark.streams.removeListener(listener)
       val rows = rowsSeen.get
       val wholeRate = rows / wall
+      // Per-batch duration curve (r15 verdict #1): the windowed_dedup
+      // rate collapsed 7.5× between two driver windows and the artifact
+      // could not say whether batches were uniformly slow (environment)
+      // or GROWING (state-store accretion the old fixed window hid).
+      // Batch i's duration = completion-gap to batch i-1 (batch 0 is
+      // anchored at stream start, so it carries query-startup cost and
+      // is excluded from the early/late aggregates). The full curve
+      // prints to stderr; the early/late means land in the bench JSON
+      // so a growth trend is diffable from artifacts alone.
+      val completions = {
+        val it = batches.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        while (it.hasNext) buf += it.next()
+        buf.sortBy(_._1)
+      }
+      val durations = completions.zip((t0, 0L) +: completions.dropRight(1))
+        .map { case ((tc, _), (tp, _)) => (tc - tp) / 1e9 }
+      val steadyDur = durations.drop(1)
+      def meanOf(xs: Iterable[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.sum / xs.size
+      val batchEarly = meanOf(steadyDur.take(3))
+      val batchLate = meanOf(steadyDur.takeRight(3))
+      if (durations.nonEmpty)
+        System.err.println(s"[bench] streaming:$name batch curve (s): " +
+          durations.map(d => f"$d%.2f").mkString(" "))
       // STEADY-STATE rate: the whole-window rate carries the first
       // batches' JIT/codegen warmup and state-store bootstrap, which
       // made the committed number swing >2x between cold and warm JVMs.
@@ -183,7 +208,9 @@ object StreamBench {
           (if (insufficient > 0) "; INSUFFICIENT BATCHES" else "") + ")")
       Seq(s"${name}_events_per_sec" -> rate,
         s"${name}_steady_batches" -> steadyN.toDouble,
-        s"${name}_insufficient_batches" -> insufficient)
+        s"${name}_insufficient_batches" -> insufficient,
+        s"${name}_batch_sec_early" -> batchEarly,
+        s"${name}_batch_sec_late" -> batchLate)
     }
 
     try {
