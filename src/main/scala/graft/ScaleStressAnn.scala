@@ -45,9 +45,12 @@ object ScaleStressAnn {
 
   /** Max allowed wall-clock ratio between the factor and factor/10
     * runs of one family (data ratio 10×; linear families measure ~10×,
-    * an accidental all-pairs measures ~100×). Generous to absorb
-    * constant-time training and contention. */
-  val LinearityCeiling = 30.0
+    * an accidental all-pairs measures ~100×). 10× + 50% slack for
+    * constant-time training and contention (r15 verdict #7 tightened
+    * this from 30: every family measures ≤6.6× on the r15 run, so 15
+    * still has >2× daylight while an all-pairs regression, or even a
+    * half-quadratic one, cannot pass). */
+  val LinearityCeiling = 15.0
 
   /** Minimum gated recall per family at EVERY factor. Calibrated on
     * the sf0.1 plant (observed ≥ 0.97 across families at both
@@ -80,13 +83,7 @@ object ScaleStressAnn {
     val facts = ArrayBuffer[(String, Long)]()
     val violations = ArrayBuffer[String]()
     run(spark, sfDir, factor, workDir, steps, facts, violations)
-    println("{" +
-      s""""steps":${steps.map { case (k, v) => s""""$k":${f3(v)}""" }
-        .mkString("{", ",", "}")},""" +
-      s""""facts":${facts.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}")},""" +
-      s""""violations":${violations.map(v => "\"" + v + "\"")
-        .mkString("[", ",", "]")}}""")
+    println("{" + StressJson.fragment(steps, facts, violations) + "}")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }
@@ -224,11 +221,16 @@ object ScaleStressAnn {
     }
 
     // ---- linearity: factor vs factor/10 wall ratio per family --------
+    // Fact name carries the BIG factor (ann_*_scale_ratio_x100 at the
+    // default run), value = ratio × 10 rounded (66 = 6.6× wall for 10×
+    // data); the ceiling is a violations gate, so a superlinear
+    // regression fails the run instead of passing silently (r15 #7).
     val t = steps.toMap
     for (fam <- Seq("lsh", "ivf", "pq", "ivfpq")) {
       val small = math.max(t(s"ann_${fam}_x${factor / 10}"), 2.0)
       val big = t(s"ann_${fam}_x$factor")
-      facts += s"ann_${fam}_scale_ratio_x10" -> math.round(big / small * 10)
+      facts += s"ann_${fam}_scale_ratio_x$factor" ->
+        math.round(big / small * 10)
       if (big > small * LinearityCeiling)
         violations += s"ann_${fam} x$factor took ${f3(big)}s vs " +
           s"${f3(small)}s at x${factor / 10} — ratio " +

@@ -94,13 +94,7 @@ object ScaleStressGraph {
     val facts = ArrayBuffer[(String, Long)]()
     val violations = ArrayBuffer[String]()
     run(spark, corpus, steps, facts, violations)
-    println("{" +
-      s""""steps":${steps.map { case (k, v) => s""""$k":${f3(v)}""" }
-        .mkString("{", ",", "}")},""" +
-      s""""facts":${facts.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}")},""" +
-      s""""violations":${violations.map(v => "\"" + v + "\"")
-        .mkString("[", ",", "]")}}""")
+    println("{" + StressJson.fragment(steps, facts, violations) + "}")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }
@@ -147,36 +141,52 @@ object ScaleStressGraph {
       .localCheckpoint()
 
     // ---- PageRank: ring fixpoint is exactly uniform ---------------------
+    // Gated on the UNROUNDED ranks (roundTo = None; r15 ADVICE #2): the
+    // operators' round(·, 6) output floors every node to 0 once
+    // N > 2e6, which would make the distinct-count gate pass vacuously
+    // and hide any non-uniformity below 5e-7. The raw gates are
+    // scale-independent — relative spread (mx−mn)·N and relative level
+    // |mx·N − 1| keep the same sensitivity at every factor.
     timed("graph_pagerank") {
-      val pr = WebGraph.pageRank(ring, iters = 5)
+      val pr = WebGraph.pageRank(ring, iters = 5, roundTo = None)
       val agg = pr.agg(countDistinct(col("rank")).as("d"),
-        max(col("rank")).as("mx"), count(lit(1)).as("rows")).head()
+        max(col("rank")).as("mx"), min(col("rank")).as("mn"),
+        count(lit(1)).as("rows")).head()
       facts += "pr_distinct_ranks" -> agg.getLong(0)
-      if (agg.getLong(0) != 1L)
-        violations += s"pageRank ring not uniform:" +
-          s" ${agg.getLong(0)} distinct rounded ranks (expected 1)"
-      if (agg.getLong(2) != n)
-        violations += s"pageRank rows ${agg.getLong(2)} != $n"
-      // round(·, 6) can move the value by at most half an ulp at scale
-      // 6 (5e-7), and Spark's HALF_UP can disagree with a HALF_EVEN
-      // driver-side expectation exactly on .5 boundaries — so gate on
-      // the distance to the TRUE 1/N with the half-ulp allowance
-      // instead of reproducing one rounding mode.
-      if (math.abs(agg.getDouble(1) - 1.0 / n) > 5.0001e-7)
-        violations += s"pageRank ring rank ${agg.getDouble(1)}" +
-          s" not within rounding distance of 1/N ${1.0 / n}"
+      val relSpread = (agg.getDouble(1) - agg.getDouble(2)) * n
+      facts += "pr_rel_spread_1e12" -> math.rint(relSpread * 1e12).toLong
+      if (relSpread > 1e-9)
+        violations += s"pageRank ring not uniform: relative spread" +
+          s" $relSpread (raw max ${agg.getDouble(1)}," +
+          s" min ${agg.getDouble(2)})"
+      if (agg.getLong(3) != n)
+        violations += s"pageRank rows ${agg.getLong(3)} != $n"
+      if (math.abs(agg.getDouble(1) * n - 1.0) > 1e-9)
+        violations += s"pageRank ring rank ${agg.getDouble(1)} * N" +
+          s" drifts from 1 (expected exactly 1/N ${1.0 / n})"
     }
 
     // ---- HITS: ring keeps hub and authority uniform ---------------------
     timed("graph_hits") {
-      val h = WebGraph.hits(ring, iters = 3)
+      val h = WebGraph.hits(ring, iters = 3, roundTo = None)
       val agg = h.agg(countDistinct(col("hub")).as("dh"),
-        countDistinct(col("authority")).as("da")).head()
+        countDistinct(col("authority")).as("da"),
+        (max(col("hub")) - min(col("hub"))).as("sh"),
+        (max(col("authority")) - min(col("authority"))).as("sa"),
+        max(col("hub")).as("mh"), max(col("authority")).as("ma")).head()
       facts += "hits_distinct_hub" -> agg.getLong(0)
       facts += "hits_distinct_auth" -> agg.getLong(1)
-      if (agg.getLong(0) != 1L || agg.getLong(1) != 1L)
-        violations += s"HITS ring not uniform: ${agg.getLong(0)} hub /" +
-          s" ${agg.getLong(1)} authority distinct values (expected 1/1)"
+      val spreadH = agg.getDouble(2) * n
+      val spreadA = agg.getDouble(3) * n
+      facts += "hits_rel_spread_1e12" ->
+        math.rint(math.max(spreadH, spreadA) * 1e12).toLong
+      if (spreadH > 1e-9 || spreadA > 1e-9)
+        violations += s"HITS ring not uniform: relative spread" +
+          s" hub $spreadH / authority $spreadA"
+      if (math.abs(agg.getDouble(4) * n - 1.0) > 1e-9 ||
+          math.abs(agg.getDouble(5) * n - 1.0) > 1e-9)
+        violations += s"HITS ring level drifts from 1/N: hub" +
+          s" ${agg.getDouble(4)}, authority ${agg.getDouble(5)}"
     }
 
     // ---- triangles: exactly one per planted chord -----------------------
@@ -222,7 +232,13 @@ object ScaleStressGraph {
       val damping = 0.85
       val nSeeds = n / 500
       val seeds = spark.range(nSeeds).select((col("id") * 500).as("node"))
-      val ppr = WebGraph.personalizedPageRank(ring, seeds, iters, damping)
+      // raw ranks (r15 ADVICE #2): with round-6 output the mass gate
+      // needed a rounding allowance of 6e-7 per nonzero node — at large
+      // factors that allowance grows past the signal. The unrounded
+      // telescoping sum is exact to IEEE dust, so the gate is 1e-9 flat
+      // at every scale.
+      val ppr = WebGraph.personalizedPageRank(ring, seeds, iters, damping,
+          roundTo = None)
         .localCheckpoint()
       val agg = ppr.agg(
         count(when(col("rank") > 0, 1)).as("nz"),
@@ -232,9 +248,7 @@ object ScaleStressGraph {
       if (agg.getLong(0) != (iters + 1L) * nSeeds)
         violations += s"PPR nonzero ranks ${agg.getLong(0)} !=" +
           s" ${(iters + 1L) * nSeeds} (seed + $iters hops per seed)"
-      // each of the (I+1)·|S| nonzero ranks carries <= 5e-7 rounding
-      val massTol = 6e-7 * (iters + 1) * nSeeds
-      if (math.abs(agg.getDouble(1) - 1.0) > massTol)
+      if (math.abs(agg.getDouble(1) - 1.0) > 1e-9)
         violations += s"PPR total mass ${agg.getDouble(1)} != 1" +
           " (the unit restart mass telescopes with no ring leak)"
       val closed = (0 to iters).map { k =>
@@ -245,7 +259,7 @@ object ScaleStressGraph {
         .collect().map(_.getDouble(1))
       val drift = head.zip(closed)
         .map { case (o, e) => math.abs(o - e) }.foldLeft(0.0)(math.max)
-      if (head.length != iters + 1 || drift > 1e-6)
+      if (head.length != iters + 1 || drift > 1e-9)
         violations += s"PPR seed-0 trajectory drifts $drift from the" +
           " closed form (expected geometric decay)"
     }

@@ -61,13 +61,7 @@ object ScaleStressStreaming {
     val facts = ArrayBuffer[(String, Long)]()
     val violations = ArrayBuffer[String]()
     run(spark, sfDir, factor, workDir, steps, facts, violations)
-    println("{" +
-      s""""steps":${steps.map { case (k, v) => s""""$k":${f3(v)}""" }
-        .mkString("{", ",", "}")},""" +
-      s""""facts":${facts.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}")},""" +
-      s""""violations":${violations.map(v => "\"" + v + "\"")
-        .mkString("[", ",", "]")}}""")
+    println("{" + StressJson.fragment(steps, facts, violations) + "}")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }

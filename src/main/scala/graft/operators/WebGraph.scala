@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object WebGraph {
 
+  /** Output rounding for the iterative scores: `Some(d)` → round to d
+    * decimals (the default 6 — layout-stable, oracle-replayable);
+    * `None` → raw doubles. The raw form exists for scale gates: at
+    * N > 2e6 ring nodes, 1/N itself rounds to 0 at 6 decimals, so a
+    * rounded output cannot distinguish uniform-and-correct from
+    * small-bias-broken — ScaleStressGraph gates on the unrounded
+    * spread instead (r15 ADVICE #2). */
+  private def maybeRound(c: org.apache.spark.sql.Column,
+      roundTo: Option[Int]): org.apache.spark.sql.Column =
+    roundTo.map(d => round(c, d)).getOrElse(c)
+
   /** Fixed-iteration PageRank over a (src, dst) edge list.
     *
     * Semantics (the textbook damped form, replayable in plain SQL):
@@ -27,9 +38,10 @@ object WebGraph {
     *     original formulation) — deterministic and oracle-friendly;
     *   - parallel edges are deliberate weight (each contributes).
     *
-    * @return (node, rank round 6) */
+    * @return (node, rank round 6 — or raw when roundTo = None) */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      roundTo: Option[Int] = Some(6)): DataFrame = {
     val nodes = edges.select(col(srcCol).as("node"))
       .unionByName(edges.select(col(dstCol).as("node")))
       .distinct()
@@ -56,7 +68,7 @@ object WebGraph {
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), maybeRound(col("rank"), roundTo).as("rank"))
   }
 
   /** Fixed-iteration HITS: hubs (pages that link to good authorities)
@@ -70,9 +82,11 @@ object WebGraph {
     * over per-host relations, 1-row L1 sums broadcast, localCheckpoint
     * lineage cuts.
     *
-    * @return (node, hub round 6, authority round 6) */
+    * @return (node, hub round 6, authority round 6 — raw when
+    *         roundTo = None) */
   def hits(edges: DataFrame, iters: Int = 5,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      roundTo: Option[Int] = Some(6)): DataFrame = {
     val nodes = edges.select(col(srcCol).as("node"))
       .unionByName(edges.select(col(dstCol).as("node")))
       .distinct()
@@ -108,8 +122,8 @@ object WebGraph {
         "hub").localCheckpoint()
     }
     hub.join(auth, "node")
-      .select(col("node"), round(col("hub"), 6).as("hub"),
-        round(col("authority"), 6).as("authority"))
+      .select(col("node"), maybeRound(col("hub"), roundTo).as("hub"),
+        maybeRound(col("authority"), roundTo).as("authority"))
   }
 
   /** Personalized PageRank: random-walk-with-restart where the restart
@@ -122,10 +136,10 @@ object WebGraph {
     * absent from the edge list still receive restart mass (they are part
     * of the node set by definition).
     *
-    * @return (node, rank round 6) */
+    * @return (node, rank round 6 — or raw when roundTo = None) */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 5, damping: Double = 0.85, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst", roundTo: Option[Int] = Some(6)): DataFrame = {
     // the init divides the restart column back out by (1 − d): at
     // d = 1.0 that is 0.0/0.0 → NULL in non-ANSI Spark, which coalesces
     // to ALL-ZERO ranks with no error (r14 review) — PPR without
@@ -166,7 +180,7 @@ object WebGraph {
             lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), maybeRound(col("rank"), roundTo).as("rank"))
   }
 
   /** Distinct undirected neighbor pairs (a, b) from a directed edge list —
