@@ -183,54 +183,6 @@ object ScaleStress {
         wordsPerUnit = 3, maxPieceLen = 8, seedSize = 16000).size.toLong
     }
 
-    // ---- SubwordBatch cap-bound regime at factor 100 (r14 verdict #1) ---
-    // The batched distributed trainer's worst case: `activeWordCap` binds
-    // (the active-word pull saturates, `maxActivePairs` halves until it
-    // fits), so batches shrink toward per-merge rounds. q211's sf0.1
-    // corpus never binds (one batch carries all 1,200 merges); the only
-    // binding evidence through r14 was 10-merge oracle twins. Here the
-    // caps are forced to BIND against the factor-100 single-word table
-    // (its active sets exceed the cap by construction — asserted below)
-    // and the trajectory must stay EXACTLY the unbound run's, with the
-    // round/job accounting recorded as facts.
-    val subwordMerges = 80
-    val subwordWords = timed("subword_word_table") {
-      val t = Tokenizer.wordTable(corpus, "text", wordsPerUnit = 1)
-        .localCheckpoint()
-      facts += "subword_distinct_words" -> t.count()
-      t
-    }
-    val subUnbound = timed("subword_unbound") {
-      Tokenizer.bpeTrainDistributedDetail(subwordWords, subwordMerges)
-    }
-    val subCapped = timed("subword_capped") {
-      Tokenizer.bpeTrainDistributedDetail(subwordWords, subwordMerges,
-        topPairs = 128, maxActivePairs = 64, activeWordCap = 2000)
-    }
-    // The HARD regime: activeWordCap so tight that even the m=1 pull
-    // saturates, forcing the single-merge fallback (exact argmax from
-    // round stats, no simulation) — the true per-merge worst case the
-    // batch engine degrades to. Top char pairs here span far more than
-    // 8 of the 100+ distinct words, so the fallback genuinely fires.
-    val subHard = timed("subword_capped_hard") {
-      Tokenizer.bpeTrainDistributedDetail(subwordWords, subwordMerges,
-        topPairs = 128, maxActivePairs = 64, activeWordCap = 8)
-    }
-    facts += "subword_merges" -> subwordMerges.toLong
-    facts += "subword_unbound_rounds" -> subUnbound.rounds.toLong
-    facts += "subword_unbound_actions" -> subUnbound.sparkActions.toLong
-    facts += "subword_capped_rounds" -> subCapped.rounds.toLong
-    facts += "subword_capped_actions" -> subCapped.sparkActions.toLong
-    facts += "subword_hard_rounds" -> subHard.rounds.toLong
-    facts += "subword_hard_actions" -> subHard.sparkActions.toLong
-    val subwordTraj = subUnbound.sels.map(s => (s.a, s.b))
-    val subwordDiverge = subwordTraj
-      .zip(subCapped.sels.map(s => (s.a, s.b)))
-      .indexWhere { case (u, c) => u != c }
-    val subwordDivergeHard = subwordTraj
-      .zip(subHard.sels.map(s => (s.a, s.b)))
-      .indexWhere { case (u, c) => u != c }
-
     // ---- corpus-wide stats (sketched) -----------------------------------
     timed("corpus_stats_sketch") {
       TextAnalysis.corpusStats(corpus, approximate = true).collect()
@@ -261,8 +213,14 @@ object ScaleStress {
     facts += "pack_max_fill" -> packRow.getLong(1)
     facts += "pack_tokens" -> packRow.getLong(2)
 
-    // ---- ANN/embedding plane (certified plant + recall + linearity) -----
+    // ---- subword cap-bound regimes over a realistic word table ----------
+    // (r14 verdict #1, vocabulary realism per r15 verdict #5 — see
+    // ScaleStressSubword: ≥1e5 distinct words, three regimes,
+    // trajectory-identity + binding + rounds-ceiling gates)
     val violations = scala.collection.mutable.ArrayBuffer[String]()
+    ScaleStressSubword.run(spark, corpus, steps, facts, violations)
+
+    // ---- ANN/embedding plane (certified plant + recall + linearity) -----
     ScaleStressAnn.run(spark, sfDir, factor, workDir, steps, facts,
       violations)
 
@@ -315,54 +273,11 @@ object ScaleStress {
       violations += s"pack_bins=${fm("pack_bins")} > ceiling" +
         s" ${(packFloor * 1.10).toLong + packShards}" +
         " (BFD padding blew up)"
-    // subword cap-bound regime (r14 verdict #1): the capped run must
-    // (a) produce the EXACT unbound trajectory, (b) have actually been
-    // bound by its caps (more rounds than the unbound run — otherwise
-    // the stress proved nothing), and (c) stay within the hard
-    // rounds-per-merge ceiling (every round selects >= 1 merge, so
-    // rounds can never exceed merges — a breach means the round loop
-    // spun without progress).
-    if (subwordDiverge >= 0)
-      violations += s"subword capped trajectory diverges from unbound" +
-        s" at merge $subwordDiverge"
-    if (fm("subword_capped_rounds") <= fm("subword_unbound_rounds"))
-      violations += s"subword caps did not bind:" +
-        s" capped rounds ${fm("subword_capped_rounds")} <=" +
-        s" unbound ${fm("subword_unbound_rounds")}"
-    if (fm("subword_capped_rounds") > fm("subword_merges"))
-      violations += s"subword_capped_rounds=${fm("subword_capped_rounds")}" +
-        s" > merges ${fm("subword_merges")} (round loop spun without" +
-        " progress)"
-    if (subUnbound.sels.length != subwordMerges ||
-        subCapped.sels.length != subwordMerges ||
-        subHard.sels.length != subwordMerges)
-      violations += s"subword merge counts ${subUnbound.sels.length}/" +
-        s"${subCapped.sels.length}/${subHard.sels.length}" +
-        s" != $subwordMerges"
-    // hard regime: trajectory still exact; strictly MORE rounds than
-    // the soft caps (the word cap actually bit, degrading toward
-    // per-merge); never more rounds than merges.
-    if (subwordDivergeHard >= 0)
-      violations += s"subword hard-capped trajectory diverges from" +
-        s" unbound at merge $subwordDivergeHard"
-    if (fm("subword_hard_rounds") <= fm("subword_capped_rounds"))
-      violations += s"subword hard cap did not bind past the soft run:" +
-        s" hard rounds ${fm("subword_hard_rounds")} <=" +
-        s" soft ${fm("subword_capped_rounds")}"
-    if (fm("subword_hard_rounds") > fm("subword_merges"))
-      violations += s"subword_hard_rounds=${fm("subword_hard_rounds")}" +
-        s" > merges ${fm("subword_merges")}"
-
     val total = steps.map(_._2).sum
     val json = "{" +
       s""""metric":"scale_stress","factor":$factor,""" +
-      s""""sf":"$sfDir","total_sec":${f3(total)},""" +
-      s""""steps":${steps.map { case (k, v) => s""""$k":${f3(v)}""" }
-        .mkString("{", ",", "}")},""" +
-      s""""facts":${facts.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}")},""" +
-      s""""violations":${violations.map(v => "\"" + v + "\"")
-        .mkString("[", ",", "]")}}"""
+      s""""sf":"${StressJson.esc(sfDir)}","total_sec":${f3(total)},""" +
+      StressJson.fragment(steps, facts, violations) + "}"
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALESTRESS_OUT",
       "SCALESTRESS.json")
