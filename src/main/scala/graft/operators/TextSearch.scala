@@ -134,24 +134,33 @@ object TextSearch {
     // derive from termFreqs — without the cut each action replayed the
     // full tokenize+explode+groupBy, 3x the required I/O for a routine
     // that is "built once per corpus".
-    // persist, not localCheckpoint: all three consumers complete inside
-    // this function, and unpersist() on a localCheckpoint'd Dataset is a
-    // no-op (the RDD-level blocks bypass the cache manager), so every
-    // index build used to pin a corpus-scale relation until driver GC
-    // (r15 review — the Evaluation r13 lesson, same shape)
-    val tf = termFreqs(docs, textCol, idCol).persist()
-    try {
-      tf.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/postings")
-      val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-      dl.write.mode("overwrite").parquet(s"$path/doclen")
-      // n_buckets travels with the layout so a query cannot silently
-      // prune against the wrong bucket modulus (r15 review)
-      dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"),
-          lit(nBuckets).as("n_buckets"))
-        .write.mode("overwrite").parquet(s"$path/stats")
-    } finally tf.unpersist()
+    //
+    // The cut is Materialize.cut (localCheckpoint), NOT a lazy persist.
+    // The r15 review briefly switched this to persist()/unpersist() to
+    // release blocks deterministically, and the r16 bench caught the
+    // cost: a cached plan keeps the PRE-AQE shuffle layout (32
+    // partitions for a few-MB table — Spark leaves cached output
+    // partitioning alone unless canChangeCachedPlanOutputPartitioning),
+    // so the dynamic-partition postings write ran partitions×nBuckets
+    // parquet writers (32×64 ≈ 2k writer inits, ~60x the executor time)
+    // AND left one tiny file per (partition, bucket) — 2,048 files
+    // instead of 64 — taxing every later searchIndex read.
+    // localCheckpoint materializes the AQE-FINAL coalesced layout, so
+    // file count tracks data volume at every scale; its blocks release
+    // on driver GC of the frame, the same bounded retention every
+    // Materialize.cut site accepts (see Materialize's class doc for the
+    // executor-loss trade-off and the reliable-checkpoint knob).
+    val tf = Materialize.cut(termFreqs(docs, textCol, idCol))
+    tf.withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    // n_buckets travels with the layout so a query cannot silently
+    // prune against the wrong bucket modulus (r15 review)
+    dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Top-`k` BM25 over a [[writeIndex]] layout — identical scores to
