@@ -45,8 +45,7 @@ import graft.operators.{Dedup, TextAnalysis, Tokenizer, Unigram}
   */
 object ScaleStress {
 
-  private def f3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def f3(v: Double): String = StressJson.f3(v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -218,7 +217,7 @@ object ScaleStress {
     // ScaleStressSubword: ≥1e5 distinct words, three regimes,
     // trajectory-identity + binding + rounds-ceiling gates)
     val violations = scala.collection.mutable.ArrayBuffer[String]()
-    ScaleStressSubword.run(spark, corpus, steps, facts, violations)
+    ScaleStressSubword.run(spark, corpus, factor, steps, facts, violations)
 
     // ---- ANN/embedding plane (certified plant + recall + linearity) -----
     ScaleStressAnn.run(spark, sfDir, factor, workDir, steps, facts,

@@ -59,8 +59,7 @@ object ScaleStressAnn {
   val MinRecall = Map("lsh" -> 0.90, "ivf" -> 0.90, "pq" -> 0.85,
     "ivfpq" -> 0.85)
 
-  private def f3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def f3(v: Double): String = StressJson.f3(v)
 
   /** Isolated run for calibration: `runMain graft.ScaleStressAnn
     * [sfDir] [factor] [workDir]` — prints the same steps/facts/

@@ -63,8 +63,7 @@ import graft.operators.{TextSearch, WebGraph}
   */
 object ScaleStressGraph {
 
-  private def f3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def f3(v: Double): String = StressJson.f3(v)
 
   /** Isolated run for calibration: `runMain graft.ScaleStressGraph
     * [sfDir] [factor] [workDir]` — derives a plain replicated corpus

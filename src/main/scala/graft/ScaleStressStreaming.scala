@@ -40,8 +40,7 @@ import graft.streaming.{EventStreams, VecStreams}
   */
 object ScaleStressStreaming {
 
-  private def f3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def f3(v: Double): String = StressJson.f3(v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

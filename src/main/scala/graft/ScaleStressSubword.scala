@@ -84,16 +84,23 @@ object ScaleStressSubword {
     val steps = ArrayBuffer[(String, Double)]()
     val facts = ArrayBuffer[(String, Long)]()
     val violations = ArrayBuffer[String]()
-    run(spark, corpus, steps, facts, violations)
+    run(spark, corpus, factor, steps, facts, violations)
     println("{" + StressJson.fragment(steps, facts, violations) + "}")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }
 
-  def run(spark: SparkSession, corpus: DataFrame,
+  def run(spark: SparkSession, corpus: DataFrame, factor: Int,
       steps: ArrayBuffer[(String, Double)],
       facts: ArrayBuffer[(String, Long)],
       violations: ArrayBuffer[String]): Unit = {
+    // The fixed 1e5 realism gate is calibrated on the factor-100 corpus
+    // (532k distinct words; SuffixMod saturation measured there). A
+    // smaller factor shrinks rare-word suffix contributions roughly
+    // linearly and would fail the gate with no engine defect — reject
+    // the configuration instead of emitting a spurious violation.
+    require(factor >= 100,
+      s"subword realism gate is calibrated for factor >= 100, got $factor")
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body

@@ -29,6 +29,8 @@ def main(argv):
     if len(hist) < 2:
         print(f"{path}: {len(hist)} entries, nothing to diff")
         return 0
+    if len(argv) == 3:
+        sys.exit("need BOTH indices (idxA idxB) or neither; got one")
     ia, ib = (int(argv[2]), int(argv[3])) if len(argv) > 3 else (-2, -1)
     a, b = hist[ia], hist[ib]
     print(f"A: {a.get('wall_start')}  total {a.get('total_sec')} s  "
@@ -45,10 +47,19 @@ def main(argv):
             flagged += 1
 
     sa, sb = a.get("streaming", {}), b.get("streaming", {})
-    if not sa or not sb:
-        # pre-r16 entries have no streaming map; note, don't flag
-        print("streaming: absent in one side (pre-r16 entry), skipped"
-              if (qa and qb) else "streaming: absent")
+    # Distinguish a pre-r16 entry (no "streaming" key at all -- note,
+    # don't flag) from a post-r16 entry whose streaming leg FAILED or
+    # was disabled ("streaming":{} -- Bench recovers a crashed leg to
+    # an empty map). An empty newer map must flag: a vanished leg is
+    # exactly the invisible-regression class this gate exists for.
+    if "streaming" not in b:
+        print("streaming: newer entry predates streaming history, skipped")
+    elif not sb:
+        print("STREAM streaming map EMPTY in newer entry "
+              "(leg failed or disabled) -- no rates to compare")
+        flagged += 1
+    elif "streaming" not in a or not sa:
+        print("streaming: no older baseline (pre-r16 or empty), skipped")
     for k in sorted(set(sa) & set(sb)):
         va, vb = sa[k], sb[k]
         if k.endswith("_events_per_sec"):
