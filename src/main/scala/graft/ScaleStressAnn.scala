@@ -185,14 +185,24 @@ object ScaleStressAnn {
       // Pure-PQ (no coarse prune) is the distortion-limited family:
       // 16-code blocks at refine=10 dropped to 0.78 at 20k vectors, so
       // the stress runs the honest configuration for this scale — 32
-      // codes per block and a deeper candidate cut (refine·k of n is
-      // still <0.2% of the corpus at factor 100) — rather than a
-      // loosened gate.
+      // codes per block and a deeper candidate cut — rather than a
+      // loosened gate. The cut must scale WITH the corpus: ADC scores
+      // collide linearly in n for fixed 8×32 codebooks, so a fixed
+      // refine·k = 200 candidates is 0.1% of the corpus at factor 100
+      // but 0.01% at factor 1000, where measured recall collapsed to
+      // 0.156 (r16 run) while IVF-PQ's coarse prune held 1.0000 — the
+      // textbook reason the billion-scale composition exists. Keeping
+      // the candidate cut a constant FRACTION of the corpus (0.1%,
+      // refine = 25·f/100) restores the honest configuration at every
+      // factor; the rerank stays O(refine·k·dim) driver-side-free and
+      // the scan stays one O(n) pass.
       val codebooks = timed(s"ann_pq_train_x$f") {
         PqIndex.train(vecs, m = 8, k = 32, iters = 5)
       }
+      val pqRefine = math.max(25, 25 * f / 100)
       gate("pq", timed(s"ann_pq_x$f") {
-        PqIndex.adcRecall(vecs, codebooks, panel, k = k, refine = 25)
+        PqIndex.adcRecall(vecs, codebooks, panel, k = k,
+            refine = pqRefine)
           .head().getAs[Double]("recall")
       })
 
