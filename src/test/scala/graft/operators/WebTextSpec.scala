@@ -238,6 +238,32 @@ class WebTextSpec extends AnyFunSuite {
     assert(got("C") === 0.475)
   }
 
+  test("pageRank/hits/PPR: roundTo = None returns raw doubles (the " +
+    "scale gates' form); default output is the raw value rounded to 6") {
+    // On a ring the raw fixpoint is exactly 1/N, a value round-6 cannot
+    // represent once N is large — ScaleStressGraph gates on the raw
+    // form (r15 ADVICE #2); here we pin raw vs rounded consistency.
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val raw = WebGraph.pageRank(edges, iters = 3, roundTo = None)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    raw.values.foreach(v => assert(v === 1.0 / 3)) // exact, unrounded
+    val rounded = WebGraph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    raw.foreach { case (n, v) =>
+      assert(rounded(n) === math.rint(v * 1e6) / 1e6)
+    }
+    val hRaw = WebGraph.hits(edges, iters = 2, roundTo = None)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    hRaw.foreach { case (hub, auth) =>
+      assert(hub === 1.0 / 3 && auth === 1.0 / 3)
+    }
+    val pprRaw = WebGraph.personalizedPageRank(edges,
+        Seq("A").toDF("node"), iters = 2, damping = 0.85, roundTo = None)
+      .collect().map(r => r.getDouble(1))
+    // mass telescopes to exactly 1 with no rounding dust
+    assert(math.abs(pprRaw.sum - 1.0) < 1e-12)
+  }
+
   test("pageRank: parallel edges carry weight") {
     val edges = Seq(("A", "B"), ("A", "B"), ("A", "C")).toDF("src", "dst")
     val got = WebGraph.pageRank(edges, iters = 1)
