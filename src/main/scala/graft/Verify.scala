@@ -15,8 +15,8 @@ object Verify {
       case None => _ => true
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: the multi-JVM invariance axis (see Sessions).
+    val builder = Sessions.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

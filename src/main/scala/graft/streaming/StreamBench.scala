@@ -161,7 +161,17 @@ object StreamBench {
       }
       val durations = completions.zip((t0, 0L) +: completions.dropRight(1))
         .map { case ((tc, _), (tp, _)) => (tc - tp) / 1e9 }
-      val steadyDur = durations.drop(1)
+      // The 'early' mean starts at the first batch completing AFTER the
+      // warmup cutoff — the same cutoff the steady rate uses. Batches
+      // 1-3 sit inside the JIT/state-bootstrap window, so averaging them
+      // inflated 'early' and desensitized the late>2x-early growth gate
+      // to exactly the state-accretion signature it exists to expose
+      // (r16 ADVICE #1). Batch 0 stays excluded regardless (anchored at
+      // stream start, it carries query-startup cost).
+      val firstPostIdx = completions.indexWhere(_._1 >= cutoff)
+      val steadyDur =
+        if (firstPostIdx >= 0) durations.drop(math.max(firstPostIdx, 1))
+        else durations.drop(1)
       def meanOf(xs: Iterable[Double]): Double =
         if (xs.isEmpty) 0.0 else xs.sum / xs.size
       val batchEarly = meanOf(steadyDur.take(3))

@@ -13,6 +13,14 @@ class WebTextSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Expected-value rounding matching Spark SQL's `round()` (HALF_UP).
+    * `math.rint` is HALF_EVEN: it agrees on most vectors but falsely
+    * fails on .5-boundary values (r16 ADVICE #5) — the exact mode
+    * mismatch the old ScaleStressGraph gate comment documented. */
+  private def roundHalfUp(v: Double, digits: Int): Double =
+    BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   // --- stripMarkup --------------------------------------------------------
 
   test("stripMarkup removes script/style CONTENT, strips tags, decodes " +
@@ -148,7 +156,7 @@ class WebTextSpec extends AnyFunSuite {
     val d = Seq((1L, "a b")).toDF("doc_id", "text")
     val got = TextAnalysis.bigramLogprob(d).collect()(0)
     assert(got.getLong(1) === 1L)
-    assert(got.getDouble(2) === math.rint(math.log(0.75) * 10000) / 10000)
+    assert(got.getDouble(2) === roundHalfUp(math.log(0.75), 4))
   }
 
   // --- lengthOutlierTrim --------------------------------------------------
@@ -221,7 +229,7 @@ class WebTextSpec extends AnyFunSuite {
     val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
     val got = WebGraph.pageRank(edges, iters = 3)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val third = math.rint(1.0 / 3 * 1e6) / 1e6
+    val third = roundHalfUp(1.0 / 3, 6)
     assert(got === Map("A" -> third, "B" -> third, "C" -> third))
   }
 
@@ -234,7 +242,7 @@ class WebTextSpec extends AnyFunSuite {
     val got = WebGraph.pageRank(edges, iters = 1)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got("A") === 0.05)
-    assert(got("B") === math.rint((0.05 + 0.85 / 6) * 1e6) / 1e6)
+    assert(got("B") === roundHalfUp(0.05 + 0.85 / 6, 6))
     assert(got("C") === 0.475)
   }
 
@@ -250,7 +258,7 @@ class WebTextSpec extends AnyFunSuite {
     val rounded = WebGraph.pageRank(edges, iters = 3)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     raw.foreach { case (n, v) =>
-      assert(rounded(n) === math.rint(v * 1e6) / 1e6)
+      assert(rounded(n) === roundHalfUp(v, 6))
     }
     val hRaw = WebGraph.hits(edges, iters = 2, roundTo = None)
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
@@ -269,8 +277,8 @@ class WebTextSpec extends AnyFunSuite {
     val got = WebGraph.pageRank(edges, iters = 1)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // outdeg(A)=3: B gets 2/3 of A's rank, C gets 1/3
-    assert(got("B") === math.rint((0.05 + 0.85 * (2.0 / 9)) * 1e6) / 1e6)
-    assert(got("C") === math.rint((0.05 + 0.85 * (1.0 / 9)) * 1e6) / 1e6)
+    assert(got("B") === roundHalfUp(0.05 + 0.85 * (2.0 / 9), 6))
+    assert(got("C") === roundHalfUp(0.05 + 0.85 * (1.0 / 9), 6))
   }
 
   // --- hits ---------------------------------------------------------------
@@ -310,11 +318,11 @@ class WebTextSpec extends AnyFunSuite {
     val got = TextAnalysis.scriptMix(d).orderBy("doc_id").collect()
     val r1 = got(0)
     assert(r1.getAs[Long]("n_chars") === 11L)
-    assert(r1.getAs[Double]("latin_frac") === math.rint(3.0 / 11 * 10000) / 10000)
-    assert(r1.getAs[Double]("han_frac") === math.rint(2.0 / 11 * 10000) / 10000)
-    assert(r1.getAs[Double]("cyrillic_frac") === math.rint(3.0 / 11 * 10000) / 10000)
-    assert(r1.getAs[Double]("digit_frac") === math.rint(2.0 / 11 * 10000) / 10000)
-    assert(r1.getAs[Double]("other_frac") === math.rint(1.0 / 11 * 10000) / 10000)
+    assert(r1.getAs[Double]("latin_frac") === roundHalfUp(3.0 / 11, 4))
+    assert(r1.getAs[Double]("han_frac") === roundHalfUp(2.0 / 11, 4))
+    assert(r1.getAs[Double]("cyrillic_frac") === roundHalfUp(3.0 / 11, 4))
+    assert(r1.getAs[Double]("digit_frac") === roundHalfUp(2.0 / 11, 4))
+    assert(r1.getAs[Double]("other_frac") === roundHalfUp(1.0 / 11, 4))
     assert(got(1).getAs[Double]("latin_frac") === 1.0)
     assert(got(1).getAs[Double]("other_frac") === 0.0)
   }
