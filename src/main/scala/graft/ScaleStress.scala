@@ -53,8 +53,8 @@ object ScaleStress {
     val workDir = if (args.length > 2) args(2)
       else java.nio.file.Files.createTempDirectory("graft_scale").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: the multi-JVM invariance axis (see Sessions).
+    val spark = Sessions.withMaster(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -45,10 +45,10 @@ object Sessions {
     val b = builder.master(master)
     if (!master.startsWith("local-cluster")) b
     else {
-      val execOpts = (jdk17AddOpens ++ Seq(
-        "-Dspark.sql.session.timeZone=UTC",
-        // executor-side derby/log noise stays out of the driver tail
-        "-Dlog4j2.level=warn")).mkString(" ")
+      // No -Dspark.* here: Spark rejects executor extraJavaOptions that
+      // set Spark configs (session timeZone etc. travel with the session
+      // conf anyway).
+      val execOpts = (jdk17AddOpens :+ "-Dlog4j2.level=warn").mkString(" ")
       b.config("spark.executor.extraClassPath",
           System.getProperty("java.class.path"))
         .config("spark.executor.extraJavaOptions", execOpts)

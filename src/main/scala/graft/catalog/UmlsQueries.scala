@@ -52,7 +52,22 @@ object UmlsQueries {
     * StringType to CLOB, which Derby won't compare with string
     * literals). Backs the JDBC-sourced bench entry (q189): the one
     * catalog path that times [[UmlsSource.jdbc]]'s partitioned
-    * predicate reads instead of parquet scans. */
+    * predicate reads instead of parquet scans.
+    *
+    * `jdbc:derby:memory:` is PER-JVM state, so under a multi-JVM master
+    * (the local-cluster invariance axis, r16 verdict #1) the driver's
+    * load is invisible to executors — they boot an empty engine and the
+    * partitioned read fails with "MRCONSO does not exist". That is a
+    * fixture artifact, not an engine property: the production S1 source
+    * is a network database every executor reaches (`umls2rdf.py:64-70`
+    * connects over the wire). The fixture mirrors that reachability by
+    * replicating the 74 rows into every executor JVM through a BARRIER
+    * stage (one task per slot ⇒ every executor runs at least one;
+    * JVM-local idempotence via [[DerbyFixtureLoader]]). The load is
+    * plain JDBC on collected rows — master-agnostic, and no longer
+    * relies on `write.jdbc`, whose CREATE ran on the driver while its
+    * INSERTs ran on executors (split-brain under any multi-JVM master).
+    */
   private[catalog] object DerbyUmls {
     val url = "jdbc:derby:memory:graftbench;create=true"
     lazy val props: java.util.Properties = {
@@ -63,37 +78,81 @@ object UmlsQueries {
       p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       p
     }
+    @volatile private var driverLoaded = false
+    @volatile private var executorsLoaded = false
+    private def payload(spark: SparkSession): Seq[
+        (String, Seq[String], Seq[Seq[String]])] =
+      Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK",
+          "MRSAB", "MRSTY", "MRDOC").map { t =>
+        val df = spark.read.parquet(s"$FixtureDir/$t.parquet")
+        val cols = df.columns.toSeq
+        val rows = df.collect().toSeq
+          .map(r => cols.indices.map(i =>
+            if (r.isNullAt(i)) null else r.getString(i)))
+        (t, cols, rows)
+      }
+    def ensure(spark: SparkSession): Unit = {
+      if (!driverLoaded) synchronized {
+        if (!driverLoaded) {
+          props // set derby.system.home before the engine boots
+          DerbyFixtureLoader.load(payload(spark))
+          driverLoaded = true
+        }
+      }
+      if (!spark.sparkContext.isLocal && !executorsLoaded) synchronized {
+        if (!executorsLoaded) {
+          val data = payload(spark)
+          val slots = math.max(spark.sparkContext.defaultParallelism, 1)
+          spark.sparkContext.range(0L, slots.toLong, 1L, slots)
+            .barrier()
+            .mapPartitions { _ =>
+              DerbyFixtureLoader.load(data)
+              Iterator.single(1)
+            }.count()
+          executorsLoaded = true
+        }
+      }
+    }
+  }
+
+  /** JVM-local Derby fixture load over a plain JDBC connection —
+    * idempotent per JVM, callable from the driver and from executor
+    * barrier tasks alike (see [[DerbyUmls]]). Explicit VARCHAR DDL:
+    * Derby won't compare CLOB with string literals, which would break
+    * the partition predicates, and MRSAT's CODE is NULL by design
+    * (F5's filter subject), so nulls set with an explicit VARCHAR
+    * type. */
+  private[catalog] object DerbyFixtureLoader {
     @volatile private var loaded = false
-    def ensure(spark: SparkSession): Unit =
+    def load(tables: Seq[(String, Seq[String], Seq[Seq[String]])]): Unit =
       if (!loaded) synchronized {
         if (!loaded) {
-          props // set derby.system.home before the engine boots
-          // Spark's built-in Derby dialect maps StringType to CLOB,
-          // which Derby neither compares with string literals (breaking
-          // the partition predicates) nor accepts as the null type for
-          // a VARCHAR column (MRSAT's CODE is NULL by design — F5's
-          // filter subject): override to VARCHAR for both DDL and
-          // setNull.
-          org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
-            new org.apache.spark.sql.jdbc.JdbcDialect {
-              override def canHandle(u: String): Boolean =
-                u.startsWith("jdbc:derby:")
-              override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
-                  : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
-                case org.apache.spark.sql.types.StringType =>
-                  Some(org.apache.spark.sql.jdbc.JdbcType(
-                    "VARCHAR(4000)", java.sql.Types.VARCHAR))
-                case _ => None
+          Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+          val conn = java.sql.DriverManager
+            .getConnection(DerbyUmls.url)
+          try {
+            val st = conn.createStatement()
+            for ((t, cols, rows) <- tables) {
+              // replace, not append: a partial earlier load must not
+              // double rows on re-entry
+              try st.execute(s"DROP TABLE $t")
+              catch { case _: java.sql.SQLException => () }
+              st.execute(s"CREATE TABLE $t (" +
+                cols.map(c => s"$c VARCHAR(4000)").mkString(", ") + ")")
+              val ps = conn.prepareStatement(s"INSERT INTO $t VALUES (" +
+                cols.map(_ => "?").mkString(",") + ")")
+              for (r <- rows) {
+                r.zipWithIndex.foreach { case (v, i) =>
+                  if (v == null) ps.setNull(i + 1, java.sql.Types.VARCHAR)
+                  else ps.setString(i + 1, v)
+                }
+                ps.addBatch()
               }
-            })
-          // overwrite, not append: a partial load (failure mid-table-
-          // list) leaves loaded=false, and the re-entry must replace the
-          // already-written tables rather than double their rows
-          for (t <- Seq("MRCONSO", "MRREL", "MRDEF", "MRSAT", "MRRANK",
-              "MRSAB", "MRSTY", "MRDOC")) {
-            spark.read.parquet(s"$FixtureDir/$t.parquet")
-              .write.mode("overwrite").jdbc(url, t, props)
-          }
+              ps.executeBatch()
+              ps.close()
+            }
+            st.close()
+          } finally conn.close()
           loaded = true
         }
       }
