@@ -92,6 +92,18 @@ object ScaleStressGraph {
     val steps = ArrayBuffer[(String, Double)]()
     val facts = ArrayBuffer[(String, Long)]()
     val violations = ArrayBuffer[String]()
+    // Heap-plane provenance (r16 verdict #2): the factor-1000 run needed
+    // a 56g JVM under local[n] with no record of WHICH plane (the one
+    // JVM is driver + executors + block storage at once). The artifact
+    // now states the driver heap and, under a multi-JVM master, the
+    // per-executor memory — so an 8g-driver local-cluster pass is
+    // machine-readable executor-plane attribution.
+    facts += "heap_driver_max_mb" ->
+      Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    facts += "heap_executor_mb" ->
+      (if (spark.sparkContext.isLocal) 0L
+       else org.apache.spark.network.util.JavaUtils.byteStringAsMb(
+         spark.conf.get("spark.executor.memory", "1g")))
     run(spark, corpus, steps, facts, violations)
     println("{" + StressJson.fragment(steps, facts, violations) + "}")
     spark.stop()
