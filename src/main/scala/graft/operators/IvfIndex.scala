@@ -23,22 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Argmin-centroid assignment column: (cluster, distSq) struct.
-    * dist² = |v|² - 2 v·c + |c|²; |v|² is constant per row so the fold
-    * compares (-2 v·c + |c|²). */
+  /** Argmin-centroid assignment column: the cluster index minimizing
+    * dist² = |v|² - 2 v·c + |c|² (|v|² constant per row, so the compare
+    * key is -2 v·c + |c|²). One native codegen'd expression
+    * ([[graft.functions.ArgMinCentroid]]) — the earlier
+    * `aggregate(array(k structs))` fold was an interpreted higher-order
+    * function that also re-evaluated `vec` once per centroid (no CSE
+    * outside whole-stage codegen): the streaming ingest leg measured
+    * ~42k rows/s THREAD-INDEPENDENT at k=64/dim=64, the signature of an
+    * interpreter/allocation wall, not flops. Same scores bit-for-bit,
+    * same first-minimal tie-break, same -1 sentinel on NaN/mismatch/
+    * NULL. */
   private def assignCol(vec: Column, centroids: Array[Array[Double]])
-      : Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = typedLit(c.toSeq)
-      val negTwoDot = Similarity.dot(vec, cLit) * lit(-2.0)
-      val cNorm = lit(c.map(x => x * x).sum)
-      struct((negTwoDot + cNorm).as("d"), lit(i).as("cluster"))
-    }
-    aggregate(
-      array(scored.toIndexedSeq: _*),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cluster")),
-      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
-  }
+      : Column =
+    graft.functions.VectorFunctions.vecArgMinCentroid(vec, centroids)
 
   /** Cluster id of `vec`, FAILING LOUDLY on an unassignable embedding
     * (r14 review): a NaN component — Spark orders NaN above everything,
@@ -48,7 +46,7 @@ object IvfIndex {
     * clustered layout, and made the row vanish from every probe path. */
   private def clusterCol(vec: Column, centroids: Array[Array[Double]])
       : Column = {
-    val c = assignCol(vec, centroids).getField("cluster")
+    val c = assignCol(vec, centroids)
     when(c === -1, raise_error(lit(
       "IvfIndex: unassignable embedding (NaN component or dimension != " +
         s"${centroids.head.length})")).cast("int"))

@@ -65,6 +65,57 @@ class CodegenSpec extends AnyFunSuite {
     assert(ok.eval(null) === 17.0)
   }
 
+  test("ArgMinCentroid runs under whole-stage codegen and matches the " +
+      "HOF fold it replaced bit-for-bit, ties and sentinels included") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = spark.range(4)
+      .select(array((col("id") % 2).cast("float"),
+        lit(1.0f) - (col("id") % 2).cast("float")).as("v"))
+      .select(VectorFunctions.vecArgMinCentroid(col("v"), cents).as("c"))
+    assert(wscgCovers(df), df.queryExecution.executedPlan.toString.take(800))
+    // even ids → (0,1) → centroid 1; odd ids → (1,0) → centroid 0, and
+    // the DUPLICATE centroid 2 must never win a tie (first minimal)
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(1, 0, 1, 0))
+    // the replaced aggregate(array(struct...)) fold, replayed via the
+    // public HOF Column algebra — same data, same scores, same winner
+    val hof = spark.range(4)
+      .select(array((col("id") % 2).cast("float"),
+        lit(1.0f) - (col("id") % 2).cast("float")).as("v"))
+      .select(aggregate(
+        array(cents.zipWithIndex.map { case (c, i) =>
+          struct((graft.operators.Similarity.dot(col("v"),
+            typedLit(c.toSeq)) * lit(-2.0) +
+            lit(c.map(x => x * x).sum)).as("d"), lit(i).as("cluster"))
+        }.toIndexedSeq: _*),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("cluster")),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x)
+          .otherwise(acc)).getField("cluster").as("c"))
+    assert(hof.collect().map(_.getInt(0)).toSeq ===
+      df.collect().map(_.getInt(0)).toSeq)
+  }
+
+  test("ArgMinCentroid sentinels: NaN component, dimension mismatch, and " +
+      "NULL embedding all yield -1 (codegen and interpreted eval agree)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val at = ArrayType(DoubleType)
+    def evalOf(v: Any): Any =
+      ArgMinCentroid(Literal.create(v, at), cents).eval(null)
+    assert(evalOf(Seq(Double.NaN, 1.0)) === -1)
+    assert(evalOf(Seq(1.0)) === -1)           // dim mismatch
+    assert(evalOf(null) === -1)               // NULL embedding, NOT null
+    assert(evalOf(Seq(0.9, 0.1)) === 0)
+    // codegen path on the same vectors
+    val df = spark.range(3).select(
+      when(col("id") === 0, array(lit(Double.NaN), lit(1.0)))
+        .when(col("id") === 1, array(lit(1.0)))
+        .otherwise(array(lit(0.9), lit(0.1))).as("v"))
+      .select(VectorFunctions.vecArgMinCentroid(col("v"),
+        cents.map(_.toArray).toArray).as("c"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(-1, -1, 0))
+  }
+
   test("TurtleEscape and StnParent run under whole-stage codegen") {
     import org.apache.spark.sql.GraftSqlShims.{columnOf, expressionOf}
     val df = spark.range(1)
