@@ -248,6 +248,319 @@ case class ArgMinCentroid(child: Expression,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Native PQ encoder: the full `m`-block code array in one expression —
+  * per block, the argmin-centroid over that block's slice of the vector
+  * (same `-2·(v_b·c) + |c|²` compare key as [[ArgMinCentroid]], first
+  * minimal wins ties).
+  *
+  * The Column form it replaces ran `m` interpreted
+  * `aggregate(array(k structs))` folds per row, each over a `transform(
+  * array(slice(vec, …)))` lambda binding — `m·k` struct allocations plus
+  * an intermediate slice array per block, with the whole projection
+  * bouncing through the HOF interpreter (the [[ArgMinCentroid]] wall,
+  * ×m). This expression is one fused primitive loop: the vector child is
+  * evaluated once, every block's argmin reads it in place (no slice
+  * materialization), and the output is a primitive `int[]` array.
+  *
+  * Semantics are bit-identical to the fold it replaces
+  * (`PqIndex.blockCode` pre-r18, replayed in `PqCodegenSpec`):
+  *   - block `b` reads elements `[b·sub, (b+1)·sub)`; per-centroid score
+  *     = dot(v_b, cᵢ)·(−2.0) + |cᵢ|² with [[DotProduct]] accumulation
+  *     order, |cᵢ|² pre-summed left-to-right on the driver exactly as
+  *     `c.map(x*x).sum` was;
+  *   - strict `<` keeps the FIRST minimal code;
+  *   - NULL elements read as 0.0 ([[DotProduct]] semantics);
+  *   - a NaN component poisons every score in ITS block only → that
+  *     block yields the −1 sentinel;
+  *   - a vector too short for block `b` (numElements < (b+1)·sub — the
+  *     old form's `slice` returned a short array and the dot nulled) →
+  *     −1 for that block; later blocks likewise;
+  *   - NULL vector → every block −1.
+  * The −1 sentinel (never SQL NULL) feeds `PqIndex.encode`'s loud
+  * raise_error guard, exactly as before.
+  */
+case class PqEncode(child: Expression,
+    codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(codebooks.nonEmpty, "PqEncode: empty codebook set")
+  require(codebooks.forall(_.nonEmpty), "PqEncode: empty block codebook")
+  require(codebooks.flatten.forall(_.length ==
+      codebooks.head.head.length),
+    "PqEncode: ragged centroid matrix")
+  require(codebooks.forall(_.length == codebooks.head.length),
+    "PqEncode: blocks must share k")
+
+  private val m = codebooks.length
+  private val k = codebooks.head.length
+  private val sub = codebooks.head.head.length
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_pq_encode"
+
+  // flat block-major matrix: flat[((b·k)+c)·sub + j] = codebooks(b)(c)(j),
+  // norms[b·k+c] = the EXACT |c|² the Column form used (driver-side
+  // left-to-right sum of squares)
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * k * sub)
+    var b = 0
+    while (b < m) {
+      var c = 0
+      while (c < k) {
+        var j = 0
+        while (j < sub) {
+          a(((b * k) + c) * sub + j) = codebooks(b)(c)(j); j += 1
+        }
+        c += 1
+      }
+      b += 1
+    }
+    a
+  }
+  @transient private lazy val norms: Array[Double] = {
+    val a = new Array[Double](m * k)
+    var b = 0
+    while (b < m) {
+      var c = 0
+      while (c < k) { a(b * k + c) = codebooks(b)(c).map(x => x * x).sum; c += 1 }
+      b += 1
+    }
+    a
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_pq_encode expects array<float|double>, got $other")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_pq_encode expects array<float|double>, got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val codes = new Array[Int](m)
+    java.util.Arrays.fill(codes, -1)
+    val v = child.eval(input)
+    if (v == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isF = elemIsFloat
+    var b = 0
+    while (b < m) {
+      if (n >= (b + 1) * sub) {
+        var best = Double.MaxValue
+        var idx = -1
+        var c = 0
+        while (c < k) {
+          var dot = 0.0
+          val base = ((b * k) + c) * sub
+          var j = 0
+          while (j < sub) {
+            val p = b * sub + j
+            val xv = if (arr.isNullAt(p)) 0.0
+              else if (isF) arr.getFloat(p).toDouble else arr.getDouble(p)
+            dot += xv * flat(base + j)
+            j += 1
+          }
+          val score = dot * -2.0 + norms(b * k + c)
+          if (score < best) { best = score; idx = c }
+          c += 1
+        }
+        codes(b) = idx
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val childGen = child.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val normRef = ctx.addReferenceObj("pqNorms", norms, "double[]")
+    val tmp = ctx.freshName("codes")
+    val arr = ctx.freshName("arr")
+    val n = ctx.freshName("n")
+    val b = ctx.freshName("b")
+    val c = ctx.freshName("c")
+    val j = ctx.freshName("j")
+    val p = ctx.freshName("p")
+    val base = ctx.freshName("base")
+    val best = ctx.freshName("best")
+    val idx = ctx.freshName("idx")
+    val dot = ctx.freshName("dot")
+    val score = ctx.freshName("score")
+    val getElem =
+      if (elemIsFloat) s"(double) $arr.getFloat($p)" else s"$arr.getDouble($p)"
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val body =
+      code"""
+        ${childGen.code}
+        int[] $tmp = new int[$m];
+        java.util.Arrays.fill($tmp, -1);
+        if (!${childGen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $arr =
+            ${childGen.value};
+          int $n = $arr.numElements();
+          for (int $b = 0; $b < $m; $b++) {
+            if ($n >= ($b + 1) * $sub) {
+              double $best = Double.MAX_VALUE;
+              int $idx = -1;
+              for (int $c = 0; $c < $k; $c++) {
+                double $dot = 0.0;
+                int $base = (($b * $k) + $c) * $sub;
+                for (int $j = 0; $j < $sub; $j++) {
+                  int $p = $b * $sub + $j;
+                  double xv = $arr.isNullAt($p) ? 0.0 : $getElem;
+                  $dot += xv * $flatRef[$base + $j];
+                }
+                double $score = $dot * -2.0 + $normRef[$b * $k + $c];
+                if ($score < $best) { $best = $score; $idx = $c; }
+              }
+              $tmp[$b] = $idx;
+            }
+          }
+        }
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+      """
+    ev.copy(code = body,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native ADC (asymmetric-distance) score: the approximate cosine of a
+  * PQ-coded row against ONE query, from the query's per-block lookup
+  * tables — `m` array reads and one fused accumulation per row.
+  *
+  * The Column form it replaces ran TWO interpreted
+  * `aggregate(zip_with(codes, lit(lut), …))` folds per row (dot table,
+  * then norm² table) — each allocating a zipped intermediate array and
+  * re-reading `codes` — then divided. This expression evaluates `codes`
+  * once and accumulates both sums in one primitive loop inside
+  * whole-stage codegen.
+  *
+  * Semantics are bit-identical to the replaced algebra (replayed in
+  * `PqCodegenSpec`): each sum is a left-to-right fold from 0.0 in block
+  * order, and the result is `dotSum / (sqrt(n2Sum) · qNorm)` with the
+  * same operation order. NULL codes array → NULL; a codes array whose
+  * length ≠ m → NULL (the zip_with null-pad); a NULL code element →
+  * NULL. An out-of-range code (possible only on a corpus encoded with a
+  * DIFFERENT codebook size — `PqIndex.encode`'s guard forbids −1 from
+  * its own output) → NULL, where the old form's `element_at` would have
+  * errored under ANSI; both paths are unreachable through the public
+  * API.
+  */
+case class AdcScore(child: Expression,
+    lutDot: Seq[Seq[Double]], lutN2: Seq[Seq[Double]], qNorm: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(lutDot.nonEmpty && lutDot.forall(_.nonEmpty),
+    "AdcScore: empty lookup table")
+  require(lutDot.length == lutN2.length &&
+      lutDot.zip(lutN2).forall { case (a, b) => a.length == b.length },
+    "AdcScore: dot/norm tables must be congruent")
+  require(lutDot.forall(_.length == lutDot.head.length),
+    "AdcScore: blocks must share k")
+
+  private val m = lutDot.length
+  private val k = lutDot.head.length
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_adc_score"
+
+  @transient private lazy val flatDot: Array[Double] =
+    lutDot.flatten.toArray
+  @transient private lazy val flatN2: Array[Double] =
+    lutN2.flatten.toArray
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_adc_score expects array<int> codes, got $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != m) return null
+    var dot = 0.0
+    var n2 = 0.0
+    var b = 0
+    while (b < m) {
+      if (arr.isNullAt(b)) return null
+      val c = arr.getInt(b)
+      if (c < 0 || c >= k) return null
+      dot += flatDot(b * k + c)
+      n2 += flatN2(b * k + c)
+      b += 1
+    }
+    dot / (math.sqrt(n2) * qNorm)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val dotRef = ctx.addReferenceObj("adcFlatDot", flatDot, "double[]")
+    val n2Ref = ctx.addReferenceObj("adcFlatN2", flatN2, "double[]")
+    // bit-exact double embedding — a decimal rendering of qNorm could
+    // round-trip to a different value
+    val qNormJ = "java.lang.Double.longBitsToDouble(" +
+      s"${java.lang.Double.doubleToLongBits(qNorm)}L)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val arr = ctx.freshName("arr")
+      val dot = ctx.freshName("dot")
+      val n2 = ctx.freshName("n2")
+      val b = ctx.freshName("b")
+      val cd = ctx.freshName("cd")
+      val bad = ctx.freshName("bad")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $arr = $a;
+        if ($arr.numElements() != $m) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0;
+          double $n2 = 0.0;
+          boolean $bad = false;
+          for (int $b = 0; $b < $m; $b++) {
+            if ($arr.isNullAt($b)) { $bad = true; break; }
+            int $cd = $arr.getInt($b);
+            if ($cd < 0 || $cd >= $k) { $bad = true; break; }
+            $dot += $dotRef[$b * $k + $cd];
+            $n2 += $n2Ref[$b * $k + $cd];
+          }
+          if ($bad) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($n2) * $qNormJ);
+          }
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column form of [[DotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -260,4 +573,17 @@ object VectorFunctions {
     GraftSqlShims.columnOf(ArgMinCentroid(
       GraftSqlShims.expressionOf(vec),
       centroids.map(_.toSeq).toSeq))
+
+  /** Column form of [[PqEncode]]. */
+  def vecPqEncode(vec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlShims.columnOf(PqEncode(
+      GraftSqlShims.expressionOf(vec),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** Column form of [[AdcScore]]. */
+  def vecAdcScore(codes: Column, lutDot: Seq[Seq[Double]],
+      lutN2: Seq[Seq[Double]], qNorm: Double): Column =
+    GraftSqlShims.columnOf(AdcScore(
+      GraftSqlShims.expressionOf(codes), lutDot, lutN2, qNorm))
 }

@@ -17,16 +17,18 @@ import org.apache.spark.sql.functions._
   *     hash-ordered sample — same bounded-sample discipline as
   *     [[IvfIndex.train]]: no RNG, no global window, TakeOrdered sample,
   *     O(m · k · sample · subdim) driver flops.
-  *   - ENCODE (distributed, Column algebra): per block, argmin-centroid
-  *     over the sliced subvector — the [[IvfIndex]] fold, once per block;
-  *     the slice is lambda-bound so it is computed once per block, not
-  *     once per centroid. Output is one `array<int>` column; at rest it
-  *     can be written beside the id and scanned WITHOUT the embedding.
-  *   - SEARCH (distributed, Column algebra): asymmetric distance
-  *     computation — the query builds an m×k lookup table of exact
-  *     query-sub-block · centroid dot products (driver, tiny), entered
-  *     into the plan as a literal; each row's approximate score is m
-  *     array reads + a sum. Top `refine·k` candidates by approximate
+  *   - ENCODE (distributed, native codegen'd expression): all m block
+  *     argmins in one fused loop per row
+  *     ([[graft.functions.PqEncode]] — the vector child is evaluated
+  *     once, no slice materialization). Output is one `array<int>`
+  *     column; at rest it can be written beside the id and scanned
+  *     WITHOUT the embedding.
+  *   - SEARCH (distributed, native codegen'd expression): asymmetric
+  *     distance computation — the query builds an m×k lookup table of
+  *     exact query-sub-block · centroid dot products (driver, tiny),
+  *     carried as expression state ([[graft.functions.AdcScore]]); each
+  *     row's approximate score is m array reads + one fused
+  *     accumulation. Top `refine·k` candidates by approximate
   *     score (TakeOrdered — per-partition top-N, no global sort), then an
   *     exact cosine re-rank over just those rows.
   */
@@ -132,30 +134,6 @@ object PqIndex {
   def portableCodebooks(m: Int, k: Int, sub: Int): Codebooks =
     Array.tabulate(m)(b => Similarity.portableHyperplanes(k, sub, s"pq|$b|"))
 
-  /** Argmin-code fold for one block. The sliced subvector is bound ONCE
-    * as a lambda variable (HOF no-CSE — the [[TextAnalysis.shingles]]
-    * lesson), so each centroid comparison is a dot product over an
-    * already-materialized slice. dist² compares as (-2 q·c + |c|²) —
-    * |v|² is constant within the fold. */
-  private def blockCode(vec: Column, b: Int, sub: Int,
-      codebook: Array[Array[Double]]): Column =
-    element_at(
-      transform(array(slice(vec, b * sub + 1, sub)), s => {
-        val scored = codebook.zipWithIndex.map { case (c, i) =>
-          struct(
-            (Similarity.dot(s, typedLit(c.toSeq)) * lit(-2.0) +
-              lit(c.map(x => x * x).sum)).as("d"),
-            lit(i).as("code"))
-        }
-        aggregate(
-          array(scored.toIndexedSeq: _*),
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
-          (acc, x) =>
-            when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
-          .getField("code")
-      }),
-      1)
-
   /** Encode every vector to its `m` block codes: (id, codes array<int>).
     * At rest this is the compact scan column; the raw embedding is only
     * needed again for exact re-ranks. */
@@ -164,17 +142,24 @@ object PqIndex {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val vec = col(vecCol).cast("array<double>")
+    // One native codegen'd expression for ALL m block argmins
+    // ([[graft.functions.PqEncode]]) — the earlier form ran m interpreted
+    // `aggregate(array(k structs))` folds over `transform(array(slice(…)))`
+    // lambda bindings: m·k struct allocations plus a slice array per
+    // block per row, the same interpreted-HOF wall ArgMinCentroid
+    // measured at 13-14x (r17), multiplied by m. Scores, first-minimal
+    // tie-break, and the per-block -1 sentinel are bit-identical
+    // (PqCodegenSpec replays the old algebra).
+    //
     // fail at ENCODE time on an unencodable block (r14 review): a NaN
-    // component or short vector left the fold's -1 sentinel, which
-    // persisted silently into the at-rest code layout and killed every
-    // later ADC query with element_at(row, 0) — far from the bad input.
-    // The guard runs as a `transform` over the ALREADY-BUILT code array
-    // — a lambda binds each code once — not as a per-block
+    // component or short vector leaves the -1 sentinel, which would
+    // persist silently into the at-rest code layout and kill every
+    // later ADC query far from the bad input. The guard runs as a
+    // `transform` over the ALREADY-BUILT m-int code array — a lambda
+    // binds each code once, m comparisons per row — not as a per-block
     // when(c === -1, …).otherwise(c), whose else-branch re-embeds the
-    // whole argmin fold and doubled the encode cost (the r14 PQ-family
-    // quiet drift: q70b +0.24 s / q70d / q70e — r14 verdict #5).
-    val raw = array((0 until m).map(b =>
-      blockCode(vec, b, sub, codebooks(b))): _*)
+    // whole argmin (the r14 PQ-family quiet drift — r14 verdict #5).
+    val raw = graft.functions.VectorFunctions.vecPqEncode(vec, codebooks)
     emb.select(col(idCol),
       transform(raw, c =>
         when(c === -1, raise_error(lit(
@@ -207,17 +192,15 @@ object PqIndex {
       codebooks(b).toIndexedSeq.map(c => c.map(x => x * x).sum)
     }
     val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
-    val approxDot = aggregate(
-      zip_with(col("codes"),
-        typedLit(lutDot).cast("array<array<double>>"),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val approxN2 = aggregate(
-      zip_with(col("codes"),
-        typedLit(lutN2).cast("array<array<double>>"),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    approxDot / (sqrt(approxN2) * lit(qNorm))
+    // One native codegen'd expression ([[graft.functions.AdcScore]]):
+    // the earlier form ran TWO interpreted `aggregate(zip_with(codes,
+    // lit(lut), …))` folds per row — each allocating a zipped
+    // intermediate array and re-reading `codes` — then divided. Same
+    // block-order left-to-right sums and the same final
+    // `dot / (sqrt(n2) · qNorm)` operation order, so scores are
+    // bit-equal (PqCodegenSpec replays the old algebra).
+    graft.functions.VectorFunctions.vecAdcScore(
+      col("codes"), lutDot, lutN2, qNorm)
   }
 
   private def adcCandidates(codes: DataFrame, codebooks: Codebooks,
