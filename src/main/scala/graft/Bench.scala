@@ -727,12 +727,13 @@ object Bench {
     // is made of).
     val stealTotal = results.flatMap(_._2)
       .map(s => math.max(0.0, s.stealSec)).sum
-    val pickedWallSum = results.map { case (_, ss, p, _) => ss(p).wall }.sum
+    // `total` above IS the picked-sample wall sum — reusing it keeps the
+    // headline definition in one place (r17 ADVICE #4).
     val foreignMean =
-      if (pickedWallSum <= 0) 0.0
+      if (total <= 0) 0.0
       else results.map { case (_, ss, p, _) =>
         math.max(0.0, ss(p).foreign) * ss(p).wall
-      }.sum / pickedWallSum
+      }.sum / total
     val quality = windowQuality(loadStart, stealTotal, foreignMean)
     val qualityJson = s""""window_quality":"$quality",""" +
       s""""steal_total_sec":${f3(stealTotal)},""" +

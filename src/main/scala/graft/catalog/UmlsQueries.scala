@@ -91,6 +91,22 @@ object UmlsQueries {
             if (r.isNullAt(i)) null else r.getString(i)))
         (t, cols, rows)
       }
+    /** Load the fixture into THIS JVM and (under a non-local master)
+      * into every executor JVM via the barrier stage.
+      *
+      * ASSUMPTION (r17 ADVICE #3): the executor fan-out is one-shot per
+      * driver (`executorsLoaded`) and sizes the barrier to
+      * `defaultParallelism` at call time, so it covers the fixed
+      * single-host local-cluster axis but NOT executor churn — an
+      * executor lost and replaced after the load (or added under
+      * dynamic allocation) boots with an empty in-memory Derby and
+      * q189's partitioned read fails loudly with "MRCONSO does not
+      * exist". That is acceptable for this bench fixture because the
+      * axis runs a fixed 2-worker topology with no dynamic allocation;
+      * the production S1 source is a network database
+      * (`umls2rdf.py:64-70`) with no per-JVM state to replay. A
+      * churn-tolerant variant would re-run the load lazily inside the
+      * JDBC partition reader instead of a one-shot barrier. */
     def ensure(spark: SparkSession): Unit = {
       if (!driverLoaded) synchronized {
         if (!driverLoaded) {
@@ -127,6 +143,16 @@ object UmlsQueries {
     def load(tables: Seq[(String, Seq[String], Seq[Seq[String]])]): Unit =
       if (!loaded) synchronized {
         if (!loaded) {
+          // Both JVM kinds boot identically (r17 ADVICE #3): the driver
+          // path sets derby.system.home via DerbyUmls.props before the
+          // engine loads, but executor JVMs reach here directly from
+          // the barrier task — without this, derby.log lands in each
+          // worker's CWD. Only effective before the engine boots, hence
+          // guarded on absence.
+          if (System.getProperty("derby.system.home") == null)
+            System.setProperty("derby.system.home",
+              java.nio.file.Files.createTempDirectory("graft-derby-exec")
+                .toString)
           Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
           val conn = java.sql.DriverManager
             .getConnection(DerbyUmls.url)

@@ -41,7 +41,9 @@ object StreamBench {
     *         `<pipeline>_events_per_sec` (steady),
     *         `<pipeline>_steady_batches`, and `rows_per_batch`. */
   def run(spark: SparkSession, seconds: Int = 15,
-      rowsPerBatch: Long = 2000000L): Seq[(String, Double)] = {
+      rowsPerBatch: Long = 2000000L,
+      legs: Seq[String] = Seq("sessionize", "windowed_dedup",
+        "tokenize_wordpiece", "ivf_assign")): Seq[(String, Double)] = {
     import spark.implicits._
     val rootLogger = org.apache.logging.log4j.LogManager.getRootLogger
       .asInstanceOf[org.apache.logging.log4j.core.Logger]
@@ -224,7 +226,13 @@ object StreamBench {
     }
 
     try {
-    val sessionize = measure("sessionize") { src =>
+    // `legs` subsets the measured pipelines (the state-partition sweep
+    // probes only the stateful pair); the default runs all four, so
+    // the committed bench path is unchanged.
+    def leg(name: String)(body: => Seq[(String, Double)])
+        : Seq[(String, Double)] =
+      if (legs.contains(name)) body else Seq.empty
+    val sessionize = leg("sessionize") { measure("sessionize") { src =>
       src.select(
           col("value").as("event_id"), col("timestamp").as("ts"),
           (col("value") % 50000).as("user_id"),
@@ -238,16 +246,17 @@ object StreamBench {
           EventStreams.sessionize(ds, gapSeconds = 5,
             watermarkDelay = "10 seconds"))
         .toDF()
-    }
-    val dedup = measure("windowed_dedup") { src =>
+    } }
+    val dedup = leg("windowed_dedup") { measure("windowed_dedup") { src =>
       // ~10% distinct keys: the dedup actually drops rows, exercising
       // both the lookup-hit and state-insert paths.
       EventStreams.streamingExactDedup(
         src.select(col("timestamp").as("ts"),
           concat(lit("doc "), col("value") % 200000).as("text")),
         watermarkDelay = "10 seconds")
-    }
-    val tokenize = measure("tokenize_wordpiece") { src =>
+    } }
+    val tokenize = leg("tokenize_wordpiece") {
+      measure("tokenize_wordpiece") { src =>
       // Tokenize-at-ingest rate under the committed WordPiece artifact:
       // ~7 words/row, one varying tail word per row so the per-executor
       // distinct-word memo sees both hits (the fixed words) and a
@@ -261,12 +270,13 @@ object StreamBench {
           concat(lit("the scan fast table value row w"),
             col("value") % 997).as("text")),
         vocab)
-    }
+    } }
     // ~250k rows/batch: at 64 dot products per vector this leg does
     // ~4k flops/row — 2M-row batches complete only twice per window,
     // which defeats the steady-state slice. Same events/s semantics.
     val ivfAssignRows = 250000L
-    val ivfAssign = measure("ivf_assign", batchRows = ivfAssignRows) { src =>
+    val ivfAssign = leg("ivf_assign") {
+      measure("ivf_assign", batchRows = ivfAssignRows) { src =>
       // Streaming ANN-index maintenance rate (VecStreams' hot path):
       // a deterministic dim-64 embedding synthesized per row, assigned
       // to one of 64 portable centroids — the codegen'd argmin fold is
@@ -278,7 +288,7 @@ object StreamBench {
             "j -> cast(sin(value * 7 + j) as float))").as("embedding")),
         graft.operators.IvfIndex.portableCentroids(64, 64))
         .select("vec_id", "cluster")
-    }
+    } }
     // Give the killed batches' async task-failure logging a beat to
     // drain while the level is still OFF.
     Thread.sleep(2000)

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reads the committed multi-JVM axis artifacts (AXIS*.json, written by
+  * `tools/run_local_cluster_axis.sh` via `diff_runs.py --json` — r17
+  * verdict #3: the axis result used to exist only as BENCH_NOTES prose)
+  * and asserts each one records a CLEAN axis: every compared entry
+  * equal, zero differ, both masters and the HEAD commit present. A
+  * committed artifact recording a mismatch fails CI — the axis is a
+  * round-close gate, not a log. Skips when no artifact exists yet
+  * (fresh checkout before the first axis run). */
+class AxisArtifactSpec extends AnyFunSuite {
+
+  private def field(json: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*(\"[^\"]*\"|[0-9]+)").r
+      .findFirstMatchIn(json)
+    m.map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+  }
+
+  test("every committed AXIS artifact records a clean multi-JVM diff") {
+    val files = new java.io.File(".").listFiles()
+      .filter(f => f.getName.startsWith("AXIS") &&
+        f.getName.endsWith(".json"))
+    if (files.isEmpty) cancel("no AXIS artifact committed yet")
+    for (f <- files.sortBy(_.getName)) {
+      val json = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val compared = field(json, "compared").map(_.toInt)
+      val equal = field(json, "equal").map(_.toInt)
+      val differ = field(json, "differ").map(_.toInt)
+      assert(compared.nonEmpty && equal.nonEmpty && differ.nonEmpty,
+        s"${f.getName}: missing compared/equal/differ counts")
+      assert(differ.get == 0,
+        s"${f.getName}: records ${differ.get} DIFFERING entries")
+      assert(equal.get == compared.get && compared.get > 0,
+        s"${f.getName}: equal ${equal.get} != compared ${compared.get}")
+      assert(field(json, "master_b").exists(_.startsWith("local-cluster")),
+        s"${f.getName}: missing local-cluster master")
+      assert(field(json, "head").exists(_.length >= 7),
+        s"${f.getName}: missing HEAD commit")
+    }
+  }
+}

@@ -48,12 +48,39 @@ class DiffHistorySpec extends AnyFunSuite {
   }
 
   test("all four legs degrading together (incl. the stateless tokenize " +
-      "leg) classifies environment_lockstep and does NOT flag") {
+      "leg) under a LOADED window classifies environment_lockstep and " +
+      "does NOT flag") {
     val noisy = quiet.map { case (k, v) => k -> v / 3.2 }
     val (rc, out) = run(Seq(entry(quiet, 1.0), entry(noisy, 7.1)))
     assert(out.contains("environment_lockstep"), out)
+    assert(!out.contains("unconfirmed"), out)
     assert(out.contains("0 flagged"), out)
     assert(rc === 0, out)
+  }
+
+  test("the same comparable lockstep with NO environment evidence " +
+      "(quiet window, low load) is unconfirmed and exits 3 " +
+      "(r17 ADVICE #1: direction alone must not pass an engine-wide " +
+      "regression)") {
+    val noisy = quiet.map { case (k, v) => k -> v / 3.2 }
+    val (rc, out) = run(Seq(entry(quiet, 1.0, quality = "quiet"),
+      entry(noisy, 1.2, quality = "quiet")))
+    assert(out.contains("environment_lockstep_unconfirmed"), out)
+    assert(out.contains("0 flagged"), out)
+    assert(rc === 3, out)
+  }
+
+  test("one leg collapsing 7x inside a directional lockstep (others " +
+      "just past 1.5x) is a lockstep_outlier and flags that leg " +
+      "(r17 ADVICE #1 magnitude rule)") {
+    val noisy = quiet.map { case (k, v) => k -> v / 1.7 }
+      .updated("windowed_dedup_events_per_sec",
+        quiet("windowed_dedup_events_per_sec") / 7.0)
+    val (rc, out) = run(Seq(entry(quiet, 1.0), entry(noisy, 7.1)))
+    assert(out.contains("lockstep_outlier"), out)
+    assert(out.contains("windowed_dedup_events_per_sec"), out)
+    assert(out.contains("1 flagged"), out)
+    assert(rc === 1, out)
   }
 
   test("one leg collapsing while the others hold classifies " +
@@ -74,17 +101,63 @@ class DiffHistorySpec extends AnyFunSuite {
   }
 
   test("a wall move against a DEGRADED window prints as a note, not a " +
-      "flag; the same move between quiet windows flags (r16 verdict #3)") {
+      "flag, but exits 2 — quiet rerun required (r17 ADVICE #2); the " +
+      "same move between quiet windows flags (r16 verdict #3)") {
     val qs0 = Map("q83_token_budget" -> 3.1)
     val qs1 = Map("q83_token_budget" -> 7.9)
     val (rcDeg, outDeg) = run(Seq(entry(quiet, 1.0, qs0, "quiet"),
       entry(quiet, 7.0, qs1, "degraded")))
     assert(outDeg.contains("degraded window"), outDeg)
-    assert(rcDeg === 0, outDeg)
+    assert(outDeg.contains("0 flagged"), outDeg)
+    assert(outDeg.contains("suppressed"), outDeg)
+    assert(rcDeg === 2, outDeg)
     val (rcQ, outQ) = run(Seq(entry(quiet, 1.0, qs0, "quiet"),
       entry(quiet, 1.0, qs1, "quiet")))
     assert(outQ.contains("WALL"), outQ)
     assert(rcQ === 1, outQ)
+  }
+
+  test("bidirectional profile staleness: a run uniformly faster than " +
+      "the profile floor notes profile_stale_fast; uniformly slower " +
+      "notes profile_stale_slow; neither gates (r17 verdict #4)") {
+    val prof = Files.createTempFile("graft-prof", ".json")
+    val names = (1 to 25).map(i => f"q$i%02d_synth")
+    Files.writeString(prof,
+      s"""{"entries":{${names.map(n => s""""$n":{"wall":2.0}""")
+        .mkString(",")}}}""")
+    def qs(wall: Double) = names.map(_ -> wall).toMap
+    // same walls in both entries so no WALL flags fire; only the
+    // newer-vs-profile median drives the note
+    val (rcF, outF) = run(Seq(entry(quiet, 1.0, qs(1.2), "quiet"),
+      entry(quiet, 1.0, qs(1.2), "quiet")), "--profile", prof.toString)
+    assert(outF.contains("profile_stale_fast"), outF)
+    assert(rcF === 0, outF)
+    val (rcS, outS) = run(Seq(entry(quiet, 1.0, qs(2.9), "quiet"),
+      entry(quiet, 1.0, qs(2.9), "quiet")), "--profile", prof.toString)
+    assert(outS.contains("profile_stale_slow"), outS)
+    assert(rcS === 0, outS)
+    val (rcN, outN) = run(Seq(entry(quiet, 1.0, qs(2.0), "quiet"),
+      entry(quiet, 1.0, qs(2.0), "quiet")), "--profile", prof.toString)
+    assert(!outN.contains("profile_stale"), outN)
+    assert(rcN === 0, outN)
+    Files.deleteIfExists(prof)
+  }
+
+  test("default comparison anchors on the latest QUIET record, not a " +
+      "degraded -2 entry, and a degraded newest entry points at the " +
+      "quiet headline (r17 verdict #5)") {
+    val qs = Map("q83_token_budget" -> 3.1)
+    val lines = Seq(
+      entry(quiet, 1.0, qs, "quiet"),       // 0: the true anchor
+      entry(quiet, 7.0, qs, "degraded"),    // 1: must be skipped as base
+      entry(quiet, 7.2, qs, "degraded"))    // 2: newest, degraded
+    val (rc, out) = run(lines)
+    assert(out.contains("anchor: latest quiet record (index 0"), out)
+    assert(out.contains("quote the latest quiet record"), out)
+    assert(rc === 0, out)
+    // explicit indices bypass the anchor rule
+    val (_, outExp) = run(lines, "1", "2")
+    assert(!outExp.contains("anchor: latest quiet record"), outExp)
   }
 
   test("explicit in-range indices work; out-of-range and a lone index " +

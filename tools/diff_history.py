@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Diff the last two (or any two) BENCH_HISTORY.jsonl entries.
 
-Usage: python3 tools/diff_history.py [BENCH_HISTORY.jsonl] [idxA idxB]
+Usage: diff_history.py [BENCH_HISTORY.jsonl] [idxA idxB] [--profile P]
 
 A numeric first argument is treated as idxA (the history path defaults),
 so `diff_history.py 2 3` diffs entries 2 and 3 of the default file
@@ -15,22 +15,48 @@ windowed_dedup 7.5x collapse was not diffable from artifacts). Flags:
   - query walls moving >2x and >1 s in either direction;
   - streaming *_events_per_sec moving >1.5x in either direction --
     UNLESS every rate leg moved together in the same direction
-    (lockstep), in which case the move is classified ENVIRONMENT and
-    printed as a note: the stateless tokenize leg has no state to
-    accrete, so it slowing in step with the stateful legs can only be
-    the host, not the engine (r16 verdict #5 -- this was adjudicated by
-    hand in r16; now the tool does it). One leg moving alone (or legs
-    moving in opposite directions) stays ENGINE-SUSPECT and flags.
+    (lockstep) AND the lockstep is corroborated + magnitude-comparable
+    (r17 ADVICE #1; the r16 tool classified on direction alone, so an
+    engine-wide regression or a 7x single-leg collapse riding 1.5x
+    ambient noise could pass silently):
+      * a leg whose move ratio exceeds 2x the median moved-leg ratio is
+        an OUTLIER and stays engine-suspect even inside a lockstep;
+      * a comparable lockstep needs ENVIRONMENT EVIDENCE -- the newer
+        entry's window_quality degraded/noisy, or its load average >= 4
+        -- to classify environment_lockstep (notes, exit 0); without
+        corroboration it prints environment_lockstep_unconfirmed and
+        exits 3 ("adjudicate: rerun in a quiet window").
+    The stateless tokenize leg has no state to accrete, so it slowing
+    in step with the stateful legs is the host signature this
+    discriminator keys on (r16 verdict #5).
   - *_insufficient_batches becoming nonzero;
   - *_batch_sec_late exceeding 2x *_batch_sec_early in the newer run
     (within-run batch-duration GROWTH -- the state-accretion signature
     a whole-window rate hides).
-Exit 1 when anything is flagged, so it can gate a round close.
+
+Wall moves against a DEGRADED window are demoted to notes, but the run
+is then NOT clean: it exits 2 ("quiet rerun required", r17 ADVICE #2)
+so automation cannot treat a suppressed comparison as a pass.
+
+Profile staleness (r17 verdict #4): the newer entry's per-query walls
+are compared against PERF_PROFILE.json (beside the history file, or
+--profile). A median wall ratio <= 0.8 across >= 20 common entries means
+the host got FASTER than the profile's quiet floor (e.g. the 03:00Z
+host step reverting) and the >2x soft gate has lost sensitivity --
+printed as a profile_stale_fast note recommending a rebuild; >= 1.25
+prints profile_stale_slow (the r17 adjudication's 236-entry median
+logic, now in the tool). Notes only; staleness never gates.
+
+Exit codes: 0 clean; 1 engine-suspect flags; 2 wall moves suppressed by
+a degraded window (quiet rerun required); 3 uncorroborated lockstep
+(adjudicate).
 """
 import json
+import os
 import sys
 
-USAGE = ("usage: diff_history.py [BENCH_HISTORY.jsonl] [idxA idxB]\n"
+USAGE = ("usage: diff_history.py [BENCH_HISTORY.jsonl] [idxA idxB]"
+         " [--profile P]\n"
          "  (a numeric first arg is idxA; indices may be negative;"
          " give both or neither)")
 
@@ -52,22 +78,41 @@ def is_int(s):
 
 
 def parse_args(argv):
-    path, rest = "BENCH_HISTORY.jsonl", argv[1:]
+    rest = argv[1:]
+    profile = None
+    if "--profile" in rest:
+        i = rest.index("--profile")
+        if i + 1 >= len(rest):
+            sys.exit(USAGE + "\n  --profile needs a path")
+        profile = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    path = "BENCH_HISTORY.jsonl"
     if rest and not is_int(rest[0]):
         path, rest = rest[0], rest[1:]
     if any(not is_int(a) for a in rest) or len(rest) not in (0, 2):
         sys.exit(USAGE + f"\n  got: {argv[1:]}")
     idx = tuple(int(a) for a in rest) if rest else (-2, -1)
-    return path, idx
+    if profile is None:
+        profile = os.path.join(os.path.dirname(path) or ".",
+                               "PERF_PROFILE.json")
+    return path, idx, profile
 
 
-def classify_streaming(sa, sb):
-    """Per-leg rate moves + the lockstep discriminator.
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
-    Returns (moves, classification) where moves is
-    [(key, va, vb, direction)] for legs moving >1.5x and classification
-    is None (nothing moved), 'environment_lockstep' (every common rate
-    leg moved the same direction, >=2 legs), or 'engine_suspect'.
+
+def classify_streaming(sa, sb, corroborated):
+    """Per-leg rate moves + the corroborated lockstep discriminator.
+
+    Returns (moves, outliers, classification): moves is
+    [(key, va, vb, direction)] for legs moving >1.5x; outliers the
+    subset whose move ratio exceeds 2x the median moved ratio;
+    classification is None, 'environment_lockstep',
+    'environment_lockstep_unconfirmed', 'lockstep_outlier', or
+    'engine_suspect'.
     """
     rate_keys = sorted(k for k in set(sa) & set(sb)
                        if k.endswith("_events_per_sec"))
@@ -83,15 +128,58 @@ def classify_streaming(sa, sb):
         else:
             directions[k] = "steady"
     if not moves:
-        return moves, None
+        return moves, [], None
     dirs = set(directions.values())
-    if len(rate_keys) >= 2 and dirs in ({"down"}, {"up"}):
-        return moves, "environment_lockstep"
-    return moves, "engine_suspect"
+    if len(rate_keys) < 2 or dirs not in ({"down"}, {"up"}):
+        return moves, [], "engine_suspect"
+    # lockstep by direction -- now require comparable magnitudes: a leg
+    # collapsing 7x while ambient noise nudges the others just past
+    # 1.5x is an engine signal wearing a lockstep costume
+    ratios = {k: max(vb, 1e-9) / max(va, 1e-9) for k, va, vb, _ in moves}
+    norm = {k: r if r >= 1 else 1 / r for k, r in ratios.items()}
+    med = median(list(norm.values()))
+    outliers = [m for m in moves if norm[m[0]] > 2 * med]
+    if outliers:
+        return moves, outliers, "lockstep_outlier"
+    if corroborated:
+        return moves, [], "environment_lockstep"
+    return moves, [], "environment_lockstep_unconfirmed"
+
+
+def profile_staleness(profile_path, b):
+    """Compare the newer entry's walls against the quiet-profile floor;
+    return a note string or None. Median ratio across common entries:
+    <= 0.8 the profile is stale-slow relative to a recovered host
+    (rebuild so the >2x gate regains sensitivity); >= 1.25 the host
+    plane has stepped below the profile (the r17 03:00Z shape)."""
+    try:
+        with open(profile_path) as f:
+            prof = json.load(f)
+    except OSError:
+        return None
+    entries = prof.get("entries", {})
+    qb = b.get("queries", {})
+    ratios = [qb[k] / entries[k]["wall"]
+              for k in set(qb) & set(entries)
+              if entries[k].get("wall", 0) > 0.05]
+    if len(ratios) < 20:
+        return None
+    med = median(ratios)
+    if med <= 0.8:
+        return (f"profile_stale_fast: median wall ratio {med:.2f} vs "
+                f"profile across {len(ratios)} entries -- the host is "
+                "uniformly FASTER than the profile floor; rebuild "
+                "PERF_PROFILE from a quiet run at HEAD")
+    if med >= 1.25:
+        return (f"profile_stale_slow: median wall ratio {med:.2f} vs "
+                f"profile across {len(ratios)} entries -- host-plane "
+                "step or profile from a faster era; adjudicate, then "
+                "rebuild PERF_PROFILE from a quiet run at HEAD")
+    return None
 
 
 def main(argv):
-    path, (ia, ib) = parse_args(argv)
+    path, (ia, ib), profile_path = parse_args(argv)
     hist = load(path)
     if len(hist) < 2:
         print(f"{path}: {len(hist)} entries, nothing to diff")
@@ -100,6 +188,20 @@ def main(argv):
         if not -len(hist) <= i < len(hist):
             sys.exit(USAGE + f"\n  index {i} out of range for {len(hist)}"
                      f" entries in {path}")
+    # Default-anchor rule (r17 verdict #5): with no explicit indices,
+    # the comparison BASE is the latest QUIET record before the newest
+    # entry, not blindly the second-newest — a degraded-window headline
+    # (r16's 492.8 s, r17's 404.9 s) must never anchor a regression
+    # comparison. Explicit indices always win.
+    explicit = (ia, ib) != (-2, -1)
+    if not explicit:
+        quiet_idx = [i for i in range(len(hist) - 1)
+                     if hist[i].get("window_quality") == "quiet"]
+        if quiet_idx and hist[quiet_idx[-1]] is not hist[-2]:
+            ia = quiet_idx[-1]
+            print(f"anchor: latest quiet record (index {ia} of "
+                  f"{len(hist)}) — the default -2 entry is not the "
+                  "right regression baseline")
     a, b = hist[ia], hist[ib]
     wqa = a.get("window_quality", "unknown")
     wqb = b.get("window_quality", "unknown")
@@ -110,14 +212,15 @@ def main(argv):
           f"load {b.get('load_avg_start')}->{b.get('load_avg_end')}  "
           f"window {wqb}")
     flagged = 0
+    suppressed = 0
 
     # Walls measured in a DEGRADED window are environment artifacts, not
     # engine numbers (r16 verdict #3: the committed 492.8 s headline came
     # from a load-7 window, 40% above four same-day quiet runs) -- the
     # entry self-declares via window_quality, so wall moves against or
-    # from such a window print as notes, with a quiet-rerun reminder,
-    # instead of failing the gate. Streaming moves keep their own
-    # lockstep discriminator below.
+    # from such a window print as notes. They are COUNTED as suppressed:
+    # the run then exits 2 so automation must rerun quiet instead of
+    # treating the suppression as a pass (r17 ADVICE #2).
     degraded = "degraded" in (wqa, wqb)
     if degraded:
         print("note   a compared window is DEGRADED -- wall moves below "
@@ -128,6 +231,7 @@ def main(argv):
         if max(va, vb) > 2 * max(min(va, vb), 1e-9) and abs(va - vb) > 1.0:
             if degraded:
                 print(f"note   {k}: {va:.2f} -> {vb:.2f} s (degraded window)")
+                suppressed += 1
             else:
                 print(f"WALL   {k}: {va:.2f} -> {vb:.2f} s")
                 flagged += 1
@@ -146,17 +250,52 @@ def main(argv):
         flagged += 1
     elif "streaming" not in a or not sa:
         print("streaming: no older baseline (pre-r16 or empty), skipped")
-    moves, classification = classify_streaming(sa, sb)
+    # environment corroboration for the lockstep classification: the
+    # newer window self-declares non-quiet, or its load average says a
+    # noisy neighbor was present
+    load_b = max(float(b.get("load_avg_start") or 0),
+                 float(b.get("load_avg_end") or 0))
+    corroborated = wqb in ("degraded", "noisy") or degraded or load_b >= 4
+    moves, outliers, classification = classify_streaming(sa, sb,
+                                                         corroborated)
+    lockstep_unconfirmed = False
     if classification == "environment_lockstep":
         # All rate legs (incl. the STATELESS tokenize leg, which has no
-        # state to accrete) moved together: host-window noise, not the
-        # engine. Print as notes -- an environment-classified move must
-        # not fail a round-close gate the way an engine move does.
+        # state to accrete) moved together, comparably, with environment
+        # evidence: host-window noise, not the engine.
         print(f"CLASS  streaming_degradation: environment_lockstep "
               f"({len(moves)} legs moved {moves[0][3]} together)")
         for k, va, vb, d in moves:
             print(f"note   {k}: {va/1e3:.1f}k -> {vb/1e3:.1f}k ev/s "
                   f"({d}, lockstep)")
+    elif classification == "environment_lockstep_unconfirmed":
+        # Comparable lockstep but NOTHING in the newer entry says the
+        # environment was at fault -- an engine-wide change (session/
+        # codegen/tokenizer core) would look exactly like this. Exit 3.
+        print(f"CLASS  streaming_degradation: environment_lockstep_"
+              f"unconfirmed ({len(moves)} legs moved {moves[0][3]} "
+              "together but the newer window is quiet -- adjudicate "
+              "with a rerun before trusting this as environment)")
+        for k, va, vb, d in moves:
+            print(f"note   {k}: {va/1e3:.1f}k -> {vb/1e3:.1f}k ev/s "
+                  f"({d}, lockstep?)")
+        lockstep_unconfirmed = True
+    elif classification == "lockstep_outlier":
+        # Direction said lockstep, magnitude said otherwise: the
+        # outlier legs flag as engine-suspect, the comparable remainder
+        # prints as notes.
+        out_keys = {m[0] for m in outliers}
+        print(f"CLASS  streaming_degradation: lockstep_outlier "
+              f"({', '.join(sorted(out_keys))} moved far beyond the "
+              "median lockstep ratio)")
+        for k, va, vb, d in moves:
+            if k in out_keys:
+                print(f"STREAM {k}: {va/1e3:.1f}k -> {vb/1e3:.1f}k ev/s "
+                      f"({d}, outlier)")
+                flagged += 1
+            else:
+                print(f"note   {k}: {va/1e3:.1f}k -> {vb/1e3:.1f}k ev/s "
+                      f"({d}, lockstep)")
     elif classification == "engine_suspect":
         movedks = ", ".join(k for k, _, _, _ in moves)
         print(f"CLASS  streaming_degradation: engine_suspect "
@@ -177,8 +316,32 @@ def main(argv):
                       "(batch durations growing within the run)")
                 flagged += 1
 
-    print(f"\n{flagged} flagged")
-    return 1 if flagged else 0
+    stale = profile_staleness(profile_path, b)
+    if stale:
+        print(f"note   {stale}")
+
+    # Degraded headlines never anchor (r17 verdict #5, the other half):
+    # when the NEWEST entry is itself degraded, point at the latest
+    # quiet total as the number a round-close summary should quote.
+    if wqb == "degraded":
+        quiet = [h for h in hist if h.get("window_quality") == "quiet"]
+        if quiet:
+            q = quiet[-1]
+            print(f"note   headline: newest entry is DEGRADED "
+                  f"({b.get('total_sec')} s); quote the latest quiet "
+                  f"record instead: {q.get('wall_start')} total "
+                  f"{q.get('total_sec')} s")
+
+    print(f"\n{flagged} flagged"
+          + (f", {suppressed} wall moves suppressed by degraded window"
+             if suppressed else ""))
+    if flagged:
+        return 1
+    if lockstep_unconfirmed:
+        return 3
+    if suppressed:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
