@@ -232,6 +232,11 @@ object ScaleStress {
     // needle vocabularies with EXACT known answers) -----------------------
     ScaleStressGraph.run(spark, corpus, steps, facts, violations)
 
+    // ---- UMLS assembly plane (planted pathological-SAB skew: exact
+    // class counts, salted-twin equality, byte-stable renders) ------------
+    ScaleStressAssembly.run(spark, factor, workDir, steps, facts,
+      violations)
+
     // ---- in-run structural asserts --------------------------------------
     // Tolerances calibrated on the r11 factor-100 run: components landed
     // 47.6k vs 50k structural (natural cross-base dups merge some decade

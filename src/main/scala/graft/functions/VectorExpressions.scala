@@ -561,6 +561,120 @@ case class AdcScore(child: Expression,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Native 64-bit SimHash over a pre-hashed feature array: per bit j,
+  * every feature votes +1 if its bit j is set else −1; the output sets
+  * bit j iff the vote sum is positive.
+  *
+  * The Column form it replaces ran 64 interpreted `aggregate` folds per
+  * row (one per bit, each re-iterating the feature array inside the HOF
+  * interpreter) on the STREAMING near-dup ingest path — every arriving
+  * document pays it before `dropDuplicatesWithinWatermark`. This
+  * expression reads each feature once and updates all 64 vote counters
+  * in one fused primitive loop inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the replaced fold (replayed in
+  * `PqCodegenSpec`):
+  *   - vote = `((f >> j) & 1) == 1 ? +1 : -1` per feature per bit
+  *     (arithmetic shift, exactly Spark's `shiftright`);
+  *   - a NULL feature element votes −1 on EVERY bit (the old form's
+  *     `shiftright(null)` nulled the comparison and fell to the
+  *     otherwise(−1) branch);
+  *   - bit j set iff votes > 0 (strict — a tie at 0 leaves the bit
+  *     clear);
+  *   - NULL or empty feature array → 0L, NOT SQL NULL (each per-bit
+  *     `when` fell through to otherwise(0) and the OR-reduce of zeros
+  *     is 0).
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_simhash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_simhash64 expects array<long> features, got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var j = 0
+        while (j < 64) { votes(j) -= 1; j += 1 }
+      } else {
+        val f = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((f >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    val votes = ctx.freshName("votes")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val f = ctx.freshName("f")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val body =
+      code"""
+        ${childGen.code}
+        long ${ev.value} = 0L;
+        if (!${childGen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $arr =
+            ${childGen.value};
+          int $n = $arr.numElements();
+          int[] $votes = new int[64];
+          for (int $i = 0; $i < $n; $i++) {
+            if ($arr.isNullAt($i)) {
+              for (int $j = 0; $j < 64; $j++) $votes[$j] -= 1;
+            } else {
+              long $f = $arr.getLong($i);
+              for (int $j = 0; $j < 64; $j++) {
+                $votes[$j] += ((($f >> $j) & 1L) == 1L) ? 1 : -1;
+              }
+            }
+          }
+          for (int $j = 0; $j < 64; $j++) {
+            if ($votes[$j] > 0) ${ev.value} |= (1L << $j);
+          }
+        }
+      """
+    ev.copy(code = body,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column form of [[DotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -586,4 +700,9 @@ object VectorFunctions {
       lutN2: Seq[Seq[Double]], qNorm: Double): Column =
     GraftSqlShims.columnOf(AdcScore(
       GraftSqlShims.expressionOf(codes), lutDot, lutN2, qNorm))
+
+  /** Column form of [[SimHash64]]. */
+  def vecSimHash64(features: Column): Column =
+    GraftSqlShims.columnOf(SimHash64(
+      GraftSqlShims.expressionOf(features)))
 }

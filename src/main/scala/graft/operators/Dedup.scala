@@ -217,33 +217,31 @@ object Dedup {
     * Structured Streaming plan (see `EventStreams.streamingNearDupDedup`)
     * where a streaming aggregation would need its own watermark state.
     *
-    * The feature array is bound ONCE as a lambda variable (the
-    * single-element `transform`, the [[TextAnalysis.langId]] idiom):
-    * higher-order-function folds get no common-subexpression
-    * elimination, so referencing the features expression inside each of
-    * the 64 per-bit folds re-ran the whole shingle → xxhash64 →
-    * distinct pipeline 64× per row — the dominant cost of the r14
-    * factor-100 stream_neardup step (71.5 s; r14 verdict #6). Bound,
-    * each fold iterates the already-materialized array.
-    * Cost: 64 interpreted array folds per row — fine on the per-row
-    * ingest path; the batch [[simhash64]] keeps the codegen'd map-side
-    * aggregate, which wins when documents are long. */
+    * The vote-and-fold is one native codegen'd expression
+    * ([[graft.functions.SimHash64]]: each feature read once, all 64
+    * vote counters updated in one primitive loop). History: the first
+    * form referenced the features expression inside 64 per-bit HOF
+    * folds — no common-subexpression elimination, so the whole shingle
+    * → xxhash64 → distinct pipeline re-ran 64× per row (the r14
+    * factor-100 stream_neardup 71.5 s; r14 verdict #6); the second
+    * form lambda-bound the array once but still paid 64 interpreted
+    * folds per row (r18, `tools/SimHashProbe`: 2.60 s per 250k docs vs
+    * 0.62 s native, 4.2x — the folds, not the shingle feature build,
+    * dominated).
+    * The batch [[simhash64]] keeps the codegen'd map-side aggregate,
+    * which wins when documents are long. */
   def rowSimhash64(text: Column): Column = {
     val features = array_distinct(
       transform(
         filter(TextAnalysis.shingles(text, 3), t => length(t) > 0),
         t => xxhash64(t)))
-    element_at(
-      transform(array(features), fs => {
-        val bits = (0 until 64).map { j =>
-          val votes = aggregate(fs, lit(0),
-            (acc, f) => acc +
-              when(shiftright(f, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-          when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-        }
-        bits.reduce((a, b) => a.bitwiseOR(b))
-      }),
-      1)
+    // One native codegen'd expression ([[graft.functions.SimHash64]]):
+    // the earlier form ran 64 interpreted `aggregate` folds per row —
+    // one per bit, each re-iterating the feature array through the HOF
+    // interpreter. Votes, tie handling (bit clear at 0), NULL-element
+    // -1 votes, and the 0L result on NULL/empty features are
+    // bit-identical (PqCodegenSpec replays the old algebra).
+    graft.functions.VectorFunctions.vecSimHash64(features)
   }
 
   /** Hamming distance between two simhash longs. */

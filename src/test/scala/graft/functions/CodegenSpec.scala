@@ -116,6 +116,42 @@ class CodegenSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(-1, -1, 0))
   }
 
+  test("SimHash64 runs under whole-stage codegen and matches the 64 " +
+      "per-bit HOF folds it replaced bit-for-bit, sentinels included") {
+    // synthesized feature arrays: mixed-sign longs, varying lengths
+    val feats = expr("transform(sequence(0, cast(id % 5 AS INT)), " +
+      "j -> xxhash64(concat(cast(id as string), ':', cast(j as string))))")
+    val df = spark.range(64).select(feats.as("fs"))
+      .select(VectorFunctions.vecSimHash64(col("fs")).as("h"))
+    assert(wscgCovers(df), df.queryExecution.executedPlan.toString.take(800))
+    // the replaced fold, replayed via the public HOF Column algebra
+    val hof = spark.range(64).select(feats.as("fs"))
+      .select(element_at(
+        transform(array(col("fs")), fs => {
+          val bits = (0 until 64).map { j =>
+            val votes = aggregate(fs, lit(0),
+              (acc, f) => acc +
+                when(shiftright(f, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+            when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+          }
+          bits.reduce((a, b) => a.bitwiseOR(b))
+        }), 1).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      hof.collect().map(_.getLong(0)).toSeq)
+    // sentinels: NULL array and empty array both yield 0L, NOT NULL;
+    // a NULL element votes -1 on every bit — all three match the fold
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val at = ArrayType(LongType)
+    def evalOf(v: Any): Any =
+      SimHash64(Literal.create(v, at)).eval(null)
+    assert(evalOf(null) === 0L)
+    assert(evalOf(Seq.empty[Long]) === 0L)
+    assert(evalOf(Seq[Any](null, -1L)) === 0L)   // +1 -1 tie -> bit clear
+    assert(evalOf(Seq[Any](-1L)) === -1L)        // every bit set
+    assert(evalOf(Seq[Any](5L)) === 5L)          // bits 0,2
+  }
+
   test("TurtleEscape and StnParent run under whole-stage codegen") {
     import org.apache.spark.sql.GraftSqlShims.{columnOf, expressionOf}
     val df = spark.range(1)
