@@ -112,6 +112,30 @@ object Bench {
       "noisy"
     else "quiet"
 
+  /** WHICH predicate(s) fired for [[windowQuality]]'s verdict (r18
+    * verdict #3): the label alone conflates three different kinds of
+    * evidence — start-load (contended at launch), steal (noisy
+    * neighbor during the run), foreign-core load (co-tenant during the
+    * picked samples) — and downstream anchor selection / lockstep
+    * corroboration in tools/diff_history.py want the actual evidence,
+    * not the verdict. Returns e.g. "steal>5" or "load_start>=6+foreign>=2";
+    * "none" for a quiet window. Thresholds are [[windowQuality]]'s,
+    * stated at the tier that fired. */
+  private[graft] def windowQualityReason(loadStart: Double,
+      stealTotalSec: Double, foreignMean: Double): String = {
+    val degraded = Seq(
+      (loadStart >= 6.0) -> "load_start>=6",
+      (stealTotalSec > 30.0) -> "steal>30",
+      (foreignMean >= 2.0) -> "foreign>=2").filter(_._1).map(_._2)
+    val fired =
+      if (degraded.nonEmpty) degraded
+      else Seq(
+        (loadStart >= 4.0) -> "load_start>=4",
+        (stealTotalSec > 5.0) -> "steal>5",
+        (foreignMean >= 1.0) -> "foreign>=1").filter(_._1).map(_._2)
+    if (fired.isEmpty) "none" else fired.mkString("+")
+  }
+
   /** Soft-anomaly trigger with a 1-second BASELINE FLOOR (r16 verdict
     * #7): the profile keeps each entry's MINIMUM exec, so a sub-second
     * entry (q164-class, ~30 ms/task of scheduler/jit jitter) reads as
@@ -736,6 +760,8 @@ object Bench {
       }.sum / total
     val quality = windowQuality(loadStart, stealTotal, foreignMean)
     val qualityJson = s""""window_quality":"$quality",""" +
+      s""""window_quality_reason":"${
+        windowQualityReason(loadStart, stealTotal, foreignMean)}",""" +
       s""""steal_total_sec":${f3(stealTotal)},""" +
       s""""foreign_mean":${f3(foreignMean)}"""
     // Detail filename: explicit env override, else derived from the

@@ -129,4 +129,23 @@ class BenchPickSpec extends AnyFunSuite {
     assert(Bench.windowQuality(0.5, 6.0, 0.0) === "noisy")
     assert(Bench.windowQuality(0.5, 0.0, 1.5) === "noisy")
   }
+
+  test("windowQualityReason names the predicate(s) that fired at the " +
+      "tier that fired, 'none' for quiet (r18 verdict #3: anchor " +
+      "selection and lockstep corroboration key on evidence, not the " +
+      "label)") {
+    assert(Bench.windowQualityReason(1.4, 0.0, 0.1) === "none")
+    assert(Bench.windowQualityReason(4.5, 0.0, 0.0) === "load_start>=4")
+    assert(Bench.windowQualityReason(0.5, 6.0, 0.0) === "steal>5")
+    assert(Bench.windowQualityReason(0.5, 0.0, 1.5) === "foreign>=1")
+    assert(Bench.windowQualityReason(6.0, 0.0, 0.0) === "load_start>=6")
+    assert(Bench.windowQualityReason(0.5, 31.0, 0.0) === "steal>30")
+    assert(Bench.windowQualityReason(0.5, 0.0, 2.0) === "foreign>=2")
+    // degraded tier reports only degraded-tier predicates, joined
+    assert(Bench.windowQualityReason(7.06, 35.0, 1.2) ===
+      "load_start>=6+steal>30")
+    // noisy tier: multiple noisy predicates join too
+    assert(Bench.windowQualityReason(4.5, 6.0, 0.0) ===
+      "load_start>=4+steal>5")
+  }
 }

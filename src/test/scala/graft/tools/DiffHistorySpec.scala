@@ -21,11 +21,14 @@ class DiffHistorySpec extends AnyFunSuite {
 
   private def entry(rates: Map[String, Double], load: Double,
       queries: Map[String, Double] = Map.empty,
-      quality: String = ""): String = {
+      quality: String = "", steal: Double = -1.0,
+      foreign: Double = -1.0): String = {
     val s = rates.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val wq = if (quality.isEmpty) "" else s""""window_quality":"$quality","""
-    s"""{"wall_start":"t",$wq"total_sec":100,"load_avg_start":$load,""" +
+    val ev = (if (steal >= 0) s""""steal_total_sec":$steal,""" else "") +
+      (if (foreign >= 0) s""""foreign_mean":$foreign,""" else "")
+    s"""{"wall_start":"t",$wq$ev"total_sec":100,"load_avg_start":$load,""" +
       s""""load_avg_end":$load,"queries":{$qs},"streaming":{$s}}"""
   }
 
@@ -68,6 +71,44 @@ class DiffHistorySpec extends AnyFunSuite {
     assert(out.contains("environment_lockstep_unconfirmed"), out)
     assert(out.contains("0 flagged"), out)
     assert(rc === 3, out)
+  }
+
+  test("a comparable 2x lockstep in a NOISY-labeled but steal-free, " +
+      "foreign-free, low-load window is unconfirmed and exits 3 " +
+      "(r18 verdict #4: the label is not evidence — on this host " +
+      "'noisy' is the steady state, so label-based corroboration made " +
+      "the adjudication path unreachable)") {
+    val dropped = quiet.map { case (k, v) => k -> v / 2.0 }
+    val (rc, out) = run(Seq(
+      entry(quiet, 1.0, quality = "noisy", steal = 0.4, foreign = 0.2),
+      entry(dropped, 1.5, quality = "noisy", steal = 0.8, foreign = 0.3)))
+    assert(out.contains("environment_lockstep_unconfirmed"), out)
+    assert(out.contains("0 flagged"), out)
+    assert(rc === 3, out)
+    // the same lockstep WITH measured steal in the newer entry is
+    // corroborated environment and passes
+    val (rcS, outS) = run(Seq(
+      entry(quiet, 1.0, quality = "noisy", steal = 0.4, foreign = 0.2),
+      entry(dropped, 1.5, quality = "noisy", steal = 14.2, foreign = 0.3)))
+    assert(outS.contains("environment_lockstep"), outS)
+    assert(!outS.contains("unconfirmed"), outS)
+    assert(rcS === 0, outS)
+  }
+
+  test("a 2-leg lockstep with one leg far beyond the other IS " +
+      "flaggable under the leave-one-out baseline (r18 ADVICE #1: " +
+      "with the candidate inside the median, b > 2*(a+b)/2 was " +
+      "mathematically impossible)") {
+    val two = Map(
+      "sessionize_events_per_sec" -> 1500000.0,
+      "windowed_dedup_events_per_sec" -> 1600000.0)
+    val moved = Map(
+      "sessionize_events_per_sec" -> 1500000.0 / 1.7,
+      "windowed_dedup_events_per_sec" -> 1600000.0 / 7.0)
+    val (rc, out) = run(Seq(entry(two, 1.0), entry(moved, 7.1)))
+    assert(out.contains("lockstep_outlier"), out)
+    assert(out.contains("windowed_dedup_events_per_sec"), out)
+    assert(rc === 1, out)
   }
 
   test("one leg collapsing 7x inside a directional lockstep (others " +
@@ -158,6 +199,40 @@ class DiffHistorySpec extends AnyFunSuite {
     // explicit indices bypass the anchor rule
     val (_, outExp) = run(lines, "1", "2")
     assert(!outExp.contains("anchor: latest quiet record"), outExp)
+  }
+
+  test("with NO quiet record in history, the default anchor falls back " +
+      "to the minimum-steal non-degraded record and says so with its " +
+      "age (r18 verdict #3: the silent index -2 fallback could anchor " +
+      "a degraded run)") {
+    val lines = Seq(
+      entry(quiet, 1.0, quality = "noisy", steal = 22.0),
+      entry(quiet, 1.0, quality = "noisy", steal = 1.3),   // 1: min steal
+      entry(quiet, 7.0, quality = "degraded", steal = 48.0),
+      entry(quiet, 1.5, quality = "noisy", steal = 9.0))   // newest
+    val (rc, out) = run(lines)
+    assert(out.contains("minimum-steal non-degraded record"), out)
+    assert(out.contains("(no quiet record in history)"), out)
+    assert(out.contains("index 1"), out)
+    assert(out.contains("age 2 runs"), out)
+    assert(rc === 0, out)
+  }
+
+  test("a quiet record OLDER than the anchor-age bound no longer " +
+      "anchors: the minimum-steal non-degraded record wins and the " +
+      "staleness is stated (r18 verdict #3: unbounded era-staleness)") {
+    val stale = Seq(entry(quiet, 1.0, quality = "quiet", steal = 0.1)) ++
+      (1 to 16).map(i =>
+        entry(quiet, 1.0, quality = "noisy", steal = 2.0 + i)) :+
+      entry(quiet, 1.5, quality = "noisy", steal = 9.0)
+    val (rc, out) = run(stale)
+    assert(out.contains("minimum-steal non-degraded record"), out)
+    assert(out.contains("runs old"), out)
+    assert(rc === 0, out)
+    // explicit indices (even the literal default pair) always win —
+    // r18 ADVICE #3: `-2 -1` passed explicitly must not be overridden
+    val (_, outExp) = run(stale, "-2", "-1")
+    assert(!outExp.contains("anchor:"), outExp)
   }
 
   test("explicit in-range indices work; out-of-range and a lone index " +

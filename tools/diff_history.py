@@ -19,13 +19,20 @@ windowed_dedup 7.5x collapse was not diffable from artifacts). Flags:
     (r17 ADVICE #1; the r16 tool classified on direction alone, so an
     engine-wide regression or a 7x single-leg collapse riding 1.5x
     ambient noise could pass silently):
-      * a leg whose move ratio exceeds 2x the median moved-leg ratio is
-        an OUTLIER and stays engine-suspect even inside a lockstep;
-      * a comparable lockstep needs ENVIRONMENT EVIDENCE -- the newer
-        entry's window_quality degraded/noisy, or its load average >= 4
-        -- to classify environment_lockstep (notes, exit 0); without
-        corroboration it prints environment_lockstep_unconfirmed and
-        exits 3 ("adjudicate: rerun in a quiet window").
+      * a leg whose move ratio exceeds 2x the median of the OTHER
+        moved legs' ratios is an OUTLIER and stays engine-suspect even
+        inside a lockstep (leave-one-out -- r18 ADVICE #1: with the
+        candidate leg inside the median, a 2-leg lockstep could never
+        flag: b > 2*(a+b)/2 is impossible);
+      * a comparable lockstep needs POSITIVE environment evidence in
+        the newer entry -- measured steal_total_sec > 5, foreign_mean
+        >= 1, or load average >= 4 -- to classify environment_lockstep
+        (notes, exit 0). The window_quality LABEL is NOT evidence
+        (r18 verdict #4: "noisy" is this host's steady state, so
+        label-based corroboration made exit 3 unreachable); a
+        steal-free, foreign-free, low-load window prints
+        environment_lockstep_unconfirmed and exits 3 ("adjudicate:
+        rerun in a quiet window") even when labeled noisy.
     The stateless tokenize leg has no state to accrete, so it slowing
     in step with the stateful legs is the host signature this
     discriminator keys on (r16 verdict #5).
@@ -91,11 +98,16 @@ def parse_args(argv):
         path, rest = rest[0], rest[1:]
     if any(not is_int(a) for a in rest) or len(rest) not in (0, 2):
         sys.exit(USAGE + f"\n  got: {argv[1:]}")
+    # explicitness tracked from the ARGUMENTS, not the resolved tuple
+    # (r18 ADVICE #3: a user explicitly passing `-2 -1` was
+    # indistinguishable from the no-argument default, so the quiet-anchor
+    # override silently replaced that explicit comparison)
+    explicit = bool(rest)
     idx = tuple(int(a) for a in rest) if rest else (-2, -1)
     if profile is None:
         profile = os.path.join(os.path.dirname(path) or ".",
                                "PERF_PROFILE.json")
-    return path, idx, profile
+    return path, idx, profile, explicit
 
 
 def median(xs):
@@ -134,11 +146,16 @@ def classify_streaming(sa, sb, corroborated):
         return moves, [], "engine_suspect"
     # lockstep by direction -- now require comparable magnitudes: a leg
     # collapsing 7x while ambient noise nudges the others just past
-    # 1.5x is an engine signal wearing a lockstep costume
+    # 1.5x is an engine signal wearing a lockstep costume. The baseline
+    # is LEAVE-ONE-OUT (r18 ADVICE #1): each leg's normalized ratio is
+    # compared against the median of the OTHER moved legs' ratios --
+    # with the candidate inside its own median, two moved legs could
+    # never flag (b > 2*(a+b)/2 requires b > a+b, impossible).
     ratios = {k: max(vb, 1e-9) / max(va, 1e-9) for k, va, vb, _ in moves}
     norm = {k: r if r >= 1 else 1 / r for k, r in ratios.items()}
-    med = median(list(norm.values()))
-    outliers = [m for m in moves if norm[m[0]] > 2 * med]
+    outliers = [m for m in moves
+                if norm[m[0]] > 2 * median(
+                    [norm[k] for k in norm if k != m[0]])]
     if outliers:
         return moves, outliers, "lockstep_outlier"
     if corroborated:
@@ -152,10 +169,13 @@ def profile_staleness(profile_path, b):
     <= 0.8 the profile is stale-slow relative to a recovered host
     (rebuild so the >2x gate regains sensitivity); >= 1.25 the host
     plane has stepped below the profile (the r17 03:00Z shape)."""
+    # ValueError covers json.JSONDecodeError (r18 ADVICE #4: a
+    # truncated PERF_PROFILE.json crashed the whole gate tool with a
+    # traceback instead of skipping the advisory note)
     try:
         with open(profile_path) as f:
             prof = json.load(f)
-    except OSError:
+    except (OSError, ValueError):
         return None
     entries = prof.get("entries", {})
     qb = b.get("queries", {})
@@ -179,7 +199,7 @@ def profile_staleness(profile_path, b):
 
 
 def main(argv):
-    path, (ia, ib), profile_path = parse_args(argv)
+    path, (ia, ib), profile_path, explicit = parse_args(argv)
     hist = load(path)
     if len(hist) < 2:
         print(f"{path}: {len(hist)} entries, nothing to diff")
@@ -192,16 +212,44 @@ def main(argv):
     # the comparison BASE is the latest QUIET record before the newest
     # entry, not blindly the second-newest — a degraded-window headline
     # (r16's 492.8 s, r17's 404.9 s) must never anchor a regression
-    # comparison. Explicit indices always win.
-    explicit = (ia, ib) != (-2, -1)
+    # comparison. Explicit indices always win. Anchor eligibility is
+    # decoupled from the quiet LABEL (r18 verdict #3): this host has
+    # stopped producing quiet windows, so a quiet record can be eras
+    # stale (pre-rewrite engine) or absent entirely. A quiet anchor is
+    # used only when one exists within MAX_ANCHOR_AGE runs of the
+    # newest entry; otherwise the MINIMUM-STEAL non-degraded record
+    # anchors. The anchor's age and window quality always print, so a
+    # pre-rewrite-era anchor is visible instead of silent.
+    MAX_ANCHOR_AGE = 15
     if not explicit:
-        quiet_idx = [i for i in range(len(hist) - 1)
+        newest = len(hist) - 1
+        quiet_idx = [i for i in range(newest)
                      if hist[i].get("window_quality") == "quiet"]
-        if quiet_idx and hist[quiet_idx[-1]] is not hist[-2]:
-            ia = quiet_idx[-1]
-            print(f"anchor: latest quiet record (index {ia} of "
-                  f"{len(hist)}) — the default -2 entry is not the "
-                  "right regression baseline")
+
+        def anchor_to(i, why):
+            age = newest - i
+            q = hist[i].get("window_quality", "unknown")
+            reason = hist[i].get("window_quality_reason")
+            print(f"anchor: {why} (index {i} of {len(hist)}, age {age} "
+                  f"runs, window {q}"
+                  + (f", reason {reason}" if reason else "") + ")")
+            return i
+
+        if quiet_idx and newest - quiet_idx[-1] <= MAX_ANCHOR_AGE:
+            if hist[quiet_idx[-1]] is not hist[-2]:
+                ia = anchor_to(quiet_idx[-1], "latest quiet record")
+        else:
+            candidates = [i for i in range(newest)
+                          if hist[i].get("window_quality") != "degraded"]
+            if candidates:
+                best = min(candidates, key=lambda i: (
+                    float(hist[i].get("steal_total_sec") or 1e9), -i))
+                why = ("no quiet record in history"
+                       if not quiet_idx else
+                       f"latest quiet record is {newest - quiet_idx[-1]} "
+                       f"runs old (> {MAX_ANCHOR_AGE})")
+                ia = anchor_to(best,
+                               f"minimum-steal non-degraded record ({why})")
     a, b = hist[ia], hist[ib]
     wqa = a.get("window_quality", "unknown")
     wqb = b.get("window_quality", "unknown")
@@ -250,12 +298,17 @@ def main(argv):
         flagged += 1
     elif "streaming" not in a or not sa:
         print("streaming: no older baseline (pre-r16 or empty), skipped")
-    # environment corroboration for the lockstep classification: the
-    # newer window self-declares non-quiet, or its load average says a
-    # noisy neighbor was present
+    # environment corroboration for the lockstep classification:
+    # POSITIVE measured evidence only (r18 verdict #4) — the newer
+    # entry's steal, foreign-core load, or load average must actually
+    # show a noisy neighbor. The window_quality label is NOT evidence:
+    # "noisy" is this host's steady state, so label-based corroboration
+    # made the exit-3 adjudication path unreachable in practice.
     load_b = max(float(b.get("load_avg_start") or 0),
                  float(b.get("load_avg_end") or 0))
-    corroborated = wqb in ("degraded", "noisy") or degraded or load_b >= 4
+    steal_b = float(b.get("steal_total_sec") or 0)
+    foreign_b = float(b.get("foreign_mean") or 0)
+    corroborated = steal_b > 5 or foreign_b >= 1 or load_b >= 4
     moves, outliers, classification = classify_streaming(sa, sb,
                                                          corroborated)
     lockstep_unconfirmed = False
@@ -274,8 +327,9 @@ def main(argv):
         # codegen/tokenizer core) would look exactly like this. Exit 3.
         print(f"CLASS  streaming_degradation: environment_lockstep_"
               f"unconfirmed ({len(moves)} legs moved {moves[0][3]} "
-              "together but the newer window is quiet -- adjudicate "
-              "with a rerun before trusting this as environment)")
+              "together but the newer entry shows no measured steal/"
+              "foreign/load evidence -- adjudicate with a rerun before "
+              "trusting this as environment)")
         for k, va, vb, d in moves:
             print(f"note   {k}: {va/1e3:.1f}k -> {vb/1e3:.1f}k ev/s "
                   f"({d}, lockstep?)")

@@ -33,20 +33,39 @@ SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Verify $SF_DIR ${OUT}_lc"
 
+# Capture the diff's exit code instead of letting `set -e` abort
+# (r18 ADVICE #2: a MISMATCHING diff_runs.py killed the script before
+# the artifact wrapper ran, so the mismatch evidence this artifact was
+# added to record was never written and the .tmp was left behind). The
+# wrapper always writes the artifact; the script then exits with the
+# diff's code so it stays a round-close gate.
+rc=0
 python3 tools/diff_runs.py "${OUT}_default" "${OUT}_lc" \
-  --json "${AXIS_JSON}.tmp"
+  --json "${AXIS_JSON}.tmp" || rc=$?
 python3 - "$AXIS_JSON" "$SF_DIR" <<'EOF'
 import json, subprocess, sys
 out, sf = sys.argv[1], sys.argv[2]
 d = json.load(open(out + ".tmp"))
-head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
-                      text=True).stdout.strip()
+def git(*args):
+    return subprocess.run(["git"] + list(args), capture_output=True,
+                          text=True).stdout.strip()
+# Tree hashes pin the artifact to the SOURCE TREE, not the commit
+# (r18 verdict #5): artifact-only commits after the axis run change
+# HEAD but not HEAD:src, so "axis at close HEAD" is mechanically
+# checkable by AxisArtifactSpec instead of a manual byte-compare.
+# src_dirty records uncommitted src/tools edits at run time — a dirty
+# axis is not evidence about any commit.
 rec = {"metric": "multi_jvm_axis", "sf": sf,
        "master_a": "local[32]", "master_b": "local-cluster[2,8,4096]",
-       "head": head}
+       "head": git("rev-parse", "HEAD"),
+       "src_tree": git("rev-parse", "HEAD:src"),
+       "tools_tree": git("rev-parse", "HEAD:tools"),
+       "src_dirty": bool(git("status", "--porcelain", "--",
+                             "src", "tools", "build.sbt"))}
 rec.update(d)
 json.dump(rec, open(out, "w"), indent=0)
 import os
 os.remove(out + ".tmp")
 print("wrote", out)
 EOF
+exit $rc
