@@ -61,7 +61,7 @@ object Tokenizer {
     * tears supplementary-plane characters (an emoji became two lone
     * surrogates), so local trainers/appliers that used it diverged
     * from their expression/distributed twins on any non-BMP text. */
-  private[operators] def codePointSymbols(w: String): Array[String] = {
+  private[graft] def codePointSymbols(w: String): Array[String] = {
     val out = new Array[String](w.codePointCount(0, w.length))
     var i = 0
     var k = 0
@@ -73,22 +73,6 @@ object Tokenizer {
     }
     out
   }
-
-  /** Greedy-left application of ONE merge (a,b)→`merged` to a symbol
-    * array, as a column fold. BPE merges to `a + b`; WordPiece passes
-    * its own merged form (`a + b.stripPrefix("##")`). */
-  private[operators] def mergeOnce(sym: Column, a: String, b: String,
-      merged: String): Column =
-    aggregate(sym,
-      array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-          .otherwise(concat(acc, array(x))))
-
-  private def mergeOnce(sym: Column, a: String, b: String): Column =
-    mergeOnce(sym, a, b, a + b)
 
   /** The one corpus pass: (word, freq, sym) with single-char symbols.
     * `wordsPerUnit` is the pre-tokenization granularity — 1 trains over
@@ -246,78 +230,45 @@ object Tokenizer {
       activeWordCap)
 
   /** Tokenize with a learned merge list: one narrow projection over the
-    * corpus applying the merges in training order (broadcast-sized rule
-    * list folded into the expression — no shuffle, no UDF). */
+    * corpus — `split(trim(lower(text)))` generates Java, then the
+    * native [[graft.functions.BpeTokenizeWords]] expression applies the
+    * whole rule list per word and flattens (no shuffle, no UDF, and NO
+    * higher-order function anywhere in the plan).
+    *
+    * Until r18 this folded one `aggregate` HOF per merge into the plan
+    * — fine for a handful of rules, but plan depth grew with the merge
+    * count and ProfileQ183b measured 90-125 s of cold per-JVM C2
+    * compilation against exactly that interpreted chain. The expression
+    * is rule-count-independent in plan shape and carries the two
+    * production tricks (substring prefilter, distinct-word memo) that
+    * previously justified a separate mapPartitions twin; `BpeChainSpec`
+    * pins the whole plan bit-equal to the replayed pre-r19 fold chain
+    * under both codegen and interpreted eval. */
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(trim(lower(col(textCol))), "\\s+")
-    val tokensPerWord = transform(words, w => {
-      val sym0 = filter(split(w, ""), s => length(s) > 0)
-      merges.foldLeft(sym0) { case (s, (a, b)) => mergeOnce(s, a, b) }
-    })
     docs.select(col(idCol),
-      flatten(filter(tokensPerWord, a => size(a) > 0)).as("tokens"))
+      graft.functions.SubwordFunctions.bpeTokenizeWords(words, merges)
+        .as("tokens"))
   }
 
-  /** [[bpeApply]] for REAL vocabularies: the expression fold nests one
-    * `aggregate` per merge, which is fine for a handful of rules and
-    * unusable at a production 30k-merge table. This twin runs the SAME
-    * sequential greedy-left semantics (spec-pinned equal to
-    * [[bpeApply]]) as a per-partition Scala tokenizer over a BROADCAST
-    * merge array, with two standard production tricks:
-    * a substring prefilter (merge (a,b) can only apply to a word whose
-    * raw text contains `a+b` contiguously) and a per-partition
-    * distinct-word memo (a corpus tokenizes its VOCABULARY, not its
-    * token stream). mapPartitions is the honest tool here — per-word
-    * imperative iteration over 30k rules is exactly the "genuine
-    * per-partition imperative logic" case. */
+  /** [[bpeApply]] for REAL vocabularies — since r19 the SAME plan (the
+    * [[graft.functions.BpeTokenizeWords]] expression handles a 30k-rule
+    * production table: rules ride the broadcast task binary, the fold
+    * is one compiled loop with prefilter + per-thread distinct-word
+    * memo), so the historical mapPartitions twin is DELETED rather than
+    * re-justified (r18 verdict #2). Kept as a distinct entry point for
+    * its contract differences: ids cast to long, and a NULL text row
+    * yields an EMPTY token array (the old mapPartitions
+    * `Option(text).getOrElse("")`), where [[bpeApply]] yields NULL
+    * (the Column fold's null chain). */
   def bpeApplyLarge(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges.toArray)
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val rules = bc.value
-        val memo = new java.util.HashMap[String, Array[String]]()
-        it.map { case (id, text) =>
-          // Locale.ROOT matches Spark's locale-independent lower() —
-          // under a Turkish default locale plain toLowerCase maps
-          // 'I'→'ı' and the spec-pinned twins would diverge
-          val toks = Option(text).getOrElse("").trim
-            .toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty)
-            .flatMap(w => bpeFoldWord(w, rules, memo))
-          (id, toks.toSeq)
-        }
-      }
-      .toDF(idCol, "tokens")
-  }
-
-  /** The production per-word BPE fold (greedy-left, rules in rank
-    * order, substring prefilter, caller-owned distinct-word memo) —
-    * shared by [[bpeApplyLarge]] and the pretoken apply path so the
-    * two units-of-application cannot drift. */
-  private def bpeFoldWord(w: String, rules: Array[(String, String)],
-      memo: java.util.HashMap[String, Array[String]]): Array[String] = {
-    val cached = memo.get(w)
-    if (cached != null) return cached
-    var sym: Array[String] = codePointSymbols(w)
-    rules.foreach { case (a, b) =>
-      if (w.contains(a + b) && sym.length > 1) {
-        val out = new scala.collection.mutable.ArrayBuffer[String](
-          sym.length)
-        sym.foreach { x =>
-          if (out.nonEmpty && out.last == a && x == b) {
-            out.remove(out.length - 1); out += (a + b)
-          } else out += x
-        }
-        sym = out.toArray
-      }
-    }
-    memo.put(w, sym)
-    sym
+    val words =
+      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    docs.select(col(idCol).cast("long").as(idCol),
+      graft.functions.SubwordFunctions.bpeTokenizeWords(words, merges)
+        .as("tokens"))
   }
 
   /** Training summary as a relation (for the catalog): one row per
@@ -404,29 +355,16 @@ object Tokenizer {
 
   /** Apply a (possibly loaded) merge list to the PRETOKEN stream:
     * pretokenize in the expression plane (codegen'd projection), then
-    * the [[bpeApplyLarge]] per-partition fold with a distinct-pretoken
-    * memo — no lowercasing, no whitespace split; the pretoken is the
-    * unit, exactly as trained. Emits (idCol, tokens). */
+    * the same [[graft.functions.BpeTokenizeWords]] fold per pretoken — no
+    * lowercasing, no whitespace split; the pretoken is the unit,
+    * exactly as trained. Emits (idCol, tokens); a NULL text row yields
+    * an empty token array (the pre-r19 mapPartitions contract). */
   def bpeApplyPretokens(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges.toArray)
-    docs.select(col(idCol).cast("long"),
-        pretokenize(col(textCol)).as("pts"))
-      .as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        val rules = bc.value
-        val memo = new java.util.HashMap[String, Array[String]]()
-        it.map { case (id, pts) =>
-          val toks = Option(pts).getOrElse(Seq.empty)
-            .iterator.filter(_.nonEmpty)
-            .flatMap(w => bpeFoldWord(w, rules, memo))
-            .toSeq
-          (id, toks)
-        }
-      }
-      .toDF(idCol, "tokens")
+    val pts = pretokenize(coalesce(col(textCol), lit("")))
+    docs.select(col(idCol).cast("long").as(idCol),
+      graft.functions.SubwordFunctions.bpeTokenizeWords(pts, merges)
+        .as("tokens"))
   }
 
   /** Corpus fertility under a loaded pretoken-BPE merge list (the
@@ -439,17 +377,10 @@ object Tokenizer {
   def bpePretokenFertility(docs: DataFrame,
       merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges.toArray)
     val words = pretokenWordTable(docs, textCol).select("w", "freq")
-    val walked = words.as[(String, Long)]
-      .mapPartitions { it =>
-        val rules = bc.value
-        val memo = new java.util.HashMap[String, Array[String]]()
-        it.map { case (w, f) => (w, f, bpeFoldWord(w, rules, memo).length) }
-      }
-      .toDF("w", "freq", "n")
+    val walked = words.select(col("w"), col("freq"),
+      size(graft.functions.SubwordFunctions.bpeMergeChain(col("w"),
+        merges)).as("n"))
     walked.agg(
         count(lit(1)).as("n_pretokens"),
         sum("freq").as("n_occurrences"),

@@ -25,17 +25,27 @@ import org.apache.spark.sql.functions._
   *
   *   sbt 'runMain graft.tools.ProfileQ183b'
   *
-  * Measured (this host, local[32], 3 JVM launches): pass 1 scheduled
-  * exec 90.2/103.9/125.4 s (CPU 24.3/27.8/24.7 s — threads mostly
-  * WAITING on compilation, not computing), passes 2-6 converge to
-  * 12.3-25.2 s exec / 7.6-14.2 s CPU; tasks 67 and wall 1.2-1.8 s in
-  * every warm pass. The catalog's bimodal 14.5/31 s sits exactly on
+  * Measured PRE-r19 (this host, local[32], 3 JVM launches): pass 1
+  * scheduled exec 90.2/103.9/125.4 s (CPU 24.3/27.8/24.7 s — threads
+  * mostly WAITING on compilation, not computing), passes 2-6 converge
+  * to 12.3-25.2 s exec / 7.6-14.2 s CPU; tasks 67 and wall 1.2-1.8 s
+  * in every warm pass. The catalog's bimodal 14.5/31 s sits exactly on
   * this decay curve: q183b runs once per catalog sweep at whatever
   * warmth the preceding entries left, so its scheduled-exec lands
   * anywhere on the warm tail while wall, tasks, and fingerprint stay
   * fixed. Attribution: JIT warmth of the nested fold's interpreter/
   * generated code — benign measurement variance, not a plan or engine
   * property.
+  *
+  * POST-r19 (`BpeTokenizeWords` — zero HOFs in the apply plan, the
+  * fold one compiled call): pass 1 64.4 s exec / 12.6 s CPU (generic
+  * first-Spark-job warmup — parquet reader, WSCG compile, task
+  * machinery — this probe's pass 1 is the JVM's first job; no longer
+  * merge-chain-specific), passes 2-6 converge to 4.7-7.3 s exec /
+  * 2.5-4.4 s CPU, wall 0.93-1.01 s. The interpreted-HOF C2 target
+  * this probe attributed is structurally gone (BpeChainSpec pins the
+  * plan HOF-free); the r17-r18 4-14x interpreted-HOF campaign is
+  * complete.
   */
 object ProfileQ183b {
   def main(args: Array[String]): Unit = {

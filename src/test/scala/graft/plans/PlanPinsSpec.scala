@@ -146,7 +146,8 @@ class PlanPinsSpec extends AnyFunSuite {
   }
 
   test("q184 bpeApplyLarge: zero Exchange — tokenization is one narrow " +
-    "mapPartitions pass over the corpus (r10 pin)") {
+    "projection over the corpus (r10 pin; mapPartitions until r19, now " +
+    "the BpeTokenizeWords expression — same zero-shuffle contract)") {
     val docs = (1 to 50).map(i => (i.toLong, s"newest west $i"))
       .toDF("doc_id", "text")
     val merges = Seq(("e", "s"), ("es", "t"), ("w", "e"))
