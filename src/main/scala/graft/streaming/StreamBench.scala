@@ -37,13 +37,25 @@ object StreamBench {
     * per-batch row count and the steady batch count are reported
     * alongside so a run is self-adjudicating.
     *
+    * @param statePartitions override the state-store partition count
+    *        for every leg via [[StateSizing.withStatePartitions]]
+    *        (None = session default, the committed bench
+    *        configuration; `Some(StateSizing.recommended(cores))`
+    *        applies the measured ~cores/2 rule — r18 verdict #7).
     * @return fully-named (key, value) pairs ready for the bench JSON:
     *         `<pipeline>_events_per_sec` (steady),
     *         `<pipeline>_steady_batches`, and `rows_per_batch`. */
   def run(spark: SparkSession, seconds: Int = 15,
       rowsPerBatch: Long = 2000000L,
       legs: Seq[String] = Seq("sessionize", "windowed_dedup",
-        "tokenize_wordpiece", "ivf_assign")): Seq[(String, Double)] = {
+        "tokenize_wordpiece", "ivf_assign"),
+      statePartitions: Option[Int] = None): Seq[(String, Double)] =
+    StateSizing.withStatePartitions(spark, statePartitions) {
+      runLegs(spark, seconds, rowsPerBatch, legs)
+    }
+
+  private def runLegs(spark: SparkSession, seconds: Int,
+      rowsPerBatch: Long, legs: Seq[String]): Seq[(String, Double)] = {
     import spark.implicits._
     val rootLogger = org.apache.logging.log4j.LogManager.getRootLogger
       .asInstanceOf[org.apache.logging.log4j.core.Logger]
