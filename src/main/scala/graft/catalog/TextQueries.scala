@@ -3681,15 +3681,38 @@ object TextQueries {
           "/root/repo/fixtures/tokenizer/wordpiece_vocab.parquet")
         val tokenized = graft.operators.WordPiece
           .wordPieceApply(budgetDocs, vocab)
+        // r19 (guide §2.6): the six stage counts are INDEPENDENT actions
+        // over already-cut (or disjoint) frames — run them concurrently
+        // so the tail of the heavy s6 tokenize walk back-fills the cores
+        // the small counts leave idle, instead of six sequential
+        // stage-scheduling round-trips. s4/s5 additionally shared ZERO
+        // work as written (each re-executed packBestFit): one
+        // groupBy(shard, bin) pass yields both — sum of group counts is
+        // s4's row count, the group count is s5's distinct count
+        // (groupBy and distinct() treat NULL keys identically, so the
+        // fusion is value-exact even on degenerate inputs). Values are
+        // unchanged; the oracle still hash-matches all six rows.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val f45 = Future {
+          val r = packed.groupBy("shard", "bin").count()
+            .agg(coalesce(sum("count"), lit(0L)).as("pieces"),
+              count(lit(1)).as("bins")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val f6 = Future(tokenized.select(explode(col("tokens"))).count())
+        val f1 = Future(raw.count())
+        val f2 = Future(survivors.count())
+        val f3 = Future(budgetDocs.count())
+        val (s4, s5) = Await.result(f45, Duration.Inf)
         val stages = Seq(
-          "s1_raw_docs" -> raw.count(),
-          "s2_dedup_survivors" -> survivors.count(),
-          "s3_budget_docs" -> budgetDocs.count(),
-          "s4_packed_pieces" -> packed.count(),
-          "s5_packed_bins" ->
-            packed.select("shard", "bin").distinct().count(),
-          "s6_tokens_emitted" ->
-            tokenized.select(explode(col("tokens"))).count())
+          "s1_raw_docs" -> Await.result(f1, Duration.Inf),
+          "s2_dedup_survivors" -> Await.result(f2, Duration.Inf),
+          "s3_budget_docs" -> Await.result(f3, Duration.Inf),
+          "s4_packed_pieces" -> s4,
+          "s5_packed_bins" -> s5,
+          "s6_tokens_emitted" -> Await.result(f6, Duration.Inf))
         import s.implicits._
         stages.toDF("stage", "rows").orderBy("stage")
       },

@@ -83,15 +83,25 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       portable: Boolean = false): DataFrame = {
     if (portable) {
+      // r19: the n seeded rehashes ran as n separate md5(concat(...))
+      // trees per (doc, shingle) row — a fresh MessageDigest, a hex
+      // String round-trip and a seed concatenation EACH (the dominant
+      // executor cost of every portable-LSH entry; see Md5Hex).
+      // Md5SeededArray computes the identical n values in one pass;
+      // min(element_at(..)) per hash index keeps the same map-side
+      // partial aggregation.
+      import graft.functions.DigestFunctions.{md5Hex, md5SeededArray}
       val toks = docs.select(col(idCol),
           explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
         .filter(length(col("token")) > 0)
-        .select(col(idCol), md5(col("token")).as("th"))
+        .select(col(idCol), md5Hex(col("token")).as("th"))
         .distinct()
+      val withArr = toks.select(col(idCol),
+        md5SeededArray(col("th"), numHashes).as("hs"))
       val aggs = (0 until numHashes).map { i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("th")))).as(s"h$i")
+        min(element_at(col("hs"), i + 1)).as(s"h$i")
       }
-      toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      withArr.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     } else {
       val toks = docShingleFeatures(docs, textCol, idCol)
       val aggs = (0 until numHashes).map { i =>
@@ -109,7 +119,8 @@ object Dedup {
       val parts = (0 until rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"),
-        md5(concat_ws("|", parts: _*)).as("key"))
+        graft.functions.DigestFunctions.md5ConcatWs("|", parts: _*)
+          .as("key"))
     }
     sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -165,7 +176,7 @@ object Dedup {
     val toks = docs.select(col(idCol),
         explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
       .filter(length(col("token")) > 0)
-      .select(col(idCol), md5(col("token")).as("th"))
+      .select(col(idCol), graft.functions.DigestFunctions.md5Hex(col("token")).as("th"))
       .distinct()
     val votes = (0 until 16).map { j =>
       val nib = conv(substring(col("th"), j / 4 + 1, 1), 16, 10).cast("int")
@@ -193,7 +204,7 @@ object Dedup {
     val toks = docs.select(col(idCol),
         explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
       .filter(length(col("token")) > 0)
-      .select(col(idCol), md5(col("token")).as("th"))
+      .select(col(idCol), graft.functions.DigestFunctions.md5Hex(col("token")).as("th"))
       .distinct()
     val votes = (0 until 64).map { j =>
       val nib = conv(substring(col("th"), j / 4 + 1, 1), 16, 10).cast("int")
@@ -564,7 +575,7 @@ object Dedup {
       val g = df.select(col(idCol),
           explode(TextAnalysis.shingles(col(textCol), n)).as("token"))
         .filter(length(col("token")) > 0)
-      if (portable) g.select(col(idCol), md5(col("token")).as("gh"))
+      if (portable) g.select(col(idCol), graft.functions.DigestFunctions.md5Hex(col("token")).as("gh"))
       else g.select(col(idCol), xxhash64(col("token")).as("gh"))
     }
     val evalGrams = grams(heldOut).select("gh").distinct()
@@ -674,7 +685,7 @@ object Dedup {
         candDocs.select(col(idCol),
             explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
           .filter(length(col("token")) > 0)
-          .select(col(idCol), md5(col("token")).as("sh"))
+          .select(col(idCol), graft.functions.DigestFunctions.md5Hex(col("token")).as("sh"))
           .distinct()
       else docShingleFeatures(candDocs, textCol, idCol)
         .withColumnRenamed("feature", "sh")
@@ -727,7 +738,7 @@ object Dedup {
         candDocs.select(col(idCol),
             explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
           .filter(length(col("token")) > 0)
-          .select(col(idCol), md5(col("token")).as("sh"))
+          .select(col(idCol), graft.functions.DigestFunctions.md5Hex(col("token")).as("sh"))
           .distinct()
       else docShingleFeatures(candDocs, textCol, idCol)
         .withColumnRenamed("feature", "sh")
@@ -813,7 +824,7 @@ object Dedup {
         df.select(explode(TextAnalysis.shingles(col(textCol), 3))
             .as("token"))
           .filter(length(col("token")) > 0)
-          .select(md5(col("token")).as("th")).distinct()
+          .select(graft.functions.DigestFunctions.md5Hex(col("token")).as("th")).distinct()
       else
         df.select(explode(TextAnalysis.shingles(col(textCol), 3))
             .as("token"))
@@ -822,7 +833,8 @@ object Dedup {
     def sig(g: DataFrame, prefix: String): DataFrame = {
       val aggs = (0 until numHashes).map { i =>
         if (portable)
-          min(md5(concat(lit(s"$i|"), col("th")))).as(s"${prefix}h$i")
+          min(graft.functions.DigestFunctions.md5Seeded(s"$i|", col("th")))
+            .as(s"${prefix}h$i")
         else
           min(xxhash64(lit(i), col("th"))).as(s"${prefix}h$i")
       }
@@ -1004,7 +1016,7 @@ object Dedup {
           cand.select(col(idCol),
               explode(TextAnalysis.shingles(col(textCol), 3)).as("token"))
             .filter(length(col("token")) > 0)
-            .select(col(idCol), md5(col("token")).as("sh"))
+            .select(col(idCol), graft.functions.DigestFunctions.md5Hex(col("token")).as("sh"))
             .distinct()
         else docShingleFeatures(cand, textCol, idCol)
           .withColumnRenamed("feature", "sh")

@@ -99,6 +99,90 @@ private[operators] object SubwordBatch {
     out.toArray
   }
 
+  /** Exact (after-count, delta) accounting cell for one pair or symbol
+    * in one word — see [[mergeOnceDeltas]]. */
+  private[operators] final class Acc {
+    var after: Int = 0
+    var delta: Int = 0
+  }
+
+  /** [[mergeOnceArr]] fused with exact per-word pair/symbol delta
+    * accounting — the r19 driver-loop optimization (guide §1.2 "per-task
+    * work", applied to the DRIVER's merge loops): the trainers'
+    * per-affected-word cost was four full multiset builds (pair/symbol
+    * bags BEFORE and AFTER) plus two key-set unions and per-key lookups;
+    * TrainerProbe measured the loops at ~4 s (bpeTrainLocal, 1,200
+    * merges over 26.7k units) and ~11.7 s (the batched-distributed
+    * simulate) per entry. This single pass builds the merged array and
+    * accumulates, per touched pair `q`, its exact AFTER adjacency count
+    * (`after`) and the after−before delta (`delta`), and the same for
+    * symbols when `symAcc` is non-null.
+    *
+    * Parity contract (pinned by the existing trajectory specs, which
+    * replay full trainings against an independent reference):
+    *   - the merged array is element-identical to [[mergeOnceArr]];
+    *   - `delta` equals `afterBag(q) − beforeBag(q)` for every key in
+    *     either bag (keys touched only transiently net to delta 0 /
+    *     after 0, which callers treat exactly like the old union loop:
+    *     no count bump, membership-remove no-op);
+    *   - `after` equals the true multiset count of `q` in the merged
+    *     array (0 for vanished pairs), so membership maintenance
+    *     (`after > 0` ⇒ word still contains the pair) is exact. */
+  private[operators] def mergeOnceDeltas(sym: Array[String], a: String,
+      b: String, merged: String,
+      pairAcc: mutable.HashMap[(String, String), Acc],
+      symAcc: mutable.HashMap[String, Acc]): Array[String] = {
+    if (sym.length < 2) return sym
+    val out = new Array[String](sym.length)
+    var n = 0
+    var i = 0
+    while (i < sym.length) {
+      val x = sym(i)
+      if (n > 0 && out(n - 1) == a && x == b) {
+        // replace the just-pushed `a` with `merged`; retract the
+        // tentative adjacency it formed with its left neighbor
+        if (n > 1) {
+          val h = pairAcc.getOrElseUpdate((out(n - 2), a), new Acc)
+          h.after -= 1; h.delta -= 1
+        }
+        if (symAcc ne null) {
+          val ha = symAcc.getOrElseUpdate(a, new Acc)
+          ha.after -= 1; ha.delta -= 1
+        }
+        out(n - 1) = merged
+        if (n > 1) {
+          val h = pairAcc.getOrElseUpdate((out(n - 2), merged), new Acc)
+          h.after += 1; h.delta += 1
+        }
+        if (symAcc ne null) {
+          val hm = symAcc.getOrElseUpdate(merged, new Acc)
+          hm.after += 1; hm.delta += 1
+        }
+      } else {
+        if (n > 0) {
+          val h = pairAcc.getOrElseUpdate((out(n - 1), x), new Acc)
+          h.after += 1; h.delta += 1
+        }
+        out(n) = x
+        n += 1
+        if (symAcc ne null) {
+          val hx = symAcc.getOrElseUpdate(x, new Acc)
+          hx.after += 1; hx.delta += 1
+        }
+      }
+      i += 1
+    }
+    // subtract the BEFORE multisets (delta only — `after` already exact)
+    i = 0
+    while (i < sym.length) {
+      if (symAcc ne null) symAcc.getOrElseUpdate(sym(i), new Acc).delta -= 1
+      if (i + 1 < sym.length)
+        pairAcc.getOrElseUpdate((sym(i), sym(i + 1)), new Acc).delta -= 1
+      i += 1
+    }
+    if (n == sym.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
   /** Run the batched greedy loop over `words` — a (freq: bigint,
     * sym: array&lt;string&gt;) table (extra columns ignored).
     *
@@ -321,16 +405,6 @@ private[operators] object SubwordBatch {
     m
   }
 
-  private def symBag(sym: Array[String]): mutable.HashMap[String, Int] = {
-    val m = mutable.HashMap.empty[String, Int]
-    var i = 0
-    while (i < sym.length) {
-      m.update(sym(i), m.getOrElse(sym(i), 0) + 1)
-      i += 1
-    }
-    m
-  }
-
   /** Simulate the exact greedy loop over the pulled active words until
     * a stop bound fires. `wantMore(k)` asks whether a (k+1)-th
     * selection is still wanted. */
@@ -439,16 +513,19 @@ private[operators] object SubwordBatch {
         val touchedSyms = mutable.HashSet.empty[String]
         affected.foreach { w =>
           val (f, symsBefore) = active(w)
-          val pb = pairBag(symsBefore)
-          val sb = symBag(symsBefore)
-          val symsAfter = mergeOnceArr(symsBefore, a, b, merged)
+          // r19: one fused pass (mergeOnceDeltas) replaces the four
+          // before/after multiset builds + two key-set unions per word;
+          // the (delta, after) cells drive the identical count/bound/
+          // membership updates the union loop performed (transient
+          // net-0 keys behave exactly like the old not-in-union case).
+          val pAccM = mutable.HashMap.empty[(String, String), Acc]
+          val sAccM = mutable.HashMap.empty[String, Acc]
+          val symsAfter = mergeOnceDeltas(symsBefore, a, b, merged,
+            pAccM, sAccM)
           active(w) = (f, symsAfter)
-          val pa = pairBag(symsAfter)
-          val sa = symBag(symsAfter)
-          (pb.keySet ++ pa.keySet).foreach { q =>
-            val d = pa.getOrElse(q, 0) - pb.getOrElse(q, 0)
-            if (d != 0) {
-              val delta = d.toLong * f
+          pAccM.foreach { case (q, h) =>
+            if (h.delta != 0) {
+              val delta = h.delta.toLong * f
               if (known.contains(q)) {
                 known(q) = known(q) + delta
                 dirtyPairs += q
@@ -467,14 +544,13 @@ private[operators] object SubwordBatch {
                 if (net > maxUnknownPos) maxUnknownPos = net
               }
             }
-            if (pa.getOrElse(q, 0) > 0)
+            if (h.after > 0)
               pairWords.getOrElseUpdate(q, mutable.BitSet.empty) += w
             else pairWords.get(q).foreach(_ -= w)
           }
-          (sb.keySet ++ sa.keySet).foreach { s =>
-            val d = sa.getOrElse(s, 0) - sb.getOrElse(s, 0)
-            if (d != 0) {
-              symCount(s) = symCount.getOrElse(s, 0L) + d.toLong * f
+          sAccM.foreach { case (s, h) =>
+            if (h.delta != 0) {
+              symCount(s) = symCount.getOrElse(s, 0L) + h.delta.toLong * f
               touchedSyms += s
             }
           }

@@ -27,19 +27,42 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count as a codegen'd one-pass byte scan (r19) — the value of
+    * `size(tokens(text))` without the split/array materialization (case
+    * never changes token boundaries, so the raw text scan is exact; the
+    * parity spec pins it). */
+  def tokenCount(text: Column): Column =
+    graft.functions.TextShingleFunctions.wsTokenCount(text)
+
+  /** The array form [[tokenCount]] is pinned against. */
+  private[graft] def tokenCountHof(text: Column): Column =
+    size(tokens(text))
 
   /** Word n-gram shingles ("a b c" for n=3) — the unit for MinHash: the
     * shingle space is |vocab|^n, so shingle sets discriminate documents
     * even over a tiny vocabulary where raw token sets collide.
     *
-    * The token array is bound ONCE as a lambda variable (the outer
+    * Implementation (r19): a codegen'd single-pass byte scan
+    * ([[graft.functions.WordShingles]]) — the HOF form it replaces
+    * ([[shinglesHof]], kept for the parity spec) is a Catalyst
+    * higher-order function, which runs INTERPRETED with per-shingle
+    * lambda dispatch; it headed every MinHash/SimHash/dedup path.
+    * Value-identical (ShinglesParitySpec property-pins the two); the
+    * DuckDB oracles replay the split/array algebra and must keep
+    * matching. */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlShims.columnOf(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftSqlShims.expressionOf(lower(text)), n))
+
+  /** The HOF Column-algebra form [[shingles]] is pinned against — the
+    * token array is bound ONCE as a lambda variable (the outer
     * single-element `transform`): higher-order-function lambdas get no
     * common-subexpression elimination, so referencing `tokens(text)`
     * directly inside the per-shingle lambda would re-run the split regex
     * for every `element_at` — O(tokens²) per document (measured 45× slower
     * at sf0.1). With the binding, each shingle is n O(1) array reads. */
-  def shingles(text: Column, n: Int = 3): Column =
+  private[graft] def shinglesHof(text: Column, n: Int = 3): Column =
     element_at(
       transform(array(tokens(text)), t =>
         when(size(t) < n, array(array_join(t, " ")))
@@ -73,7 +96,8 @@ object TextAnalysis {
   /** Content-defined document fingerprint (md5 of normalized text).
     * md5 is used (not xxhash64) so the fingerprint is portable across
     * engines — the DuckDB oracle computes the identical value. */
-  def fingerprint(text: Column): Column = md5(normalize(text))
+  def fingerprint(text: Column): Column =
+    graft.functions.DigestFunctions.md5Hex(normalize(text))
 
   // --- language identification -------------------------------------------
 
@@ -159,11 +183,27 @@ object TextAnalysis {
 
   // --- quality scoring ----------------------------------------------------
 
+  /** r19: the `size(regexp_extract_all(...))` forms materialized one
+    * single-char UTF8String PER MATCHING CHARACTER before size() threw
+    * the array away — replaced by a codegen'd one-pass byte count
+    * ([[graft.functions.CountCharRange]]), value-identical (ASCII-range
+    * matches are exactly the matching chars; parity-spec-pinned). The
+    * regex forms stay below for the spec. */
   def alphaRatio(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]"), lit(0))) /
+    graft.functions.TextShingleFunctions
+      .countCharRange(lower(text), 'a', 'z') /
       greatest(length(text), lit(1))
 
   def digitRatio(text: Column): Column =
+    graft.functions.TextShingleFunctions
+      .countCharRange(text, '0', '9') /
+      greatest(length(text), lit(1))
+
+  private[graft] def alphaRatioRegex(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]"), lit(0))) /
+      greatest(length(text), lit(1))
+
+  private[graft] def digitRatioRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[0-9]"), lit(0))) /
       greatest(length(text), lit(1))
 

@@ -148,13 +148,6 @@ object Tokenizer {
       }
       m
     }
-    // the ONE greedy-left fold (SubwordBatch.mergeOnceArr) — shared with
-    // the batched distributed route and WordPiece so the trajectory-
-    // critical pass cannot drift between the pinned twins
-    def mergeOnceLocal(sym: Array[String], a: String,
-        b: String): Array[String] =
-      SubwordBatch.mergeOnceArr(sym, a, b, a + b)
-
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
     // ordered argmax index: (count desc, a asc, b asc) — the reference
@@ -187,13 +180,19 @@ object Tokenizer {
       val affected = pairWords.get((a, b))
         .map(_.toArray).getOrElse(Array.emptyIntArray)
       affected.foreach { w =>
-        val before = pairMultiset(syms(w))
-        syms(w) = mergeOnceLocal(syms(w), a, b)
-        val after = pairMultiset(syms(w))
-        (before.keySet ++ after.keySet).foreach { p =>
-          val d = after.getOrElse(p, 0) - before.getOrElse(p, 0)
-          if (d != 0) bump(p, d.toLong * freqs(w))
-          if (after.getOrElse(p, 0) > 0)
+        // r19: one fused pass (SubwordBatch.mergeOnceDeltas) replaces
+        // the two before/after multiset builds + key-set union per word
+        // — TrainerProbe measured this loop as the whole wall gap of
+        // the q185/q188 trainer entries (~4 s warm at 1,200 merges).
+        // The (delta, after) cells drive the identical bump/membership
+        // updates the union loop performed.
+        val pAccM = mutable.HashMap
+          .empty[(String, String), SubwordBatch.Acc]
+        syms(w) = SubwordBatch.mergeOnceDeltas(syms(w), a, b, a + b,
+          pAccM, null)
+        pAccM.foreach { case (p, h) =>
+          if (h.delta != 0) bump(p, h.delta.toLong * freqs(w))
+          if (h.after > 0)
             pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
           else pairWords.get(p).foreach(_ -= w)
         }
