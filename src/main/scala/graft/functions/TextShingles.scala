@@ -202,6 +202,68 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** The non-empty whitespace-separated tokens of an ALREADY-LOWERCASED
+  * string as one codegen'd byte pass — the value of
+  * `array_remove(split(lower(trim(text)), "\\s+"), "")` (callers wrap
+  * `lower(...)`, the [[WordShingles]]/[[NormalizeCollapse]] contract).
+  * Zero tokens → EMPTY array (note: [[WordShingles]] with n=1 yields
+  * [""] there — the array_join-of-nothing shingle — which is why this
+  * is its own expression). Replaces the regex split + array_remove
+  * composition at the head of every tokens() consumer (BM25 postings,
+  * perplexity LM, doc stats, CMS sketch, token budget...). */
+case class WsTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ws_tokens expects a string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WsTokens.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WsTokens.tokens($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WsTokens {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  def tokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cap = 8
+    var out = new Array[AnyRef](cap)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (m == cap) {
+          cap *= 2
+          out = java.util.Arrays.copyOf(out, cap)
+        }
+        val tok = new Array[Byte](i - start)
+        System.arraycopy(bytes, start, tok, 0, i - start)
+        out(m) = UTF8String.fromBytes(tok)
+        m += 1
+      }
+    }
+    new GenericArrayData(
+      if (m == cap) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
 object WsTokenCount {
   private def isWs(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
@@ -235,4 +297,9 @@ object TextShingleFunctions {
 
   def wsTokenCount(text: Column): Column =
     columnOf(WsTokenCount(expressionOf(text)))
+
+  /** Column form of [[WsTokens]]. `loweredText` must already be
+    * lowercased (callers wrap `lower(...)`). */
+  def wsTokens(loweredText: Column): Column =
+    columnOf(WsTokens(expressionOf(loweredText)))
 }

@@ -20,6 +20,10 @@ object TextAnalysis {
     * counted 1 token and scalar-vs-exploded accounting disagreed (r14
     * review, deferred). `array_remove` stays codegen'd — no lambda. */
   def tokens(text: Column): Column =
+    graft.functions.TextShingleFunctions.wsTokens(lower(text))
+
+  /** The regex form [[tokens]] is pinned against (ShinglesParitySpec). */
+  private[graft] def tokensRegex(text: Column): Column =
     array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** BPE-ish token stream: runs of letters, runs of digits, single
@@ -36,7 +40,7 @@ object TextAnalysis {
 
   /** The array form [[tokenCount]] is pinned against. */
   private[graft] def tokenCountHof(text: Column): Column =
-    size(tokens(text))
+    size(tokensRegex(text))
 
   /** Word n-gram shingles ("a b c" for n=3) — the unit for MinHash: the
     * shingle space is |vocab|^n, so shingle sets discriminate documents
@@ -64,7 +68,7 @@ object TextAnalysis {
     * at sf0.1). With the binding, each shingle is n O(1) array reads. */
   private[graft] def shinglesHof(text: Column, n: Int = 3): Column =
     element_at(
-      transform(array(tokens(text)), t =>
+      transform(array(tokensRegex(text)), t =>
         when(size(t) < n, array(array_join(t, " ")))
           .otherwise(transform(
             sequence(lit(1), size(t) - (n - 1)),

@@ -134,6 +134,34 @@ class ShinglesParitySpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("WsTokens (tokens()) matches the regex split algebra on the atlas " +
+      "+ randomized, nulls propagate, empty input yields an EMPTY array") {
+    def check(frame: org.apache.spark.sql.DataFrame): Unit = {
+      val neu = frame.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toList)
+      val old = frame.select(col("doc_id"),
+          TextAnalysis.tokensRegex(col("text")).as("t"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toList)
+      assert(neu.toSeq === old.toSeq)
+    }
+    check(df)
+    val rng = new scala.util.Random(23)
+    val alphabet = "ab c\t\nd\f\re ü中KKß0."
+    check((0 until 300).map { i =>
+      val len = rng.nextInt(50)
+      (i.toLong, (0 until len)
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text"))
+    val edge = spark.sql(
+      "SELECT CAST(NULL AS STRING) AS text UNION ALL SELECT ' \t ' " +
+        "UNION ALL SELECT ''")
+      .select(TextAnalysis.tokens(col("text")).as("t")).collect()
+    assert(edge.count(_.isNullAt(0)) === 1)
+    assert(edge.filterNot(_.isNullAt(0))
+      .forall(_.getSeq[String](0).isEmpty))
+  }
+
   test("qualityScore (the composite consumer) is value-identical to the " +
       "regex composition on the atlas") {
     def qsOld(text: org.apache.spark.sql.Column) = {
