@@ -181,12 +181,17 @@ object TextQueries {
           lit("zx")).as("text"))
     val batch = entering(3, off).unionByName(entering(15, 2 * off))
       .unionByName(novel).unionByName(novelTwin)
+    // r19: localCheckpoint (Materialize.cut), not persist — the r16 q62
+    // lesson applied here: a persisted plan pins the pre-AQE
+    // 32-partition layout, so every downstream probe job paid 32 tasks
+    // against a ~12 MB index (the q53 family benched 1,141 tasks at
+    // ~14 ms/task of stage overhead); the checkpointed frame
+    // materializes AQE's coalesced layout instead, and at production
+    // volume AQE sizes it by bytes, not by a local constant.
     val index = Dedup.dedupIndex(corpus, portable = portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = Dedup.dedupIncremental(batch, index, portable = portable)
+      .transform(graft.operators.Materialize.cut)
+    Dedup.dedupIncremental(batch, index, portable = portable)
       .orderBy("doc_id")
-    index.unpersist()
-    kept
   }
 
   def all: Seq[Q] = Seq(
@@ -912,16 +917,16 @@ object TextQueries {
         val batch = entering(3, off).unionByName(entering(15, 2 * off))
           .unionByName(novel).unionByName(novelTwin)
         // In production the index is parquet AT REST (written once by
-        // dedupIndex); persisting the derived frame models that — without
-        // it the corpus minhash chain re-runs once per index consumer.
-        // dedupIncremental materializes its result eagerly, so the index
-        // cache is released before returning.
+        // dedupIndex); materializing the derived frame models that —
+        // without it the corpus minhash chain re-runs once per index
+        // consumer. r19: localCheckpoint (Materialize.cut), not persist
+        // — the r16 q62 lesson: persist pins the pre-AQE 32-partition
+        // layout, so every probe job paid 32 tasks against a tiny
+        // index; the cut materializes AQE's coalesced layout.
         val index = Dedup.dedupIndex(corpus, portable = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kept = Dedup.dedupIncremental(batch, index, portable = true)
+          .transform(graft.operators.Materialize.cut)
+        Dedup.dedupIncremental(batch, index, portable = true)
           .orderBy("doc_id")
-        index.unpersist()
-        kept
       },
       // No benchRun override: q53b already times the production config —
       // pointing q53's bench at the same function double-counted it in
@@ -1468,30 +1473,31 @@ object TextQueries {
     // reshuffle-proof, replay-stable, engine-portable.
     Q("q71_training_pipeline",
       (s, d) => {
-        // Persisted: the scrubbed text feeds three separate actions
-        // (quality+fingerprint checkpoint, the LSH edge materialization,
-        // the final mix/split projection) — without the cache each one
-        // replays the three-regex scrub over the corpus. In production
-        // the scrubbed corpus is written once and read at rest.
-        // Bounded corpus (the q53 discipline): sf0.01 — the correctness
-        // gate — is covered in full (ids 0-499), while the bench at
-        // sf0.1 isn't charged oracle-plumbing md5 minhashes over 5k docs;
-        // q38b/q53b time the production configuration at volume.
+        // Materialized (Materialize.cut): the scrubbed text feeds three
+        // separate actions (quality+fingerprint checkpoint, the LSH edge
+        // materialization, the final mix/split projection) — without the
+        // cut each one replays the three-regex scrub over the corpus.
+        // In production the scrubbed corpus is written once and read at
+        // rest. r19: localCheckpoint instead of persist — the r16 q62
+        // lesson: persist pins the pre-AQE partition layout per consumer
+        // job. Bounded corpus (the q53 discipline): sf0.01 — the
+        // correctness gate — is covered in full (ids 0-499), while the
+        // bench at sf0.1 isn't charged oracle-plumbing md5 minhashes
+        // over 5k docs; q38b/q53b time the production configuration at
+        // volume.
         val scrubbed = documents(s, d).filter(col("doc_id") < 500)
           .select(col("doc_id"),
             TextAnalysis.scrubPii(col("text")).as("text"), col("lang"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.operators.Materialize.cut)
         val kept = Dedup.dedupCorpus(scrubbed, minQuality = 0.3,
           numHashes = 16, bands = 4, portable = true)
         val survivors = scrubbed.join(kept, Seq("doc_id"), "left_semi")
         val mixed = TextAnalysis.sampleByWeights(survivors, "lang",
           Map("en" -> 1.0, "de" -> 0.5), defaultWeight = 0.8)
-        val out = mixed.select(col("doc_id"), col("lang"),
+        mixed.select(col("doc_id"), col("lang"),
             TextAnalysis.hashSplit(col("doc_id"), 0.9).as("split"))
           .orderBy("doc_id")
           .localCheckpoint()
-        scrubbed.unpersist()
-        out
       },
       Some(s"""
         WITH RECURSIVE scrub AS (
