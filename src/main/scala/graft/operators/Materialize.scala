@@ -27,6 +27,31 @@ object Materialize {
 
   private val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** One warning per JVM: repeating it per cut would flood a pipeline
+    * that calls [[cut]] hundreds of times. */
+  private val warnedElastic = new java.util.concurrent.atomic.AtomicBoolean
+
+  /** Visible for the warning-path unit test. */
+  private[operators] def resetElasticWarning(): Unit =
+    warnedElastic.set(false)
+
+  /** Warn (once per JVM) when a localCheckpoint runs on an ELASTIC
+    * cluster — dynamic allocation can scale in an executor holding
+    * unreplicated, unrecomputable blocks, permanently failing every
+    * downstream plan. Factored out (and fed the launch-conf boolean)
+    * so the warning path is unit-testable: `spark.dynamicAllocation
+    * .enabled` is a launch-time core conf Spark refuses to modify on
+    * a running session. */
+  private[operators] def maybeWarnElastic(
+      dynamicAllocation: Boolean): Unit =
+    if (dynamicAllocation && warnedElastic.compareAndSet(false, true))
+      System.err.println(
+        "WARN graft.Materialize: localCheckpoint under " +
+          "spark.dynamicAllocation.enabled=true — a scaled-in " +
+          "executor's blocks cannot be recomputed and every " +
+          s"downstream plan fails; set $ReliableKey=true plus a " +
+          "checkpoint dir on elastic clusters")
+
   /** Fan a few-split input out to the session's full parallelism before
     * a compute-bound per-row (or per-pair) operator. Parquet cannot
     * split below row-group granularity, so a small compressed file caps
@@ -60,6 +85,10 @@ object Materialize {
         s"$ReliableKey=true requires sparkContext.setCheckpointDir " +
           "(an HDFS/S3 path on clusters)")
       df.checkpoint()
-    } else df.localCheckpoint()
+    } else {
+      maybeWarnElastic(df.sparkSession.sparkContext.getConf
+        .getBoolean("spark.dynamicAllocation.enabled", false))
+      df.localCheckpoint()
+    }
   }
 }

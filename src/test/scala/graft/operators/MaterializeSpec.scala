@@ -46,6 +46,38 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.checkpoint.reliable")
   }
 
+  test("localCheckpoint under dynamic allocation warns once (r19 " +
+    "verdict #7: scale-in loses unrecomputable blocks); static " +
+    "clusters stay silent") {
+    // spark.dynamicAllocation.enabled is a launch-time core conf Spark
+    // refuses to set on a running session, so the warning path is
+    // driven directly with the boolean cut() reads from the launch conf.
+    try {
+      Materialize.resetElasticWarning()
+      val err = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(err))
+      try {
+        Materialize.maybeWarnElastic(dynamicAllocation = false)
+        assert(err.toString.isEmpty, "static cluster must stay silent")
+        Materialize.maybeWarnElastic(dynamicAllocation = true)
+        Materialize.maybeWarnElastic(dynamicAllocation = true) // once only
+      } finally System.setErr(old)
+      val msgs = err.toString
+      assert(msgs.contains("graft.Materialize"), msgs)
+      assert(msgs.contains("spark.graft.checkpoint.reliable"), msgs)
+      assert(msgs.split("graft\\.Materialize").length == 2,
+        s"warning must fire exactly once:\n$msgs")
+      // the production cut() on this (static) test cluster is silent
+      Materialize.resetElasticWarning()
+      val err2 = new java.io.ByteArrayOutputStream()
+      System.setErr(new java.io.PrintStream(err2))
+      try Materialize.cut(Seq((1L, "a")).toDF("id", "v")).count()
+      finally System.setErr(old)
+      assert(!err2.toString.contains("graft.Materialize"), err2.toString)
+    } finally Materialize.resetElasticWarning()
+  }
+
   test("reliable=true with a checkpoint dir uses reliable checkpoint(): " +
     "values preserved, lineage truncated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
