@@ -933,7 +933,8 @@ object Bench {
       // flags round-over-round moves on these fields like query walls.
       val histLine = s"""{"wall_start":"$wallStart","sf":"$sfDir",""" +
         s"""$qualityJson,""" +
-        s""""cpus":$nProc,"total_sec":${f3(total)},"n":${results.size},""" +
+        s""""cpus":$nProc,"cpus_requested":"$cpus",""" +
+        s""""total_sec":${f3(total)},"n":${results.size},""" +
         s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
         s""""profile_entries":${profile.size},""" +
         s""""streaming":${jsonMap(streamRates)},""" +
@@ -952,6 +953,7 @@ object Bench {
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""window_quality":"$quality",""" +
       s""""n":${results.size},"load_avg":${f3(loadEnd)},"cpus":$nProc,""" +
+      s""""cpus_requested":"$cpus",""" +
       s""""queries":${jsonMap(worst)},""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

@@ -22,12 +22,14 @@ class DiffHistorySpec extends AnyFunSuite {
   private def entry(rates: Map[String, Double], load: Double,
       queries: Map[String, Double] = Map.empty,
       quality: String = "", steal: Double = -1.0,
-      foreign: Double = -1.0): String = {
+      foreign: Double = -1.0, cpusRequested: String = ""): String = {
     val s = rates.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val wq = if (quality.isEmpty) "" else s""""window_quality":"$quality","""
     val ev = (if (steal >= 0) s""""steal_total_sec":$steal,""" else "") +
-      (if (foreign >= 0) s""""foreign_mean":$foreign,""" else "")
+      (if (foreign >= 0) s""""foreign_mean":$foreign,""" else "") +
+      (if (cpusRequested.nonEmpty)
+        s""""cpus_requested":"$cpusRequested",""" else "")
     s"""{"wall_start":"t",$wq$ev"total_sec":100,"load_avg_start":$load,""" +
       s""""load_avg_end":$load,"queries":{$qs},"streaming":{$s}}"""
   }
@@ -233,6 +235,28 @@ class DiffHistorySpec extends AnyFunSuite {
     // r18 ADVICE #3: `-2 -1` passed explicitly must not be overridden
     val (_, outExp) = run(stale, "-2", "-1")
     assert(!outExp.contains("anchor:"), outExp)
+  }
+
+  test("entries benched at different requested core counts refuse to " +
+      "compare (r19 verdict #2: an 8-core scaling run's artifacts " +
+      "self-described as cpus: 32, so a cross-config diff looked " +
+      "legitimate); same-config and legacy entries still diff") {
+    val (rcMix, outMix) = run(Seq(
+      entry(quiet, 1.0, cpusRequested = "32"),
+      entry(quiet, 1.0, cpusRequested = "8")))
+    assert(outMix.contains("CONFIG"), outMix)
+    assert(outMix.contains("not comparable"), outMix)
+    assert(rcMix === 1, outMix)
+    val (rcSame, outSame) = run(Seq(
+      entry(quiet, 1.0, cpusRequested = "32"),
+      entry(quiet, 1.0, cpusRequested = "32")))
+    assert(!outSame.contains("CONFIG"), outSame)
+    assert(rcSame === 0, outSame)
+    // pre-r20 entries carry no cpus_requested — must not trip the gate
+    val (rcOld, outOld) = run(Seq(entry(quiet, 1.0),
+      entry(quiet, 1.0, cpusRequested = "32")))
+    assert(!outOld.contains("CONFIG"), outOld)
+    assert(rcOld === 0, outOld)
   }
 
   test("explicit in-range indices work; out-of-range and a lone index " +

@@ -253,6 +253,18 @@ def main(argv):
     a, b = hist[ia], hist[ib]
     wqa = a.get("window_quality", "unknown")
     wqb = b.get("window_quality", "unknown")
+    # Config comparability (r19 verdict #2): an 8-core scaling run used
+    # to self-describe as cpus: 32 (availableProcessors), so a
+    # cross-config diff looked legitimate. Bench now records the
+    # REQUESTED core count; entries benched at different configs are
+    # different physical plans (r12: defaultParallelism + shuffle
+    # partitions differ), so the comparison flags instead of passing.
+    cra = a.get("cpus_requested")
+    crb = b.get("cpus_requested")
+    if cra is not None and crb is not None and str(cra) != str(crb):
+        print(f"CONFIG cpus_requested differs (A={cra}, B={crb}) -- "
+              "different physical plans; walls are not comparable")
+        return 1
     print(f"A: {a.get('wall_start')}  total {a.get('total_sec')} s  "
           f"load {a.get('load_avg_start')}->{a.get('load_avg_end')}  "
           f"window {wqa}")
