@@ -3700,7 +3700,12 @@ object TextQueries {
         // unchanged; the oracle still hash-matches all six rows.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
+        import scala.concurrent.duration._
+        // Finite bound (r19 ADVICE): Duration.Inf would hang the bench
+        // driver forever on a wedged concurrent action; any healthy run
+        // of these counts completes in seconds, so a generous bound only
+        // converts a hang into a failed entry.
+        val bound = 30.minutes
         val f45 = Future {
           val r = packed.groupBy("shard", "bin").count()
             .agg(coalesce(sum("count"), lit(0L)).as("pieces"),
@@ -3711,14 +3716,14 @@ object TextQueries {
         val f1 = Future(raw.count())
         val f2 = Future(survivors.count())
         val f3 = Future(budgetDocs.count())
-        val (s4, s5) = Await.result(f45, Duration.Inf)
+        val (s4, s5) = Await.result(f45, bound)
         val stages = Seq(
-          "s1_raw_docs" -> Await.result(f1, Duration.Inf),
-          "s2_dedup_survivors" -> Await.result(f2, Duration.Inf),
-          "s3_budget_docs" -> Await.result(f3, Duration.Inf),
+          "s1_raw_docs" -> Await.result(f1, bound),
+          "s2_dedup_survivors" -> Await.result(f2, bound),
+          "s3_budget_docs" -> Await.result(f3, bound),
           "s4_packed_pieces" -> s4,
           "s5_packed_bins" -> s5,
-          "s6_tokens_emitted" -> Await.result(f6, Duration.Inf))
+          "s6_tokens_emitted" -> Await.result(f6, bound))
         import s.implicits._
         stages.toDF("stage", "rows").orderBy("stage")
       },

@@ -64,7 +64,8 @@ object TrainerProbe {
           .toDF("step", "left", "right", "merged")
           .orderBy("step").queryExecution.toRdd.count()
       }
-      words.unpersist()
+      // (no unpersist: localCheckpoint blocks are not released by
+      // unpersist — they free when the frame is GC'd; r19 ADVICE)
       time("distributed(q211 config)")(
         graft.operators.Tokenizer
           .bpeMergeTableDistributed(docs, numMerges = 1200,
