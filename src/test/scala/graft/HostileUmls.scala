@@ -100,6 +100,167 @@ object HostileUmls {
             "TYPE" -> "rela_inverse", "EXPL" -> s"inv_$r")))))
   }
 
+  /** Randomized STRUCTURE permutations (r20 — the byte-parity fuzz
+    * harness the r19 verdict asked for before touching the render
+    * path): where [[randomFixture]] fuzzes STRING content over a fixed
+    * 6-code/2-atom shape, this fuzzes the SHAPE itself —
+    *
+    *   - 4-9 codes × 1-5 atoms, some codes spanning two CUIs;
+    *   - MRRANK present (A7 argmax, incl. deliberate RANK TIES — the
+    *     reference's stable reverse-sort and the engine's canonical-
+    *     order maxBy agree because atoms are fed in AUI order) or
+    *     absent (A9 single-'P' rule), alternating by seed;
+    *   - deliberate per-term FAILURES on some seeds (zero-P and two-P
+    *     codes under empty MRRANK) — error-count parity;
+    *   - suppressed atoms/rels and non-ENG atoms (filter parity);
+    *   - duplicate rel and att rows (A10 dup-counter parity), repeated
+    *     ATNs with multiple ATVs, AQ atts (F13), PAR rels (F10),
+    *     self-map and unresolved-target rels (J3 drops), root CUIs via
+    *     SRC V-RND atoms + CHD rels (F17);
+    *   - hostile STRINGS in labels/defs/ATVs (same alphabet as
+    *     [[randomFixture]]); EXPL/STY text stays escaping-neutral so
+    *     the whole-file diff can compare the property and semantic-type
+    *     sections too.
+    *
+    * AUIs are globally zero-padded so JSON feed order = AUI order =
+    * the engine's canonical intra-class order — the tie-break
+    * alignment every stable-order comparison above relies on. */
+  def structureFixture(seed: Int): Map[String, DataFrame] = {
+    val rnd = new scala.util.Random(1000 + seed)
+    val useRank = seed % 2 == 0
+    val nCodes = 4 + rnd.nextInt(6)
+    def mkCode(i: Int) =
+      s"S$i" + Seq("", " sp", "é", "/x", "%7e")(rnd.nextInt(5))
+    val codes = (0 until nCodes).map(mkCode)
+    val rankTtys = Vector("PT", "SY", "PN", "ET", "AB")
+    var auiN = 0
+    def nextAui(): String = { auiN += 1; f"A$auiN%04d" }
+
+    // per-code atoms; under empty MRRANK exactly one 'P' TTY per code
+    // except the deliberate failure codes on seed % 3 ∈ {0, 1}
+    val atoms = codes.zipWithIndex.flatMap { case (c, i) =>
+      val n = 1 + rnd.nextInt(5)
+      val cuiSpan = 1 + rnd.nextInt(2)
+      (0 until n).map { j =>
+        val tty =
+          if (useRank) rankTtys(rnd.nextInt(rankTtys.length))
+          else if (i == 0 && seed % 3 == 0 && n >= 2)
+            // two-P failure code (first two atoms PT) on these seeds
+            (if (j <= 1) "PT" else "SY")
+          else if (i == 0 && seed % 3 == 1) "SY" // zero-P failure code
+          else if (j == 0) "PT"
+          else Seq("SY", "ET", "AB")(rnd.nextInt(3))
+        conso(s"C${i}x${j % cuiSpan}", nextAui(), c,
+          randString(rnd, 4 + rnd.nextInt(12)), tty)
+      }
+    } ++ Seq(
+      // suppressed + non-ENG rows: filtered by BOTH engines
+      conso(s"C1x0", nextAui(), codes(1), "suppressed row", "SY") +
+        ("SUPPRESS" -> "Y"),
+      conso(s"C1x0", nextAui(), codes(1), "french row", "SY") +
+        ("LAT" -> "FRE"),
+      // SRC root anchor: CHD rels from C0x0 mark their source as root
+      Map("CUI" -> "C0x0", "LAT" -> "ENG", "AUI" -> nextAui(),
+        "SAB" -> "SRC", "TTY" -> "PT", "CODE" -> "V-RND",
+        "STR" -> "root anchor", "SUPPRESS" -> "N"))
+
+    val atomByCode = atoms.filter(a => a("SAB") == "RND" &&
+        a("SUPPRESS") == "N" && a("LAT") == "ENG")
+      .groupBy(_("CODE"))
+    def someAui(codeIdx: Int): (String, String) = {
+      val as = atomByCode(codes(codeIdx))
+      val a = as(rnd.nextInt(as.size))
+      (a("CUI"), a("AUI"))
+    }
+
+    val relas = Vector("", "rel_a", "rel_b")
+    val relKinds = Vector("CHD", "RO", "XR", "PAR")
+    val baseRels = (0 until 2 * nCodes).map { k =>
+      val si = rnd.nextInt(nCodes)
+      val ti = rnd.nextInt(nCodes)
+      val (scui, saui) = someAui(si)
+      val (tcui0, taui0) = someAui(ti)
+      // unresolved target (dropped by both) on ~1 in 6; root-CHD rels
+      // come from the SRC anchor CUI
+      val unresolved = rnd.nextInt(6) == 0
+      val kind = relKinds(rnd.nextInt(relKinds.length))
+      val (tcui, taui) =
+        if (unresolved) ("C9999", "A9999")
+        else if (kind == "CHD" && rnd.nextInt(2) == 0) ("C0x0", taui0)
+        else (tcui0, taui0)
+      Map("CUI1" -> tcui, "AUI1" -> taui,
+        "CUI2" -> scui, "AUI2" -> saui,
+        "REL" -> kind, "RELA" -> relas(rnd.nextInt(relas.length)),
+        "SAB" -> "RND",
+        "SUPPRESS" -> (if (rnd.nextInt(8) == 0) "Y" else "N"))
+    }
+    // duplicate rows exercise the A10 dup counters in both engines
+    val rels = baseRels ++ baseRels.take(2)
+
+    val defs = codes.indices.filter(_ => rnd.nextInt(2) == 0).flatMap {
+      i =>
+        val (cui, aui) = someAui(i)
+        val d = Map("CUI" -> cui, "AUI" -> aui, "SAB" -> "RND",
+          "DEF" -> randString(rnd, 15 + rnd.nextInt(25)))
+        if (rnd.nextInt(3) == 0) Seq(d, d) else Seq(d)
+    }
+
+    val atns = Vector("AT0", "AT0", "AT1", "AQ", "MNL")
+    val baseAtts = codes.zipWithIndex.flatMap { case (c, i) =>
+      (0 until rnd.nextInt(4)).map { _ =>
+        val (cui, _) = someAui(i)
+        Map("CUI" -> cui, "CODE" -> c,
+          "ATN" -> atns(rnd.nextInt(atns.length)),
+          "ATV" -> randString(rnd, 4 + rnd.nextInt(16)),
+          "SAB" -> "RND")
+      }
+    }
+    val atts = baseAtts ++ baseAtts.take(2)
+
+    val stys = atoms.filter(_("SAB") == "RND").map(_("CUI")).distinct
+      .zipWithIndex.flatMap { case (cui, i) =>
+        (0 to rnd.nextInt(2)).map(j =>
+          Map("CUI" -> cui, "TUI" -> f"T${(i + j) % 7 + 1}%03d",
+            "STN" -> s"A1.${(i + j) % 7}",
+            "STY" -> s"Semantic type ${(i + j) % 7}"))
+      }
+
+    val mrrank =
+      if (!useRank) Seq.empty
+      else {
+        // deliberate tie: PT and PN share the top rank
+        val rankOf = Map("PT" -> 9, "PN" -> 9, "SY" -> 5, "ET" -> 3,
+          "AB" -> 1)
+        rankTtys.map(t => Map("RANK" -> rankOf(t).toString,
+          "SAB" -> "RND", "TTY" -> t, "SUPPRESS" -> "N"))
+      }
+
+    def doc(dockey: String, value: String, expl: String) =
+      Map("DOCKEY" -> dockey, "VALUE" -> value,
+        "TYPE" -> "expanded_form", "EXPL" -> expl)
+    val mrdoc =
+      Seq("AT0", "AT1", "AQ", "MNL").map(a => doc("ATN", a,
+        s"attribute $a doc")) ++
+      Seq("RO", "XR").map(r => doc("REL", r, s"relation $r doc")) ++
+      Seq("rel_a", "rel_b").flatMap(r => Seq(doc("RELA", r,
+        s"rela $r doc")) ++
+        (if (r == "rel_a") Seq(Map("DOCKEY" -> "RELA", "VALUE" -> r,
+          "TYPE" -> "rela_inverse", "EXPL" -> "inv")) else Nil))
+
+    Map(
+      "MRCONSO" -> TestSpark.mkTable("MRCONSO", atoms),
+      "MRREL" -> TestSpark.mkTable("MRREL", rels),
+      "MRDEF" -> TestSpark.mkTable("MRDEF", defs),
+      "MRSAT" -> TestSpark.mkTable("MRSAT", atts),
+      "MRSTY" -> TestSpark.mkTable("MRSTY", stys),
+      "MRRANK" -> TestSpark.mkTable("MRRANK", mrrank),
+      "MRSAB" -> TestSpark.mkTable("MRSAB", Seq(
+        Map("RSAB" -> "RND", "VSAB" -> "RND2025", "CURVER" -> "Y",
+          "SVER" -> "v1", "IMETA" -> "2025AB",
+          "SSN" -> "structure fuzz ontology", "LAT" -> "ENG"))),
+      "MRDOC" -> TestSpark.mkTable("MRDOC", mrdoc))
+  }
+
   /** Deterministic fixture aimed at the PROPERTY-SECTION boundary logic
     * the r14 whole-file differential never pressured (r14 verdict #7),
     * plus a hostile MRSAB header:

@@ -343,6 +343,35 @@ class ReferenceDifferentialSpec extends AnyFunSuite {
       graft.TestSpark.fixedSource(fixture), "property-boundary")
   }
 
+  test("STRUCTURE FUZZ (r20): randomized fixture PERMUTATIONS — atom " +
+    "fan-out, MRRANK present/absent with rank ties, per-term failure " +
+    "codes, suppressed/non-ENG rows, duplicate rels/atts, repeated " +
+    "ATNs, AQ/PAR skips, self-maps, unresolved targets, SRC roots — " +
+    "render byte-equal per class with matching error counts (seeds " +
+    "1-8)") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    for (seed <- 1 to 8) {
+      val fixture = graft.HostileUmls.structureFixture(seed)
+      diffWith("RND", loadOnCuis = false,
+        t => fixture.getOrElse(t, UmlsSource.empty(spark, t)),
+        graft.TestSpark.fixedSource(fixture), s"structure-seed$seed")
+    }
+  }
+
+  test("STRUCTURE FUZZ whole file (r20): the same permutation " +
+    "generator through the FULL write path — header, class section, " +
+    "property block, semantic types, duplicate-counter totals " +
+    "(seeds 1-4)") {
+    assume(Files.exists(Paths.get(s"$referenceDir/umls2rdf.py")))
+    for (seed <- 1 to 4) {
+      val fixture = graft.HostileUmls.structureFixture(seed)
+      diffFull("RND", loadOnCuis = false,
+        t => fixture.getOrElse(t, UmlsSource.empty(spark, t)),
+        graft.TestSpark.fixedSource(fixture),
+        s"structure-full-seed$seed")
+    }
+  }
+
   test("HOSTILE generated fixtures render byte-equal to the reference " +
     "(escaping order, percent-encoding, unicode — seeds 1-5)") {
     // The property-based leg: the SAME seeded hostile fixtures that
