@@ -99,88 +99,167 @@ private[operators] object SubwordBatch {
     out.toArray
   }
 
-  /** Exact (after-count, delta) accounting cell for one pair or symbol
-    * in one word — see [[mergeOnceDeltas]]. */
-  private[operators] final class Acc {
-    var after: Int = 0
-    var delta: Int = 0
+  /** Open-addressing long→(after, delta) accounting map, REUSED across
+    * words (r20, guide §1.2 — the r19 "Not yet optimized" #1 arena):
+    * the r19 [[mergeOnceDeltas]] still allocated one HashMap + one
+    * boxed tuple key + one [[Acc]] per touched key PER WORD, and the
+    * trainer probes put that residue at ~8 s warm for the q211 config.
+    * Keys are packed symbol-id pairs (or bare symbol ids) — always
+    * ≥ 0, so -1 is a safe empty sentinel; values live in two parallel
+    * int arrays; `clear()` resets only the touched slots. */
+  private[operators] final class AccArena(initialCapacity: Int = 1024) {
+    private var cap = {
+      var c = 16
+      while (c < initialCapacity) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = Array.fill[Long](cap)(-1L)
+    private var afterA = new Array[Int](cap)
+    private var deltaA = new Array[Int](cap)
+    private var touched = new Array[Int](cap)
+    private var nTouched = 0
+
+    private def hash(k: Long): Int = {
+      val h = k * -7046029254386353131L // Stafford mix constant
+      ((h ^ (h >>> 32)).toInt) & mask
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldAfter = afterA; val oldDelta = deltaA
+      val oldTouched = java.util.Arrays.copyOf(touched, nTouched)
+      cap <<= 1; mask = cap - 1
+      keys = Array.fill[Long](cap)(-1L)
+      afterA = new Array[Int](cap)
+      deltaA = new Array[Int](cap)
+      touched = new Array[Int](cap)
+      nTouched = 0
+      oldTouched.foreach { s =>
+        val slot = slotOf(oldKeys(s))
+        afterA(slot) = oldAfter(s)
+        deltaA(slot) = oldDelta(s)
+      }
+    }
+
+    /** Slot of `k`, inserting an empty cell if absent. */
+    private def slotOf(k: Long): Int = {
+      var i = hash(k)
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return i
+        if (kk == -1L) {
+          if (nTouched * 2 >= cap) { grow(); return slotOf(k) }
+          keys(i) = k
+          touched(nTouched) = i; nTouched += 1
+          return i
+        }
+        i = (i + 1) & mask
+      }
+      -1 // unreachable
+    }
+
+    def add(k: Long, dAfter: Int, dDelta: Int): Unit = {
+      val s = slotOf(k)
+      afterA(s) += dAfter
+      deltaA(s) += dDelta
+    }
+
+    /** Visit every touched key with its (after, delta) cell. */
+    def foreachCell(f: (Long, Int, Int) => Unit): Unit = {
+      var i = 0
+      while (i < nTouched) {
+        val s = touched(i)
+        f(keys(s), afterA(s), deltaA(s))
+        i += 1
+      }
+    }
+
+    def clear(): Unit = {
+      var i = 0
+      while (i < nTouched) {
+        val s = touched(i)
+        keys(s) = -1L; afterA(s) = 0; deltaA(s) = 0
+        i += 1
+      }
+      nTouched = 0
+    }
   }
 
-  /** [[mergeOnceArr]] fused with exact per-word pair/symbol delta
-    * accounting — the r19 driver-loop optimization (guide §1.2 "per-task
-    * work", applied to the DRIVER's merge loops): the trainers'
-    * per-affected-word cost was four full multiset builds (pair/symbol
-    * bags BEFORE and AFTER) plus two key-set unions and per-key lookups;
-    * TrainerProbe measured the loops at ~4 s (bpeTrainLocal, 1,200
-    * merges over 26.7k units) and ~11.7 s (the batched-distributed
-    * simulate) per entry. This single pass builds the merged array and
-    * accumulates, per touched pair `q`, its exact AFTER adjacency count
-    * (`after`) and the after−before delta (`delta`), and the same for
-    * symbols when `symAcc` is non-null.
+  /** Pack an (a, b) symbol-id pair into one non-negative long key. */
+  @inline private[operators] def packPair(a: Int, b: Int): Long =
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
+
+  /** [[mergeOnceArr]] over INTERNED symbol ids, fused with exact
+    * per-word (after, delta) accounting against reused [[AccArena]]s
+    * (pair keys packed via [[packPair]], symbol keys the bare id) —
+    * zero allocation besides the output array. `symAcc` may be null
+    * (the BPE local loop tracks no symbol counts).
     *
-    * Parity contract (pinned by the existing trajectory specs, which
-    * replay full trainings against an independent reference):
-    *   - the merged array is element-identical to [[mergeOnceArr]];
+    * Parity contract (pinned by the trajectory specs, which replay
+    * full trainings against an independent reference):
+    *   - the merged array is element-identical to [[mergeOnceArr]]
+    *     modulo interning;
     *   - `delta` equals `afterBag(q) − beforeBag(q)` for every key in
     *     either bag (keys touched only transiently net to delta 0 /
-    *     after 0, which callers treat exactly like the old union loop:
-    *     no count bump, membership-remove no-op);
+    *     after 0, which callers treat exactly like a key absent from
+    *     both bags: no count bump, membership-remove no-op);
     *   - `after` equals the true multiset count of `q` in the merged
     *     array (0 for vanished pairs), so membership maintenance
     *     (`after > 0` ⇒ word still contains the pair) is exact. */
-  private[operators] def mergeOnceDeltas(sym: Array[String], a: String,
-      b: String, merged: String,
-      pairAcc: mutable.HashMap[(String, String), Acc],
-      symAcc: mutable.HashMap[String, Acc]): Array[String] = {
+  private[operators] def mergeOnceDeltasInt(sym: Array[Int], a: Int,
+      b: Int, merged: Int, pairAcc: AccArena,
+      symAcc: AccArena): Array[Int] = {
     if (sym.length < 2) return sym
-    val out = new Array[String](sym.length)
+    val out = new Array[Int](sym.length)
     var n = 0
     var i = 0
     while (i < sym.length) {
       val x = sym(i)
       if (n > 0 && out(n - 1) == a && x == b) {
-        // replace the just-pushed `a` with `merged`; retract the
-        // tentative adjacency it formed with its left neighbor
-        if (n > 1) {
-          val h = pairAcc.getOrElseUpdate((out(n - 2), a), new Acc)
-          h.after -= 1; h.delta -= 1
-        }
-        if (symAcc ne null) {
-          val ha = symAcc.getOrElseUpdate(a, new Acc)
-          ha.after -= 1; ha.delta -= 1
-        }
+        if (n > 1) pairAcc.add(packPair(out(n - 2), a), -1, -1)
+        if (symAcc ne null) symAcc.add(a.toLong, -1, -1)
         out(n - 1) = merged
-        if (n > 1) {
-          val h = pairAcc.getOrElseUpdate((out(n - 2), merged), new Acc)
-          h.after += 1; h.delta += 1
-        }
-        if (symAcc ne null) {
-          val hm = symAcc.getOrElseUpdate(merged, new Acc)
-          hm.after += 1; hm.delta += 1
-        }
+        if (n > 1) pairAcc.add(packPair(out(n - 2), merged), 1, 1)
+        if (symAcc ne null) symAcc.add(merged.toLong, 1, 1)
       } else {
-        if (n > 0) {
-          val h = pairAcc.getOrElseUpdate((out(n - 1), x), new Acc)
-          h.after += 1; h.delta += 1
-        }
+        if (n > 0) pairAcc.add(packPair(out(n - 1), x), 1, 1)
         out(n) = x
         n += 1
-        if (symAcc ne null) {
-          val hx = symAcc.getOrElseUpdate(x, new Acc)
-          hx.after += 1; hx.delta += 1
-        }
+        if (symAcc ne null) symAcc.add(x.toLong, 1, 1)
       }
       i += 1
     }
-    // subtract the BEFORE multisets (delta only — `after` already exact)
     i = 0
     while (i < sym.length) {
-      if (symAcc ne null) symAcc.getOrElseUpdate(sym(i), new Acc).delta -= 1
+      if (symAcc ne null) symAcc.add(sym(i).toLong, 0, -1)
       if (i + 1 < sym.length)
-        pairAcc.getOrElseUpdate((sym(i), sym(i + 1)), new Acc).delta -= 1
+        pairAcc.add(packPair(sym(i), sym(i + 1)), 0, -1)
       i += 1
     }
     if (n == sym.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Driver-side symbol interner: UTF-16 strings ↔ dense int ids. */
+  private[operators] final class Interner {
+    private val str2id = new java.util.HashMap[String, Integer]()
+    private val id2str = mutable.ArrayBuffer.empty[String]
+    def id(s: String): Int = {
+      val got = str2id.get(s)
+      if (got ne null) got.intValue
+      else {
+        val i = id2str.length
+        str2id.put(s, Integer.valueOf(i))
+        id2str += s
+        i
+      }
+    }
+    /** id of `s` if already interned, else -1. */
+    def idIfKnown(s: String): Int = {
+      val got = str2id.get(s)
+      if (got eq null) -1 else got.intValue
+    }
+    def str(i: Int): String = id2str(i)
+    def size: Int = id2str.length
   }
 
   /** Run the batched greedy loop over `words` — a (freq: bigint,
@@ -393,24 +472,21 @@ private[operators] object SubwordBatch {
   // Exact driver-side simulation over the active set
   // --------------------------------------------------------------
 
-  private def pairBag(sym: Array[String])
-      : mutable.HashMap[(String, String), Int] = {
-    val m = mutable.HashMap.empty[(String, String), Int]
-    var i = 0
-    while (i < sym.length - 1) {
-      val p = (sym(i), sym(i + 1))
-      m.update(p, m.getOrElse(p, 0) + 1)
-      i += 1
-    }
-    m
-  }
-
   /** Simulate the exact greedy loop over the pulled active words until
     * a stop bound fires. `wantMore(k)` asks whether a (k+1)-th
-    * selection is still wanted. */
+    * selection is still wanted.
+    *
+    * r20 (guide §1.2, the r19 "Not yet optimized" #1): symbols are
+    * interned to dense ids, the per-word accounting runs against two
+    * reused [[AccArena]]s ([[mergeOnceDeltasInt]]), and every hot map
+    * is keyed by a packed long instead of a boxed string tuple. The
+    * argmax index and the stop bounds keep their STRING (UTF-16)
+    * ordering, so the selection trajectory is bit-identical — pinned
+    * by the trajectory property specs, which replay full trainings
+    * against an independent reference. */
   private def simulate(useGain: Boolean,
       mergedOf: (String, String) => String,
-      active: Array[(Long, Array[String])],
+      activeIn: Array[(Long, Array[String])],
       knowns: Array[(String, String, Long, Double)],
       symArr: Array[(String, Long)],
       sSet: Set[(String, String)],
@@ -418,60 +494,89 @@ private[operators] object SubwordBatch {
       wantMore: Int => Boolean,
       pairOrd: Ordering[(String, String)]): Seq[Sel] = {
 
-    val symCount = mutable.HashMap.empty[String, Long]
-    symArr.foreach { case (s, c) => symCount(s) = c }
-    val origSym: Set[String] = symArr.map(_._1).toSet
-    val origSymCount: Map[String, Long] = symCount.toMap
+    val intern = new Interner
+    // originals first: id < nOrig ⟺ the symbol existed this round
+    symArr.foreach { case (s, _) => intern.id(s) }
+    val nOrig = intern.size
+    var symCount = new Array[Long](nOrig + 64)
+    symArr.foreach { case (s, c) => symCount(intern.id(s)) = c }
+    val origSymCount: Array[Long] =
+      java.util.Arrays.copyOf(symCount, nOrig)
+    def ensureSymCap(id: Int): Unit =
+      if (id >= symCount.length)
+        symCount = java.util.Arrays.copyOf(symCount,
+          math.max(symCount.length * 2, id + 1))
+    def isOrig(s: String): Boolean = {
+      val i = intern.idIfKnown(s)
+      i >= 0 && i < nOrig
+    }
 
-    val known = mutable.HashMap.empty[(String, String), Long]
-    knowns.foreach { case (a, b, n, _) => known((a, b)) = n }
+    val active: Array[(Long, Array[Int])] =
+      activeIn.map { case (f, sym) => (f, sym.map(intern.id)) }
+
+    val known = mutable.LongMap.empty[Long]
+    knowns.foreach { case (a, b, n, _) =>
+      known(packPair(intern.id(a), intern.id(b))) = n
+    }
 
     // ordered argmax index over known pairs: (value desc, pair asc by
     // UTF-16). Entries tracked in pairEntry for exact TreeSet removal.
     val idxOrd = Ordering.Tuple3(Ordering[Double].reverse,
       Ordering.String, Ordering.String)
     val index = mutable.TreeSet.empty[(Double, String, String)](idxOrd)
-    val pairEntry =
-      mutable.HashMap.empty[(String, String), (Double, String, String)]
-    val symToKnown =
-      mutable.HashMap.empty[String, mutable.HashSet[(String, String)]]
+    val pairEntry = mutable.LongMap.empty[(Double, String, String)]
+    val symToKnown = mutable.LongMap.empty[mutable.HashSet[Long]]
 
-    def valueOf(p: (String, String), c: Long): Double =
+    def valueOf(p: Long, c: Long): Double =
       if (useGain)
-        c.toDouble / (symCount(p._1).toDouble * symCount(p._2).toDouble)
+        c.toDouble / (symCount((p >>> 32).toInt).toDouble *
+          symCount(p.toInt).toDouble)
       else c.toDouble
 
-    def refresh(p: (String, String)): Unit = {
+    def refresh(p: Long): Unit = {
       pairEntry.remove(p).foreach(index.remove)
       val c = known.getOrElse(p, 0L)
       if (c > 0L) {
-        val e = (valueOf(p, c), p._1, p._2)
+        val e = (valueOf(p, c), intern.str((p >>> 32).toInt),
+          intern.str(p.toInt))
         index.add(e)
         pairEntry(p) = e
       }
     }
 
     knowns.foreach { case (a, b, _, _) =>
-      val p = (a, b)
+      val p = packPair(intern.id(a), intern.id(b))
       refresh(p)
-      symToKnown.getOrElseUpdate(a, mutable.HashSet.empty) += p
-      symToKnown.getOrElseUpdate(b, mutable.HashSet.empty) += p
+      symToKnown.getOrElseUpdate(intern.id(a).toLong,
+        mutable.HashSet.empty) += p
+      symToKnown.getOrElseUpdate(intern.id(b).toLong,
+        mutable.HashSet.empty) += p
     }
+
+    val pairArena = new AccArena()
+    val symArena = new AccArena()
 
     // per-pair occurrence index over active words (the bpeTrainLocal
     // shape) — finds a merge's affected words in O(affected)
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val pairWords = mutable.LongMap.empty[mutable.BitSet]
     active.indices.foreach { w =>
-      pairBag(active(w)._2).keysIterator.foreach { p =>
+      val sym = active(w)._2
+      var i = 0
+      while (i < sym.length - 1) {
+        pairArena.add(packPair(sym(i), sym(i + 1)), 1, 0)
+        i += 1
+      }
+      pairArena.foreachCell { (p, _, _) =>
         pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
       }
+      pairArena.clear()
     }
 
     // bound state: unknown pairs (below the top-P boundary) can gain
     // occurrences ONLY via collision-born creations inside active
     // words (a merged string equal to a pre-existing symbol); track
     // their net deltas and a conservative running max
-    val unknownDelta = mutable.HashMap.empty[(String, String), Long]
+    val unknownDelta = mutable.LongMap.empty[Long]
     var maxUnknownPos = 0L
     // gain bound: max_{s in origSym, c_now>0} c_orig(s)/c_now(s),
     // conservative running max (never shrinks)
@@ -495,8 +600,7 @@ private[operators] object SubwordBatch {
       }
 
     def applicable(a: String, b: String): Boolean =
-      sSet.contains((a, b)) || !origSym.contains(a) ||
-        !origSym.contains(b)
+      sSet.contains((a, b)) || !isOrig(a) || !isOrig(b)
 
     val out = mutable.ArrayBuffer.empty[Sel]
     var stop = false
@@ -504,38 +608,39 @@ private[operators] object SubwordBatch {
       val (v, a, b) = index.head
       if (!candidateSafe(v, a, b) || !applicable(a, b)) stop = true
       else {
-        val p = (a, b)
+        val aId = intern.id(a); val bId = intern.id(b)
+        val p = packPair(aId, bId)
         val merged = mergedOf(a, b)
-        out += Sel(a, b, merged, known(p), symCount(a), symCount(b))
+        val mergedId = intern.id(merged)
+        ensureSymCap(intern.size - 1)
+        out += Sel(a, b, merged, known(p), symCount(aId), symCount(bId))
         val affected = pairWords.get(p)
           .map(_.toArray).getOrElse(Array.emptyIntArray)
-        val dirtyPairs = mutable.HashSet.empty[(String, String)]
-        val touchedSyms = mutable.HashSet.empty[String]
+        val dirtyPairs = mutable.HashSet.empty[Long]
+        val touchedSyms = mutable.BitSet.empty
         affected.foreach { w =>
           val (f, symsBefore) = active(w)
-          // r19: one fused pass (mergeOnceDeltas) replaces the four
-          // before/after multiset builds + two key-set unions per word;
-          // the (delta, after) cells drive the identical count/bound/
-          // membership updates the union loop performed (transient
-          // net-0 keys behave exactly like the old not-in-union case).
-          val pAccM = mutable.HashMap.empty[(String, String), Acc]
-          val sAccM = mutable.HashMap.empty[String, Acc]
-          val symsAfter = mergeOnceDeltas(symsBefore, a, b, merged,
-            pAccM, sAccM)
+          // one fused pass against the two reused arenas; the
+          // (delta, after) cells drive the identical count/bound/
+          // membership updates the r19 per-word HashMaps drove
+          // (transient net-0 keys behave exactly like the old
+          // not-in-union case).
+          val symsAfter = mergeOnceDeltasInt(symsBefore, aId, bId,
+            mergedId, pairArena, symArena)
           active(w) = (f, symsAfter)
-          pAccM.foreach { case (q, h) =>
-            if (h.delta != 0) {
-              val delta = h.delta.toLong * f
+          pairArena.foreachCell { (q, after, dlt) =>
+            if (dlt != 0) {
+              val delta = dlt.toLong * f
               if (known.contains(q)) {
                 known(q) = known(q) + delta
                 dirtyPairs += q
               } else if (boundary.isEmpty ||
-                  !origSym.contains(q._1) || !origSym.contains(q._2)) {
+                  (q >>> 32).toInt >= nOrig || q.toInt >= nOrig) {
                 // provably base-0 everywhere: promote to known-exact
                 known(q) = delta
-                symToKnown.getOrElseUpdate(q._1,
+                symToKnown.getOrElseUpdate((q >>> 32),
                   mutable.HashSet.empty) += q
-                symToKnown.getOrElseUpdate(q._2,
+                symToKnown.getOrElseUpdate(q.toInt.toLong,
                   mutable.HashSet.empty) += q
                 dirtyPairs += q
               } else {
@@ -544,27 +649,30 @@ private[operators] object SubwordBatch {
                 if (net > maxUnknownPos) maxUnknownPos = net
               }
             }
-            if (h.after > 0)
+            if (after > 0)
               pairWords.getOrElseUpdate(q, mutable.BitSet.empty) += w
             else pairWords.get(q).foreach(_ -= w)
           }
-          sAccM.foreach { case (s, h) =>
-            if (h.delta != 0) {
-              symCount(s) = symCount.getOrElse(s, 0L) + h.delta.toLong * f
-              touchedSyms += s
+          symArena.foreachCell { (s, _, dlt) =>
+            if (dlt != 0) {
+              val id = s.toInt
+              symCount(id) += dlt.toLong * f
+              touchedSyms += id
             }
           }
+          pairArena.clear()
+          symArena.clear()
         }
         if (useGain) {
-          touchedSyms.foreach { s =>
-            origSymCount.get(s).foreach { c0 =>
-              val cNow = symCount.getOrElse(s, 0L)
+          touchedSyms.foreach { id =>
+            if (id < nOrig) {
+              val cNow = symCount(id)
               if (cNow > 0L) {
-                val r = c0.toDouble / cNow.toDouble
+                val r = origSymCount(id).toDouble / cNow.toDouble
                 if (r > rMax) rMax = r
               }
             }
-            symToKnown.get(s).foreach(_.foreach(dirtyPairs += _))
+            symToKnown.get(id.toLong).foreach(_.foreach(dirtyPairs += _))
           }
         }
         dirtyPairs.foreach(refresh)

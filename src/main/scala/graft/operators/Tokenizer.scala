@@ -134,42 +134,51 @@ object Tokenizer {
     import scala.collection.mutable
     // consolidate duplicates defensively (input is normally distinct)
     val wf = wordFreqs.groupMapReduce(_._1)(_._2)(_ + _).toArray
-    val syms: Array[Array[String]] =
-      wf.map(w => codePointSymbols(w._1))
+    // r20 (guide §1.2, the r19 "Not yet optimized" #1 arena/packed-int
+    // item): symbols are INTERNED to dense ids and every per-word
+    // accounting map is one reused open-addressing arena — the r19 loop
+    // still allocated a HashMap + boxed (String, String) tuple + Acc
+    // per touched pair per affected word. The argmax index keeps its
+    // (count desc, a asc, b asc) STRING ordering (UTF-16 — the
+    // reference tie-break), so the trajectory is bit-identical;
+    // TokenizerSpec's independent-reference property pins it.
+    val intern = new SubwordBatch.Interner
+    val syms: Array[Array[Int]] =
+      wf.map(w => codePointSymbols(w._1).map(intern.id))
     val freqs: Array[Long] = wf.map(_._2)
 
-    def pairMultiset(sym: Array[String]): mutable.Map[(String, String), Int] = {
-      val m = mutable.HashMap.empty[(String, String), Int]
-      var i = 0
-      while (i < sym.length - 1) {
-        val p = (sym(i), sym(i + 1))
-        m.update(p, m.getOrElse(p, 0) + 1)
-        i += 1
-      }
-      m
-    }
-    val pairCounts = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val pairCounts = mutable.LongMap.empty[Long]
+    val pairWords = mutable.LongMap.empty[mutable.BitSet]
     // ordered argmax index: (count desc, a asc, b asc) — the reference
     // tie-break, kept in lock-step with pairCounts
     val index = mutable.TreeSet.empty[(Long, String, String)](
       Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
         Ordering[String]))
 
-    def bump(p: (String, String), delta: Long): Unit = {
+    def bump(p: Long, delta: Long): Unit = {
+      val a = intern.str((p >>> 32).toInt)
+      val b = intern.str(p.toInt)
       val old = pairCounts.getOrElse(p, 0L)
-      if (old != 0L) index.remove((old, p._1, p._2))
+      if (old != 0L) index.remove((old, a, b))
       val nw = old + delta
-      if (nw > 0L) { pairCounts(p) = nw; index.add((nw, p._1, p._2)) }
+      if (nw > 0L) { pairCounts(p) = nw; index.add((nw, a, b)) }
       else { pairCounts.remove(p); pairWords.remove(p) }
     }
 
+    val arena = new SubwordBatch.AccArena()
     var i = 0
     while (i < syms.length) {
-      pairMultiset(syms(i)).foreach { case (p, k) =>
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        arena.add(SubwordBatch.packPair(s(j), s(j + 1)), 1, 0)
+        j += 1
+      }
+      arena.foreachCell { (p, k, _) =>
         bump(p, k.toLong * freqs(i))
         pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
       }
+      arena.clear()
       i += 1
     }
 
@@ -177,25 +186,23 @@ object Tokenizer {
     while (merges.size < numMerges && index.nonEmpty) {
       val (_, a, b) = index.head
       merges += ((a, b))
-      val affected = pairWords.get((a, b))
+      val aId = intern.id(a); val bId = intern.id(b)
+      val mergedId = intern.id(a + b)
+      val affected = pairWords.get(SubwordBatch.packPair(aId, bId))
         .map(_.toArray).getOrElse(Array.emptyIntArray)
       affected.foreach { w =>
-        // r19: one fused pass (SubwordBatch.mergeOnceDeltas) replaces
-        // the two before/after multiset builds + key-set union per word
-        // — TrainerProbe measured this loop as the whole wall gap of
-        // the q185/q188 trainer entries (~4 s warm at 1,200 merges).
-        // The (delta, after) cells drive the identical bump/membership
-        // updates the union loop performed.
-        val pAccM = mutable.HashMap
-          .empty[(String, String), SubwordBatch.Acc]
-        syms(w) = SubwordBatch.mergeOnceDeltas(syms(w), a, b, a + b,
-          pAccM, null)
-        pAccM.foreach { case (p, h) =>
-          if (h.delta != 0) bump(p, h.delta.toLong * freqs(w))
-          if (h.after > 0)
+        // one fused pass (mergeOnceDeltasInt) against the reused arena;
+        // the (delta, after) cells drive the identical bump/membership
+        // updates the r19 per-word HashMap drove.
+        syms(w) = SubwordBatch.mergeOnceDeltasInt(syms(w), aId, bId,
+          mergedId, arena, null)
+        arena.foreachCell { (p, after, delta) =>
+          if (delta != 0) bump(p, delta.toLong * freqs(w))
+          if (after > 0)
             pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
           else pairWords.get(p).foreach(_ -= w)
         }
+        arena.clear()
       }
     }
     merges.toSeq

@@ -129,6 +129,55 @@ class SubwordBatchSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("property: mergeOnceDeltasInt's (after, delta) cells equal the " +
+    "brute-force before/after multiset difference and the merged array " +
+    "equals mergeOnceArr (r20 arena rewrite)") {
+    val rnd = new scala.util.Random(20)
+    (1 to 300).foreach { _ =>
+      val nSym = 2 + rnd.nextInt(5) // ids 0..nSym-1; merged id = nSym
+      val len = rnd.nextInt(14)
+      val sym = Array.fill(len)(rnd.nextInt(nSym))
+      val a = rnd.nextInt(nSym); val b = rnd.nextInt(nSym)
+      val merged = nSym
+      val pairArena = new SubwordBatch.AccArena(16) // tiny: forces grow()
+      val symArena = new SubwordBatch.AccArena(16)
+      val out = SubwordBatch.mergeOnceDeltasInt(sym, a, b, merged,
+        pairArena, symArena)
+      // merged array ≡ the string twin (ids rendered as strings)
+      val outStr = SubwordBatch.mergeOnceArr(sym.map(_.toString),
+        a.toString, b.toString, merged.toString)
+      assert(out.map(_.toString).toSeq === outStr.toSeq)
+      def pairBag(xs: Array[Int]): Map[Long, Int] =
+        xs.sliding(2).filter(_.length == 2)
+          .map(w => SubwordBatch.packPair(w(0), w(1))).toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      def symBag(xs: Array[Int]): Map[Long, Int] =
+        xs.map(_.toLong).groupBy(identity).view.mapValues(_.size).toMap
+      val (pb, pa) = (pairBag(sym), pairBag(out))
+      val (sb, sa) = (symBag(sym), symBag(out))
+      var cells = Map.empty[Long, (Int, Int)]
+      pairArena.foreachCell((k, af, d) => cells += k -> (af, d))
+      (pb.keySet ++ pa.keySet ++ cells.keySet).foreach { k =>
+        val (af, d) = cells.getOrElse(k, (pa.getOrElse(k, 0), 0))
+        assert(af === pa.getOrElse(k, 0), s"after($k) on ${sym.toSeq}")
+        assert(d === pa.getOrElse(k, 0) - pb.getOrElse(k, 0),
+          s"delta($k) on ${sym.toSeq}")
+      }
+      var sCells = Map.empty[Long, (Int, Int)]
+      symArena.foreachCell((k, af, d) => sCells += k -> (af, d))
+      (sb.keySet ++ sa.keySet ++ sCells.keySet).foreach { k =>
+        val (af, d) = sCells.getOrElse(k, (sa.getOrElse(k, 0), 0))
+        assert(af === sa.getOrElse(k, 0))
+        assert(d === sa.getOrElse(k, 0) - sb.getOrElse(k, 0))
+      }
+      // arena reuse: clear() must leave no residue for the next word
+      pairArena.clear()
+      var n = 0
+      pairArena.foreachCell((_, _, _) => n += 1)
+      assert(n === 0)
+    }
+  }
+
   test("engine degenerate inputs: empty table and all-single-symbol " +
     "words exhaust cleanly") {
     val empty = Seq.empty[(String, Long)].toDF("w", "freq")
