@@ -111,10 +111,12 @@ object Dedup {
     }
   }
 
-  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
-    * hashes; docs sharing any band key are candidate near-duplicates. */
-  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      idCol: String = "doc_id"): DataFrame = {
+  /** The band-key structs as ONE array column over a signature row —
+    * the pre-explode form, so a join keyed on the doc id can run
+    * BEFORE the `bands`-way explosion (guide §3.3: explode before a
+    * join multiplies the join/sort input). */
+  private def lshBandArray(bands: Int, rowsPerBand: Int)
+      : org.apache.spark.sql.Column = {
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}"))
@@ -122,9 +124,16 @@ object Dedup {
         graft.functions.DigestFunctions.md5ConcatWs("|", parts: _*)
           .as("key"))
     }
-    sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    array(bandCols: _*)
   }
+
+  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
+    * hashes; docs sharing any band key are candidate near-duplicates. */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      idCol: String = "doc_id"): DataFrame =
+    sig.select(col(idCol),
+        explode(lshBandArray(bands, rowsPerBand)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** Candidate near-duplicate pairs from LSH buckets (id_a < id_b).
     * The pair join runs per-bucket, so cost is sum of bucket² — bounded by
@@ -480,11 +489,21 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val fps = docs.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val bk = lshBands(
-      minhashSignature(docs, numHashes, textCol, idCol, portable),
-      bands, numHashes / bands, idCol)
-    fps.join(bk, Seq(idCol)).select(col(idCol), col("fp"),
-      col("band"), col("key"))
+    // Join PRE-explode (r20, guide §3.3): the signature is one row per
+    // doc; exploding it into `bands` rows first put `bands`× the rows
+    // (each carrying a 32-char key) through the join's shuffle+sort.
+    // Joining on the 1-row/doc band-key ARRAY and exploding after the
+    // join moves the same information through the exchange once per
+    // doc. Values identical: explode-then-join ≡ join-then-explode on
+    // an equi-key the explode does not touch.
+    val sigBands = minhashSignature(docs, numHashes, textCol, idCol,
+        portable)
+      .select(col(idCol),
+        lshBandArray(bands, numHashes / bands).as("bks"))
+    fps.join(sigBands, Seq(idCol))
+      .select(col(idCol), col("fp"), explode(col("bks")).as("bk"))
+      .select(col(idCol), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Dedup an INCOMING batch against an existing corpus [[dedupIndex]]
