@@ -317,6 +317,29 @@ class ConceptAssembler(
     *
     * Output columns match [[UmlsConceptRow]] field-for-field. */
   def conceptsColumns(strict: Boolean = false): DataFrame = {
+    // The raising twin of [[conceptsColumnsTry]]: any per-term finishing
+    // failure (err non-null) raises with the SAME message the typed
+    // path's IllegalStateException carries.
+    conceptsColumnsTry(strict)
+      .withColumn("prefLabel",
+        when(col("__finish_err").isNotNull,
+          raise_error(col("__finish_err")).cast("string"))
+          .otherwise(col("prefLabel")))
+      .drop("__finish_err")
+  }
+
+  /** [[conceptsColumns]] with per-term error TOLERANCE (r20): instead
+    * of raising, finishing failures surface as a `__finish_err` string
+    * column (NULL on success; `prefLabel` NULL on failure) carrying
+    * exactly the typed path's exception message. This is what lets the
+    * SINK consume the whole-stage-codegen finishing plan while keeping
+    * the S6 per-term error contract (`umls2rdf.py:764-771`) — the
+    * typed route decoded ~30 atom structs per class through the
+    * product encoder just so a Scala `Try` could wrap `finish`
+    * (ProfileExport measured the decode+finish map at ~2× the assembly
+    * cost at 600k atoms). Equality with the typed path — values AND
+    * error messages — is spec-pinned (`ConceptAssemblerSpec`). */
+  def conceptsColumnsTry(strict: Boolean = false): DataFrame = {
     val rankMap = rankByTty
     val raw = assembled(strict).toDF()
     val schema = raw.schema
@@ -330,43 +353,49 @@ class ConceptAssembler(
     val atomsS = col("atoms_sorted")
     val strs = transform(atomsS, a => a.getField("str"))
     val first = element_at(atomsS, 1).getField("str")
-    val prefCol =
+    val (prefCol, errCol) =
       if (loadOnCuis) {
-        // A8 cascade (umls2rdf.py:296-319), branch-for-branch.
+        // A8 cascade (umls2rdf.py:296-319), branch-for-branch; the
+        // cascade cannot fail.
         val labels = array_distinct(strs)
         val isPref = filter(atomsS, a => a.getField("ispref") === "Y")
         val prefPf = filter(isPref, a => a.getField("stt") === "PF")
         val ttyP = filter(atomsS, a => a.getField("tty").startsWith("P"))
-        when(size(atomsS) === 1, first)
+        (when(size(atomsS) === 1, first)
           .when(size(labels) === 1, element_at(labels, 1))
           .when(size(isPref) === 0, first)
           .when(size(isPref) === 1, element_at(isPref, 1).getField("str"))
           .when(size(prefPf) === 0, first)
           .when(size(prefPf) === 1, element_at(prefPf, 1).getField("str"))
           .when(size(ttyP) === 1, element_at(ttyP, 1).getField("str"))
-          .otherwise(first)
+          .otherwise(first),
+          lit(null).cast("string"))
       } else if (rankMap.nonEmpty) {
         // A7 argmax; FIRST max in canonical order (the typed path's maxBy
         // tie-break) = array_position's first-occurrence pick. One rank
         // lookup per atom (the old struct-accumulator aggregate evaluated
-        // it twice), no per-step struct rebuilds. Missing TTY raises like
-        // the reference's KeyError.
+        // it twice), no per-step struct rebuilds. A missing TTY fails the
+        // term like the reference's KeyError — message identical to the
+        // typed path's throw, keyed on the FIRST missing atom in
+        // canonical order (= the typed map's first-thrown atom).
         val rankLit = typedLit(rankMap)
-        val ranks = transform(atomsS, a => {
-          val r = element_at(rankLit, a.getField("tty"))
-          when(r.isNull,
-            raise_error(concat(lit("TTY "), a.getField("tty"),
-              lit(" not in MRRANK"))).cast("int"))
-            .otherwise(r)
-        })
-        element_at(atomsS, array_position(ranks, array_max(ranks)).cast("int"))
+        val missing = filter(atomsS,
+          a => element_at(rankLit, a.getField("tty")).isNull)
+        val err = when(size(missing) > 0,
+          concat(lit("TTY "), element_at(missing, 1).getField("tty"),
+            lit(" not in MRRANK")))
+        val ranks = transform(atomsS,
+          a => element_at(rankLit, a.getField("tty")))
+        val pref = element_at(atomsS,
+          array_position(ranks, array_max(ranks)).cast("int"))
           .getField("str")
+        (when(err.isNull, pref), err)
       } else {
         // A9: empty MRRANK requires exactly one 'P'-TTY atom.
         val prefAtoms = filter(atomsS, a => a.getField("tty").contains("P"))
-        when(size(prefAtoms) === 1, element_at(prefAtoms, 1).getField("str"))
-          .otherwise(
-            raise_error(lit("Unable to select pref label")).cast("string"))
+        val err = when(size(prefAtoms) =!= 1,
+          lit("Unable to select pref label"))
+        (when(err.isNull, element_at(prefAtoms, 1).getField("str")), err)
       }
     withSorted
       .withColumn("prefLabel", prefCol)
@@ -383,7 +412,8 @@ class ConceptAssembler(
         coalesce(col("rels"), emptyLike("rels")).as("rels"),
         col("isRoot"),
         array_sort(coalesce(col("treeParents"), emptyLike("treeParents")))
-          .as("treeParents"))
+          .as("treeParents"),
+        errCol.as("__finish_err"))
   }
 
   /** A1 per-code atom collection, optionally salted for skewed SABs.
@@ -473,7 +503,14 @@ object ConceptAssembler {
       loadOnCuis: Boolean): UmlsConceptRow = {
     def orEmpty[T](xs: Seq[T]): Seq[T] = if (xs == null) Nil else xs
     // Canonical intra-class order (determinism note in class doc).
-    val atomsSorted = raw.atoms.sortBy(a => (a.aui, a.cui))
+    // sortWith: same total order as sortBy((aui, cui)) without one key
+    // tuple per atom and boxed tuple compares (r20, guide §1.2; both
+    // sorts are stable TimSort, so ties — impossible anyway, AUI is the
+    // primary key — would order identically).
+    val atomsSorted = raw.atoms.sortWith { (x, y) =>
+      val c = x.aui.compareTo(y.aui)
+      (if (c != 0) c else x.cui.compareTo(y.cui)) < 0
+    }
     val pref = PrefLabel.select(atomsSorted, rankByTty, loadOnCuis)
     val alt = atomsSorted.map(_.str).distinct.filter(_ != pref).sorted
     val cuis = atomsSorted.map(_.cui).distinct.sorted

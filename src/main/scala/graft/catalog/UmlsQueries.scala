@@ -487,11 +487,17 @@ object UmlsQueries {
         val asm = new ConceptAssembler(s, scaleSource(s, d), "BIG")
         // Columnar finishing: the whole spine stays in whole-stage
         // codegen (equality with the typed path is spec-pinned).
+        // Materialize.cut before the display orderBy (r20, guide §1.2):
+        // the global sort's range partitioner SAMPLES its child, so the
+        // live join+finish subtree executed twice per run; the cut
+        // materializes the 20k small result rows once and the sort
+        // samples/shuffles the checkpoint. Same rows, same order.
         asm.conceptsColumns()
           .select(col("code"), col("prefLabel"),
             size(col("altLabels")).as("n_alt"), size(col("rels")).as("n_rels"),
             size(col("atts")).as("n_atts"), size(col("cuis")).as("n_cuis"),
             size(col("tuis")).as("n_tuis"))
+          .transform(graft.operators.Materialize.cut)
           .orderBy("code")
       },
       None),
@@ -509,11 +515,13 @@ object UmlsQueries {
       (s, d) => {
         val asm = new ConceptAssembler(s, scaleSource(s, d, hotEvery = 10),
           "BIG", saltBuckets = 8)
+        // cut-before-orderBy: same double-sampling fix as q25s.
         asm.conceptsColumns()
           .select(col("code"), col("prefLabel"),
             size(col("altLabels")).as("n_alt"), size(col("rels")).as("n_rels"),
             size(col("atts")).as("n_atts"), size(col("cuis")).as("n_cuis"),
             size(col("tuis")).as("n_tuis"))
+          .transform(graft.operators.Materialize.cut)
           .orderBy("code")
       },
       None),

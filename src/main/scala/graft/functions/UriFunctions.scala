@@ -18,7 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
 object PyQuote {
   private val hex = "0123456789ABCDEF"
 
+  @inline private def unreservedChar(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') ||
+      c == '_' || c == '.' || c == '-' || c == '~' || c == '/'
+
   def quote(s: String): String = {
+    // Fast path (r20, guide §1.2): codes/fragments are overwhelmingly
+    // all-unreserved ASCII, where quote(s) == s — skip the UTF-8
+    // byte-array + builder allocation entirely. Chars > 0x7F never
+    // satisfy unreservedChar, so the scan is exact.
+    var k = 0
+    while (k < s.length && unreservedChar(s.charAt(k))) k += 1
+    if (k == s.length) return s
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val sb = new java.lang.StringBuilder(bytes.length + 8)
     var i = 0

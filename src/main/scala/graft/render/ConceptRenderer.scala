@@ -63,7 +63,10 @@ object ConceptRenderer {
       .append("\"\"\"^^xsd:string ;\n")
 
     // A10 dedup state: per-kind counters + seen-set (None = dedup off).
-    val seen: mutable.Set[(String, String, String)] =
+    // The set is PER TERM, so the constant `subject` is dropped from the
+    // key (r20, guide §1.2) — membership is unchanged, the hash runs
+    // over two strings instead of a 3-tuple.
+    val seen: mutable.Set[(String, String)] =
       if (cfg.dedupe) mutable.Set.empty else null
     var dupLiteral = 0L; var dupObject = 0L; var dupSubclass = 0L
     // A15 property accumulation — first-seen fragment per predicate URI,
@@ -72,25 +75,25 @@ object ConceptRenderer {
 
     def appendObject(p: String, o: String): Unit = {
       if (seen != null) {
-        if (seen.contains((subject, p, o))) { dupObject += 1; return }
-        seen += ((subject, p, o))
+        if (seen.contains((p, o))) { dupObject += 1; return }
+        seen += ((p, o))
       }
       sb.append("\t<").append(p).append("> <").append(o).append("> ;\n")
     }
     def appendLiteral(p: String, v: String): Unit = {
       if (seen != null) {
-        if (seen.contains((subject, p, v))) { dupLiteral += 1; return }
-        seen += ((subject, p, v))
+        if (seen.contains((p, v))) { dupLiteral += 1; return }
+        seen += ((p, v))
       }
       sb.append("\t<").append(p).append("> \"\"\"").append(escape(v))
         .append("\"\"\"^^xsd:string ;\n")
     }
     def appendSubclass(o: String): Unit = {
       if (seen != null) {
-        if (seen.contains((subject, "rdfs:subClassOf", o))) {
+        if (seen.contains(("rdfs:subClassOf", o))) {
           dupSubclass += 1; return
         }
-        seen += ((subject, "rdfs:subClassOf", o))
+        seen += (("rdfs:subClassOf", o))
       }
       // C12: IRIs in <>, qnames (owl:Thing) bare (`umls2rdf.py:362-363`).
       val rendered = if (o.contains("://")) s"<$o>" else o
@@ -126,6 +129,18 @@ object ConceptRenderer {
       val fragment = if (r.rela != null && r.rela.nonEmpty) r.rela else r.rel
       (r.rel != "CHD", fragment, r.codeTarget, r.codeSource)
     }
+    // rels are fragment-sorted and atts ATN-sorted, so equal predicate
+    // fragments arrive consecutively — memoize the last percent-encoded
+    // predicate URI instead of re-encoding per row (r20, guide §1.2).
+    var lastFrag: String = null
+    var lastFragUri: String = null
+    def predUri(fragment: String): String = {
+      if (fragment != lastFrag) {
+        lastFrag = fragment
+        lastFragUri = urlTerm(cfg.ns, fragment)
+      }
+      lastFragUri
+    }
     sortedRels.foreach { r =>
       if (r.codeSource != c.code)
         throw new IllegalStateException(
@@ -138,7 +153,7 @@ object ConceptRenderer {
               appendSubclass(urlTerm(cfg.ns, r.codeTarget))
           }
         } else {
-          val p = urlTerm(cfg.ns, fragment)
+          val p = predUri(fragment)
           appendObject(p, urlTerm(cfg.ns, r.codeTarget))
           if (!props.contains(p)) props(p) = fragment
         }
@@ -152,7 +167,7 @@ object ConceptRenderer {
         if (cfg.hasTree && a.atn == "MN" && c.code.startsWith("D") &&
             !a.atv.contains("."))
           appendSubclass("owl:Thing")
-        val p = urlTerm(cfg.ns, a.atn)
+        val p = predUri(a.atn)
         appendLiteral(p, a.atv)
         if (!props.contains(p)) props(p) = a.atn
       }

@@ -222,17 +222,23 @@ class OntologyWriterSpec extends AnyFunSuite {
     assert(countOf(" .\n\n") >= 2) // each concept term closes the block
   }
 
-  test("single-pass distributed export: ONE SQL execution over the " +
-    "rendered terms (metadata collects aside) — r10 pin") {
+  test("single-render distributed export: the render map materializes " +
+    "in ONE execution and the write pass re-reads the checkpoint " +
+    "(metadata collects aside) — r10 pin, updated r20") {
     // The r9 single-pass rewrite's claim, now CI-asserted: counters /
-    // errors / properties ride accumulators on the write job, so the
-    // whole export issues exactly FOUR SQL executions — three bounded
-    // metadata collects (MRSAB record, SRC cui_roots, MRRANK map) plus
-    // the ONE write action over the rendered terms (AQE may split it
-    // into several jobs; they share an execution id). The pre-r9 writer
-    // ran extra aggregation actions over the rendered terms and would
-    // count 5+. Jobs are filtered by a dedicated job group so
-    // concurrently-running suites can't pollute the count.
+    // errors / properties ride accumulators on the write job — no
+    // extra aggregation actions over the rendered terms. Since r20 the
+    // export issues exactly FIVE SQL executions: three bounded
+    // metadata collects (MRSAB record, SRC cui_roots, MRRANK map), the
+    // ONE materialization of the rendered terms (Materialize.cut —
+    // before r20 the write's range-sort sampled its LIVE child, so the
+    // assemble+finish+render subtree executed TWICE inside the write
+    // execution; ProfileExport counted 40k render calls for 20k terms),
+    // and the write action over the checkpointed flat rows (AQE may
+    // split an execution into several jobs; they share an execution
+    // id). A regression that re-renders per action would count 6+.
+    // Jobs are filtered by a dedicated job group so concurrently-
+    // running suites can't pollute the count.
     val group = "graft-export-pin"
     val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -259,10 +265,10 @@ class OntologyWriterSpec extends AnyFunSuite {
       assert(rep.terms === 2L)
       // listener events are posted asynchronously; give them a beat
       Thread.sleep(1500)
-      assert(execIds.size === 4,
+      assert(execIds.size === 5,
         s"distributed export issued ${execIds.size} SQL executions " +
-          s"(expected 4: MRSAB + cui_roots + MRRANK metadata collects " +
-          s"+ the single write pass): $execIds")
+          s"(expected 5: MRSAB + cui_roots + MRRANK metadata collects " +
+          s"+ the one render materialization + the write pass): $execIds")
     } finally {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
